@@ -1,0 +1,114 @@
+"""Conformance against the official JSON-Schema-Test-Suite corpus vendored by
+the reference (/root/reference/testdata/{draft4,draft6,draft7}) — the same
+runner contract as the reference's executeTests (jsonschema_test.go:52-119):
+draft pinned by directory, schema meta-validation on, `disabled` groups skipped,
+remote refs served from the vendored remotes/ tree (preloaded into the
+registry instead of a localhost HTTP server).
+"""
+
+import json
+import os
+from fractions import Fraction
+from pathlib import Path
+
+import pytest
+
+from gojsonschema_ray.schema import (
+    DRAFT4, DRAFT6, DRAFT7, Compiler, Registry, SchemaError,
+)
+
+CORPUS = Path("/root/reference/testdata")
+DRAFTS = {"draft4": DRAFT4, "draft6": DRAFT6, "draft7": DRAFT7}
+REMOTE_BASE = "http://localhost:1234"
+
+
+def _load(path: Path):
+    with open(path) as f:
+        return json.load(f, parse_float=Fraction, parse_int=int)
+
+
+def _base_registry() -> Registry:
+    """Preload every vendored remote under its localhost:1234 URL (mirrors the
+    reference's test HTTP server, jsonschema_test.go:129-135)."""
+    reg = Registry(auto_detect=True)
+    remotes = CORPUS / "remotes"
+    for path in sorted(remotes.rglob("*.json")):
+        rel = path.relative_to(remotes).as_posix()
+        reg.add(f"{REMOTE_BASE}/{rel}", _load(path))
+    return reg
+
+
+_BASE = _base_registry()
+
+
+def _registry_copy() -> Registry:
+    reg = Registry(auto_detect=True)
+    reg.documents = dict(_BASE.documents)
+    return reg
+
+
+# Groups in corpus files the reference does NOT run (its TestSuite walker
+# skips every subdirectory not named draftN, jsonschema_test.go:136-144, and
+# TestFormats only adds optional/format.json + optional/format/*). We run those
+# extra files anyway, skipping the groups whose expectations contradict the
+# reference's documented semantics:
+_EXTENDED_SKIPS = {
+    # contentMediaType/contentEncoding are not implemented by the reference
+    "validation of string-encoded content based on media type",
+    "validation of binary string-encoding",
+    "validation of binary-encoded media type documents",
+    # the reference's big.Rat numeric model makes 1.0 an integer
+    # (utils.go:117-125, utils_test.go:35-59)
+    "some languages do not distinguish between different types of numeric value",
+    # Go RE2 rejects \Z (Python re accepts it)
+    "ECMA 262 regex non-compliance",
+}
+
+
+def _reference_scope(path: Path) -> bool:
+    """True iff the reference's own test runner executes this file."""
+    rel = path.relative_to(CORPUS).as_posix()
+    parts = rel.split("/")
+    if len(parts) == 2:  # draftN/foo.json
+        return True
+    if "optional/format/" in rel or rel.endswith("optional/format.json"):
+        return True
+    return False
+
+
+def _collect_cases():
+    cases = []
+    for draft_dir, draft in DRAFTS.items():
+        root = CORPUS / draft_dir
+        for path in sorted(root.rglob("*.json")):
+            rel = path.relative_to(CORPUS).as_posix()
+            for gi, group in enumerate(_load(path)):
+                if group.get("disabled"):
+                    continue
+                if not _reference_scope(path) and group["description"] in _EXTENDED_SKIPS:
+                    continue
+                cases.append(pytest.param(
+                    draft, path, gi,
+                    id=f"{rel}::{group['description'][:60].replace(' ', '_')}",
+                ))
+    return cases
+
+
+@pytest.mark.parametrize("draft,path,group_index", _collect_cases())
+def test_corpus_group(draft, path, group_index):
+    group = _load(path)[group_index]
+    compiler = Compiler(registry=_registry_copy(), draft=draft,
+                        auto_detect=True, validate_schema=True)
+    try:
+        tree = compiler.compile(group["schema"])
+    except SchemaError as e:
+        pytest.fail(f"schema failed to compile: {e}")
+    failures = []
+    for case in group["tests"]:
+        got = tree.check(case["data"])
+        if got != case["valid"]:
+            failures.append(
+                f"  {case['description']}: expected valid={case['valid']}, got {got}"
+            )
+    if failures:
+        pytest.fail(f"{group['description']}:\n" + "\n".join(failures))
