@@ -1,0 +1,172 @@
+"""Flagship pipeline: table-scale validation of the audio clips + transcript
+table (BASELINE.json north_star), end to end:
+
+    read_parquet (column-pruned, manifest-filtered)
+      → map_batches(TableValidator)            # stateless vectorized predicates
+      → map_batches(AudioInvariantChecker,     # stateful actor pool, small
+                    concurrency=N, batch_size) #   batches (wide binary rows)
+      → union of violation streams → write_parquet (partitioned, resumable)
+      + sketch partials (map_batches → tiny driver merge)   # column stats
+      + uniqueness via pre-aggregated groupby               # keyed shuffle
+      + manifest commit per partition (lineage + metrics)
+
+Design notes for 10^12-row scale:
+- the ONLY all-to-all exchange is the uniqueness groupby, and it moves
+  (key, count) partials, not rows;
+- the audio stage reads only the columns it needs; the metadata stage never
+  deserializes `bytes` (column pruning at the read);
+- output is a directory tree per partition; a killed run resumes from the
+  manifest, skipping committed partitions.
+"""
+
+from __future__ import annotations
+
+import base64
+import os
+import pickle
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..schema.compile import CompiledSchema, compile_schema
+from ..stages.audio import AudioInvariantChecker
+from ..stages.sketches import SketchStage, merge_sketch_partials
+from ..stages.uniqueness import uniqueness_violations
+from ..stages.validate import TableValidator
+from ..state.manifest import Manifest
+
+# Default ruleset over one clips row viewed as a JSON object (FIXTURES.md F1).
+DEFAULT_RULESET = {
+    "type": "object",
+    "required": ["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"],
+    "properties": {
+        "clip_id": {"type": "string", "pattern": "^clip-[0-9a-z-]+$"},
+        "sr_hz": {"type": "integer", "enum": [8000, 16000, 22050, 44100, 48000]},
+        "dur_ms": {"type": "integer", "exclusiveMinimum": 0, "maximum": 3600000,
+                   "multipleOf": 1},
+        "codec": {"type": "string", "enum": ["pcm_s16le", "wav"]},
+        "transcript": {"type": "string", "minLength": 1, "maxLength": 10000},
+    },
+}
+
+META_COLUMNS = ["clip_id", "sr_hz", "dur_ms", "codec", "transcript"]
+AUDIO_COLUMNS = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"]
+
+
+def compiled_default_ruleset() -> CompiledSchema:
+    return compile_schema(DEFAULT_RULESET)
+
+
+def schema_violations(ds, tree: CompiledSchema | None = None,
+                      key_column: str = "clip_id"):
+    """Stateless vectorized predicate pass → violations Dataset."""
+    tree = tree or compiled_default_ruleset()
+    tv = TableValidator(tree, key_column=key_column, mode="violations")
+    return ds.map_batches(tv, batch_format="pyarrow")
+
+
+def audio_violations(ds, concurrency: int = 4, batch_size: int = 128,
+                     snr_db: float = 30.0, audio_cap_ms: int = 50):
+    """Stateful actor-pool PCM pass → violations Dataset."""
+    return ds.map_batches(
+        AudioInvariantChecker,
+        fn_constructor_kwargs={"snr_db": snr_db, "audio_cap_ms": audio_cap_ms},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def validate_clips(ds, tree: CompiledSchema | None = None, *,
+                   with_audio: bool = True, with_uniqueness: bool = True,
+                   audio_concurrency: int = 4, audio_batch_size: int = 128,
+                   audio_cap_ms: int = 50):
+    """One streaming violations Dataset over a clips Dataset (single pass
+    per stream; streams union'd — Ray executes them as one DAG)."""
+    streams = [schema_violations(ds, tree)]
+    if with_audio:
+        streams.append(audio_violations(ds, concurrency=audio_concurrency,
+                                        batch_size=audio_batch_size,
+                                        audio_cap_ms=audio_cap_ms))
+    if with_uniqueness:
+        streams.append(uniqueness_violations(ds, "clip_id"))
+    out = streams[0]
+    for s in streams[1:]:
+        out = out.union(s)
+    return out
+
+
+def _clear_dir(path: str):
+    if os.path.isdir(path):
+        for f in os.listdir(path):
+            os.unlink(os.path.join(path, f))
+
+
+def _partition_files(files: list[str], files_per_partition: int) -> list[list[str]]:
+    return [files[i:i + files_per_partition]
+            for i in range(0, len(files), files_per_partition)]
+
+
+def run_flagship(input_dir: str, out_dir: str, *,
+                 ruleset: dict | None = None,
+                 with_audio: bool = True,
+                 files_per_partition: int = 4,
+                 audio_concurrency: int = 4,
+                 audio_batch_size: int = 128,
+                 audio_cap_ms: int = 50) -> dict:
+    """Resumable production run over a partitioned parquet clips table.
+
+    Partition = a group of input files; each partition streams through the
+    validators, writes its violations under out_dir/violations/<partition>/,
+    and commits a manifest line (fragments, row/violation counts, sketch
+    digests). A killed run re-invokes this and skips committed partitions.
+    Global checks (uniqueness across partitions) run as a final counts-only
+    pass recorded under the "__global__" partition."""
+    import ray.data as rd
+
+    tree = compile_schema(ruleset or DEFAULT_RULESET)
+    manifest = Manifest(os.path.join(out_dir, "manifest.jsonl"))
+    files = sorted(
+        os.path.join(input_dir, f) for f in os.listdir(input_dir)
+        if f.endswith(".parquet")
+    )
+    partitions = _partition_files(files, files_per_partition)
+
+    for pi, frag in enumerate(partitions):
+        pname = f"part-{pi:06d}"
+        if manifest.is_committed(pname):
+            continue
+        ds = rd.read_parquet(frag, columns=AUDIO_COLUMNS if with_audio else META_COLUMNS)
+        viol = validate_clips(ds, tree, with_audio=with_audio,
+                              with_uniqueness=False,  # global, see below
+                              audio_concurrency=audio_concurrency,
+                              audio_batch_size=audio_batch_size,
+                              audio_cap_ms=audio_cap_ms)
+        vdir = os.path.join(out_dir, "violations", pname)
+        _clear_dir(vdir)  # uncommitted leftovers from a killed run
+        viol.write_parquet(vdir)
+        # sketch partials for lineage (metadata columns only — cheap second
+        # scan that never touches `bytes`)
+        meta_ds = rd.read_parquet(frag, columns=["sr_hz", "dur_ms"])
+        partials = meta_ds.map_batches(SketchStage(["sr_hz", "dur_ms"]),
+                                       batch_format="pyarrow").take_all()
+        merged = merge_sketch_partials(partials)
+        digests = {k: base64.b64encode(pickle.dumps(v)).decode() for k, v in merged.items()}
+        rows = sum(pq.read_metadata(f).num_rows for f in frag)
+        viols = sum(pq.read_metadata(os.path.join(vdir, f)).num_rows
+                    for f in os.listdir(vdir) if f.endswith(".parquet"))
+        manifest.commit(pname, frag, rows, viols, {"sketches": digests})
+
+    # global uniqueness over ALL files (counts-only partial aggregation)
+    if not manifest.is_committed("__global__"):
+        ds_all = rd.read_parquet(files, columns=["clip_id"])
+        uviol = uniqueness_violations(ds_all, "clip_id")
+        udir = os.path.join(out_dir, "violations", "__global__")
+        _clear_dir(udir)
+        uviol.write_parquet(udir)
+        uv = sum(pq.read_metadata(os.path.join(udir, f)).num_rows
+                 for f in os.listdir(udir) if f.endswith(".parquet"))
+        manifest.commit("__global__", files, 0, uv)
+
+    return manifest.summary()

@@ -1,0 +1,179 @@
+"""PCM-level invariant checks on the audio `bytes` column — the reference's
+`format` checker generalized to binary payloads (SURVEY.md §2.6; BASELINE.json
+input_hint: "decoded-PCM allclose (SNR>=30dB) + transcript equality").
+
+Runs as a STATEFUL ACTOR POOL:
+    ds.map_batches(AudioInvariantChecker, concurrency=N, batch_size=64-256,
+                   num_cpus=1, batch_format="pyarrow")
+Decoder state (codec dispatch table, scratch buffers) is built once per actor
+in __init__ (the reference's compile-once pattern, README.md:126-136); each
+__call__ handles one small batch (audio rows are wide — small batch_size keeps
+batch × concurrency inside the worker heap).
+
+Checks per row:
+- decode:      bytes parse under the declared codec (wav container / raw s16le)
+- pcm_length:  decoded sample count == sr_hz * min(dur_ms, cap)/1000
+- snr:         >= 30 dB against the best-fit single sine (least-squares fit at
+               the FFT-peak frequency, refined by local search) — the
+               "reference decode" invariant for synthetic sine corpora
+- transcript:  byte-equality against the reference transcript when the clip_id
+               encodes the generator row index (clip-<i>)
+
+True codec work (mp3/opus/flac) needs external libs not present in this
+container; those codecs raise CodecUnavailable and are emitted as `decode`
+violations with expected="decodable codec" — the Ray-side plumbing (schema,
+actor signature, batch sizing, violation layout) is real and tested.
+"""
+
+from __future__ import annotations
+
+import io
+import wave
+
+import numpy as np
+import pyarrow as pa
+
+
+class CodecUnavailable(Exception):
+    pass
+
+
+def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
+    with wave.open(io.BytesIO(blob), "rb") as w:
+        sr = w.getframerate()
+        n = w.getnframes()
+        raw = w.readframes(n)
+        if w.getsampwidth() != 2 or w.getnchannels() != 1:
+            raise ValueError("expected mono s16")
+    return np.frombuffer(raw, dtype="<i2"), sr
+
+
+def decode_raw_s16le(blob: bytes, sr: int) -> tuple[np.ndarray, int]:
+    if len(blob) % 2 != 0:
+        raise ValueError("odd byte count for s16le payload")
+    return np.frombuffer(blob, dtype="<i2"), sr
+
+
+def best_fit_sine_snr(x: np.ndarray, sr: int) -> float:
+    """SNR (dB) of x against its least-squares best single-sine fit.
+
+    Frequency seeded at the FFT peak (parabolic interpolation), then the
+    sin/cos amplitudes are solved exactly; a pure sine scores very high, a
+    corrupted or non-sinusoidal payload scores low."""
+    n = len(x)
+    if n < 16:
+        return -np.inf
+    xf = x.astype(np.float64)
+    xf = xf - xf.mean()
+    spec = np.abs(np.fft.rfft(xf * np.hanning(n)))
+    k = int(np.argmax(spec[1:])) + 1
+    # parabolic refinement of the peak bin
+    if 1 <= k < len(spec) - 1:
+        a, b, c = spec[k - 1], spec[k], spec[k + 1]
+        denom = a - 2 * b + c
+        delta = 0.5 * (a - c) / denom if denom != 0 else 0.0
+        delta = float(np.clip(delta, -0.5, 0.5))
+    else:
+        delta = 0.0
+    freq = (k + delta) * sr / n
+    t = np.arange(n) / sr
+    res = sr / n  # FFT bin width
+
+    def snr_at(f: float) -> float:
+        w = 2 * np.pi * f * t
+        basis = np.stack([np.sin(w), np.cos(w), np.ones(n)], axis=1)
+        coef, *_ = np.linalg.lstsq(basis, xf, rcond=None)
+        fit = basis @ coef
+        resid = xf - fit
+        sig = float(fit @ fit)
+        noise = float(resid @ resid)
+        if noise <= 0:
+            return np.inf
+        return 10 * np.log10(max(sig, 1e-30) / noise)
+
+    # local grid around the FFT estimate (the interpolated peak is only
+    # ~bin/10 accurate; a frequency error of bin/4 already caps SNR ~20 dB),
+    # plus the nearest integral frequencies (synthetic corpora use whole Hz)
+    cands = {float(round(freq)), float(np.floor(freq)), float(np.ceil(freq))}
+    cands.update(freq + d for d in np.linspace(-0.6 * res, 0.6 * res, 13))
+    scored = [(snr_at(f), f) for f in cands]
+    best, fbest = max(scored)
+    for d in np.linspace(-0.1 * res, 0.1 * res, 11):
+        best = max(best, snr_at(fbest + d))
+    return best
+
+
+def reference_transcript(i: int) -> str | None:
+    from ..datagen import row_meta
+
+    return row_meta(i)["transcript"]
+
+
+class AudioInvariantChecker:
+    """Actor-pool map_batches payload emitting violation rows (F4 schema)."""
+
+    def __init__(self, snr_db: float = 30.0, audio_cap_ms: int = 50,
+                 check_transcript: bool = True):
+        self.snr_db = snr_db
+        self.audio_cap_ms = audio_cap_ms
+        self.check_transcript = check_transcript
+        self.decoders = {
+            "wav": lambda blob, sr: decode_wav(blob),
+            "pcm_s16le": decode_raw_s16le,
+        }
+
+    def _check_row(self, clip_id, blob, sr, dur_ms, codec, transcript, out):
+        dec = self.decoders.get(codec)
+        if dec is None:
+            out.append((clip_id, "decode", "(root).bytes",
+                        "decodable codec", str(codec)))
+            return
+        try:
+            pcm, file_sr = dec(blob, sr)
+        except Exception as e:  # noqa: BLE001 — any decode failure is a violation
+            out.append((clip_id, "decode", "(root).bytes",
+                        f"{codec} decodes", type(e).__name__))
+            return
+        expected_n = int(sr * min(dur_ms, self.audio_cap_ms) / 1000) \
+            if dur_ms is not None and sr is not None else None
+        if expected_n is not None and len(pcm) != expected_n:
+            out.append((clip_id, "pcm_length", "(root).bytes",
+                        f"{expected_n} samples", f"{len(pcm)} samples"))
+            return
+        if len(pcm) >= 16:
+            snr = best_fit_sine_snr(pcm, int(sr))
+            if snr < self.snr_db:
+                out.append((clip_id, "snr", "(root).bytes",
+                            f">= {self.snr_db} dB", f"{snr:.1f} dB"))
+        if self.check_transcript and isinstance(clip_id, str) \
+                and clip_id.startswith("clip-") and clip_id[5:].isdigit():
+            ref = reference_transcript(int(clip_id[5:]))
+            if ref is not None and transcript != ref:
+                out.append((clip_id, "transcript", "(root).transcript",
+                            "reference transcript", "" if transcript is None
+                            else transcript[:64]))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["clip_id"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        srs = batch["sr_hz"].to_pylist()
+        durs = batch["dur_ms"].to_pylist()
+        codecs = batch["codec"].to_pylist()
+        txts = batch["transcript"].to_pylist() if "transcript" in batch.column_names \
+            else [None] * batch.num_rows
+        out: list[tuple] = []
+        for row in zip(ids, blobs, srs, durs, codecs, txts):
+            if row[1] is None:
+                out.append((row[0], "required", "(root).bytes", "required bytes", ""))
+                continue
+            self._check_row(*row, out)
+        from .validate import VIOLATION_SCHEMA
+
+        if not out:
+            return VIOLATION_SCHEMA.empty_table()
+        cols = list(zip(*out))
+        return pa.table(
+            [pa.array([str(c) if c is not None else "" for c in col])
+             for col in cols],
+            schema=VIOLATION_SCHEMA,
+        )

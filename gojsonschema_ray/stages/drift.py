@@ -1,0 +1,96 @@
+"""Distribution-drift checks (KS / PSI) on numeric columns — no reference
+analog (SURVEY.md §2.6): per-block histogram partials merged by plain `sum`,
+statistics computed on the driver. Zero shuffle: a histogram partial per
+batch is a few hundred ints.
+
+KS statistic: max |CDF_a - CDF_b| over the shared bin edges (two-sample,
+binned approximation; exact enough for drift *detection* thresholds).
+PSI: sum over bins of (pa - pb) * ln(pa / pb) with epsilon flooring —
+the standard population-stability-index recipe.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+class HistogramStage:
+    """map_batches payload: fixed-edge histogram partial per batch."""
+
+    def __init__(self, column: str, edges: np.ndarray):
+        self.column = column
+        self.edges = np.asarray(edges, dtype=np.float64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        v = col.drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[np.isfinite(v)]
+        counts, _ = np.histogram(v, bins=self.edges)
+        below = int((v < self.edges[0]).sum())
+        above = int((v > self.edges[-1]).sum())
+        return pa.table({
+            "bin": pa.array(range(len(counts) + 2), pa.int32()),
+            "count": pa.array([below, *counts.tolist(), above], pa.int64()),
+        })
+
+
+def histogram(ds, column: str, edges: np.ndarray) -> np.ndarray:
+    """Merged histogram (len(edges)+1 bins incl. under/overflow)."""
+    partials = ds.map_batches(HistogramStage(column, edges), batch_format="pyarrow")
+    totals = partials.groupby("bin").sum("count").take_all()
+    out = np.zeros(len(edges) + 1, dtype=np.int64)
+    for r in totals:
+        out[r["bin"]] = r["sum(count)"]
+    return out
+
+
+def default_edges(digest, bins: int = 64) -> np.ndarray:
+    """Histogram edges from a reference TDigest's quantiles (equi-depth-ish)."""
+    qs = np.linspace(0.0, 1.0, bins + 1)
+    edges = np.array([digest.quantile(q) for q in qs], dtype=np.float64)
+    return np.unique(edges)
+
+def ks_statistic(counts_a: np.ndarray, counts_b: np.ndarray) -> float:
+    ca = np.cumsum(counts_a) / max(1, counts_a.sum())
+    cb = np.cumsum(counts_b) / max(1, counts_b.sum())
+    return float(np.abs(ca - cb).max())
+
+
+def psi(counts_a: np.ndarray, counts_b: np.ndarray, eps: float = 1e-6) -> float:
+    pa_ = counts_a / max(1, counts_a.sum())
+    pb_ = counts_b / max(1, counts_b.sum())
+    pa_ = np.clip(pa_, eps, None)
+    pb_ = np.clip(pb_, eps, None)
+    return float(np.sum((pa_ - pb_) * np.log(pa_ / pb_)))
+
+
+def drift_report(ds_ref, ds_new, columns: list[str], bins: int = 64,
+                 ks_threshold: float = 0.1, psi_threshold: float = 0.2) -> dict:
+    """Compare distributions of `columns` between two datasets.
+
+    Reference edges come from a t-digest pass over ds_ref; both sides are then
+    binned with the SAME edges and compared."""
+    from .sketches import SketchStage, merge_sketch_partials
+
+    partials = ds_ref.map_batches(SketchStage(columns), batch_format="pyarrow")
+    merged = merge_sketch_partials(partials.take_all())
+    report = {}
+    for c in columns:
+        st = merged.get(c)
+        if st is None or st.digest is None or st.digest.n == 0:
+            continue
+        edges = default_edges(st.digest, bins)
+        if len(edges) < 2:
+            continue
+        ha = histogram(ds_ref, c, edges)
+        hb = histogram(ds_new, c, edges)
+        ks = ks_statistic(ha, hb)
+        p = psi(ha, hb)
+        report[c] = {
+            "ks": ks, "psi": p,
+            "drifted": bool(ks > ks_threshold or p > psi_threshold),
+        }
+    return report

@@ -1,0 +1,139 @@
+"""Referential-integrity checks — `dependencies`/`required` lifted across
+columns and across tables (SURVEY.md §2.6).
+
+- same-row column implications are handled by TableValidator's dependencies
+  masks (stages/validate.py);
+- cross-table FK checks use a **broadcast semi/anti join**: the referenced key
+  set (or, at scale, a Bloom filter of it) is built once, `ray.put` once, and
+  probed with `pc.is_in` inside map_batches — no all-to-all shuffle. A Bloom
+  probe can only err toward "present" (it may MISS a violation, never
+  invent one); for exact results on huge reference sides use a partitioned
+  hash join (bucket both sides by hash(key), join per bucket).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+class BloomFilter:
+    """Simple double-hashing Bloom filter over uint64 hashes."""
+
+    __slots__ = ("bits", "m", "k")
+
+    def __init__(self, capacity: int, fp_rate: float = 0.001):
+        m = max(64, int(-capacity * math.log(fp_rate) / (math.log(2) ** 2)))
+        self.m = m
+        self.k = max(1, int(round((m / max(1, capacity)) * math.log(2))))
+        self.bits = np.zeros((m + 63) // 64, dtype=np.uint64)
+
+    def _positions(self, h: np.ndarray, i: int) -> np.ndarray:
+        return (h + np.uint64(i) * ((h >> np.uint64(32)) | np.uint64(1))) % np.uint64(self.m)
+
+    def add_hashes(self, h: np.ndarray):
+        for i in range(self.k):
+            pos = self._positions(h, i)
+            np.bitwise_or.at(self.bits, (pos >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (pos & np.uint64(63)))
+
+    def contains_hashes(self, h: np.ndarray) -> np.ndarray:
+        out = np.ones(len(h), dtype=bool)
+        for i in range(self.k):
+            pos = self._positions(h, i)
+            word = self.bits[(pos >> np.uint64(6)).astype(np.int64)]
+            out &= (word >> (pos & np.uint64(63))) & np.uint64(1) != 0
+        return out
+
+
+def _hash_col(arr) -> np.ndarray:
+    from .sketches import hash_arrow_array
+
+    return hash_arrow_array(arr)
+
+
+def build_key_set(ref_ds, pk: str, approx_threshold: int = 5_000_000):
+    """Collect the referenced key set. Small side → exact Python set of keys;
+    large side → Bloom filter over hashes (built streaming, no materialize).
+
+    Returns ("exact", set) or ("bloom", BloomFilter)."""
+    distinct = ref_ds.map_batches(
+        lambda t: t.select([pk]).group_by(pk).aggregate([]),
+        batch_format="pyarrow",
+    )
+    keys: set = set()
+    exact = True
+    bloom = None
+    for b in distinct.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        if exact:
+            keys.update(b[pk].to_pylist())
+            if len(keys) > approx_threshold:
+                exact = False
+                bloom = BloomFilter(capacity=approx_threshold * 20)
+                arr = pa.array(list(keys))
+                bloom.add_hashes(_hash_col(arr))
+                keys = set()
+        if not exact:
+            bloom.add_hashes(_hash_col(b[pk]))
+    if exact:
+        keys.discard(None)
+        return "exact", keys
+    return "bloom", bloom
+
+
+class FKProbeStage:
+    """map_batches payload: emit FK violation rows for keys absent from the
+    broadcast reference set. The set rides in the Ray object store via the
+    closure (ray.put happens once at pipeline build)."""
+
+    def __init__(self, fk: str, ref_handle, kind: str, ref_name: str = "ref"):
+        self.fk = fk
+        self.kind = kind
+        self.ref_handle = ref_handle  # ObjectRef | raw set/bloom
+        self.ref_name = ref_name
+        self._resolved = None
+
+    def _ref(self):
+        if self._resolved is None:
+            import ray
+
+            h = self.ref_handle
+            self._resolved = ray.get(h) if hasattr(h, "hex") else h
+        return self._resolved
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ref = self._ref()
+        col = batch[self.fk]
+        present = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        if self.kind == "exact":
+            vs = pa.array(list(ref)) if not isinstance(ref, pa.Array) else ref
+            ok = pc.is_in(col, value_set=vs).to_numpy(zero_copy_only=False)
+        else:
+            ok = ref.contains_hashes(_hash_col(col))
+        bad = present & ~np.asarray(ok, dtype=bool)
+        idx = np.nonzero(bad)[0]
+        vals = col.take(pa.array(idx, type=pa.int64())) if len(idx) else \
+            pa.array([], type=col.type)
+        n = len(idx)
+        return pa.table({
+            "key": pc.cast(vals, pa.string()),
+            "keyword": pa.array(["missing_dependency"] * n),
+            "path": pa.array([f"(root).{self.fk}"] * n),
+            "expected": pa.array([f"fk into {self.ref_name}" ] * n),
+            "actual": pc.cast(vals, pa.string()),
+        })
+
+
+def referential_violations(ds, fk: str, ref_ds, pk: str, ref_name: str = "ref"):
+    """Anti-join ds.fk ∉ ref_ds.pk as a violations Dataset (broadcast probe)."""
+    import ray
+
+    kind, payload = build_key_set(ref_ds, pk)
+    if kind == "exact":
+        payload = pa.array([k for k in payload])
+    handle = ray.put(payload)
+    return ds.map_batches(FKProbeStage(fk, handle, kind, ref_name),
+                          batch_format="pyarrow")

@@ -1,0 +1,373 @@
+"""Streaming sketches for dataset-level column statistics (SURVEY.md §2.6).
+
+The reference engine is per-document and cannot see across rows; these
+generalize its keyword checks to table scope:
+
+- ``ColumnStats``: count / null count / min / max / mean / stddev partials,
+  merged associatively — the partial-aggregate pattern (combine inside
+  ``map_batches``, then ONE tiny merge) so no all-to-all shuffle is needed.
+- ``TDigest``: merging t-digest (Dunning & Ertl, "Computing extremely accurate
+  quantiles using t-digests", arXiv:1902.04023) for quantiles / KS drift.
+- ``HyperLogLog``: dense HLL (Flajolet et al. 2007; bias correction per
+  Heule et al., HLL++ 2013-style empirical constant) for distinct counts,
+  e.g. approximate uniqueness of ``clip_id`` at 10^12 rows.
+
+All sketches are picklable and merge with ``+=``-style ``merge()`` — partial
+per Arrow batch inside ``map_batches``, tree-merged on the driver (the number
+of partials ≈ number of blocks, tiny next to the data)."""
+
+from __future__ import annotations
+
+import math
+import pickle
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+# ---------------------------------------------------------------------------
+# t-digest
+# ---------------------------------------------------------------------------
+class TDigest:
+    """Merging t-digest with the k1 (arcsine) scale function."""
+
+    __slots__ = ("compression", "means", "weights", "_buf_m", "_buf_w", "n", "min", "max")
+
+    def __init__(self, compression: float = 200.0):
+        self.compression = compression
+        self.means = np.zeros(0)
+        self.weights = np.zeros(0)
+        self._buf_m: list = []
+        self._buf_w: list = []
+        self.n = 0.0
+        self.min = math.inf
+        self.max = -math.inf
+
+    def add_array(self, values: np.ndarray):
+        v = values[np.isfinite(values)]
+        if len(v) == 0:
+            return
+        self.min = min(self.min, float(v.min()))
+        self.max = max(self.max, float(v.max()))
+        self._buf_m.append(v.astype(np.float64, copy=False))
+        self._buf_w.append(np.ones(len(v)))
+        self.n += len(v)
+        if sum(len(b) for b in self._buf_m) > 8 * self.compression:
+            self._compress()
+
+    def merge(self, other: "TDigest"):
+        if other.n == 0:
+            return self
+        self._buf_m.append(other._all_means())
+        self._buf_w.append(other._all_weights())
+        self.n += other.n
+        self.min = min(self.min, other.min)
+        self.max = max(self.max, other.max)
+        self._compress()
+        return self
+
+    def _all_means(self):
+        return np.concatenate([self.means] + self._buf_m) if self._buf_m else self.means
+
+    def _all_weights(self):
+        return np.concatenate([self.weights] + self._buf_w) if self._buf_w else self.weights
+
+    def _compress(self):
+        m = self._all_means()
+        w = self._all_weights()
+        self._buf_m, self._buf_w = [], []
+        if len(m) == 0:
+            return
+        order = np.argsort(m, kind="stable")
+        m, w = m[order], w[order]
+        total = w.sum()
+        # k1 scale: k(q) = (δ/2π) asin(2q-1); cluster while Δk <= 1
+        out_m, out_w = [], []
+        cur_m, cur_w = m[0], w[0]
+        cum = 0.0
+        k_limit = self._k_inv(self._k(cum / total if total else 0.0) + 1.0, )
+        for i in range(1, len(m)):
+            proposed = cur_w + w[i]
+            q_right = (cum + proposed) / total
+            if q_right <= k_limit:
+                cur_m += (m[i] - cur_m) * (w[i] / proposed)
+                cur_w = proposed
+            else:
+                out_m.append(cur_m)
+                out_w.append(cur_w)
+                cum += cur_w
+                cur_m, cur_w = m[i], w[i]
+                k_limit = self._k_inv(self._k(cum / total) + 1.0)
+        out_m.append(cur_m)
+        out_w.append(cur_w)
+        self.means = np.array(out_m)
+        self.weights = np.array(out_w)
+
+    def _k(self, q: float) -> float:
+        q = min(max(q, 0.0), 1.0)
+        return (self.compression / (2 * math.pi)) * math.asin(2 * q - 1)
+
+    def _k_inv(self, k: float) -> float:
+        s = math.sin(k * 2 * math.pi / self.compression)
+        return (s + 1) / 2
+
+    def quantile(self, q: float) -> float:
+        self._compress()
+        if len(self.means) == 0:
+            return math.nan
+        if len(self.means) == 1:
+            return float(self.means[0])
+        cum = np.cumsum(self.weights) - self.weights / 2
+        target = q * self.weights.sum()
+        return float(np.interp(target, cum, self.means,
+                               left=self.min, right=self.max))
+
+    def cdf(self, x: float) -> float:
+        self._compress()
+        if len(self.means) == 0:
+            return math.nan
+        cum = np.cumsum(self.weights) - self.weights / 2
+        total = self.weights.sum()
+        if x <= self.min:
+            return 0.0
+        if x >= self.max:
+            return 1.0
+        return float(np.interp(x, self.means, cum / total))
+
+    def to_bytes(self) -> bytes:
+        self._compress()
+        return pickle.dumps((self.compression, self.means, self.weights,
+                             self.n, self.min, self.max))
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "TDigest":
+        comp, means, weights, n, mn, mx = pickle.loads(b)
+        d = cls(comp)
+        d.means, d.weights, d.n, d.min, d.max = means, weights, n, mn, mx
+        return d
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+class HyperLogLog:
+    """Dense HLL with p-bit register index (default p=14 → ~0.8% error)."""
+
+    __slots__ = ("p", "m", "registers")
+
+    def __init__(self, p: int = 14):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashes(self, hashes: np.ndarray):
+        """hashes: uint64 array (already well-mixed)."""
+        h = hashes.astype(np.uint64, copy=False)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | np.uint64((1 << self.p) - 1)
+        # rank = leading zeros of rest + 1  (rest has low bits set → bounded)
+        lz = np.zeros(len(h), dtype=np.uint8)
+        v = rest.copy()
+        # count leading zeros via float64 exponent trick is lossy; do 6-step binary
+        shift = np.uint64(32)
+        acc = np.zeros(len(h), dtype=np.uint64)
+        for s in (32, 16, 8, 4, 2, 1):
+            s_ = np.uint64(s)
+            mask = v < (np.uint64(1) << np.uint64(64 - s))
+            acc[mask] += s_
+            v[mask] = v[mask] << s_
+        lz = acc.astype(np.uint8) + 1
+        np.maximum.at(self.registers, idx, lz)
+
+    def add_array(self, arr) -> None:
+        self.add_hashes(hash_arrow_array(arr))
+
+    def merge(self, other: "HyperLogLog"):
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def cardinality(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(np.exp2(-self.registers.astype(np.float64)))
+        if est <= 2.5 * m:
+            zeros = int(np.count_nonzero(self.registers == 0))
+            if zeros:
+                est = m * math.log(m / zeros)
+        return float(est)
+
+    def to_bytes(self) -> bytes:
+        return pickle.dumps((self.p, self.registers))
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "HyperLogLog":
+        p, regs = pickle.loads(b)
+        h = cls(p)
+        h.registers = regs
+        return h
+
+
+def hash_arrow_array(arr) -> np.ndarray:
+    """Vectorized 64-bit hashing of an Arrow array (pandas hash kernel)."""
+    import pandas as pd
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    s = arr.to_pandas()
+    return pd.util.hash_pandas_object(s, index=False).to_numpy(dtype=np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# Column stats
+# ---------------------------------------------------------------------------
+class ColumnStats:
+    """Associative per-column stats partial: count/nulls/min/max/sum/sumsq +
+    t-digest (numeric) + HLL distinct."""
+
+    __slots__ = ("name", "count", "nulls", "min", "max", "sum", "sumsq",
+                 "digest", "hll", "numeric")
+
+    def __init__(self, name: str, numeric: bool, compression: float = 200.0,
+                 hll_p: int = 14):
+        self.name = name
+        self.numeric = numeric
+        self.count = 0
+        self.nulls = 0
+        self.min = None
+        self.max = None
+        self.sum = 0.0
+        self.sumsq = 0.0
+        self.digest = TDigest(compression) if numeric else None
+        self.hll = HyperLogLog(hll_p)
+
+    def add(self, arr):
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        n = len(arr)
+        nulls = arr.null_count
+        self.count += n
+        self.nulls += nulls
+        if n == nulls:
+            return
+        valid = arr.drop_null()
+        self.hll.add_array(valid)
+        if self.numeric:
+            v = valid.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+            v = v[np.isfinite(v)]
+            if len(v):
+                self.sum += float(v.sum())
+                self.sumsq += float((v * v).sum())
+                self.digest.add_array(v)
+                mn, mx = float(v.min()), float(v.max())
+                self.min = mn if self.min is None else min(self.min, mn)
+                self.max = mx if self.max is None else max(self.max, mx)
+        else:
+            mn = pc.min_max(valid)
+            mn_v, mx_v = mn["min"].as_py(), mn["max"].as_py()
+            if mn_v is not None:
+                self.min = mn_v if self.min is None else min(self.min, mn_v)
+                self.max = mx_v if self.max is None else max(self.max, mx_v)
+
+    def merge(self, other: "ColumnStats"):
+        self.count += other.count
+        self.nulls += other.nulls
+        self.sum += other.sum
+        self.sumsq += other.sumsq
+        for attr in ("min",):
+            if other.min is not None:
+                self.min = other.min if self.min is None else min(self.min, other.min)
+        if other.max is not None:
+            self.max = other.max if self.max is None else max(self.max, other.max)
+        if self.digest is not None and other.digest is not None:
+            self.digest.merge(other.digest)
+        self.hll.merge(other.hll)
+        return self
+
+    @property
+    def mean(self):
+        nv = self.count - self.nulls
+        return self.sum / nv if nv else None
+
+    @property
+    def std(self):
+        nv = self.count - self.nulls
+        if not nv:
+            return None
+        mu = self.sum / nv
+        var = max(0.0, self.sumsq / nv - mu * mu)
+        return math.sqrt(var)
+
+    def summary(self) -> dict:
+        out = {
+            "column": self.name,
+            "count": self.count,
+            "nulls": self.nulls,
+            "null_frac": self.nulls / self.count if self.count else 0.0,
+            "min": self.min,
+            "max": self.max,
+            "approx_distinct": round(self.hll.cardinality()),
+        }
+        if self.numeric:
+            out.update({
+                "mean": self.mean,
+                "std": self.std,
+                "p50": self.digest.quantile(0.5),
+                "p95": self.digest.quantile(0.95),
+                "p99": self.digest.quantile(0.99),
+            })
+        return out
+
+
+_NUMERIC_KINDS = ("int", "uint", "float", "double", "decimal")
+
+
+def _is_numeric(dt: pa.DataType) -> bool:
+    return pa.types.is_integer(dt) or pa.types.is_floating(dt) or pa.types.is_decimal(dt)
+
+
+class SketchStage:
+    """map_batches payload: per-batch sketch partials, serialized to one row.
+
+    Usage (partial-aggregate pattern, NO shuffle):
+        partials = ds.map_batches(SketchStage(cols), batch_format="pyarrow")
+        stats = merge_sketch_partials(partials.take_all())   # tiny
+    """
+
+    def __init__(self, columns: list[str] | None = None):
+        self.columns = columns
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = self.columns or [
+            c for c in batch.column_names
+            if _is_numeric(batch.schema.field(c).type)
+            or pa.types.is_string(batch.schema.field(c).type)
+        ]
+        blobs, names = [], []
+        for c in cols:
+            if c not in batch.column_names:
+                continue
+            st = ColumnStats(c, _is_numeric(batch.schema.field(c).type))
+            st.add(batch[c])
+            names.append(c)
+            blobs.append(pickle.dumps(st))
+        return pa.table({"column": names, "partial": pa.array(blobs, pa.binary())})
+
+
+def merge_sketch_partials(rows) -> dict[str, ColumnStats]:
+    """rows: iterable of {'column','partial'} dicts (ds.take_all() of partials)."""
+    merged: dict[str, ColumnStats] = {}
+    for r in rows:
+        st: ColumnStats = pickle.loads(r["partial"])
+        if st.name in merged:
+            merged[st.name].merge(st)
+        else:
+            merged[st.name] = st
+    return merged
+
+
+def column_stats(ds, columns: list[str] | None = None) -> dict[str, dict]:
+    """Full streaming column-stats pass over a Ray Dataset."""
+    partials = ds.map_batches(SketchStage(columns), batch_format="pyarrow")
+    merged = merge_sketch_partials(partials.take_all())
+    return {k: v.summary() for k, v in merged.items()}

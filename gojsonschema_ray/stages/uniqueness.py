@@ -1,0 +1,100 @@
+"""Dataset-scope key uniqueness — `uniqueItems` lifted from one row's list
+(reference validation.go:530-547) to 10^12 rows (SURVEY.md §2.6).
+
+Strategy (scale-first):
+1. **Pre-aggregate inside map_batches**: each batch collapses to (key, count)
+   partials via an Arrow hash-group-by — duplicate-heavy batches shrink
+   before anything moves.
+2. **One keyed shuffle over the partials**: ``groupby(key).sum(count)`` —
+   the all-to-all exchange moves at most one row per distinct key per block,
+   not one row per input row.
+3. **Skew**: a hot key (e.g. "clip-hot", 0.1% of all rows) arrives at the
+   reducer already collapsed to one partial row per block, so the classic
+   hot-reducer blowup cannot happen — the pre-aggregation IS the salting
+   (count partials are associative). For hot-key *payload* pipelines (where
+   rows, not counts, must co-locate) see the salted repartition helper.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+class KeyCountStage:
+    """map_batches payload: batch → (key, cnt) partial counts."""
+
+    def __init__(self, key: str):
+        self.key = key
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        g = batch.select([self.key]).group_by(self.key).aggregate([(self.key, "count")])
+        return g.rename_columns([self.key, "cnt"])
+
+
+def duplicate_keys(ds, key: str):
+    """Dataset of (key, n_rows) for keys appearing more than once.
+
+    NULL keys are ignored (absent property, matching the engine's
+    null-as-absent mapping)."""
+    partials = ds.map_batches(KeyCountStage(key), batch_format="pyarrow")
+    totals = partials.groupby(key).sum("cnt")
+    return totals.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.is_valid(t[key]), pc.greater(t["sum(cnt)"], 1))
+        ).rename_columns([key, "n_rows"]),
+        batch_format="pyarrow",
+    )
+
+
+def uniqueness_violations(ds, key: str):
+    """Violation rows (key, keyword='unique', path, expected, actual) for
+    duplicated keys — same shape as the per-row violation table (F4)."""
+    dups = duplicate_keys(ds, key)
+
+    def to_violations(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "key": pc.cast(t[key], pa.string()),
+            "keyword": pa.array(["unique"] * n),
+            "path": pa.array([f"(root).{key}"] * n),
+            "expected": pa.array([f"unique {key}"] * n),
+            "actual": pc.cast(t["n_rows"], pa.string()),
+        })
+
+    return dups.map_batches(to_violations, batch_format="pyarrow")
+
+
+def add_salted_key(batch: pa.Table, key: str, hot_keys: set, salt_buckets: int,
+                   seed_col: str | None = None) -> pa.Table:
+    """Append a shuffle key = hash(key) with hot keys salted into sub-buckets.
+
+    Used when row *payloads* (not counts) must be co-located by key and a few
+    keys are orders of magnitude hotter than the rest: the hot keys spread
+    over `salt_buckets` sub-partitions; consumers merge the salted groups in
+    a cheap second pass."""
+    import pandas as pd
+
+    keys = batch[key].to_pandas()
+    h = pd.util.hash_pandas_object(keys, index=False).to_numpy(dtype=np.uint64)
+    if hot_keys:
+        hot = keys.isin(list(hot_keys)).to_numpy()
+        if hot.any():
+            salt = np.arange(len(keys), dtype=np.uint64) % np.uint64(salt_buckets)
+            h = np.where(hot, h ^ (salt * np.uint64(0x9E3779B97F4A7C15)), h)
+    return batch.append_column("_shuffle_key", pa.array(h.astype(np.int64)))
+
+
+def top_hot_keys(ds, key: str, sample_frac: float = 0.01, top_k: int = 16,
+                 min_share: float = 0.001) -> set:
+    """Sample-based hot-key scan (pre-shuffle skew detection): keys whose
+    sampled share exceeds `min_share` of rows."""
+    sample = ds.random_sample(sample_frac, seed=42)
+    counts = sample.map_batches(KeyCountStage(key), batch_format="pyarrow") \
+        .groupby(key).sum("cnt")
+    rows = counts.sort("sum(cnt)", descending=True).limit(top_k).take_all()
+    total = max(1, sum(r["sum(cnt)"] for r in rows))
+    est_total = total / max(sample_frac, 1e-9)
+    return {r[key] for r in rows
+            if r["sum(cnt)"] / max(est_total, 1) >= min_share and r[key] is not None}

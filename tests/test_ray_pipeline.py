@@ -1,0 +1,114 @@
+"""End-to-end Ray Data pipeline tests (single shared Ray session)."""
+
+import collections
+import os
+
+import pytest
+
+from gojsonschema_ray import datagen
+
+N = 6_000
+
+
+@pytest.fixture(scope="module")
+def clips_pq(tmp_path_factory):
+    d = tmp_path_factory.mktemp("clips")
+    datagen.write_clips_parquet(str(d), N, audio_cap_ms=30, rows_per_file=1500)
+    return str(d)
+
+
+def test_uniqueness_golden(ray_session, clips_pq):
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.uniqueness import duplicate_keys
+
+    ds = rd.read_parquet(clips_pq, columns=["clip_id"])
+    dups = {r["clip_id"]: r["n_rows"] for r in duplicate_keys(ds, "clip_id").take_all()}
+
+    golden = collections.Counter(
+        datagen.row_meta(i)["clip_id"] for i in range(N)
+    )
+    golden_dups = {k: v for k, v in golden.items() if v > 1}
+    assert dups == golden_dups
+    assert "clip-hot" in dups and dups["clip-hot"] == N // 1000
+
+
+def test_column_stats_pipeline(ray_session, clips_pq):
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.sketches import column_stats
+
+    ds = rd.read_parquet(clips_pq, columns=["sr_hz", "dur_ms", "transcript"])
+    stats = column_stats(ds, ["sr_hz", "dur_ms", "transcript"])
+    assert stats["sr_hz"]["count"] == N
+    assert stats["sr_hz"]["min"] == 7000
+    assert stats["sr_hz"]["max"] == 48000
+    assert abs(stats["sr_hz"]["approx_distinct"] - 6) <= 1
+    n_null = sum(1 for i in range(N) if i % 967 == 0 and i % 971 != 0)
+    assert stats["transcript"]["nulls"] == n_null
+    assert 0 <= stats["dur_ms"]["p50"] <= 3_600_001
+
+
+def test_drift_detection(ray_session, clips_pq, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.drift import drift_report
+
+    drift_dir = tmp_path / "drift"
+    drift_dir.mkdir()
+    pq.write_table(datagen.drift_table(N), str(drift_dir / "part-0.parquet"))
+
+    ref = rd.read_parquet(clips_pq, columns=["sr_hz", "dur_ms"])
+    new = rd.read_parquet(str(drift_dir), columns=["sr_hz", "dur_ms"])
+    rep = drift_report(ref, new, ["sr_hz", "dur_ms"])
+    assert rep["sr_hz"]["drifted"] is True
+    assert rep["dur_ms"]["drifted"] is True
+    # no self-drift
+    rep_same = drift_report(ref, ref, ["sr_hz"])
+    assert rep_same["sr_hz"]["drifted"] is False
+
+
+def test_referential_integrity(ray_session, clips_pq, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.integrity import referential_violations
+
+    # reference side: all clip_ids except two known ones
+    all_ids = sorted({datagen.row_meta(i)["clip_id"] for i in range(N)})
+    missing = {all_ids[10], all_ids[100]}
+    ref_tbl = pa.table({"clip_id": [c for c in all_ids if c not in missing]})
+    ref_dir = tmp_path / "ref"
+    ref_dir.mkdir()
+    pq.write_table(ref_tbl, str(ref_dir / "ref.parquet"))
+
+    ds = rd.read_parquet(clips_pq, columns=["clip_id"])
+    ref_ds = rd.read_parquet(str(ref_dir))
+    viol = referential_violations(ds, "clip_id", ref_ds, "clip_id", "transcripts")
+    got = {r["key"] for r in viol.take_all()}
+    assert got == missing
+
+
+def test_flagship_resume(ray_session, clips_pq, tmp_path):
+    from gojsonschema_ray.pipelines.flagship import run_flagship
+    from gojsonschema_ray.state.manifest import Manifest
+
+    out = str(tmp_path / "out")
+    summary = run_flagship(clips_pq, out, with_audio=False, files_per_partition=2)
+    assert summary["partitions"] == 3  # 2 file-partitions + __global__
+    assert summary["violations"] > 0
+
+    # resume: drop one partition from the manifest, rerun → only that one redone
+    mpath = os.path.join(out, "manifest.jsonl")
+    lines = open(mpath).read().strip().split("\n")
+    import json
+
+    kept = [l for l in lines if json.loads(l)["partition"] != "part-000001"]
+    open(mpath, "w").write("\n".join(kept) + "\n")
+    m_before = Manifest(mpath)
+    assert not m_before.is_committed("part-000001")
+    summary2 = run_flagship(clips_pq, out, with_audio=False, files_per_partition=2)
+    assert summary2["partitions"] == 3
+    assert summary2["violations"] == summary["violations"]

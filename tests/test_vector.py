@@ -1,0 +1,146 @@
+"""Vectorized evaluator must agree with the generic (reference-semantics)
+evaluator row by row: the generic path IS the conformance-proven oracle."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from gojsonschema_ray.schema import compile_schema
+from gojsonschema_ray.stages import TableValidator
+
+CLIPS_RULESET = {
+    "type": "object",
+    "required": ["clip_id", "sr_hz", "transcript"],
+    "properties": {
+        "clip_id": {"type": "string", "pattern": "^clip-[0-9a-z-]+$"},
+        "sr_hz": {"type": "integer", "enum": [8000, 16000, 22050, 44100, 48000]},
+        "dur_ms": {"type": "integer", "exclusiveMinimum": 0, "maximum": 3600000,
+                   "multipleOf": 1},
+        "codec": {"type": "string", "enum": ["pcm_s16le", "wav"]},
+        "transcript": {"type": "string", "minLength": 1, "maxLength": 10000},
+        "tags": {"type": "array", "items": {"type": "string", "minLength": 2},
+                 "uniqueItems": True},
+        "ratio": {"type": "number", "multipleOf": 0.0001},
+        "meta": {"type": "object", "required": ["lang"],
+                 "properties": {"lang": {"type": "string", "minLength": 2}}},
+    },
+}
+
+
+def _rows_to_table(rows: list[dict], schema: pa.Schema | None = None) -> pa.Table:
+    cols = {}
+    keys = sorted({k for r in rows for k in r})
+    for k in keys:
+        cols[k] = [r.get(k) for r in rows]
+    return pa.table(cols) if schema is None else pa.table(cols, schema=schema)
+
+
+def _generic_verdicts(tree, rows):
+    out = []
+    for r in rows:
+        doc = {k: v for k, v in r.items() if v is not None}
+        out.append(tree.validate(doc).valid())
+    return out
+
+
+ROWS = [
+    {"clip_id": "clip-0", "sr_hz": 16000, "dur_ms": 100, "codec": "wav",
+     "transcript": "hello", "tags": ["ab", "cd"], "ratio": 0.0075,
+     "meta": {"lang": "en"}},
+    {"clip_id": "CLIPX", "sr_hz": 7000, "dur_ms": 0, "codec": "mp3???",
+     "transcript": "", "tags": ["a"], "ratio": 0.00015, "meta": {"lang": "e"}},
+    {"clip_id": "clip-2", "sr_hz": 44100, "dur_ms": 500, "codec": "pcm_s16le",
+     "transcript": "ok", "tags": None, "ratio": None, "meta": None},
+    {"clip_id": None, "sr_hz": 48000, "dur_ms": 3600001, "codec": "wav",
+     "transcript": "x", "tags": ["ab", "ab"], "ratio": 0.0002, "meta": {"lang": "fr"}},
+    {"clip_id": "clip-4", "sr_hz": 8000, "dur_ms": 250, "codec": "wav",
+     "transcript": None, "tags": [], "ratio": 0.00033, "meta": {"lang": None}},
+]
+
+
+def test_vector_matches_generic_on_clips_ruleset():
+    tree = compile_schema(CLIPS_RULESET)
+    table = _rows_to_table(ROWS)
+    mask, viol = TableValidator(tree, key_column="clip_id").validate_batch(table)
+    expected = _generic_verdicts(tree, ROWS)
+    assert mask.tolist() == expected
+    # every invalid row has at least one violation row
+    bad_keys = set(viol["key"].to_pylist())
+    assert len(bad_keys) > 0
+
+
+@pytest.mark.parametrize("schema,column", [
+    ({"properties": {"v": {"minimum": 5}}}, [1, 5, 7, None, -3]),
+    ({"properties": {"v": {"exclusiveMinimum": 5}}}, [5, 6, None, 4]),
+    ({"properties": {"v": {"maximum": 2.5}}}, [2.4, 2.5, 2.6, None]),
+    ({"properties": {"v": {"multipleOf": 3}}}, [0, 3, 7, -9, None]),
+    ({"properties": {"v": {"multipleOf": 0.01}}}, [0.02, 0.005, 1.0, None]),
+    ({"properties": {"v": {"minLength": 2, "maxLength": 4}}}, ["a", "ab", "abcd", "abcde", None]),
+    ({"properties": {"v": {"pattern": "^a+$"}}}, ["aaa", "aab", "", None]),
+    ({"properties": {"v": {"enum": [1, 2, 3]}}}, [1, 4, None, 3]),
+    ({"properties": {"v": {"const": 7}}}, [7, 8, None]),
+    ({"properties": {"v": {"type": "integer"}}}, [1.0, 1.5, 2.0, None]),
+    ({"properties": {"v": {"format": "uuid"}}},
+     ["2eb8aa08-aa98-11ea-b4aa-73b441d16380", "nope", None]),
+    ({"properties": {"v": {"format": "date"}}}, ["2020-01-01", "2020-13-01", "x", None]),
+    ({"properties": {"v": {"anyOf": [{"minimum": 10}, {"maximum": 2}]}}},
+     [1, 5, 11, None]),
+    ({"properties": {"v": {"oneOf": [{"minimum": 5}, {"maximum": 8}]}}},
+     [4, 6, 9, None]),
+    ({"properties": {"v": {"not": {"minimum": 5}}}}, [4, 5, None]),
+    ({"properties": {"v": {"allOf": [{"minimum": 2}, {"maximum": 5}]}}},
+     [1, 3, 6, None]),
+    ({"$schema": "http://json-schema.org/draft-07/schema#",
+      "properties": {"v": {"if": {"minimum": 5}, "then": {"multipleOf": 2},
+                           "else": {"multipleOf": 3}}}}, [6, 7, 3, 4, None]),
+    ({"properties": {"v": {"items": {"minimum": 0}, "minItems": 1,
+                           "contains": {"minimum": 10}}}},
+     [[1, 2, 10], [1, 2], [], [-1, 10], None]),
+    ({"properties": {"v": {"items": [{"minimum": 5}, {"maximum": 2}],
+                           "additionalItems": {"const": 9}}}},
+     [[6, 1], [6, 1, 9], [6, 1, 8], [4], [], None]),
+    ({"properties": {"v": {"uniqueItems": True}}},
+     [[1, 2], [1, 1], [], [1.0, 2], None]),
+])
+def test_vector_matches_generic_scalar_keywords(schema, column):
+    schema = {"type": "object", **schema}
+    tree = compile_schema(schema)
+    rows = [{"v": v} for v in column]
+    table = _rows_to_table(rows)
+    mask, _ = TableValidator(tree).validate_batch(table)
+    assert mask.tolist() == _generic_verdicts(tree, rows), (
+        f"schema={schema} col={column}"
+    )
+
+
+def test_uniqueitems_numeric_cross_type():
+    # [1.0, 1] is NOT unique under canonical-JSON equality
+    tree = compile_schema({"type": "object",
+                           "properties": {"v": {"uniqueItems": True}}})
+    table = pa.table({"v": pa.array([[1.0, 1.00001], [2.5, 2.5]],
+                                    type=pa.list_(pa.float64()))})
+    mask, _ = TableValidator(tree).validate_batch(table)
+    assert mask.tolist() == [True, False]
+
+
+def test_additional_properties_false_on_columns():
+    tree = compile_schema({
+        "type": "object",
+        "properties": {"a": {"type": "integer"}},
+        "additionalProperties": False,
+    })
+    table = pa.table({"a": [1, 2], "b": ["x", None]})
+    mask, viol = TableValidator(tree).validate_batch(table)
+    assert mask.tolist() == [False, True]
+    assert "additional_property_not_allowed" in set(viol["keyword"].to_pylist())
+
+
+def test_dependencies_on_columns():
+    tree = compile_schema({
+        "type": "object",
+        "dependencies": {"credit_card": ["billing_address"]},
+    })
+    table = pa.table({"credit_card": [1234, None, 5678],
+                      "billing_address": ["a st", "b st", None]})
+    mask, _ = TableValidator(tree).validate_batch(table)
+    assert mask.tolist() == [True, True, False]
