@@ -1,44 +1,443 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
-"""
+Ray is initialised by the driver BEFORE this module is imported; nothing here
+calls ray.init()/ray.shutdown(). Each ``queries()`` entry is a thin wrapper
+over the library (gojsonschema_ray): compiled-constraint-tree validation via
+map_batches over zero-copy Arrow, sketch partials, pre-aggregated uniqueness,
+broadcast referential probes, dedup/similarity/text operators. The
+``oracle_sql()`` strings compute the same results in ANSI SQL for DuckDB.
+Column names match exactly between both sides (driver hashes by sorted column
+name)."""
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _violation_counts_row(viol_ds, mapping: dict[str, tuple[str, str]]) -> pd.DataFrame:
+    """Pivot violation rows into one row of named counts.
+    mapping: out_col -> (keyword, path)."""
+    counts = {k: 0 for k in mapping}
+    for b in viol_ds.iter_batches(batch_format="pyarrow"):
+        kw = b["keyword"].to_pylist()
+        path = b["path"].to_pylist()
+        for out_col, (want_kw, want_path) in mapping.items():
+            counts[out_col] += sum(1 for k, p in zip(kw, path)
+                                   if k == want_kw and p == want_path)
+    return pd.DataFrame([counts])
+
+
+def _validator(ruleset: dict, key_column: str):
+    from gojsonschema_ray.schema import compile_schema
+    from gojsonschema_ray.stages import TableValidator
+
+    tree = compile_schema(ruleset)
+    return TableValidator(tree, key_column=key_column, mode="violations")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_lineitem_bounds(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_extendedprice"])
+    tv = _validator({
+        "type": "object",
+        "properties": {
+            "l_quantity": {"maximum": 30},
+            "l_extendedprice": {"minimum": 1000},
+        },
+    }, "l_orderkey")
+    viol = ds.map_batches(tv, batch_format="pyarrow")
+    return _violation_counts_row(viol, {
+        "qty_gt_30": ("number_lte", "(root).l_quantity"),
+        "price_lt_1000": ("number_gte", "(root).l_extendedprice"),
+    })
+
+
+def q_orders_enum(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"])
+    tv = _validator({
+        "type": "object",
+        "properties": {
+            "o_orderstatus": {"enum": ["O", "F"]},
+            "o_totalprice": {"maximum": 400000},
+        },
+    }, "o_orderkey")
+    viol = ds.map_batches(tv, batch_format="pyarrow")
+    return _violation_counts_row(viol, {
+        "status_enum": ("enum", "(root).o_orderstatus"),
+        "price_gt_max": ("number_lte", "(root).o_totalprice"),
+    })
+
+
+def q_documents_schema(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+    tv = _validator({
+        "type": "object",
+        "required": ["text", "lang"],
+        "properties": {
+            "lang": {"enum": ["en", "de", "es", "fr"]},
+            "text": {"minLength": 100},
+            "n_chars": {"maximum": 500},
+        },
+    }, "doc_id")
+    viol = ds.map_batches(tv, batch_format="pyarrow")
+    return _violation_counts_row(viol, {
+        "lang_enum": ("enum", "(root).lang"),
+        "text_short": ("string_gte", "(root).text"),
+        "chars_gt_max": ("number_lte", "(root).n_chars"),
+    })
+
+
+def q_events_unique_users(sf_dir: str):
+    from gojsonschema_ray.stages.uniqueness import duplicate_keys
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    return duplicate_keys(ds, "user_id")
+
+
+def q_lineitem_stats(sf_dir: str) -> pd.DataFrame:
+    from gojsonschema_ray.stages.sketches import SketchStage, merge_sketch_partials
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity"])
+    partials = ds.map_batches(SketchStage(["l_quantity"]), batch_format="pyarrow")
+    st = merge_sketch_partials(partials.take_all())["l_quantity"]
+    return pd.DataFrame([{
+        "cnt": st.count,
+        "nulls": st.nulls,
+        "min_v": round(st.min, 6),
+        "max_v": round(st.max, 6),
+        "mean_v": round(st.mean, 6),
+    }])
+
+
+def q_customers_without_events(sf_dir: str) -> pd.DataFrame:
+    from gojsonschema_ray.stages.integrity import referential_violations
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    events = _read(sf_dir, "events", ["user_id"])
+    viol = referential_violations(cust, "c_custkey", events, "user_id", "events")
+    return pd.DataFrame([{"n": viol.count()}])
+
+
+def q_embeddings_fk(sf_dir: str) -> pd.DataFrame:
+    from gojsonschema_ray.stages.integrity import referential_violations
+
+    emb = _read(sf_dir, "embeddings", ["vec_id"])
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    viol = referential_violations(emb, "vec_id", docs, "doc_id", "documents")
+    return pd.DataFrame([{"n": viol.count()}])
+
+
+def q_dedup_exact_text(sf_dir: str) -> pd.DataFrame:
+    from gojsonschema_ray.stages.dedup import exact_duplicate_groups
+
+    ds = _read(sf_dir, "documents", ["text"])
+    rows = exact_duplicate_groups(ds, "text").take_all()
+    # build explicitly so an empty result keeps its schema
+    return pd.DataFrame({
+        "text": pd.Series([r["text"] for r in rows], dtype="object"),
+        "n": pd.Series([r["n"] for r in rows], dtype="int64"),
+    })
+
+
+def q_dup_nchars_groups(sf_dir: str):
+    from gojsonschema_ray.stages.dedup import exact_duplicate_groups
+
+    ds = _read(sf_dir, "documents", ["n_chars"])
+    return exact_duplicate_groups(ds, "n_chars")
+
+
+def q_token_counts_by_lang(sf_dir: str):
+    from gojsonschema_ray.functions.text import token_count
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["toks"] = batch["text"].map(token_count)
+        g = batch.groupby("lang", as_index=False)["toks"].sum()
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    out = partials.groupby("lang").sum("toks")
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["lang", "total_tokens"])
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+def q_ann_top5(sf_dir: str) -> pd.DataFrame:
+    from gojsonschema_ray.stages.similarity import ann_brute_force
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q0 = None
+    for b in _read(sf_dir, "embeddings").iter_batches(batch_format="pyarrow"):
+        m = b.filter(pc.equal(b["vec_id"], 0))
+        if m.num_rows:
+            q0 = np.asarray(m["embedding"].to_pylist()[0], dtype=np.float64)
+            break
+    df = ann_brute_force(ds, "embedding", "vec_id", q0[None, :], k=5)
+    out = df[["vec_id", "cosine"]].copy()
+    out["cosine"] = out["cosine"].round(6)
+    return out.reset_index(drop=True)
+
+
+def q_events_props_json(sf_dir: str) -> pd.DataFrame:
+    """Dynamic JSON column validated with the GENERIC engine (per-row parse —
+    the JSON-variant path; typed columns use the vectorized path instead)."""
+    from gojsonschema_ray.schema import compile_schema, parse_json
+
+    tree = compile_schema({
+        "type": "object",
+        "required": ["k"],
+        "properties": {"k": {"minimum": 0, "maximum": 50}},
+    })
+    ds = _read(sf_dir, "events", ["props"])
+
+    def count_bad(batch: pa.Table) -> pa.Table:
+        bad = 0
+        for s in batch["props"].to_pylist():
+            try:
+                doc = parse_json(s) if s is not None else None
+            except Exception:
+                bad += 1
+                continue
+            if doc is None or not tree.check(doc):
+                bad += 1
+        return pa.table({"bad": pa.array([bad], pa.int64())})
+
+    partials = ds.map_batches(count_bad, batch_format="pyarrow")
+    total = sum(r["bad"] for r in partials.take_all())
+    return pd.DataFrame([{"n": total}])
+
+
+def q_quality_by_source(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+    out = ds.groupby("source").mean("n_chars")
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": t["source"],
+            "avg_chars": pc.round(t["mean(n_chars)"], 6),
+        })
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+# ---- non-SQL-expressible (rows-only checks) -------------------------------
+
+def q_minhash_near_dups(sf_dir: str) -> pd.DataFrame:
+    from gojsonschema_ray.stages.dedup import minhash_near_duplicates
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_near_duplicates(ds, "text", "doc_id", threshold=0.5,
+                                    concurrency=2)
+    return pd.DataFrame(pairs, columns=["id_a", "id_b", "jaccard"])
+
+
+def q_simhash_near_dups(sf_dir: str) -> pd.DataFrame:
+    from gojsonschema_ray.stages.dedup import simhash_near_duplicates
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    rows = simhash_near_duplicates(ds, "text", "doc_id", max_hamming=8)
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
+
+
+def q_embedding_near_dups(sf_dir: str):
+    from gojsonschema_ray.stages.dedup import embedding_near_duplicates
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_near_duplicates(ds, "embedding", "vec_id", dim=64,
+                                     threshold=0.9)
+
+
+def q_ivf_top5(sf_dir: str) -> pd.DataFrame:
+    from gojsonschema_ray.stages.similarity import IVFIndex
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    rows = ds.limit(1).take_all()
+    q0 = np.asarray(rows[0]["embedding"], dtype=np.float64)[None, :]
+    idx = IVFIndex.train(ds, "embedding", n_centroids=16, iters=5)
+    df = idx.search(ds, "embedding", "vec_id", q0, k=5, nprobe=4)
+    df["cosine"] = df["cosine"].round(6)
+    return df[["vec_id", "cosine"]]
+
+
+def q_sketch_lineitem(sf_dir: str) -> pd.DataFrame:
+    from gojsonschema_ray.stages.sketches import column_stats
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+    stats = column_stats(ds, ["l_quantity", "l_extendedprice"])
+    return pd.DataFrame([stats["l_quantity"], stats["l_extendedprice"]])
+
+
+def q_drift_events(sf_dir: str) -> pd.DataFrame:
+    from gojsonschema_ray.stages.drift import drift_report
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    lo, hi = None, None
+    for b in ds.map_batches(
+            lambda t: pa.table({"mn": [pc.min(t["ts"]).as_py()],
+                                "mx": [pc.max(t["ts"]).as_py()]}),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        for mn, mx in zip(b["mn"].to_pylist(), b["mx"].to_pylist()):
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+    mid = lo + (hi - lo) / 2
+    first = ds.map_batches(lambda t: t.filter(pc.less(t["ts"], pa.scalar(mid))),
+                           batch_format="pyarrow")
+    second = ds.map_batches(lambda t: t.filter(pc.greater_equal(t["ts"], pa.scalar(mid))),
+                            batch_format="pyarrow")
+    rep = drift_report(first, second, ["value"])
+    rows = [{"column": c, "ks": round(v["ks"], 4), "psi": round(v["psi"], 4),
+             "drifted": v["drifted"]} for c, v in rep.items()]
+    return pd.DataFrame(rows)
+
+
+def q_langid_documents(sf_dir: str):
+    from gojsonschema_ray.functions.text import TextStatsStage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    scored = ds.map_batches(TextStatsStage, batch_format="pandas",
+                            concurrency=2, num_cpus=1,
+                            fn_constructor_kwargs={"text_column": "text"})
+    return scored.groupby("lang_pred").count()
+
+
+def q_flagship_clips(sf_dir: str) -> pd.DataFrame:
+    """Synthetic clips table (deterministic) through the full flagship
+    validation: vectorized schema pass + actor-pool audio pass + uniqueness."""
+    from gojsonschema_ray import datagen
+    from gojsonschema_ray.pipelines.flagship import validate_clips
+
+    n = 20_000
+    ds = datagen.clips_dataset(n, audio_cap_ms=30, override_num_blocks=16)
+    viol = validate_clips(ds, with_audio=True, with_uniqueness=True,
+                          audio_concurrency=4, audio_batch_size=256,
+                          audio_cap_ms=30)
+    out = viol.groupby("keyword").count()
+    df = out.to_pandas().rename(columns={"count()": "n"})
+    return df.sort_values("keyword").reset_index(drop=True)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship smoke on sf0.001: constraint validation over lineitem +
+    documents + uniqueness on events, one violations summary Dataset."""
+    sf_dir = "/root/testdata/sf0.001"
+    li = q_lineitem_bounds(sf_dir)
+    doc = q_documents_schema(sf_dir)
+    ev = q_events_unique_users(sf_dir).count()
+    return pd.DataFrame([{
+        "qty_gt_30": int(li["qty_gt_30"][0]),
+        "price_lt_1000": int(li["price_lt_1000"][0]),
+        "lang_enum": int(doc["lang_enum"][0]),
+        "text_short": int(doc["text_short"][0]),
+        "chars_gt_max": int(doc["chars_gt_max"][0]),
+        "dup_event_users": int(ev),
+    }])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "lineitem_bounds": q_lineitem_bounds,
+        "orders_enum": q_orders_enum,
+        "documents_schema": q_documents_schema,
+        "events_unique_users": q_events_unique_users,
+        "lineitem_stats": q_lineitem_stats,
+        "customers_without_events": q_customers_without_events,
+        "embeddings_fk": q_embeddings_fk,
+        "dedup_exact_text": q_dedup_exact_text,
+        "dup_nchars_groups": q_dup_nchars_groups,
+        "token_counts_by_lang": q_token_counts_by_lang,
+        "ann_top5": q_ann_top5,
+        "events_props_json": q_events_props_json,
+        "quality_by_source": q_quality_by_source,
+        # non-SQL-expressible: rows-only checks
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_near_dups": q_simhash_near_dups,
+        "embedding_near_dups": q_embedding_near_dups,
+        "ivf_top5": q_ivf_top5,
+        "sketch_lineitem": q_sketch_lineitem,
+        "drift_events": q_drift_events,
+        "langid_documents": q_langid_documents,
+        "flagship_clips": q_flagship_clips,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "lineitem_bounds": (
+            "SELECT count(*) FILTER (WHERE l_quantity > 30) AS qty_gt_30, "
+            "count(*) FILTER (WHERE l_extendedprice < 1000) AS price_lt_1000 "
+            "FROM lineitem"
+        ),
+        "orders_enum": (
+            "SELECT count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F')) AS status_enum, "
+            "count(*) FILTER (WHERE o_totalprice > 400000) AS price_gt_max FROM orders"
+        ),
+        "documents_schema": (
+            "SELECT count(*) FILTER (WHERE lang NOT IN ('en','de','es','fr')) AS lang_enum, "
+            "count(*) FILTER (WHERE length(text) < 100) AS text_short, "
+            "count(*) FILTER (WHERE n_chars > 500) AS chars_gt_max FROM documents"
+        ),
+        "events_unique_users": (
+            "SELECT user_id, count(*) AS n_rows FROM events "
+            "GROUP BY user_id HAVING count(*) > 1"
+        ),
+        "lineitem_stats": (
+            "SELECT count(*) AS cnt, count(*) FILTER (WHERE l_quantity IS NULL) AS nulls, "
+            "round(min(l_quantity), 6) AS min_v, round(max(l_quantity), 6) AS max_v, "
+            "round(avg(l_quantity), 6) AS mean_v FROM lineitem"
+        ),
+        "customers_without_events": (
+            "SELECT count(*) AS n FROM customer c "
+            "LEFT JOIN (SELECT DISTINCT user_id FROM events) e "
+            "ON c.c_custkey = e.user_id WHERE e.user_id IS NULL"
+        ),
+        "embeddings_fk": (
+            "SELECT count(*) AS n FROM embeddings e "
+            "LEFT JOIN documents d ON e.vec_id = d.doc_id WHERE d.doc_id IS NULL"
+        ),
+        "dedup_exact_text": (
+            "SELECT text, count(*) AS n FROM documents "
+            "GROUP BY text HAVING count(*) > 1"
+        ),
+        "dup_nchars_groups": (
+            "SELECT n_chars, count(*) AS n FROM documents "
+            "GROUP BY n_chars HAVING count(*) > 1"
+        ),
+        "token_counts_by_lang": (
+            "SELECT lang, CAST(sum(len(string_split_regex(trim(text), '\\s+'))) "
+            "AS BIGINT) AS total_tokens FROM documents GROUP BY lang"
+        ),
+        "ann_top5": (
+            "SELECT e.vec_id, round(list_cosine_similarity("
+            "CAST(e.embedding AS DOUBLE[]), "
+            "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)"
+            "), 6) AS cosine FROM embeddings e ORDER BY cosine DESC, e.vec_id LIMIT 5"
+        ),
+        "events_props_json": (
+            "SELECT count(*) AS n FROM events WHERE NOT json_valid(props) "
+            "OR json_extract(props, '$.k') IS NULL "
+            "OR CAST(json_extract(props, '$.k') AS DOUBLE) NOT BETWEEN 0 AND 50"
+        ),
+        "quality_by_source": (
+            "SELECT source, round(avg(n_chars), 6) AS avg_chars "
+            "FROM documents GROUP BY source"
+        ),
+    }

@@ -1,0 +1,131 @@
+"""Text-analysis functions for large-scale training-data pipelines:
+language-ID (n-gram/stopword heuristic), quality scoring, token counting,
+document fingerprinting (rolling hash + winnowing). All batch-level
+(pa.Table -> pa.Table), vectorized where the kernel allows; per-doc loops
+only where the algorithm is inherently per-document (shingling), kept off
+the metadata hot path.
+
+Tokenization contract: ``\\s+`` split of trimmed text (empty string → 0
+tokens) — chosen to be exactly reproducible in SQL for the DuckDB oracle
+(`array_length(string_split_regex(trim(text), '\\s+'))`).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_WS = re.compile(r"\s+")
+# BPE-ish subword segmentation: words, numbers, punctuation runs
+BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
+
+STOPWORDS = {
+    "en": {"the", "a", "and", "of", "to", "in", "is", "it", "that", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"},
+    "es": {"el", "la", "los", "las", "y", "es", "en", "que", "de", "un"},
+    "fr": {"le", "la", "les", "et", "est", "en", "que", "de", "un", "une"},
+}
+_CJK = re.compile(r"[一-鿿぀-ヿ]")
+
+
+def token_count(text: str | None) -> int:
+    if not text:
+        return 0
+    t = text.strip()
+    return len(_WS.split(t)) if t else 0
+
+
+def bpe_token_count(text: str | None) -> int:
+    return len(BPE_RE.findall(text)) if text else 0
+
+
+def lang_id(text: str | None) -> str:
+    """Cheap n-gram/stopword heuristic: CJK chars → zh; else argmax stopword
+    hit-rate over the profiles; 'und' (undetermined) when nothing scores."""
+    if not text:
+        return "und"
+    if _CJK.search(text):
+        return "zh"
+    toks = [t.lower() for t in _WS.split(text.strip())[:200]]
+    best, best_score = "und", 0
+    for lang, sw in STOPWORDS.items():
+        score = sum(1 for t in toks if t in sw)
+        if score > best_score:
+            best, best_score = lang, score
+    return best
+
+
+def quality_scores(texts: pd.Series) -> pd.DataFrame:
+    """Vectorized quality signals: length, punct ratio, digit ratio, stopword
+    ratio, mean word length — the standard web-corpus filters."""
+    t = texts.fillna("")
+    n_chars = t.str.len()
+    n_tokens = t.str.strip().str.split(_WS).map(lambda x: 0 if x == [""] else len(x))
+    n_punct = t.str.count(r"[^\w\s]")
+    n_digit = t.str.count(r"[0-9]")
+    n_alpha = t.str.count(r"[A-Za-z]")
+    sw = STOPWORDS["en"]
+    stop_ratio = t.str.lower().str.split(_WS).map(
+        lambda ws: sum(1 for w in ws if w in sw) / len(ws) if ws and ws != [""] else 0.0
+    )
+    mean_wl = (n_alpha / n_tokens.replace(0, 1)).astype(float)
+    return pd.DataFrame({
+        "n_chars": n_chars.astype("int64"),
+        "n_tokens": n_tokens.astype("int64"),
+        "punct_ratio": (n_punct / n_chars.replace(0, 1)).astype(float),
+        "digit_ratio": (n_digit / n_chars.replace(0, 1)).astype(float),
+        "stopword_ratio": stop_ratio.astype(float),
+        "mean_word_len": mean_wl,
+    })
+
+
+_FP_BASE = np.uint64(1099511628211)
+_FP_MOD_MASK = np.uint64((1 << 61) - 1)
+
+
+def rolling_fingerprint(text: str | None, k: int = 8, keep: int = 4) -> int:
+    """Winnowing-style fingerprint: Rabin-Karp rolling hashes over k-byte
+    windows, keep the `keep` smallest, mix to one int64 (order-free)."""
+    if not text or len(text) < k:
+        return 0
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    if len(b) < k:
+        return 0
+    base = int(_FP_BASE)
+    mask = int(_FP_MOD_MASK)
+    powers_py = [1] * k
+    for i in range(1, k):
+        powers_py[i] = (powers_py[i - 1] * base) & mask
+    powers = np.array(powers_py, dtype=np.uint64)
+    windows = np.lib.stride_tricks.sliding_window_view(b, k)
+    with np.errstate(over="ignore"):
+        h = (windows * powers[::-1]).sum(axis=1) & _FP_MOD_MASK
+    smallest = np.sort(np.unique(h))[:keep]
+    out = 0
+    for s in smallest:
+        out = ((out * base) ^ int(s)) & mask
+    return int(out)
+
+
+class TextStatsStage:
+    """map_batches payload (pandas format): append text-analysis columns.
+
+    Stateless enough for task pools, but compiled regexes make it a natural
+    actor-pool payload at scale (compile once per actor)."""
+
+    def __init__(self, text_column: str = "text"):
+        self.text_column = text_column
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[self.text_column]
+        q = quality_scores(texts)
+        for c in q.columns:
+            batch[c] = q[c].values
+        batch["bpe_tokens"] = texts.map(bpe_token_count)
+        batch["lang_pred"] = texts.map(lang_id)
+        batch["fingerprint"] = texts.map(rolling_fingerprint)
+        return batch

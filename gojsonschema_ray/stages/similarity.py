@@ -1,0 +1,150 @@
+"""Approximate-nearest-neighbor search over an embedding column
+(`list<float>`), two tiers:
+
+- **brute-force cosine top-k** (the exactness baseline): the query matrix is
+  broadcast ONCE (`ray.put`), each batch does one numpy matmul and keeps its
+  local top-k, the driver merges `blocks × k` candidates — no shuffle, scales
+  linearly with corpus size.
+- **IVF** (the scale path): k-means centroids trained driver-side on a
+  sample, vectors assigned to inverted lists (one groupby — the only
+  shuffle), queries probe the `nprobe` nearest lists only.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+class BruteForceTopKStage:
+    """map_batches payload: per-batch cosine top-k against broadcast queries."""
+
+    def __init__(self, embedding_column: str, id_column: str, queries_ref, k: int):
+        self.embedding_column = embedding_column
+        self.id_column = id_column
+        self.queries_ref = queries_ref
+        self.k = k
+        self._q = None
+
+    def _queries(self) -> np.ndarray:
+        if self._q is None:
+            import ray
+
+            q = self.queries_ref
+            self._q = ray.get(q) if hasattr(q, "hex") else q
+        return self._q
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        q = self._queries()  # (nq, d) already normalized
+        emb = _normalize(np.stack(batch[self.embedding_column].to_pylist())
+                         .astype(np.float64))
+        ids = batch[self.id_column].to_numpy(zero_copy_only=False)
+        sim = emb @ q.T  # (n, nq)
+        k = min(self.k, sim.shape[0])
+        out_q, out_id, out_s = [], [], []
+        for qi in range(sim.shape[1]):
+            part = np.argpartition(-sim[:, qi], k - 1)[:k]
+            out_q.extend([qi] * k)
+            out_id.extend(ids[part].tolist())
+            out_s.extend(sim[part, qi].tolist())
+        return pa.table({
+            "query": pa.array(out_q, pa.int32()),
+            self.id_column: pa.array(out_id),
+            "cosine": pa.array(out_s, pa.float64()),
+        })
+
+
+def ann_brute_force(ds, embedding_column: str, id_column: str,
+                    queries: np.ndarray, k: int = 10,
+                    concurrency: int = 4) -> pd.DataFrame:
+    """Exact cosine top-k for each query row; returns a pandas DataFrame
+    (query, id, cosine) sorted by (query, -cosine)."""
+    import ray
+
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    ref = ray.put(qn)
+    partials = ds.map_batches(
+        BruteForceTopKStage,
+        fn_constructor_kwargs=dict(embedding_column=embedding_column,
+                                   id_column=id_column, queries_ref=ref, k=k),
+        batch_format="pyarrow", concurrency=concurrency, num_cpus=1,
+    )
+    # merge block-local top-k on the driver: nq heaps of size k
+    heaps: dict[int, list] = {}
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        for qi, vid, s in zip(b["query"].to_pylist(), b[id_column].to_pylist(),
+                              b["cosine"].to_pylist()):
+            h = heaps.setdefault(qi, [])
+            if len(h) < k:
+                heapq.heappush(h, (s, vid))
+            elif s > h[0][0]:
+                heapq.heapreplace(h, (s, vid))
+    rows = []
+    for qi in sorted(heaps):
+        for s, vid in sorted(heaps[qi], reverse=True):
+            rows.append({"query": qi, id_column: vid, "cosine": s})
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# IVF
+# ---------------------------------------------------------------------------
+class IVFIndex:
+    """Driver-trained k-means centroids + Ray-assigned inverted lists."""
+
+    def __init__(self, centroids: np.ndarray):
+        self.centroids = _normalize(centroids)
+
+    @classmethod
+    def train(cls, ds, embedding_column: str, n_centroids: int = 64,
+              sample_limit: int = 20_000, iters: int = 10, seed: int = 42) -> "IVFIndex":
+        sample = ds.limit(sample_limit).take_all()
+        x = _normalize(np.stack([r[embedding_column] for r in sample]).astype(np.float64))
+        rng = np.random.default_rng(seed)
+        n_centroids = min(n_centroids, len(x))
+        cent = x[rng.choice(len(x), n_centroids, replace=False)]
+        for _ in range(iters):
+            assign = (x @ cent.T).argmax(axis=1)
+            for c in range(n_centroids):
+                members = x[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+            cent = _normalize(cent)
+        return cls(cent)
+
+    def assign_stage(self, embedding_column: str):
+        centroids = self.centroids
+
+        def assign(batch: pa.Table) -> pa.Table:
+            emb = _normalize(np.stack(batch[embedding_column].to_pylist())
+                             .astype(np.float64))
+            lists = (emb @ centroids.T).argmax(axis=1)
+            return batch.append_column("ivf_list", pa.array(lists.astype(np.int32)))
+
+        return assign
+
+    def search(self, ds, embedding_column: str, id_column: str,
+               queries: np.ndarray, k: int = 10, nprobe: int = 4) -> pd.DataFrame:
+        """Probe only batches' rows belonging to the nprobe nearest lists."""
+        import ray
+
+        qn = _normalize(np.asarray(queries, dtype=np.float64))
+        probe = np.argsort(-(qn @ self.centroids.T), axis=1)[:, :nprobe]
+        wanted = np.unique(probe)
+        wanted_set = pa.array(wanted.astype(np.int32))
+        assigned = ds.map_batches(self.assign_stage(embedding_column),
+                                  batch_format="pyarrow")
+        import pyarrow.compute as pc
+
+        filtered = assigned.map_batches(
+            lambda t: t.filter(pc.is_in(t["ivf_list"], value_set=wanted_set)),
+            batch_format="pyarrow",
+        )
+        return ann_brute_force(filtered, embedding_column, id_column, qn, k)

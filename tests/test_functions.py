@@ -1,0 +1,181 @@
+"""Text analysis, dedup, similarity-search and multimodal plumbing tests."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from gojsonschema_ray.functions.text import (
+    bpe_token_count, lang_id, quality_scores, rolling_fingerprint, token_count,
+)
+from gojsonschema_ray.stages.dedup import (
+    hamming64, ngram_jaccard, shingles, simhash64,
+)
+
+
+def test_token_count():
+    assert token_count("a b  c") == 3
+    assert token_count("") == 0
+    assert token_count(None) == 0
+    assert token_count("  x  ") == 1
+    assert bpe_token_count("hello, world42!") == 5  # hello , world 42 !
+
+
+def test_lang_id():
+    assert lang_id("the cat and the dog in the house") == "en"
+    assert lang_id("der hund ist nicht in der stadt und das haus") == "de"
+    assert lang_id("你好世界 这是中文") == "zh"
+    assert lang_id("") == "und"
+
+
+def test_quality_scores():
+    q = quality_scores(pd.Series(["Hello world!", "", None, "a1 b2 c3!!!"]))
+    assert q["n_tokens"].tolist() == [2, 0, 0, 3]
+    assert q["punct_ratio"][0] > 0
+    assert q["digit_ratio"][3] > 0.2
+
+
+def test_fingerprint_stability():
+    a = rolling_fingerprint("the quick brown fox jumps over the lazy dog")
+    b = rolling_fingerprint("the quick brown fox jumps over the lazy dog")
+    c = rolling_fingerprint("a completely different document text here")
+    assert a == b != c
+    assert rolling_fingerprint("") == 0
+
+
+def test_shingles_and_jaccard():
+    assert ngram_jaccard("abcdefgh", "abcdefgh") == 1.0
+    assert ngram_jaccard("abcdefgh", "zzzzzzzz") == 0.0
+    j = ngram_jaccard("the quick brown fox", "the quick brown cat")
+    assert 0.3 < j < 0.9
+
+
+def test_simhash_locality():
+    a = simhash64("the quick brown fox jumps over the lazy dog " * 5)
+    b = simhash64("the quick brown fox jumps over the lazy dogs " * 5)
+    c = simhash64("totally unrelated words appear here instead now " * 5)
+    assert hamming64(a, b) < hamming64(a, c)
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    texts = [f"unique document number {i} with distinct content words {i*7}"
+             for i in range(200)]
+    # near-dup pair and exact-dup pair
+    texts[50] = "the quick brown fox jumps over the lazy dog again and again ok"
+    texts[51] = "the quick brown fox jumps over the lazy dog again and again okay"
+    texts[60] = texts[61] = "exactly identical duplicated document body"
+    return rd.from_arrow(pa.table({"doc_id": list(range(200)), "text": texts}))
+
+
+def test_exact_dedup(docs_ds):
+    from gojsonschema_ray.stages.dedup import dedup_exact, exact_duplicate_groups
+
+    groups = exact_duplicate_groups(docs_ds, "text").take_all()
+    assert len(groups) == 1 and groups[0]["n"] == 2
+    survivors = dedup_exact(docs_ds, "text", "doc_id").take_all()
+    assert len(survivors) == 199  # 200 - 1 removed dup
+
+
+def test_minhash_near_duplicates(docs_ds):
+    from gojsonschema_ray.stages.dedup import minhash_near_duplicates
+
+    pairs = minhash_near_duplicates(docs_ds, "text", "doc_id",
+                                    threshold=0.5, concurrency=2)
+    got = {(p["id_a"], p["id_b"]) for p in pairs}
+    assert (50, 51) in got
+    assert (60, 61) in got
+
+
+def test_simhash_near_duplicates(docs_ds):
+    from gojsonschema_ray.stages.dedup import simhash_near_duplicates
+
+    pairs = simhash_near_duplicates(docs_ds, "text", "doc_id", max_hamming=3)
+    got = {(p["id_a"], p["id_b"]) for p in pairs}
+    assert (60, 61) in got  # identical docs: hamming 0
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((100, 16))
+    base[20] = base[10] + 0.01 * rng.standard_normal(16)  # near-dup of 10
+    return rd.from_arrow(pa.table({
+        "vec_id": list(range(100)),
+        "embedding": [r.tolist() for r in base],
+    }))
+
+
+def test_embedding_near_dup(emb_ds):
+    from gojsonschema_ray.stages.dedup import embedding_near_duplicates
+
+    pairs = embedding_near_duplicates(emb_ds, "embedding", "vec_id", dim=16,
+                                      threshold=0.98).take_all()
+    assert {(p["id_a"], p["id_b"]) for p in pairs} >= {(10, 20)}
+
+
+def test_ann_brute_force(emb_ds):
+    from gojsonschema_ray.stages.similarity import ann_brute_force
+
+    rows = emb_ds.take_all()
+    q = np.array([rows[10]["embedding"], rows[33]["embedding"]])
+    df = ann_brute_force(emb_ds, "embedding", "vec_id", q, k=3)
+    top_q0 = df[df["query"] == 0].iloc[0]
+    top_q1 = df[df["query"] == 1].iloc[0]
+    assert top_q0["vec_id"] == 10 and top_q0["cosine"] > 0.999
+    assert top_q1["vec_id"] == 33
+    # near-dup 20 should rank in top-3 for query 0
+    assert 20 in df[df["query"] == 0]["vec_id"].tolist()
+
+
+def test_ivf_search(emb_ds):
+    from gojsonschema_ray.stages.similarity import IVFIndex, ann_brute_force
+
+    rows = emb_ds.take_all()
+    q = np.array([rows[10]["embedding"]])
+    idx = IVFIndex.train(emb_ds, "embedding", n_centroids=8, iters=5)
+    df = idx.search(emb_ds, "embedding", "vec_id", q, k=3, nprobe=3)
+    assert df.iloc[0]["vec_id"] == 10
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.multimodal import (
+        AudioFeatureStage, FrameSampleStage, ImageFeatureStage,
+    )
+    from gojsonschema_ray import datagen
+
+    # image fake-decode: deterministic features, fixed schema
+    imgs = rd.from_arrow(pa.table({
+        "id": ["a", "b"],
+        "bytes": [b"\x01\x02" * 100, b"\x09\x08" * 100],
+        "height": [32, 16], "width": [32, 16],
+    }))
+    feats = imgs.map_batches(ImageFeatureStage, batch_format="pyarrow",
+                             concurrency=1, batch_size=16,
+                             fn_constructor_kwargs={"out_size": 4}).take_all()
+    assert len(feats) == 2 and len(feats[0]["features"]) == 4 * 4 * 3
+    # determinism
+    feats2 = imgs.map_batches(ImageFeatureStage, batch_format="pyarrow",
+                              concurrency=1, batch_size=16,
+                              fn_constructor_kwargs={"out_size": 4}).take_all()
+    assert feats[0]["features"] == feats2[0]["features"]
+
+    # frame sampling explodes rows
+    vids = rd.from_arrow(pa.table({"id": ["v1"], "bytes": [b"x" * 10240]}))
+    frames = vids.map_batches(FrameSampleStage, batch_format="pyarrow",
+                              concurrency=1,
+                              fn_constructor_kwargs={"frame_bytes": 1024,
+                                                     "every_k": 2}).take_all()
+    assert [f["frame"] for f in frames] == [0, 2, 4, 6, 8]
+
+    # audio features on the real synthetic clips
+    clips = rd.from_arrow(datagen.clips_table(64, audio_cap_ms=30))
+    rms = clips.map_batches(AudioFeatureStage, batch_format="pyarrow",
+                            batch_size=32, concurrency=1).take_all()
+    assert len(rms) > 50 and len(rms[0]["rms"]) == 16
