@@ -29,14 +29,24 @@ def _read(sf_dir: str, table: str, columns=None):
 
 def _violation_counts_row(viol_ds, mapping: dict[str, tuple[str, str]]) -> pd.DataFrame:
     """Pivot violation rows into one row of named counts.
-    mapping: out_col -> (keyword, path)."""
+    mapping: out_col -> (keyword, path).
+
+    Counting happens INSIDE map_batches (per-batch hash group-by partials);
+    only tiny (keyword, path, cnt) rows reach the driver — violation rows are
+    never shipped whole."""
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select(["keyword", "path"]).group_by(["keyword", "path"]) \
+            .aggregate([("keyword", "count")])
+        return g.rename_columns(["keyword", "path", "cnt"])
+
     counts = {k: 0 for k in mapping}
-    for b in viol_ds.iter_batches(batch_format="pyarrow"):
-        kw = b["keyword"].to_pylist()
-        path = b["path"].to_pylist()
-        for out_col, (want_kw, want_path) in mapping.items():
-            counts[out_col] += sum(1 for k, p in zip(kw, path)
-                                   if k == want_kw and p == want_path)
+    partials = viol_ds.map_batches(partial, batch_format="pyarrow")
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        for kw, path, c in zip(b["keyword"].to_pylist(), b["path"].to_pylist(),
+                               b["cnt"].to_pylist()):
+            for out_col, (want_kw, want_path) in mapping.items():
+                if kw == want_kw and path == want_path:
+                    counts[out_col] += c
     return pd.DataFrame([counts])
 
 
@@ -103,6 +113,86 @@ def q_documents_schema(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def q_part_rules(sf_dir: str) -> pd.DataFrame:
+    """pattern (RE2 unanchored-search semantics, reference validation.go:749-759)
+    + exact multipleOf + minLength, vectorized over the part table."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name", "p_brand", "p_size"])
+    tv = _validator({
+        "type": "object",
+        "properties": {
+            "p_brand": {"pattern": "^Brand#[0-9]$"},
+            "p_size": {"multipleOf": 5},
+            "p_name": {"minLength": 10},
+        },
+    }, "p_partkey")
+    viol = ds.map_batches(tv, batch_format="pyarrow")
+    return _violation_counts_row(viol, {
+        "brand_pattern": ("pattern", "(root).p_brand"),
+        "size_multiple": ("multiple_of", "(root).p_size"),
+        "name_short": ("string_gte", "(root).p_name"),
+    })
+
+
+def q_orders_conditional(sf_dir: str) -> pd.DataFrame:
+    """Root-level if/then/else (draft-7, reference validation.go:380-396):
+    finalized orders capped at 250k, open ones at 400k."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"])
+    tv = _validator({
+        "type": "object",
+        "if": {"properties": {"o_orderstatus": {"const": "F"}}},
+        "then": {"properties": {"o_totalprice": {"maximum": 250000}}},
+        "else": {"properties": {"o_totalprice": {"maximum": 400000}}},
+    }, "o_orderkey")
+    viol = ds.map_batches(tv, batch_format="pyarrow")
+    return _violation_counts_row(viol, {
+        "cond_viol": ("condition_then", "(root)"),
+    })
+
+
+def q_embeddings_list_schema(sf_dir: str) -> pd.DataFrame:
+    """Array keywords on a list<float> column — items/minItems/maxItems via
+    flatten + segment-reduce (no explode), contains via segment-any
+    (reference validation.go:468-579)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    tv = _validator({
+        "type": "object",
+        "properties": {
+            "embedding": {
+                "type": "array",
+                "minItems": 64,
+                "maxItems": 64,
+                "items": {"minimum": -0.5},
+                "contains": {"minimum": 0.4},
+            },
+        },
+    }, "vec_id")
+    viol = ds.map_batches(tv, batch_format="pyarrow")
+    return _violation_counts_row(viol, {
+        "wrong_len": ("array_min_items", "(root).embedding"),
+        "items_min": ("items", "(root).embedding"),
+        "no_big_elem": ("contains", "(root).embedding"),
+    })
+
+
+def q_customer_combinators(sf_dir: str) -> pd.DataFrame:
+    """Root combinators as mask algebra (anyOf or-fold + not inversion,
+    reference validation.go:277-352)."""
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_acctbal", "c_mktsegment"])
+    tv = _validator({
+        "type": "object",
+        "anyOf": [
+            {"properties": {"c_acctbal": {"minimum": 5000}}},
+            {"properties": {"c_mktsegment": {"enum": ["BUILDING", "AUTOMOBILE"]}}},
+        ],
+        "not": {"properties": {"c_acctbal": {"exclusiveMinimum": 9000}}},
+    }, "c_custkey")
+    viol = ds.map_batches(tv, batch_format="pyarrow")
+    return _violation_counts_row(viol, {
+        "anyof_viol": ("number_any_of", "(root)"),
+        "not_viol": ("number_not", "(root)"),
+    })
+
+
 def q_events_unique_users(sf_dir: str):
     from gojsonschema_ray.stages.uniqueness import duplicate_keys
 
@@ -115,7 +205,8 @@ def q_lineitem_stats(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "lineitem", ["l_quantity"])
     partials = ds.map_batches(SketchStage(["l_quantity"]), batch_format="pyarrow")
-    st = merge_sketch_partials(partials.take_all())["l_quantity"]
+    from gojsonschema_ray.util import collect_rows
+    st = merge_sketch_partials(collect_rows(partials))["l_quantity"]
     return pd.DataFrame([{
         "cnt": st.count,
         "nulls": st.nulls,
@@ -147,7 +238,8 @@ def q_dedup_exact_text(sf_dir: str) -> pd.DataFrame:
     from gojsonschema_ray.stages.dedup import exact_duplicate_groups
 
     ds = _read(sf_dir, "documents", ["text"])
-    rows = exact_duplicate_groups(ds, "text").take_all()
+    from gojsonschema_ray.util import collect_rows
+    rows = collect_rows(exact_duplicate_groups(ds, "text"))
     # build explicitly so an empty result keeps its schema
     return pd.DataFrame({
         "text": pd.Series([r["text"] for r in rows], dtype="object"),
@@ -222,7 +314,8 @@ def q_events_props_json(sf_dir: str) -> pd.DataFrame:
         return pa.table({"bad": pa.array([bad], pa.int64())})
 
     partials = ds.map_batches(count_bad, batch_format="pyarrow")
-    total = sum(r["bad"] for r in partials.take_all())
+    from gojsonschema_ray.util import collect_rows
+    total = sum(r["bad"] for r in collect_rows(partials))
     return pd.DataFrame([{"n": total}])
 
 
@@ -258,12 +351,18 @@ def q_simhash_near_dups(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
 
 
-def q_embedding_near_dups(sf_dir: str):
+def q_embedding_near_dups(sf_dir: str) -> pd.DataFrame:
     from gojsonschema_ray.stages.dedup import embedding_near_duplicates
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return embedding_near_duplicates(ds, "embedding", "vec_id", dim=64,
-                                     threshold=0.9)
+    out = embedding_near_duplicates(ds, "embedding", "vec_id", dim=64,
+                                    threshold=0.9)
+    df = out.to_pandas() if not isinstance(out, pd.DataFrame) else out
+    if df.empty:  # keep a stable schema even when no pairs exist
+        df = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                           "id_b": pd.Series([], dtype="int64"),
+                           "cosine": pd.Series([], dtype="float64")})
+    return df
 
 
 def q_ivf_top5(sf_dir: str) -> pd.DataFrame:
@@ -357,6 +456,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_bounds": q_lineitem_bounds,
         "orders_enum": q_orders_enum,
         "documents_schema": q_documents_schema,
+        "part_rules": q_part_rules,
+        "orders_conditional": q_orders_conditional,
+        "embeddings_list_schema": q_embeddings_list_schema,
+        "customer_combinators": q_customer_combinators,
         "events_unique_users": q_events_unique_users,
         "lineitem_stats": q_lineitem_stats,
         "customers_without_events": q_customers_without_events,
@@ -394,6 +497,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(*) FILTER (WHERE lang NOT IN ('en','de','es','fr')) AS lang_enum, "
             "count(*) FILTER (WHERE length(text) < 100) AS text_short, "
             "count(*) FILTER (WHERE n_chars > 500) AS chars_gt_max FROM documents"
+        ),
+        "part_rules": (
+            "SELECT count(*) FILTER (WHERE NOT regexp_matches(p_brand, '^Brand#[0-9]$')) "
+            "AS brand_pattern, "
+            "count(*) FILTER (WHERE p_size % 5 != 0) AS size_multiple, "
+            "count(*) FILTER (WHERE length(p_name) < 10) AS name_short FROM part"
+        ),
+        "orders_conditional": (
+            "SELECT count(*) FILTER (WHERE CASE WHEN o_orderstatus = 'F' "
+            "THEN o_totalprice > 250000 ELSE o_totalprice > 400000 END) "
+            "AS cond_viol FROM orders"
+        ),
+        "embeddings_list_schema": (
+            "SELECT count(*) FILTER (WHERE len(embedding) != 64) AS wrong_len, "
+            "count(*) FILTER (WHERE list_min(embedding) < -0.5) AS items_min, "
+            "count(*) FILTER (WHERE len(list_filter(embedding, x -> x >= 0.4)) = 0) "
+            "AS no_big_elem FROM embeddings"
+        ),
+        "customer_combinators": (
+            "SELECT count(*) FILTER (WHERE NOT (c_acctbal >= 5000 "
+            "OR c_mktsegment IN ('BUILDING','AUTOMOBILE'))) AS anyof_viol, "
+            "count(*) FILTER (WHERE c_acctbal > 9000) AS not_viol FROM customer"
         ),
         "events_unique_users": (
             "SELECT user_id, count(*) AS n_rows FROM events "

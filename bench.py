@@ -92,8 +92,18 @@ def bench_queries(sf_dir: str) -> dict:
     return out
 
 
+def _warmup(sf_dir: str):
+    """One tiny pipeline so worker-pool startup doesn't pollute the first
+    measured query."""
+    import ray.data as rd
+
+    rd.read_parquet(os.path.join(sf_dir, "region.parquet")).map_batches(
+        lambda t: t, batch_format="pyarrow").count()
+
+
 def run_main() -> dict:
     _init_ray(NUM_CPUS)
+    _warmup(SF_DIR)
     q = bench_queries(SF_DIR)
     clips = bench_clips_validate(NUM_CPUS)
     q["clips_validate"] = round(clips["sec"], 3)

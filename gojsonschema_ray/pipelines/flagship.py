@@ -35,6 +35,8 @@ from ..stages.uniqueness import uniqueness_violations
 from ..stages.validate import TableValidator
 from ..state.manifest import Manifest
 
+from ..util import collect_rows
+
 # Default ruleset over one clips row viewed as a JSON object (FIXTURES.md F1).
 DEFAULT_RULESET = {
     "type": "object",
@@ -150,7 +152,8 @@ def run_flagship(input_dir: str, out_dir: str, *,
         # scan that never touches `bytes`)
         meta_ds = rd.read_parquet(frag, columns=["sr_hz", "dur_ms"])
         partials = meta_ds.map_batches(SketchStage(["sr_hz", "dur_ms"]),
-                                       batch_format="pyarrow").take_all()
+                                       batch_format="pyarrow")
+        partials = collect_rows(partials)
         merged = merge_sketch_partials(partials)
         digests = {k: base64.b64encode(pickle.dumps(v)).decode() for k, v in merged.items()}
         rows = sum(pq.read_metadata(f).num_rows for f in frag)

@@ -24,6 +24,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..util import collect_rows
+
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
@@ -107,12 +109,22 @@ class MinHasher:
 
 
 class MinHashLSHStage:
-    """map_batches payload: doc → `bands` rows of (band, bucket, id).
+    """map_batches payload: doc → `bands` rows of (key, id), where key packs
+    (band_index, band_bucket_hash) into one int64 — a single fixed-width
+    shuffle key per row.
 
-    Stateful (permutation tables built once) → run as an actor pool."""
+    Stateful (permutation tables built once) → run as an actor pool.
+
+    Signatures for the whole batch are computed in ONE vectorized pass:
+    all shingle grams of the batch are hashed together, permuted per
+    hash-function chunk, and per-doc minima come from segmented
+    ``np.minimum.reduceat`` — no per-document Python loop in the hot path.
+    Duplicate shingles within a doc are left in place (the min is unchanged,
+    so the per-doc ``np.unique`` of the textbook formulation is skipped)."""
 
     def __init__(self, text_column: str, id_column: str, num_perm: int = 128,
-                 bands: int = 16, shingle_k: int = 5, seed: int = 42):
+                 bands: int = 16, shingle_k: int = 5, seed: int = 42,
+                 perm_chunk: int = 32):
         assert num_perm % bands == 0
         self.text_column = text_column
         self.id_column = id_column
@@ -120,44 +132,152 @@ class MinHashLSHStage:
         self.rows_per_band = num_perm // bands
         self.shingle_k = shingle_k
         self.hasher = MinHasher(num_perm, seed)
+        self.perm_chunk = perm_chunk  # bounds the (chunk × n_shingles) temp
+
+    def signatures(self, texts: list) -> np.ndarray:
+        """(n_docs, num_perm) uint64 signature matrix for a list of texts."""
+        k = self.shingle_k
+        grams: list[str] = []
+        seg = np.zeros(len(texts) + 1, dtype=np.int64)
+        for i, text in enumerate(texts):
+            t = text or ""
+            if len(t) >= k:
+                grams.extend(t[j:j + k] for j in range(len(t) - k + 1))
+            seg[i + 1] = len(grams)
+        n = len(texts)
+        P = self.hasher.num_perm
+        sigs = np.full((n, P), np.iinfo(np.uint64).max, dtype=np.uint64)
+        if not grams:
+            return sigs
+        h = _hash_strings(grams)
+        starts = seg[:-1]
+        nonempty = np.diff(seg) > 0
+        starts_ne = starts[nonempty]
+        for p0 in range(0, P, self.perm_chunk):
+            a = self.hasher.a[p0:p0 + self.perm_chunk]
+            b = self.hasher.b[p0:p0 + self.perm_chunk]
+            vals = (a[:, None] * h[None, :] + b[:, None]) % _MERSENNE
+            red = np.minimum.reduceat(vals, starts_ne, axis=1)  # (chunk, n_ne)
+            sigs[nonempty, p0:p0 + len(a)] = red.T
+        return sigs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_column].to_pylist()
-        ids = batch[self.id_column].to_pylist()
-        band_col, bucket_col, id_col = [], [], []
-        for doc_id, text in zip(ids, texts):
-            sig = self.hasher.signature(shingles(text or "", self.shingle_k))
-            sig_bands = sig.reshape(self.bands, self.rows_per_band)
-            buckets = pd.util.hash_array(
-                np.ascontiguousarray(sig_bands).view(
-                    [("", np.uint64)] * self.rows_per_band).ravel()
-            ).astype(np.int64)
-            band_col.extend(range(self.bands))
-            bucket_col.extend(buckets.tolist())
-            id_col.extend([doc_id] * self.bands)
-        return pa.table({
-            "band": pa.array(band_col, pa.int32()),
-            "bucket": pa.array(bucket_col, pa.int64()),
-            self.id_column: pa.array(id_col),
-        })
+        ids = batch[self.id_column]
+        n = len(texts)
+        sigs = self.signatures(texts)
+        # bucket-hash each band row of every doc in one structured-view pass
+        band_rows = np.ascontiguousarray(sigs.reshape(n * self.bands, self.rows_per_band))
+        buckets = pd.util.hash_array(
+            band_rows.view([("", np.uint64)] * self.rows_per_band).ravel()
+        ).astype(np.uint64)
+        band_idx = np.tile(np.arange(self.bands, dtype=np.uint64), n)
+        key = ((band_idx << np.uint64(48))
+               ^ (buckets & np.uint64(0x0000FFFFFFFFFFFF))).astype(np.int64)
+        id_rep = ids.take(pa.array(np.repeat(np.arange(n), self.bands), type=pa.int64()))
+        return pa.table({"key": pa.array(key), self.id_column: id_rep})
 
 
 def _pairs_from_groups(group: pd.DataFrame, id_column: str) -> pd.DataFrame:
+    dt = group[id_column].dtype
     ids = sorted(set(group[id_column].tolist()))
     if len(ids) < 2:
-        return pd.DataFrame({"id_a": [], "id_b": []})
+        return pd.DataFrame({"id_a": pd.Series([], dtype=dt),
+                             "id_b": pd.Series([], dtype=dt)})
     a, b = [], []
     for i in range(len(ids)):
         for j in range(i + 1, len(ids)):
             a.append(ids[i])
             b.append(ids[j])
-    return pd.DataFrame({"id_a": a, "id_b": b})
+    return pd.DataFrame({"id_a": pd.Series(a, dtype=dt),
+                         "id_b": pd.Series(b, dtype=dt)})
+
+
+def _shuffle_parts(target_per_cpu: int = 1) -> int:
+    """Right-size shuffle fan-in: tiny-row datasets suffer when a groupby
+    sees hundreds of micro-blocks; ~1 block per CPU is the sweet spot."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # noqa: BLE001 — sizing heuristic only
+        cpus = 8
+    return max(8, cpus * target_per_cpu)
+
+
+def _next_pow2(x: int) -> int:
+    p = 1
+    while p < x:
+        p <<= 1
+    return p
+
+
+def pairs_by_partition(sig_ds, bucket_fn, n_parts: int | None = None):
+    """ONE keyed shuffle into `n_parts` coarse partitions (part = key & mask),
+    then a per-partition pandas groupby('key') applies `bucket_fn` to each
+    bucket with ≥2 rows.
+
+    This is the scale shape for bucket-local pair generation: the shuffle
+    moves every (fixed-width) signature row exactly once, and Python/Ray
+    per-group overhead is paid once per PARTITION (≈ #CPUs), not once per
+    bucket (≈ #docs). `bucket_fn(empty_df)` must return a typed empty frame
+    so partitions with no pairs keep the schema."""
+    n_parts = _next_pow2(n_parts or _shuffle_parts())
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = pc.bit_wise_and(t["key"], n_parts - 1)
+        return t.append_column("part", pc.cast(part, pa.int32()))
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("key", sort=False):
+            if len(g) >= 2:
+                p = bucket_fn(g)
+                if len(p):
+                    outs.append(p)
+        return pd.concat(outs, ignore_index=True) if outs \
+            else bucket_fn(df.iloc[:0])
+
+    # Materialize the fixed-width signature rows before the all-to-all:
+    # Ray's sort-based shuffle re-executes a lazy upstream several times
+    # (boundary sampling + exchange), which multiplies the signature stage
+    # cost ~8x. Materialized blocks live in the object store and spill.
+    parts = sig_ds.map_batches(add_part, batch_format="pyarrow").materialize()
+    return parts.groupby("part").map_groups(per_partition, batch_format="pandas")
+
+
+def hot_bucket_keys(sig_ds, key: str = "key") -> pa.Array:
+    """Keys of buckets with ≥2 members — the pigeonhole prefilter.
+
+    Pre-aggregated (per-batch partial counts before the keyed shuffle) and
+    collected to the driver for broadcast: near-duplicates are SPARSE in a
+    real corpus, so the hot-key set is orders of magnitude smaller than the
+    corpus (documented partitioning assumption; for a degenerate corpus where
+    most buckets collide, skip the prefilter and map_groups everything)."""
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([key]).group_by(key).aggregate([(key, "count")])
+        return g.rename_columns([key, "cnt"])
+
+    counts = sig_ds.map_batches(partial, batch_format="pyarrow") \
+        .repartition(_shuffle_parts()).groupby(key).sum("cnt")
+    hot = counts.map_batches(
+        lambda t: t.filter(pc.greater(t["sum(cnt)"], 1)).select([key]),
+        batch_format="pyarrow",
+    )
+    chunks = [b[key] for b in hot.iter_batches(batch_format="pyarrow")]
+    return pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray)
+                             else c for c in chunks]) if chunks \
+        else pa.array([], pa.int64())
 
 
 def minhash_candidate_pairs(ds, text_column: str, id_column: str,
                             num_perm: int = 128, bands: int = 16,
                             shingle_k: int = 5, concurrency: int = 4):
-    """Candidate near-dup id pairs from LSH buckets (deduplicated)."""
+    """Candidate near-dup id pairs from LSH buckets (deduplicated).
+
+    Scale shape: the signature stage emits one fixed-width (key, id) row per
+    band per doc; ONE coarse-partition keyed shuffle colocates buckets; pair
+    expansion runs vectorized per partition (pairs_by_partition)."""
     sigs = ds.map_batches(
         MinHashLSHStage,
         fn_constructor_kwargs=dict(text_column=text_column, id_column=id_column,
@@ -165,11 +285,10 @@ def minhash_candidate_pairs(ds, text_column: str, id_column: str,
                                    shingle_k=shingle_k),
         batch_format="pyarrow", concurrency=concurrency, num_cpus=1,
     )
-    pairs = sigs.groupby(["band", "bucket"]).map_groups(
-        lambda g: _pairs_from_groups(g, id_column), batch_format="pandas",
-    )
-    # dedup pairs discovered in multiple bands (small: pairs only)
-    return pairs.groupby(["id_a", "id_b"]).count()
+    pairs = pairs_by_partition(sigs, lambda g: _pairs_from_groups(g, id_column))
+    # dedup pairs discovered in multiple bands (small: pairs only;
+    # materialized so the dedup shuffle doesn't re-run the pair shuffle)
+    return pairs.materialize().repartition(8).groupby(["id_a", "id_b"]).count()
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
@@ -196,7 +315,7 @@ def minhash_near_duplicates(ds, text_column: str, id_column: str, *,
     cand = minhash_candidate_pairs(ds, text_column, id_column,
                                    num_perm=num_perm, bands=bands,
                                    shingle_k=shingle_k, concurrency=concurrency)
-    pair_rows = cand.take_all()
+    pair_rows = collect_rows(cand) if cand is not None else []
     if not pair_rows:
         return []
     needed = sorted({r["id_a"] for r in pair_rows} | {r["id_b"] for r in pair_rows})
@@ -238,19 +357,28 @@ def simhash64(text: str) -> int:
 
 
 class SimHashStage:
+    """doc → 4 rows of (key, id, simhash): key packs (band_index, 16-bit band
+    value) so ALL four pigeonhole bands ride ONE keyed shuffle instead of four
+    re-executions of the signature stage."""
+
     def __init__(self, text_column: str, id_column: str):
         self.text_column = text_column
         self.id_column = id_column
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_column].to_pylist()
+        n = len(texts)
         hashes = np.array([simhash64(t or "") for t in texts], dtype=np.uint64)
-        cols = {self.id_column: batch[self.id_column],
-                "simhash": pa.array(hashes.astype(np.int64))}
+        keys = np.empty(4 * n, dtype=np.int64)
         for band in range(4):
             chunk = (hashes >> np.uint64(band * 16)) & np.uint64(0xFFFF)
-            cols[f"band{band}"] = pa.array(chunk.astype(np.int32))
-        return pa.table(cols)
+            keys[band * n:(band + 1) * n] = (band << 16) | chunk.astype(np.int64)
+        idx = pa.array(np.tile(np.arange(n), 4), type=pa.int64())
+        return pa.table({
+            "key": pa.array(keys),
+            self.id_column: batch[self.id_column].take(idx),
+            "simhash": pa.array(np.tile(hashes.astype(np.int64), 4)),
+        })
 
 
 def hamming64(a: int, b: int) -> int:
@@ -260,21 +388,22 @@ def hamming64(a: int, b: int) -> int:
 def simhash_near_duplicates(ds, text_column: str, id_column: str,
                             max_hamming: int = 3):
     """Near-dup pairs with hamming(simhash) <= max_hamming (<=3 guaranteed
-    found by the 4-band pigeonhole; band groupby is the only shuffle)."""
+    found by the 4×16-bit band pigeonhole).
+
+    One signature pass, ONE coarse-partition keyed shuffle, vectorized
+    per-partition pair expansion (same scale shape as
+    minhash_candidate_pairs)."""
     sig = ds.map_batches(SimHashStage(text_column, id_column),
                          batch_format="pyarrow")
+    grouped = pairs_by_partition(
+        sig, lambda g: _simhash_band_pairs(g, id_column, max_hamming))
     seen_pairs = set()
     out = []
-    for band in range(4):
-        grouped = sig.groupby(f"band{band}").map_groups(
-            lambda g: _simhash_band_pairs(g, id_column, max_hamming),
-            batch_format="pandas",
-        )
-        for r in grouped.take_all():
-            key = (r["id_a"], r["id_b"])
-            if key not in seen_pairs:
-                seen_pairs.add(key)
-                out.append(r)
+    for r in collect_rows(grouped):
+        key = (r["id_a"], r["id_b"])
+        if key not in seen_pairs:
+            seen_pairs.add(key)
+            out.append(r)
     return out
 
 
@@ -292,7 +421,10 @@ def _simhash_band_pairs(group: pd.DataFrame, id_column: str,
                 a_out.append(ia)
                 b_out.append(ib)
                 d_out.append(d)
-    return pd.DataFrame({"id_a": a_out, "id_b": b_out, "hamming": d_out})
+    dt = group[id_column].dtype
+    return pd.DataFrame({"id_a": pd.Series(a_out, dtype=dt),
+                         "id_b": pd.Series(b_out, dtype=dt),
+                         "hamming": pd.Series(d_out, dtype="int32")})
 
 
 # ---------------------------------------------------------------------------
@@ -303,64 +435,107 @@ class HyperplaneLSHStage:
     `n_planes` hyperplanes each. A near-dup pair is a candidate if it shares
     a bucket in ANY table — a single unlucky hyperplane near the pair can't
     hide it (single-table LSH misses ~n_planes·θ/π of true pairs).
-    Fixed seed → identical planes on every worker."""
+    Fixed seed → identical planes on every worker.
+
+    Emits (key, id[, embedding]) with key packing (table, bucket) — one
+    fixed-width int64 shuffle key. `with_embedding=False` (the hot-bucket
+    scan pass) keeps the shuffle payload at 16 bytes/row; the second pass
+    re-attaches embeddings for hot-bucket rows only."""
 
     def __init__(self, embedding_column: str, id_column: str, dim: int,
-                 n_planes: int = 8, n_tables: int = 4, seed: int = 42):
+                 n_planes: int = 8, n_tables: int = 4, seed: int = 42,
+                 with_embedding: bool = True):
         rng = np.random.default_rng(seed)
         self.planes = rng.standard_normal((n_tables, dim, n_planes))
         self.n_tables = n_tables
         self.embedding_column = embedding_column
         self.id_column = id_column
+        self.with_embedding = with_embedding
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        emb = np.stack(batch[self.embedding_column].to_pylist()).astype(np.float64)
-        ids = batch[self.id_column]
-        tables, buckets, out_ids, out_emb = [], [], [], []
-        emb_list = batch[self.embedding_column].to_pylist()
+    def keys(self, emb: np.ndarray) -> np.ndarray:
+        """(n_tables * n_rows,) packed int64 keys, table-major."""
+        n = emb.shape[0]
+        out = np.empty(self.n_tables * n, dtype=np.int64)
+        weights = 1 << np.arange(self.planes.shape[2])
         for t in range(self.n_tables):
             signs = (emb @ self.planes[t]) > 0
-            bk = signs @ (1 << np.arange(signs.shape[1]))
-            tables.extend([t] * len(bk))
-            buckets.extend(bk.astype(np.int64).tolist())
-            out_ids.extend(ids.to_pylist())
-            out_emb.extend(emb_list)
-        return pa.table({
-            "table": pa.array(tables, pa.int32()),
-            "bucket": pa.array(buckets, pa.int64()),
-            self.id_column: pa.array(out_ids),
-            self.embedding_column: pa.array(out_emb),
-        })
+            bk = signs @ weights
+            out[t * n:(t + 1) * n] = (t << 32) | bk.astype(np.int64)
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.embedding_column]
+        emb = np.stack(col.to_pylist()).astype(np.float64)
+        n = batch.num_rows
+        keys = self.keys(emb)
+        idx = pa.array(np.tile(np.arange(n), self.n_tables), type=pa.int64())
+        cols = {
+            "key": pa.array(keys),
+            self.id_column: batch[self.id_column].take(idx),
+        }
+        if self.with_embedding:
+            cols[self.embedding_column] = col.take(idx)
+        return pa.table(cols)
 
 
 def embedding_near_duplicates(ds, embedding_column: str, id_column: str,
                               dim: int, threshold: float = 0.95,
                               n_planes: int = 8, n_tables: int = 4):
     """Cosine near-dup pairs within multi-table hyperplane-LSH buckets.
+
+    Two passes so the wide embedding vectors never ride the full shuffle:
+    pass 1 shuffles 16-byte (key, count) partials to find hot buckets;
+    pass 2 re-buckets, keeps only hot-bucket rows WITH their embeddings, and
+    computes within-bucket pairwise cosine via one numpy matmul per group.
     Pairs found in several tables are deduplicated by a final groupby."""
+    kwargs = dict(embedding_column=embedding_column, id_column=id_column,
+                  dim=dim, n_planes=n_planes, n_tables=n_tables)
+    scan = ds.map_batches(
+        HyperplaneLSHStage,
+        fn_constructor_kwargs={**kwargs, "with_embedding": False},
+        batch_format="pyarrow", concurrency=2, num_cpus=1,
+    )
+    hot = hot_bucket_keys(scan)
+    id_dtype = "int64"
+
+    def _empty_pairs() -> pd.DataFrame:
+        return pd.DataFrame({"id_a": pd.Series([], dtype=id_dtype),
+                             "id_b": pd.Series([], dtype=id_dtype),
+                             "cosine": pd.Series([], dtype="float64")})
+
+    if len(hot) == 0:
+        import ray.data as rd
+
+        return rd.from_pandas(_empty_pairs())
     bucketed = ds.map_batches(
         HyperplaneLSHStage,
-        fn_constructor_kwargs=dict(embedding_column=embedding_column,
-                                   id_column=id_column, dim=dim,
-                                   n_planes=n_planes, n_tables=n_tables),
+        fn_constructor_kwargs={**kwargs, "with_embedding": True},
         batch_format="pyarrow", concurrency=2, num_cpus=1,
+    ).map_batches(
+        lambda t: t.filter(pc.is_in(t["key"], value_set=hot)),
+        batch_format="pyarrow",
     )
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
         ids = group[id_column].tolist()
         if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            return _empty_pairs()
         m = np.stack(group[embedding_column].tolist()).astype(np.float64)
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         sim = m @ m.T
         iu, ju = np.triu_indices(len(ids), k=1)
         keep = sim[iu, ju] >= threshold
         return pd.DataFrame({
-            "id_a": [min(ids[i], ids[j]) for i, j in zip(iu[keep], ju[keep])],
-            "id_b": [max(ids[i], ids[j]) for i, j in zip(iu[keep], ju[keep])],
-            "cosine": sim[iu, ju][keep],
+            "id_a": pd.Series([min(ids[i], ids[j]) for i, j in zip(iu[keep], ju[keep])],
+                              dtype=id_dtype),
+            "id_b": pd.Series([max(ids[i], ids[j]) for i, j in zip(iu[keep], ju[keep])],
+                              dtype=id_dtype),
+            "cosine": pd.Series(sim[iu, ju][keep], dtype="float64"),
         })
 
-    found = bucketed.groupby(["table", "bucket"]).map_groups(
-        pairs, batch_format="pandas")
-    return found.groupby(["id_a", "id_b"]).max("cosine")
+    found = pairs_by_partition(bucketed, pairs)
+    deduped = found.materialize().repartition(8).groupby(["id_a", "id_b"]).max("cosine")
+    return deduped.map_batches(
+        lambda t: t.rename_columns(["id_a", "id_b", "cosine"]),
+        batch_format="pyarrow",
+    )

@@ -14,6 +14,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..util import collect_rows
+
 
 class HistogramStage:
     """map_batches payload: fixed-edge histogram partial per batch."""
@@ -40,7 +42,7 @@ class HistogramStage:
 def histogram(ds, column: str, edges: np.ndarray) -> np.ndarray:
     """Merged histogram (len(edges)+1 bins incl. under/overflow)."""
     partials = ds.map_batches(HistogramStage(column, edges), batch_format="pyarrow")
-    totals = partials.groupby("bin").sum("count").take_all()
+    totals = collect_rows(partials.groupby("bin").sum("count"))
     out = np.zeros(len(edges) + 1, dtype=np.int64)
     for r in totals:
         out[r["bin"]] = r["sum(count)"]
@@ -76,7 +78,7 @@ def drift_report(ds_ref, ds_new, columns: list[str], bins: int = 64,
     from .sketches import SketchStage, merge_sketch_partials
 
     partials = ds_ref.map_batches(SketchStage(columns), batch_format="pyarrow")
-    merged = merge_sketch_partials(partials.take_all())
+    merged = merge_sketch_partials(collect_rows(partials))
     report = {}
     for c in columns:
         st = merged.get(c)

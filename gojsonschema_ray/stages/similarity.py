@@ -18,6 +18,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..util import collect_rows
+
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
@@ -105,7 +107,7 @@ class IVFIndex:
     @classmethod
     def train(cls, ds, embedding_column: str, n_centroids: int = 64,
               sample_limit: int = 20_000, iters: int = 10, seed: int = 42) -> "IVFIndex":
-        sample = ds.limit(sample_limit).take_all()
+        sample = collect_rows(ds.limit(sample_limit))
         x = _normalize(np.stack([r[embedding_column] for r in sample]).astype(np.float64))
         rng = np.random.default_rng(seed)
         n_centroids = min(n_centroids, len(x))

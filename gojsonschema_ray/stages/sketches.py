@@ -25,6 +25,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..util import collect_rows
+
 
 # ---------------------------------------------------------------------------
 # t-digest
@@ -331,7 +333,7 @@ class SketchStage:
 
     Usage (partial-aggregate pattern, NO shuffle):
         partials = ds.map_batches(SketchStage(cols), batch_format="pyarrow")
-        stats = merge_sketch_partials(partials.take_all())   # tiny
+        stats = merge_sketch_partials(collect_rows(partials))   # tiny
     """
 
     def __init__(self, columns: list[str] | None = None):
@@ -369,5 +371,5 @@ def merge_sketch_partials(rows) -> dict[str, ColumnStats]:
 def column_stats(ds, columns: list[str] | None = None) -> dict[str, dict]:
     """Full streaming column-stats pass over a Ray Dataset."""
     partials = ds.map_batches(SketchStage(columns), batch_format="pyarrow")
-    merged = merge_sketch_partials(partials.take_all())
+    merged = merge_sketch_partials(collect_rows(partials))
     return {k: v.summary() for k, v in merged.items()}

@@ -21,6 +21,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..util import collect_rows
+
 
 class KeyCountStage:
     """map_batches payload: batch → (key, cnt) partial counts."""
@@ -93,7 +95,7 @@ def top_hot_keys(ds, key: str, sample_frac: float = 0.01, top_k: int = 16,
     sample = ds.random_sample(sample_frac, seed=42)
     counts = sample.map_batches(KeyCountStage(key), batch_format="pyarrow") \
         .groupby(key).sum("cnt")
-    rows = counts.sort("sum(cnt)", descending=True).limit(top_k).take_all()
+    rows = collect_rows(counts.sort("sum(cnt)", descending=True).limit(top_k))
     total = max(1, sum(r["sum(cnt)"] for r in rows))
     est_total = total / max(sample_frac, 1e-9)
     return {r[key] for r in rows
