@@ -163,6 +163,7 @@ def q_embeddings_list_schema(sf_dir: str) -> pd.DataFrame:
                 "maxItems": 64,
                 "items": {"minimum": -0.5},
                 "contains": {"minimum": 0.4},
+                "uniqueItems": True,
             },
         },
     }, "vec_id")
@@ -171,6 +172,7 @@ def q_embeddings_list_schema(sf_dir: str) -> pd.DataFrame:
         "wrong_len": ("array_min_items", "(root).embedding"),
         "items_min": ("items", "(root).embedding"),
         "no_big_elem": ("contains", "(root).embedding"),
+        "dup_elems": ("unique", "(root).embedding"),
     })
 
 
@@ -245,6 +247,19 @@ def q_dedup_exact_text(sf_dir: str) -> pd.DataFrame:
         "text": pd.Series([r["text"] for r in rows], dtype="object"),
         "n": pd.Series([r["n"] for r in rows], dtype="int64"),
     })
+
+
+def q_dedup_keep_first(sf_dir: str):
+    """Keep-first exact dedup: one surviving doc_id per distinct text
+    (hash-partitioned groupby min)."""
+    from gojsonschema_ray.stages.dedup import dedup_exact
+
+    out = dedup_exact(_read(sf_dir, "documents", ["doc_id", "text"]),
+                      "text", "doc_id")
+    return out.map_batches(
+        lambda t: t.rename_columns(["text", "doc_id"]),
+        batch_format="pyarrow",
+    )
 
 
 def q_dup_nchars_groups(sf_dir: str):
@@ -465,6 +480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_events": q_customers_without_events,
         "embeddings_fk": q_embeddings_fk,
         "dedup_exact_text": q_dedup_exact_text,
+        "dedup_keep_first": q_dedup_keep_first,
         "dup_nchars_groups": q_dup_nchars_groups,
         "token_counts_by_lang": q_token_counts_by_lang,
         "ann_top5": q_ann_top5,
@@ -513,7 +529,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(*) FILTER (WHERE len(embedding) != 64) AS wrong_len, "
             "count(*) FILTER (WHERE list_min(embedding) < -0.5) AS items_min, "
             "count(*) FILTER (WHERE len(list_filter(embedding, x -> x >= 0.4)) = 0) "
-            "AS no_big_elem FROM embeddings"
+            "AS no_big_elem, "
+            "count(*) FILTER (WHERE len(list_distinct(embedding)) != len(embedding)) "
+            "AS dup_elems FROM embeddings"
+        ),
+        "dedup_keep_first": (
+            "SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text"
         ),
         "customer_combinators": (
             "SELECT count(*) FILTER (WHERE NOT (c_acctbal >= 5000 "

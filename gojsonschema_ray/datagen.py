@@ -159,20 +159,45 @@ def clips_dataset(n: int, audio_cap_ms: int = 50, with_audio: bool = True,
     return base.map_batches(synth, batch_format="pyarrow")
 
 
-def write_clips_parquet(path: str, n: int, audio_cap_ms: int = 50,
-                        rows_per_file: int = 100_000) -> str:
-    """Materialize a clips table to partitioned parquet (resumable layout)."""
+def _write_clips_shard(path: str, start: int, count: int, audio_cap_ms: int):
     import os
 
     import pyarrow.parquet as pq
 
+    fp = os.path.join(path, f"part-{start:012d}.parquet")
+    tmp = fp + ".tmp"
+    pq.write_table(clips_batch(start, count, audio_cap_ms), tmp)
+    os.replace(tmp, fp)  # atomic: readers/resume never see torn shards
+
+
+def write_clips_parquet(path: str, n: int, audio_cap_ms: int = 50,
+                        rows_per_file: int = 100_000) -> str:
+    """Materialize a clips table to partitioned parquet (resumable layout:
+    one atomically-renamed file per shard; re-invocation skips finished
+    shards). Shards synthesize in parallel Ray tasks when a session is up."""
+    import os
+
     os.makedirs(path, exist_ok=True)
+    todo = []
     for start in range(0, n, rows_per_file):
         fp = os.path.join(path, f"part-{start:012d}.parquet")
         if os.path.exists(fp):
             continue  # resume: skip committed shards
-        count = min(rows_per_file, n - start)
-        pq.write_table(clips_batch(start, count, audio_cap_ms), fp)
+        todo.append((start, min(rows_per_file, n - start)))
+    if not todo:
+        return path
+    try:
+        import ray
+
+        parallel = ray.is_initialized() and len(todo) > 1
+    except ImportError:
+        parallel = False
+    if parallel:
+        shard = ray.remote(num_cpus=1)(_write_clips_shard)
+        ray.get([shard.remote(path, s, c, audio_cap_ms) for s, c in todo])
+    else:
+        for s, c in todo:
+            _write_clips_shard(path, s, c, audio_cap_ms)
     return path
 
 

@@ -24,7 +24,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..util import collect_rows
+from ..util import collect_rows, list_column_to_matrix
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
@@ -41,30 +41,25 @@ def exact_duplicate_groups(ds, column: str, by_hash: bool = False):
 
     by_hash=True groups on a 64-bit content hash instead of the raw value —
     the at-scale mode (shuffle rows shrink to 8 bytes/key); collisions are
-    ~n²/2⁶⁴ and can be re-verified within groups."""
+    ~n²/2⁶⁴ and can be re-verified within groups.
+
+    Same coarse-partition exchange as stages/uniqueness.py: per-batch partial
+    counts, one part-keyed shuffle, vectorized per-partition totals."""
+    from .uniqueness import KeyCountStage, aggregate_key_counts
+
     if by_hash:
+        stage = KeyCountStage("h")
+
         def project(t: pa.Table) -> pa.Table:
             h = _hash_strings(t[column].to_pandas())
-            return pa.table({"h": pa.array(h.astype(np.int64))}) \
-                .group_by("h").aggregate([("h", "count")]) \
-                .rename_columns(["h", "cnt"])
+            return stage(pa.table({"h": pa.array(h.astype(np.int64))}))
 
         partials = ds.map_batches(project, batch_format="pyarrow")
-        totals = partials.groupby("h").sum("cnt")
         key = "h"
     else:
-        def project(t: pa.Table) -> pa.Table:
-            return t.select([column]).group_by(column) \
-                .aggregate([(column, "count")]).rename_columns([column, "cnt"])
-
-        partials = ds.map_batches(project, batch_format="pyarrow")
-        totals = partials.groupby(column).sum("cnt")
+        partials = ds.map_batches(KeyCountStage(column), batch_format="pyarrow")
         key = column
-    return totals.map_batches(
-        lambda t: t.filter(pc.greater(t["sum(cnt)"], 1))
-                   .rename_columns([key, "n"]),
-        batch_format="pyarrow",
-    )
+    return aggregate_key_counts(partials, key, min_count=2)
 
 
 def dedup_exact(ds, column: str, id_column: str):
@@ -238,11 +233,13 @@ def pairs_by_partition(sig_ds, bucket_fn, n_parts: int | None = None):
         return pd.concat(outs, ignore_index=True) if outs \
             else bucket_fn(df.iloc[:0])
 
-    # Materialize the fixed-width signature rows before the all-to-all:
-    # Ray's sort-based shuffle re-executes a lazy upstream several times
-    # (boundary sampling + exchange), which multiplies the signature stage
-    # cost ~8x. Materialized blocks live in the object store and spill.
-    parts = sig_ds.map_batches(add_part, batch_format="pyarrow").materialize()
+    # Materialize + consolidate the fixed-width signature rows before the
+    # all-to-all: Ray's sort-based shuffle re-executes a lazy upstream several
+    # times (boundary sampling + exchange, ~8x cost), and its fixed cost is
+    # driven by input block COUNT (hundreds of micro-blocks -> ~10x slower
+    # than ~#CPUs consolidated blocks). Materialized blocks spill if needed.
+    parts = sig_ds.map_batches(add_part, batch_format="pyarrow") \
+        .materialize().repartition(n_parts).materialize()
     return parts.groupby("part").map_groups(per_partition, batch_format="pandas")
 
 
@@ -465,7 +462,7 @@ class HyperplaneLSHStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         col = batch[self.embedding_column]
-        emb = np.stack(col.to_pylist()).astype(np.float64)
+        emb = list_column_to_matrix(col)
         n = batch.num_rows
         keys = self.keys(emb)
         idx = pa.array(np.tile(np.arange(n), self.n_tables), type=pa.int64())

@@ -11,6 +11,8 @@ the standard population-stability-index recipe.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 
@@ -67,6 +69,32 @@ def psi(counts_a: np.ndarray, counts_b: np.ndarray, eps: float = 1e-6) -> float:
     pa_ = np.clip(pa_, eps, None)
     pb_ = np.clip(pb_, eps, None)
     return float(np.sum((pa_ - pb_) * np.log(pa_ / pb_)))
+
+
+def drift_from_digests(digest_a, digest_b, bins: int = 64,
+                       ks_threshold: float = 0.1,
+                       psi_threshold: float = 0.2) -> dict:
+    """KS/PSI between two already-built t-digests — zero data passes.
+
+    Used by the flagship manifest: each committed partition carries its column
+    digests, so per-partition-vs-global drift is a pure driver computation on
+    sketches (the 10^12-row drift check costs nothing beyond the sketch pass
+    that ran anyway)."""
+    if digest_a is None or digest_b is None or digest_a.n == 0 or digest_b.n == 0:
+        return {"ks": math.nan, "psi": math.nan, "drifted": False}
+    lo = min(digest_a.min, digest_b.min)
+    hi = max(digest_a.max, digest_b.max)
+    if not (np.isfinite(lo) and np.isfinite(hi)) or lo == hi:
+        return {"ks": 0.0, "psi": 0.0, "drifted": False}
+    edges = np.linspace(lo, hi, bins + 1)
+    ca = np.array([digest_a.cdf(x) for x in edges])
+    cb = np.array([digest_b.cdf(x) for x in edges])
+    ks = float(np.abs(ca - cb).max())
+    pa_ = np.clip(np.diff(ca), 1e-6, None)
+    pb_ = np.clip(np.diff(cb), 1e-6, None)
+    p = float(np.sum((pa_ - pb_) * np.log(pa_ / pb_)))
+    return {"ks": ks, "psi": p,
+            "drifted": bool(ks > ks_threshold or p > psi_threshold)}
 
 
 def drift_report(ds_ref, ds_new, columns: list[str], bins: int = 64,

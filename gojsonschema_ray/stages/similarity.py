@@ -18,7 +18,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..util import collect_rows
+from ..util import collect_rows, list_column_to_matrix
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -45,8 +45,7 @@ class BruteForceTopKStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         q = self._queries()  # (nq, d) already normalized
-        emb = _normalize(np.stack(batch[self.embedding_column].to_pylist())
-                         .astype(np.float64))
+        emb = _normalize(list_column_to_matrix(batch[self.embedding_column]))
         ids = batch[self.id_column].to_numpy(zero_copy_only=False)
         sim = emb @ q.T  # (n, nq)
         k = min(self.k, sim.shape[0])
@@ -125,8 +124,7 @@ class IVFIndex:
         centroids = self.centroids
 
         def assign(batch: pa.Table) -> pa.Table:
-            emb = _normalize(np.stack(batch[embedding_column].to_pylist())
-                             .astype(np.float64))
+            emb = _normalize(list_column_to_matrix(batch[embedding_column]))
             lists = (emb @ centroids.T).argmax(axis=1)
             return batch.append_column("ivf_list", pa.array(lists.astype(np.int32)))
 

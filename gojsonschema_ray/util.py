@@ -19,6 +19,23 @@ def collect_rows(ds) -> list[dict]:
     return rows
 
 
+def list_column_to_matrix(col, dtype="float64"):
+    """Arrow list<float> column -> (n, d) numpy matrix without a Python-list
+    round-trip (zero-copy flatten of the values buffer; rows must be
+    equal-length and non-null — the embedding-table invariant)."""
+    import numpy as np
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten()
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, 0), dtype=dtype)
+    d, rem = divmod(len(flat), n)
+    if rem:
+        raise ValueError("ragged or null embedding rows")
+    return flat.to_numpy(zero_copy_only=False).astype(dtype, copy=False).reshape(n, d)
+
+
 def collect_table(ds) -> pa.Table:
     """Dataset -> one pyarrow Table (driver-side; small results only)."""
     tabs = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
