@@ -2,19 +2,24 @@
 table (BASELINE.json north_star), end to end:
 
     read_parquet (column-pruned, manifest-filtered)
-      → map_batches(TableValidator)            # stateless vectorized predicates
-      → map_batches(AudioInvariantChecker,     # stateful actor pool, small
-                    concurrency=N, batch_size) #   batches (wide binary rows)
-      → union of violation streams → write_parquet (partitioned, resumable)
+      → map_batches(CombinedClipChecker)   # FUSED vectorized schema predicates
+                                           #   + PCM/SNR invariants, one pass
+                                           #   over the wide `bytes` column
+      ∪ uniqueness on clip_id              # pre-aggregated coarse-partition
+        (from a clip_id-only pruned read)  #   counted shuffle
+      → write_parquet (partitioned, resumable)
       + sketch partials (map_batches → tiny driver merge)   # column stats
-      + uniqueness via pre-aggregated groupby               # keyed shuffle
+      + per-partition KS/PSI drift from manifest digests    # zero data passes
       + manifest commit per partition (lineage + metrics)
 
 Design notes for 10^12-row scale:
-- the ONLY all-to-all exchange is the uniqueness groupby, and it moves
-  (key, count) partials, not rows;
-- the audio stage reads only the columns it needs; the metadata stage never
-  deserializes `bytes` (column pruning at the read);
+- the ONLY all-to-all exchange is the uniqueness shuffle, and it moves
+  (key, count) partials into ~#CPUs coarse buckets, never payload rows;
+- the audio bytes stream exactly once (the fused checker); every other pass
+  is column-pruned at the read and never deserializes `bytes`;
+- the fused checker ships to stateless tasks by default so read decode and
+  checks share all CPUs (see validate_clips docstring; actor-pool mode is
+  one flag away for heavyweight decoder state);
 - output is a directory tree per partition; a killed run resumes from the
   manifest, skipping committed partitions.
 """
@@ -107,7 +112,7 @@ class CombinedClipChecker:
 
 def validate_clips(ds, tree: CompiledSchema | None = None, *,
                    with_audio: bool = True, with_uniqueness: bool = True,
-                   audio_concurrency: int = 4, audio_batch_size: int = 128,
+                   audio_concurrency: int = 4, audio_batch_size: int | None = None,
                    audio_cap_ms: int = 50, uniqueness_ds=None,
                    use_actor_pool: bool = False):
     """One streaming violations Dataset over a clips Dataset.
@@ -167,7 +172,7 @@ def run_flagship(input_dir: str, out_dir: str, *,
                  with_audio: bool = True,
                  files_per_partition: int = 4,
                  audio_concurrency: int = 4,
-                 audio_batch_size: int = 128,
+                 audio_batch_size: int | None = None,
                  audio_cap_ms: int = 50) -> dict:
     """Resumable production run over a partitioned parquet clips table.
 

@@ -1,0 +1,79 @@
+"""JSON document sources — the reference's loader family re-expressed for
+Ray Data (SURVEY.md §2.1: jsonReferenceLoader / jsonStringLoader /
+jsonGoLoader, jsonLoader.go:97-313).
+
+Schemas stay DRIVER-side (small, loaded once, compiled once); this module is
+about DATA: newline-delimited JSON corpora validated at table scale.
+
+Two paths:
+- ``read_jsonl``: `ray.data.read_json` — Arrow-native when documents are
+  tabular (columns become typed Arrow columns → the vectorized
+  TableValidator path applies).
+- ``validate_jsonl_column``: documents that are too heterogeneous for a
+  fixed Arrow schema ride as raw strings and are checked per batch by the
+  GENERIC engine (exact big-Rat-parity numerics via Fraction parsing) —
+  the per-document semantics of the reference, distributed by map_batches.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def read_jsonl(path: str, **kwargs):
+    """Newline-delimited JSON → typed Dataset (Arrow JSON reader)."""
+    import ray.data as rd
+
+    return rd.read_json(path, **kwargs)
+
+
+class JsonColumnValidator:
+    """map_batches payload: parse a string column as JSON per row and
+    validate with a compiled tree (generic engine — used when documents
+    cannot be a fixed Arrow schema). Emits the standard violations table.
+
+    The compiled tree ships once in the closure; parsing uses
+    ``parse_json`` (Fraction numerics) so `multipleOf`/`enum` semantics
+    match the reference's math/big.Rat model exactly."""
+
+    def __init__(self, tree, column: str, key_column: str | None = None):
+        self.tree = tree
+        self.column = column
+        self.key_column = key_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..schema import parse_json
+        from ..stages.validate import VIOLATION_SCHEMA
+
+        docs = batch[self.column].to_pylist()
+        keys = (batch[self.key_column].to_pylist()
+                if self.key_column and self.key_column in batch.column_names
+                else list(range(len(docs))))
+        rows: list[tuple] = []
+        for key, s in zip(keys, docs):
+            if s is None:
+                rows.append((str(key), "required", "(root)",
+                             f"document in {self.column}", ""))
+                continue
+            try:
+                doc = parse_json(s)
+            except Exception as e:  # noqa: BLE001 — malformed JSON is a violation
+                rows.append((str(key), "invalid_json", "(root)",
+                             "parseable JSON", type(e).__name__))
+                continue
+            res = self.tree.validate(doc)
+            for err in res.errors:
+                rows.append((str(key), err.type, err.context,
+                             str(err.details) if err.details else err.type,
+                             str(err.value)[:128]))
+        if not rows:
+            return VIOLATION_SCHEMA.empty_table()
+        cols = list(zip(*rows))
+        return pa.table([pa.array(list(c), pa.string()) for c in cols],
+                        schema=VIOLATION_SCHEMA)
+
+
+def validate_jsonl_column(ds, tree, column: str, key_column: str | None = None):
+    """Violations Dataset for a string column of JSON documents."""
+    return ds.map_batches(JsonColumnValidator(tree, column, key_column),
+                          batch_format="pyarrow")

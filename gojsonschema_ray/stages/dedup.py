@@ -62,16 +62,29 @@ def exact_duplicate_groups(ds, column: str, by_hash: bool = False):
     return aggregate_key_counts(partials, key, min_count=2)
 
 
-def dedup_exact(ds, column: str, id_column: str):
+def dedup_exact(ds, column: str, id_column: str, n_parts: int = 32):
     """Keep-first exact dedup: one representative id per distinct value.
-    Hash-partitioned groupby; returns the surviving ids Dataset."""
+
+    Same coarse-partition exchange as the count paths: per-batch min-id
+    partials (associative), one part-keyed shuffle, vectorized per-partition
+    min; returns the surviving (column, id) Dataset."""
+    import pandas as pd
+
+    from .sketches import hash_arrow_array
+
     def project(t: pa.Table) -> pa.Table:
-        return t.select([column, id_column]).group_by(column) \
+        g = t.select([column, id_column]).group_by(column) \
             .aggregate([(id_column, "min")]) \
             .rename_columns([column, id_column])
+        part = (hash_arrow_array(g[column]) % np.uint64(n_parts)).astype(np.int32)
+        return g.append_column("part", pa.array(part))
 
-    partials = ds.map_batches(project, batch_format="pyarrow")
-    return partials.groupby(column).min(id_column)
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(column, as_index=False, sort=False)[id_column].min()
+
+    parts = ds.map_batches(project, batch_format="pyarrow") \
+        .materialize().repartition(n_parts).materialize()
+    return parts.groupby("part").map_groups(per_part, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

@@ -114,3 +114,79 @@ def test_column_stats_exact_fields(clips):
     st2.add(clips["transcript"])
     s2 = st2.summary()
     assert s2["nulls"] == sum(1 for i in range(N) if i % 967 == 0 and i % 971 != 0)
+
+
+def test_uniqueness_skewed_hot_key(ray_session):
+    """A key holding 50% of all rows must (a) count correctly and (b) collapse
+    inside the per-block partials BEFORE the shuffle — the pre-aggregation is
+    the skew defense (SURVEY.md §2.6): the hot key contributes at most one
+    partial row per block, so no reducer ever sees its raw row mass."""
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.uniqueness import (
+        KeyCountStage, add_salted_key, duplicate_keys, top_hot_keys,
+    )
+    from gojsonschema_ray.util import collect_rows
+
+    n = 20_000
+    keys = ["hot" if i % 2 == 0 else f"k{i}" for i in range(n)]
+    ds = rd.from_arrow(pa.table({"clip_id": keys})).repartition(8)
+
+    dups = {r["clip_id"]: r["n_rows"] for r in collect_rows(duplicate_keys(ds, "clip_id"))}
+    assert dups == {"hot": n // 2}
+
+    # partials collapse: ≤ one row per key per block
+    partials = ds.map_batches(KeyCountStage("clip_id"), batch_format="pyarrow")
+    n_partials = partials.count()
+    assert n_partials <= (n // 2) + 8  # unique keys + ≤1 hot row per block
+
+    # sample-based hot-key scan finds the hot key
+    hot = top_hot_keys(ds, "clip_id", sample_frac=0.05, top_k=4, min_share=0.01)
+    assert "hot" in hot
+
+    # payload-salting spreads the hot key over sub-buckets
+    batch = pa.table({"clip_id": pa.array(["hot"] * 64 + ["cold"] * 4)})
+    salted = add_salted_key(batch, "clip_id", hot_keys={"hot"}, salt_buckets=8)
+    hot_buckets = set(salted["_shuffle_key"].to_pylist()[:64])
+    cold_buckets = set(salted["_shuffle_key"].to_pylist()[64:])
+    assert len(hot_buckets) == 8      # hot rows fan out
+    assert len(cold_buckets) == 1     # cold key stays on one bucket
+
+
+def test_jsonl_source_validation(ray_session, tmp_path):
+    """JSONL corpus → read_json (typed path) AND string-column generic path
+    (reference loader family, jsonLoader.go:97-313)."""
+    import json
+
+    import ray.data as rd
+
+    from gojsonschema_ray.schema import compile_schema
+    from gojsonschema_ray.sources.jsonl import read_jsonl, validate_jsonl_column
+    from gojsonschema_ray.stages.validate import TableValidator
+    from gojsonschema_ray.util import collect_rows
+
+    docs = [{"id": i, "v": i * 10} for i in range(50)]
+    docs[7]["v"] = -5          # violates minimum
+    docs[23]["v"] = 10**20     # bignum: stays exact in the generic path
+    p = tmp_path / "docs.jsonl"
+    p.write_text("\n".join(json.dumps(d) for d in docs))
+
+    tree = compile_schema({
+        "type": "object", "required": ["id", "v"],
+        "properties": {"v": {"minimum": 0}},
+    })
+
+    # typed path: read_json -> vectorized TableValidator
+    ds = read_jsonl(str(p))
+    viol = ds.map_batches(TableValidator(tree, key_column="id", mode="violations"),
+                          batch_format="pyarrow")
+    rows = collect_rows(viol)
+    assert {(r["key"], r["keyword"]) for r in rows} == {("7", "number_gte")}
+
+    # generic path: documents as raw strings (heterogeneous-schema mode)
+    raw = rd.from_items([{"doc_id": i, "body": json.dumps(d)}
+                         for i, d in enumerate(docs)] +
+                        [{"doc_id": 99, "body": "{not json"}])
+    viol2 = collect_rows(validate_jsonl_column(raw, tree, "body", "doc_id"))
+    got = {(r["key"], r["keyword"]) for r in viol2}
+    assert got == {("7", "number_gte"), ("99", "invalid_json")}
