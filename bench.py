@@ -103,9 +103,11 @@ def bench_queries(sf_dir: str) -> dict:
     import __ray_entry__ as M
 
     names = ["lineitem_bounds", "orders_enum", "documents_schema",
-             "events_unique_users", "lineitem_stats", "token_counts_by_lang",
-             "events_props_json", "ann_top5", "sketch_lineitem",
-             "dup_nchars_groups", "quality_by_source", "minhash_near_dups"]
+             "part_rules", "orders_conditional", "embeddings_list_schema",
+             "customer_combinators", "events_unique_users", "lineitem_stats",
+             "token_counts_by_lang", "events_props_json", "ann_top5",
+             "sketch_lineitem", "dup_nchars_groups", "dedup_keep_first",
+             "quality_by_source", "minhash_near_dups", "simhash_near_dups"]
     qs = M.queries()
     out = {}
     for name in names:

@@ -282,12 +282,17 @@ def hot_bucket_keys(sig_ds, key: str = "key") -> pa.Array:
 
 def minhash_candidate_pairs(ds, text_column: str, id_column: str,
                             num_perm: int = 128, bands: int = 16,
-                            shingle_k: int = 5, concurrency: int = 4):
-    """Candidate near-dup id pairs from LSH buckets (deduplicated).
+                            shingle_k: int = 5, concurrency: int = 4,
+                            dedup_pairs: bool = True):
+    """Candidate near-dup id pairs from LSH buckets.
 
     Scale shape: the signature stage emits one fixed-width (key, id) row per
     band per doc; ONE coarse-partition keyed shuffle colocates buckets; pair
-    expansion runs vectorized per partition (pairs_by_partition)."""
+    expansion runs vectorized per partition (pairs_by_partition).
+
+    dedup_pairs=True collapses the same pair found in several bands with a
+    second (small) exchange; callers that already de-duplicate while
+    consuming (e.g. the Jaccard verifier) pass False and skip it."""
     sigs = ds.map_batches(
         MinHashLSHStage,
         fn_constructor_kwargs=dict(text_column=text_column, id_column=id_column,
@@ -296,6 +301,8 @@ def minhash_candidate_pairs(ds, text_column: str, id_column: str,
         batch_format="pyarrow", concurrency=concurrency, num_cpus=1,
     )
     pairs = pairs_by_partition(sigs, lambda g: _pairs_from_groups(g, id_column))
+    if not dedup_pairs:
+        return pairs
     # dedup pairs discovered in multiple bands (small: pairs only;
     # materialized so the dedup shuffle doesn't re-run the pair shuffle)
     return pairs.materialize().repartition(8).groupby(["id_a", "id_b"]).count()
@@ -324,8 +331,11 @@ def minhash_near_duplicates(ds, text_column: str, id_column: str, *,
 
     cand = minhash_candidate_pairs(ds, text_column, id_column,
                                    num_perm=num_perm, bands=bands,
-                                   shingle_k=shingle_k, concurrency=concurrency)
-    pair_rows = collect_rows(cand) if cand is not None else []
+                                   shingle_k=shingle_k, concurrency=concurrency,
+                                   dedup_pairs=False)
+    pair_rows = [] if cand is None else list(
+        {(r["id_a"], r["id_b"]) for r in collect_rows(cand)})
+    pair_rows = [{"id_a": a, "id_b": b} for a, b in sorted(pair_rows)]
     if not pair_rows:
         return []
     needed = sorted({r["id_a"] for r in pair_rows} | {r["id_b"] for r in pair_rows})

@@ -339,6 +339,13 @@ class VectorEvaluator:
                 vs = pa.array(wanted_scalars, type=dt)
             except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError):
                 vs = pa.array([float(x) if not isinstance(x, str) else x for x in wanted_scalars])
+            if pa.types.is_floating(arr.type):
+                # Arrow's hash-based is_in distinguishes -0.0 from 0.0;
+                # canonical-JSON equality does not (they are the same
+                # rational). x + 0.0 maps -0.0 -> 0.0, leaves the rest.
+                arr = pc.add(arr, pa.scalar(0.0, type=arr.type))
+                if pa.types.is_floating(vs.type):
+                    vs = pc.add(vs, pa.scalar(0.0, type=vs.type))
             return _mask_to_np(pc.is_in(arr, value_set=vs), n)
         return _false(n)
 

@@ -1,0 +1,181 @@
+"""Property-based cross-validation: the VECTORIZED table engine
+(stages/validate.py) must agree row-by-row with the GENERIC per-document
+engine (schema/compile.py) — two independent implementations of the same
+reference semantics (validation.go:71-267). Hypothesis drives random typed
+tables x random rulesets over the keyword families the table engine
+vectorizes. No Ray needed: TableValidator runs in-process on Arrow tables.
+"""
+
+from fractions import Fraction
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from gojsonschema_ray.schema import compile_schema
+from gojsonschema_ray.stages.validate import TableValidator
+
+# ---------------------------------------------------------------------------
+# strategies
+# ---------------------------------------------------------------------------
+
+_num = st.one_of(
+    st.integers(min_value=-1000, max_value=1000),
+    st.floats(min_value=-1000, max_value=1000, allow_nan=False,
+              allow_infinity=False).map(lambda v: round(v, 3)),
+)
+
+_numeric_schema = st.fixed_dictionaries({}, optional={
+    "minimum": _num,
+    "maximum": _num,
+    "exclusiveMinimum": _num,
+    "exclusiveMaximum": _num,
+    "multipleOf": st.sampled_from([1, 2, 5, 0.5, 0.25, 0.1]),
+    # canonical-JSON uniqueness is a compile-time rule (1 == 1.0), so key
+    # enum candidates by their exact rational value
+    "enum": st.lists(_num, min_size=1, max_size=5,
+                     unique_by=lambda v: Fraction(repr(float(v)))),
+    "const": _num,
+})
+
+_string_schema = st.fixed_dictionaries({}, optional={
+    "minLength": st.integers(min_value=0, max_value=8),
+    "maxLength": st.integers(min_value=0, max_value=12),
+    "pattern": st.sampled_from(["^a", "b$", "ab", "^[ab]+$", "a.c"]),
+    "enum": st.lists(st.text(alphabet="abc", max_size=5), min_size=1,
+                     max_size=4, unique=True),
+})
+
+_list_schema = st.fixed_dictionaries({}, optional={
+    "minItems": st.integers(min_value=0, max_value=4),
+    "maxItems": st.integers(min_value=0, max_value=6),
+    "uniqueItems": st.booleans(),
+    "items": _numeric_schema,
+    "contains": st.fixed_dictionaries({"minimum": _num}),
+})
+
+_int_vals = st.lists(
+    st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+    min_size=1, max_size=30)
+_float_vals = st.lists(
+    st.one_of(st.none(),
+              st.floats(min_value=-50, max_value=50, allow_nan=False,
+                        allow_infinity=False).map(lambda v: round(v, 2))),
+    min_size=1, max_size=30)
+_str_vals = st.lists(
+    st.one_of(st.none(), st.text(alphabet="abc", max_size=6)),
+    min_size=1, max_size=30)
+_list_vals = st.lists(
+    st.one_of(st.none(),
+              st.lists(st.integers(min_value=-9, max_value=9), max_size=5)),
+    min_size=1, max_size=25)
+
+
+def _rows_from_column(name, values):
+    """Row dicts for the generic engine: NULL means the property is ABSENT
+    (the engine's null-as-absent table mapping)."""
+    return [{} if v is None else {name: v} for v in values]
+
+
+def _exact(values):
+    """Generic-engine numeric parity: floats enter the per-document engine
+    as exact decimal Fractions (json parse_float behavior)."""
+    out = []
+    for v in values:
+        if isinstance(v, float):
+            out.append(Fraction(repr(v)))
+        else:
+            out.append(v)
+    return out
+
+
+def _assert_engines_agree(column_schema, name, arrow_values, py_values):
+    from hypothesis import assume
+
+    from gojsonschema_ray.schema import SchemaError
+
+    root = {"type": "object", "properties": {name: column_schema}}
+    try:
+        tree = compile_schema(root)
+    except SchemaError:
+        # compile-time rejection (e.g. minLength > maxLength cross-checks,
+        # schema.go:644-651) is correct reference behavior — not this
+        # property's subject
+        assume(False)
+    tv = TableValidator(tree, key_column=None, mode="verdict",
+                       emit_violations=False)
+    batch = pa.table({name: arrow_values})
+    mask, _ = tv.validate_batch(batch)
+    generic = [tree.check(row) for row in _rows_from_column(name, py_values)]
+    assert mask.tolist() == generic, (
+        f"engine disagreement for schema={column_schema}\n"
+        f"values={py_values}\nvector={mask.tolist()}\ngeneric={generic}")
+
+
+# ---------------------------------------------------------------------------
+# properties
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=120, deadline=None)
+@given(schema=_numeric_schema, values=_int_vals)
+def test_numeric_int_column_agrees(schema, values):
+    arr = pa.array(values, type=pa.int64())
+    _assert_engines_agree(schema, "x", arr, _exact(values))
+
+
+@settings(max_examples=120, deadline=None)
+@given(schema=_numeric_schema, values=_float_vals)
+def test_numeric_float_column_agrees(schema, values):
+    arr = pa.array([float(v) if v is not None else None for v in values],
+                   type=pa.float64())
+    _assert_engines_agree(schema, "x", arr, _exact(values))
+
+
+@settings(max_examples=120, deadline=None)
+@given(schema=_string_schema, values=_str_vals)
+def test_string_column_agrees(schema, values):
+    arr = pa.array(values, type=pa.string())
+    _assert_engines_agree(schema, "s", arr, values)
+
+
+@settings(max_examples=100, deadline=None)
+@given(schema=_list_schema, values=_list_vals)
+def test_list_column_agrees(schema, values):
+    arr = pa.array(values, type=pa.list_(pa.int64()))
+    _assert_engines_agree(schema, "l", arr, values)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    if_min=_num, then_max=_num, else_max=_num,
+    values=_int_vals,
+)
+def test_conditional_column_agrees(if_min, then_max, else_max, values):
+    schema = {
+        "if": {"minimum": if_min},
+        "then": {"maximum": then_max},
+        "else": {"maximum": else_max},
+    }
+    arr = pa.array(values, type=pa.int64())
+    _assert_engines_agree(schema, "x", arr, _exact(values))
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    b1=_numeric_schema, b2=_numeric_schema,
+    comb=st.sampled_from(["anyOf", "oneOf", "allOf"]),
+    values=_int_vals,
+)
+def test_combinator_column_agrees(b1, b2, comb, values):
+    schema = {comb: [b1, b2]}
+    arr = pa.array(values, type=pa.int64())
+    _assert_engines_agree(schema, "x", arr, _exact(values))
+
+
+@settings(max_examples=60, deadline=None)
+@given(sub=_numeric_schema, values=_int_vals)
+def test_not_column_agrees(sub, values):
+    schema = {"not": sub}
+    arr = pa.array(values, type=pa.int64())
+    _assert_engines_agree(schema, "x", arr, _exact(values))
