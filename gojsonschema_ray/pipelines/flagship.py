@@ -184,19 +184,18 @@ def run_flagship(input_dir: str, out_dir: str, *,
     pass recorded under the "__global__" partition."""
     import ray.data as rd
 
+    from ..sources.io import list_fragments, read_table
+
     tree = compile_schema(ruleset or DEFAULT_RULESET)
     manifest = Manifest(os.path.join(out_dir, "manifest.jsonl"))
-    files = sorted(
-        os.path.join(input_dir, f) for f in os.listdir(input_dir)
-        if f.endswith(".parquet")
-    )
+    files = list_fragments(input_dir)  # Lance fragments or parquet files
     partitions = _partition_files(files, files_per_partition)
 
     for pi, frag in enumerate(partitions):
         pname = f"part-{pi:06d}"
         if manifest.is_committed(pname):
             continue
-        ds = rd.read_parquet(frag, columns=AUDIO_COLUMNS if with_audio else META_COLUMNS)
+        ds = read_table(frag, columns=AUDIO_COLUMNS if with_audio else META_COLUMNS)
         viol = validate_clips(ds, tree, with_audio=with_audio,
                               with_uniqueness=False,  # global, see below
                               audio_concurrency=audio_concurrency,
