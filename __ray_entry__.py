@@ -269,23 +269,25 @@ def q_dup_nchars_groups(sf_dir: str):
     return exact_duplicate_groups(ds, "n_chars")
 
 
-def q_token_counts_by_lang(sf_dir: str):
+def q_token_counts_by_lang(sf_dir: str) -> pd.DataFrame:
+    """Pre-aggregate per batch; the group domain is tiny (a handful of
+    languages), so partials merge on the driver — no keyed shuffle at all."""
     from gojsonschema_ray.functions.text import token_count
+    from gojsonschema_ray.util import collect_rows
 
     ds = _read(sf_dir, "documents", ["lang", "text"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         batch["toks"] = batch["text"].map(token_count)
-        g = batch.groupby("lang", as_index=False)["toks"].sum()
-        return g
+        return batch.groupby("lang", as_index=False)["toks"].sum()
 
-    partials = ds.map_batches(partial, batch_format="pandas")
-    out = partials.groupby("lang").sum("toks")
-
-    def rename(t: pa.Table) -> pa.Table:
-        return t.rename_columns(["lang", "total_tokens"])
-
-    return out.map_batches(rename, batch_format="pyarrow")
+    rows = collect_rows(ds.map_batches(partial, batch_format="pandas"))
+    acc: dict[str, int] = {}
+    for r in rows:
+        acc[r["lang"]] = acc.get(r["lang"], 0) + int(r["toks"])
+    return pd.DataFrame(
+        {"lang": list(acc), "total_tokens": pd.Series(list(acc.values()),
+                                                      dtype="int64")})
 
 
 def q_ann_top5(sf_dir: str) -> pd.DataFrame:
@@ -334,17 +336,27 @@ def q_events_props_json(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame([{"n": total}])
 
 
-def q_quality_by_source(sf_dir: str):
+def q_quality_by_source(sf_dir: str) -> pd.DataFrame:
+    """Mean by low-cardinality key: (sum, count) partials per batch merged
+    on the driver — associative, shuffle-free."""
+    from gojsonschema_ray.util import collect_rows
+
     ds = _read(sf_dir, "documents", ["source", "n_chars"])
-    out = ds.groupby("source").mean("n_chars")
 
-    def rename(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "source": t["source"],
-            "avg_chars": pc.round(t["mean(n_chars)"], 6),
-        })
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate([("n_chars", "sum"),
+                                            ("n_chars", "count")])
+        return g.rename_columns(["source", "s", "c"])
 
-    return out.map_batches(rename, batch_format="pyarrow")
+    acc: dict[str, list] = {}
+    for r in collect_rows(ds.map_batches(partial, batch_format="pyarrow")):
+        a = acc.setdefault(r["source"], [0, 0])
+        a[0] += r["s"]
+        a[1] += r["c"]
+    return pd.DataFrame({
+        "source": list(acc),
+        "avg_chars": [round(s / c, 6) for s, c in acc.values()],
+    })
 
 
 # ---- non-SQL-expressible (rows-only checks) -------------------------------
@@ -427,10 +439,18 @@ def q_langid_documents(sf_dir: str):
     from gojsonschema_ray.functions.text import TextStatsStage
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    scored = ds.map_batches(TextStatsStage, batch_format="pandas",
-                            concurrency=2, num_cpus=1,
-                            fn_constructor_kwargs={"text_column": "text"})
-    return scored.groupby("lang_pred").count()
+    scored = ds.map_batches(TextStatsStage(text_column="text"),
+                            batch_format="pandas")
+    counts: dict[str, int] = {}
+    for b in scored.map_batches(
+            lambda t: t.select(["lang_pred"]).group_by("lang_pred")
+                       .aggregate([("lang_pred", "count")])
+                       .rename_columns(["lang_pred", "cnt"]),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        for lang, c in zip(b["lang_pred"].to_pylist(), b["cnt"].to_pylist()):
+            counts[lang] = counts.get(lang, 0) + c
+    return pd.DataFrame({"lang_pred": list(counts),
+                         "count()": pd.Series(list(counts.values()), dtype="int64")})
 
 
 def q_flagship_clips(sf_dir: str) -> pd.DataFrame:

@@ -83,7 +83,7 @@ def dedup_exact(ds, column: str, id_column: str, n_parts: int = 32):
         return df.groupby(column, as_index=False, sort=False)[id_column].min()
 
     parts = ds.map_batches(project, batch_format="pyarrow") \
-        .materialize().repartition(n_parts).materialize()
+        .repartition(n_parts).materialize()
     return parts.groupby("part").map_groups(per_part, batch_format="pandas")
 
 
@@ -246,13 +246,14 @@ def pairs_by_partition(sig_ds, bucket_fn, n_parts: int | None = None):
         return pd.concat(outs, ignore_index=True) if outs \
             else bucket_fn(df.iloc[:0])
 
-    # Materialize + consolidate the fixed-width signature rows before the
-    # all-to-all: Ray's sort-based shuffle re-executes a lazy upstream several
+    # Consolidate + materialize the fixed-width signature rows before the
+    # all-to-all: Ray's sort-based groupby re-executes a lazy upstream several
     # times (boundary sampling + exchange, ~8x cost), and its fixed cost is
     # driven by input block COUNT (hundreds of micro-blocks -> ~10x slower
-    # than ~#CPUs consolidated blocks). Materialized blocks spill if needed.
+    # than ~#CPUs consolidated blocks). Repartition samples nothing, so one
+    # materialize after it suffices; blocks spill if needed.
     parts = sig_ds.map_batches(add_part, batch_format="pyarrow") \
-        .materialize().repartition(n_parts).materialize()
+        .repartition(n_parts).materialize()
     return parts.groupby("part").map_groups(per_partition, batch_format="pandas")
 
 
@@ -292,20 +293,23 @@ def minhash_candidate_pairs(ds, text_column: str, id_column: str,
 
     dedup_pairs=True collapses the same pair found in several bands with a
     second (small) exchange; callers that already de-duplicate while
-    consuming (e.g. the Jaccard verifier) pass False and skip it."""
-    sigs = ds.map_batches(
-        MinHashLSHStage,
-        fn_constructor_kwargs=dict(text_column=text_column, id_column=id_column,
-                                   num_perm=num_perm, bands=bands,
-                                   shingle_k=shingle_k),
-        batch_format="pyarrow", concurrency=concurrency, num_cpus=1,
-    )
+    consuming (e.g. the Jaccard verifier) pass False and skip it.
+
+    The signature stage ships as a task-pool INSTANCE (permutation tables are
+    cheap to pickle), so Ray fuses the read into the stage and every CPU
+    shares read + shingling dynamically — same lesson as the flagship's
+    fused checker; `concurrency` is kept for API compatibility and ignored."""
+    del concurrency  # task pool: Ray sizes it to the cluster
+    stage = MinHashLSHStage(text_column=text_column, id_column=id_column,
+                            num_perm=num_perm, bands=bands,
+                            shingle_k=shingle_k)
+    sigs = ds.map_batches(stage, batch_format="pyarrow")
     pairs = pairs_by_partition(sigs, lambda g: _pairs_from_groups(g, id_column))
     if not dedup_pairs:
         return pairs
     # dedup pairs discovered in multiple bands (small: pairs only;
     # materialized so the dedup shuffle doesn't re-run the pair shuffle)
-    return pairs.materialize().repartition(8).groupby(["id_a", "id_b"]).count()
+    return pairs.repartition(8).materialize().groupby(["id_a", "id_b"]).count()
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
@@ -510,10 +514,11 @@ def embedding_near_duplicates(ds, embedding_column: str, id_column: str,
     Pairs found in several tables are deduplicated by a final groupby."""
     kwargs = dict(embedding_column=embedding_column, id_column=id_column,
                   dim=dim, n_planes=n_planes, n_tables=n_tables)
+    # task-pool instances (hyperplanes are cheap to pickle): the read fuses
+    # into each pass and all CPUs share read + bucketing
     scan = ds.map_batches(
-        HyperplaneLSHStage,
-        fn_constructor_kwargs={**kwargs, "with_embedding": False},
-        batch_format="pyarrow", concurrency=2, num_cpus=1,
+        HyperplaneLSHStage(**kwargs, with_embedding=False),
+        batch_format="pyarrow",
     )
     hot = hot_bucket_keys(scan)
     id_dtype = "int64"
@@ -528,9 +533,8 @@ def embedding_near_duplicates(ds, embedding_column: str, id_column: str,
 
         return rd.from_pandas(_empty_pairs())
     bucketed = ds.map_batches(
-        HyperplaneLSHStage,
-        fn_constructor_kwargs={**kwargs, "with_embedding": True},
-        batch_format="pyarrow", concurrency=2, num_cpus=1,
+        HyperplaneLSHStage(**kwargs, with_embedding=True),
+        batch_format="pyarrow",
     ).map_batches(
         lambda t: t.filter(pc.is_in(t["key"], value_set=hot)),
         batch_format="pyarrow",
@@ -554,7 +558,7 @@ def embedding_near_duplicates(ds, embedding_column: str, id_column: str,
         })
 
     found = pairs_by_partition(bucketed, pairs)
-    deduped = found.materialize().repartition(8).groupby(["id_a", "id_b"]).max("cosine")
+    deduped = found.repartition(8).materialize().groupby(["id_a", "id_b"]).max("cosine")
     return deduped.map_batches(
         lambda t: t.rename_columns(["id_a", "id_b", "cosine"]),
         batch_format="pyarrow",

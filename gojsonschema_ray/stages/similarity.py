@@ -70,12 +70,14 @@ def ann_brute_force(ds, embedding_column: str, id_column: str,
     import ray
 
     qn = _normalize(np.asarray(queries, dtype=np.float64))
-    ref = ray.put(qn)
+    ref = ray.put(qn)  # broadcast ONCE; each task ray.get()s the same object
+    # task-pool instance: the read fuses into the scan and all CPUs share it
+    # (`concurrency` kept for API compatibility; Ray sizes the task pool)
+    del concurrency
     partials = ds.map_batches(
-        BruteForceTopKStage,
-        fn_constructor_kwargs=dict(embedding_column=embedding_column,
-                                   id_column=id_column, queries_ref=ref, k=k),
-        batch_format="pyarrow", concurrency=concurrency, num_cpus=1,
+        BruteForceTopKStage(embedding_column=embedding_column,
+                            id_column=id_column, queries_ref=ref, k=k),
+        batch_format="pyarrow",
     )
     # merge block-local top-k on the driver: nq heaps of size k
     heaps: dict[int, list] = {}

@@ -58,10 +58,12 @@ def aggregate_key_counts(partials, key: str, min_count: int = 2):
         g = g[g["cnt"] >= min_count]
         return g.rename(columns={"cnt": "n"})
 
-    # materialize + consolidate the fixed-width partials before the exchange:
-    # Ray's sort-based shuffle cost is driven by input block COUNT (hundreds
-    # of micro-blocks -> ~10x slower than ~#CPUs consolidated blocks)
-    parts = partials.materialize().repartition(32).materialize()
+    # consolidate + materialize the fixed-width partials before the exchange:
+    # Ray's sort-based groupby cost is driven by input block COUNT (hundreds
+    # of micro-blocks -> ~10x slower than ~#CPUs consolidated blocks) and it
+    # re-executes a lazy upstream while sampling sort boundaries; repartition
+    # itself samples nothing, so one materialize after it is enough
+    parts = partials.repartition(32).materialize()
     return parts.groupby("part").map_groups(per_part, batch_format="pandas")
 
 

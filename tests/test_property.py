@@ -179,3 +179,101 @@ def test_not_column_agrees(sub, values):
     schema = {"not": sub}
     arr = pa.array(values, type=pa.int64())
     _assert_engines_agree(schema, "x", arr, _exact(values))
+
+
+# ---------------------------------------------------------------------------
+# root-object keywords over multi-column tables
+# ---------------------------------------------------------------------------
+
+_col_names = ["aa", "ab", "bc"]
+
+_root_schema = st.fixed_dictionaries({}, optional={
+    "required": st.lists(st.sampled_from(_col_names + ["zz"]), max_size=3,
+                         unique=True),
+    "minProperties": st.integers(min_value=0, max_value=3),
+    "maxProperties": st.integers(min_value=0, max_value=4),
+    "dependencies": st.dictionaries(
+        st.sampled_from(_col_names),
+        st.lists(st.sampled_from(_col_names), max_size=2, unique=True),
+        max_size=2),
+    "properties": st.dictionaries(
+        st.sampled_from(_col_names), _numeric_schema, max_size=3),
+    "patternProperties": st.dictionaries(
+        st.sampled_from(["^a", "b"]), _numeric_schema, max_size=1),
+})
+
+_table_vals = st.lists(
+    st.tuples(*[st.one_of(st.none(), st.integers(min_value=-20, max_value=20))
+                for _ in _col_names]),
+    min_size=1, max_size=25)
+
+
+@settings(max_examples=120, deadline=None)
+@given(schema=_root_schema, rows=_table_vals)
+def test_root_object_keywords_agree(schema, rows):
+    """required / properties / patternProperties / dependencies /
+    min-maxProperties at the table root: a row's columns are its object
+    properties, NULL = absent (validation.go:592-705)."""
+    from hypothesis import assume
+
+    from gojsonschema_ray.schema import SchemaError
+
+    root = {"type": "object", **schema}
+    try:
+        tree = compile_schema(root)
+    except SchemaError:
+        assume(False)
+    tv = TableValidator(tree, key_column=None, mode="verdict",
+                        emit_violations=False)
+    cols = list(zip(*rows))
+    batch = pa.table({name: pa.array(list(vals), type=pa.int64())
+                      for name, vals in zip(_col_names, cols)})
+    mask, _ = tv.validate_batch(batch)
+    generic = []
+    for row in rows:
+        doc = {n: v for n, v in zip(_col_names, row) if v is not None}
+        generic.append(tree.check(doc))
+    assert mask.tolist() == generic, (
+        f"root-object disagreement for schema={root}\nrows={rows}\n"
+        f"vector={mask.tolist()}\ngeneric={generic}")
+
+
+# ---------------------------------------------------------------------------
+# format checkers: vector kernel vs scalar checker
+# ---------------------------------------------------------------------------
+
+_FORMAT_SEEDS = {
+    "date": ["2024-02-29", "2023-02-29", "1999-12-31", "x", "2024-13-01"],
+    "time": ["12:34:56", "12:34:56Z", "25:00:00", ""],
+    "date-time": ["2024-01-02T03:04:05Z", "2024-01-02 03:04:05", "nope"],
+    "hostname": ["example.com", "-bad.com", "a" * 300, "ok-host"],
+    "email": ["a@b.co", "not-an-email", "x@y", "@"],
+    "ipv4": ["1.2.3.4", "256.1.1.1", "1.2.3", "::1"],
+    "ipv6": ["::1", "1.2.3.4", "fe80::1", "zz::"],
+    "uri": ["http://x/y", "not a uri", "//missing-scheme", "ftp://h"],
+    "uri-reference": ["/rel/path", "http://x", "\\bad"],
+    "uuid": ["123e4567-e89b-12d3-a456-426614174000", "xyz", ""],
+    "regex": ["^a+$", "(", "[a-z]"],
+    "json-pointer": ["/a/b", "a/b", "", "/~0"],
+    "relative-json-pointer": ["0/a", "/a", "1#"],
+}
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    fmt=st.sampled_from(sorted(_FORMAT_SEEDS)),
+    extra=st.lists(st.text(max_size=12), max_size=6),
+    data=st.data(),
+)
+def test_format_vector_matches_scalar(fmt, extra, data):
+    """The vectorized format kernel must agree value-for-value with the
+    scalar checker (format_checkers.go semantics) on seeds + random text."""
+    from gojsonschema_ray.schema.formats import FORMATS
+
+    values = data.draw(st.lists(
+        st.sampled_from(_FORMAT_SEEDS[fmt] + (extra or [""])),
+        min_size=1, max_size=20))
+    arr = pa.array(values, type=pa.string())
+    vec = FORMATS.vector_is_format(fmt, arr).to_pylist()
+    scalar = [FORMATS.is_format(fmt, v) for v in values]
+    assert [bool(v) for v in vec] == scalar, (fmt, values, vec, scalar)
