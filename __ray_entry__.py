@@ -236,6 +236,47 @@ def q_embeddings_fk(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame([{"n": viol.count()}])
 
 
+def q_nation_region_fk(sf_dir: str) -> pd.DataFrame:
+    """Cross-table referential integrity with a tiny broadcast side."""
+    from gojsonschema_ray.stages.integrity import referential_violations
+
+    nation = _read(sf_dir, "nation", ["n_regionkey"])
+    region = _read(sf_dir, "region", ["r_regionkey"])
+    viol = referential_violations(nation, "n_regionkey", region, "r_regionkey",
+                                  "region")
+    return pd.DataFrame([{"n": viol.count()}])
+
+
+def q_events_window(sf_dir: str) -> pd.DataFrame:
+    """Timestamp-window aggregation: per-type counts inside [t0, t1), partials
+    combined on the driver (5 event types)."""
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    t0 = pa.scalar(pd.Timestamp("2024-01-10").to_datetime64())
+    t1 = pa.scalar(pd.Timestamp("2024-01-20").to_datetime64())
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["ts"], t0), pc.less(t["ts"], t1))
+        g = t.filter(m).select(["event_type"]).group_by("event_type") \
+            .aggregate([("event_type", "count")])
+        return g.rename_columns(["event_type", "cnt"])
+
+    acc: dict[str, int] = {}
+    for r in collect_rows(ds.map_batches(partial, batch_format="pyarrow")):
+        acc[r["event_type"]] = acc.get(r["event_type"], 0) + int(r["cnt"])
+    return pd.DataFrame({"event_type": list(acc),
+                         "n": pd.Series(list(acc.values()), dtype="int64")})
+
+
+def q_top_parts_by_price(sf_dir: str):
+    """Global sort + limit (ds.sort is the all-to-all; the result is tiny)."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_retailprice"])
+    out = ds.sort(["p_retailprice", "p_partkey"], descending=[True, False]) \
+            .limit(10)
+    return out
+
+
 def q_dedup_exact_text(sf_dir: str) -> pd.DataFrame:
     from gojsonschema_ray.stages.dedup import exact_duplicate_groups
 
@@ -499,6 +540,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_stats": q_lineitem_stats,
         "customers_without_events": q_customers_without_events,
         "embeddings_fk": q_embeddings_fk,
+        "nation_region_fk": q_nation_region_fk,
+        "events_window": q_events_window,
+        "top_parts_by_price": q_top_parts_by_price,
         "dedup_exact_text": q_dedup_exact_text,
         "dedup_keep_first": q_dedup_keep_first,
         "dup_nchars_groups": q_dup_nchars_groups,
@@ -578,6 +622,19 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_fk": (
             "SELECT count(*) AS n FROM embeddings e "
             "LEFT JOIN documents d ON e.vec_id = d.doc_id WHERE d.doc_id IS NULL"
+        ),
+        "nation_region_fk": (
+            "SELECT count(*) AS n FROM nation n LEFT JOIN region r "
+            "ON n.n_regionkey = r.r_regionkey WHERE r.r_regionkey IS NULL"
+        ),
+        "events_window": (
+            "SELECT event_type, count(*) AS n FROM events "
+            "WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20' "
+            "GROUP BY event_type"
+        ),
+        "top_parts_by_price": (
+            "SELECT p_partkey, p_retailprice FROM part "
+            "ORDER BY p_retailprice DESC, p_partkey LIMIT 10"
         ),
         "dedup_exact_text": (
             "SELECT text, count(*) AS n FROM documents "
