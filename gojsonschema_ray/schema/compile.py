@@ -335,7 +335,8 @@ class CompiledSchema:
                 result.add_error(E.ERR_CONST, ctx, value, {"allowed": self.const})
         if self.enum is not None:
             if canonical(value) not in self.enum:
-                result.add_error(E.ERR_ENUM, ctx, value)
+                result.add_error(E.ERR_ENUM, ctx, value,
+                                 {"allowed": self.describe_constraint("enum")})
         if self.format:
             if not FORMATS.is_format(self.format, value):
                 result.add_error(E.ERR_FORMAT, ctx, value, {"format": self.format})

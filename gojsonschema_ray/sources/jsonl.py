@@ -64,8 +64,7 @@ class JsonColumnValidator:
             res = self.tree.validate(doc)
             for err in res.errors:
                 rows.append((str(key), err.type, err.context,
-                             str(err.details) if err.details else err.type,
-                             str(err.value)[:128]))
+                             err.describe(), str(err.value)[:128]))
         if not rows:
             return VIOLATION_SCHEMA.empty_table()
         cols = list(zip(*rows))

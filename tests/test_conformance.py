@@ -112,3 +112,32 @@ def test_corpus_group(draft, path, group_index):
             )
     if failures:
         pytest.fail(f"{group['description']}:\n" + "\n".join(failures))
+
+
+def test_error_descriptions_render():
+    """ResultError.Description parity: templated human messages per error
+    type (locales.go defaults), overridable via set_description."""
+    from gojsonschema_ray.schema import compile_schema
+    from gojsonschema_ray.schema.errors import (
+        DESCRIPTION_TEMPLATES, set_description,
+    )
+
+    tree = compile_schema({
+        "type": "object",
+        "required": ["name"],
+        "properties": {"name": {"minLength": 3, "enum": ["abc", "def"]}},
+    })
+    res = tree.validate({})
+    assert [e.describe() for e in res.errors] == ["name is required"]
+    res = tree.validate({"name": "x"})
+    descs = sorted(e.describe() for e in res.errors)
+    assert "String length must be greater than or equal to 3" in descs
+    assert any(d.startswith("name must be one of the following:") for d in descs)
+
+    old = DESCRIPTION_TEMPLATES["required"]
+    try:
+        set_description("required", "MISSING -> {property}")
+        res = tree.validate({})
+        assert res.errors[0].describe() == "MISSING -> name"
+    finally:
+        set_description("required", old)
