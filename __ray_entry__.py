@@ -303,6 +303,26 @@ def q_dedup_keep_first(sf_dir: str):
     )
 
 
+def q_ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
+    """Exact character-5-gram Jaccard for fixed doc pairs (2i, 2i+1), i<10 —
+    the standalone verifier of the MinHash pipeline, oracle-checked against
+    a DuckDB shingle join. Needed texts are filtered distributed-side (tiny
+    id set broadcast via is_in), similarity computed on the driver."""
+    from gojsonschema_ray.stages.dedup import ngram_jaccard
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    wanted = pa.array(list(range(20)))
+    rows = collect_rows(ds.map_batches(
+        lambda t: t.filter(pc.is_in(t["doc_id"], value_set=wanted)),
+        batch_format="pyarrow"))
+    texts = {r["doc_id"]: r["text"] for r in rows}
+    out = [{"id_a": a, "id_b": a + 1,
+            "jaccard": round(ngram_jaccard(texts[a], texts[a + 1], 5), 6)}
+           for a in range(0, 20, 2)]
+    return pd.DataFrame(out)
+
+
 def q_dup_nchars_groups(sf_dir: str):
     from gojsonschema_ray.stages.dedup import exact_duplicate_groups
 
@@ -545,6 +565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts_by_price": q_top_parts_by_price,
         "dedup_exact_text": q_dedup_exact_text,
         "dedup_keep_first": q_dedup_keep_first,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "dup_nchars_groups": q_dup_nchars_groups,
         "token_counts_by_lang": q_token_counts_by_lang,
         "ann_top5": q_ann_top5,
@@ -639,6 +660,20 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_text": (
             "SELECT text, count(*) AS n FROM documents "
             "GROUP BY text HAVING count(*) > 1"
+        ),
+        "ngram_jaccard_pairs": (
+            "WITH grams AS ("
+            "SELECT DISTINCT doc_id, "
+            "unnest(list_transform(generate_series(1, length(text) - 4), "
+            "i -> substr(text, i, 5))) AS gram FROM documents WHERE doc_id < 20"
+            "), sizes AS (SELECT doc_id, count(*) AS c FROM grams GROUP BY doc_id"
+            "), inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i "
+            "FROM grams a JOIN grams b ON a.gram = b.gram AND b.doc_id = a.doc_id + 1 "
+            "WHERE a.doc_id % 2 = 0 GROUP BY a.doc_id, b.doc_id) "
+            "SELECT s1.doc_id AS id_a, s1.doc_id + 1 AS id_b, "
+            "round(COALESCE(i.i, 0) * 1.0 / (s1.c + s2.c - COALESCE(i.i, 0)), 6) "
+            "AS jaccard FROM sizes s1 JOIN sizes s2 ON s2.doc_id = s1.doc_id + 1 "
+            "LEFT JOIN inter i ON i.id_a = s1.doc_id WHERE s1.doc_id % 2 = 0"
         ),
         "dup_nchars_groups": (
             "SELECT n_chars, count(*) AS n FROM documents "
