@@ -269,6 +269,22 @@ def q_events_window(sf_dir: str) -> pd.DataFrame:
                          "n": pd.Series(list(acc.values()), dtype="int64")})
 
 
+def q_events_daily_window(sf_dir: str) -> pd.DataFrame:
+    """Tumbling 1-day windows over events.value: count/sum/min/max/mean per
+    window (custom windowed-aggregate operator, stages/window.py)."""
+    from gojsonschema_ray.stages.window import tumbling_window_aggregate
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    out = tumbling_window_aggregate(ds, "ts", "value", width_s=86400)
+    rows = collect_rows(out)
+    df = pd.DataFrame(rows)
+    df["window_start"] = pd.to_datetime(df["window_start"])
+    for c in ("sum", "min", "max", "mean"):
+        df[c] = df[c].round(6)
+    return df.sort_values("window_start").reset_index(drop=True)
+
+
 def q_top_parts_by_price(sf_dir: str):
     """Global sort + limit (ds.sort is the all-to-all; the result is tiny)."""
     ds = _read(sf_dir, "part", ["p_partkey", "p_retailprice"])
@@ -562,6 +578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_fk": q_embeddings_fk,
         "nation_region_fk": q_nation_region_fk,
         "events_window": q_events_window,
+        "events_daily_window": q_events_daily_window,
         "top_parts_by_price": q_top_parts_by_price,
         "dedup_exact_text": q_dedup_exact_text,
         "dedup_keep_first": q_dedup_keep_first,
@@ -652,6 +669,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, count(*) AS n FROM events "
             "WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20' "
             "GROUP BY event_type"
+        ),
+        "events_daily_window": (
+            "SELECT date_trunc('day', ts) AS window_start, "
+            "count(*) AS n, round(sum(value), 6) AS sum, "
+            "round(min(value), 6) AS min, round(max(value), 6) AS max, "
+            "round(avg(value), 6) AS mean FROM events GROUP BY 1"
         ),
         "top_parts_by_price": (
             "SELECT p_partkey, p_retailprice FROM part "

@@ -76,3 +76,62 @@ def validate_jsonl_column(ds, tree, column: str, key_column: str | None = None):
     """Violations Dataset for a string column of JSON documents."""
     return ds.map_batches(JsonColumnValidator(tree, column, key_column),
                           batch_format="pyarrow")
+
+
+class JsonStructValidator:
+    """FAST path for homogeneous JSON columns: decode the whole batch to one
+    Arrow struct column (polars ``str.json_decode`` — vectorized Rust), then
+    run the VECTORIZED evaluator on the struct. ~50-100x the per-row generic
+    path.
+
+    Semantics caveat vs the generic path (documented, deliberate): numbers
+    decode to int64/float64, so `multipleOf`/`enum` use float equality, not
+    exact rationals; rows that fail to decode (malformed JSON) are emitted
+    as `invalid_json` violations and skipped. Use JsonColumnValidator when
+    exact big.Rat parity or heterogeneous rows matter."""
+
+    def __init__(self, tree, column: str, key_column: str | None = None):
+        self.tree = tree
+        self.column = column
+        self.key_column = key_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import polars as pl
+        import pyarrow.compute as pc
+
+        from ..stages.validate import (
+            VIOLATION_SCHEMA, TableValidator, VectorEvaluator, _Emit,
+            _mask_to_np,
+        )
+
+        try:
+            decoded = pl.from_arrow(batch[self.column]).str.json_decode()
+        except Exception:  # noqa: BLE001 — malformed rows somewhere in batch
+            # exact per-row fallback (emits invalid_json for the bad rows)
+            return JsonColumnValidator(self.tree, self.column,
+                                       self.key_column)(batch)
+        arr = decoded.to_arrow()
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        n = batch.num_rows
+        ev = VectorEvaluator(emit_violations=True)
+        res = ev.eval_column(self.tree, arr, "(root)")
+        emits = list(res.emits)
+        # null input strings = missing document (generic-path parity)
+        null_doc = _mask_to_np(pc.is_null(batch[self.column]), n)
+        if null_doc.any():
+            emits.append(_Emit(np.nonzero(null_doc)[0], "required", "(root)",
+                               f"document in {self.column}", None))
+        if not emits:
+            return VIOLATION_SCHEMA.empty_table()
+        tv = TableValidator.__new__(TableValidator)
+        tv.key_column = self.key_column
+        return tv._violations(batch, emits, n)
+
+
+def validate_jsonl_column_fast(ds, tree, column: str,
+                               key_column: str | None = None):
+    """Vectorized struct-decode validation of a JSON string column."""
+    return ds.map_batches(JsonStructValidator(tree, column, key_column),
+                          batch_format="pyarrow")

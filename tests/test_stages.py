@@ -190,3 +190,70 @@ def test_jsonl_source_validation(ray_session, tmp_path):
     viol2 = collect_rows(validate_jsonl_column(raw, tree, "body", "doc_id"))
     got = {(r["key"], r["keyword"]) for r in viol2}
     assert got == {("7", "number_gte"), ("99", "invalid_json")}
+
+
+def test_jsonl_fast_struct_path(ray_session):
+    """Vectorized JSON struct-decode path agrees with the per-row generic
+    path on homogeneous docs, and falls back (emitting invalid_json) when a
+    batch contains malformed rows."""
+    import json
+
+    import ray.data as rd
+
+    from gojsonschema_ray.schema import compile_schema
+    from gojsonschema_ray.sources.jsonl import (
+        validate_jsonl_column, validate_jsonl_column_fast,
+    )
+    from gojsonschema_ray.util import collect_rows
+
+    tree = compile_schema({
+        "type": "object", "required": ["k"],
+        "properties": {"k": {"minimum": 0, "maximum": 50}},
+    })
+    docs = [{"doc_id": i, "body": json.dumps({"k": (i * 7) % 80})}
+            for i in range(200)]
+    docs[5]["body"] = json.dumps({"j": 1})   # missing k
+    docs[9]["body"] = None                    # null doc
+    raw = rd.from_items(docs)
+
+    slow = collect_rows(validate_jsonl_column(raw, tree, "body", "doc_id"))
+    fast = collect_rows(validate_jsonl_column_fast(raw, tree, "body", "doc_id"))
+    assert {(r["key"], r["keyword"]) for r in fast} == \
+           {(r["key"], r["keyword"]) for r in slow}
+    assert len(fast) == len(slow)
+
+    # malformed rows -> per-batch fallback, invalid_json emitted
+    bad = rd.from_items(docs[:20] + [{"doc_id": 99, "body": "{nope"}])
+    out = collect_rows(validate_jsonl_column_fast(bad, tree, "body", "doc_id"))
+    assert ("99", "invalid_json") in {(r["key"], r["keyword"]) for r in out}
+
+
+def test_tumbling_window_aggregate(ray_session):
+    """Windowed aggregate vs a pandas golden on deterministic data."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.window import tumbling_window_aggregate
+    from gojsonschema_ray.util import collect_rows
+
+    n = 5000
+    ts = pd.Timestamp("2024-03-01") + pd.to_timedelta((np.arange(n) * 37) % 7200, unit="s")
+    df = pd.DataFrame({"ts": ts, "value": np.arange(n, dtype="float64") % 13,
+                       "grp": (np.arange(n) % 3).astype("int64")})
+    ds = rd.from_pandas(df).repartition(6)
+
+    out = pd.DataFrame(collect_rows(
+        tumbling_window_aggregate(ds, "ts", "value", width_s=3600, by="grp")))
+    out["window_start"] = pd.to_datetime(out["window_start"])
+    golden = df.assign(window_start=df["ts"].dt.floor("3600s")) \
+        .groupby(["window_start", "grp"], as_index=False)["value"] \
+        .agg(["count", "sum", "min", "max", "mean"]) \
+        .rename(columns={"count": "n"})
+    merged = out.merge(golden, on=["window_start", "grp"], suffixes=("", "_g"))
+    assert len(merged) == len(golden) == len(out)
+    assert (merged["n"] == merged["n_g"]).all()
+    assert np.allclose(merged["sum"], merged["sum_g"])
+    assert np.allclose(merged["mean"], merged["mean_g"])
+    assert np.allclose(merged["min"], merged["min_g"])
+    assert np.allclose(merged["max"], merged["max_g"])
