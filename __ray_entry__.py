@@ -285,6 +285,37 @@ def q_events_daily_window(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("window_start").reset_index(drop=True)
 
 
+def q_events_asof_rate(sf_dir: str) -> pd.DataFrame:
+    """Broadcast as-of join: each of the first 100 events picks up the rate
+    of the latest daily boundary at-or-before its timestamp
+    (stages/joins.py; right side built by the windowed-aggregate engine)."""
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.joins import asof_join_broadcast
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+    left = ds.map_batches(
+        lambda t: t.filter(pc.less(t["event_id"], 100)),
+        batch_format="pyarrow")
+    # right side: one row per day, rate = day-of-month (tiny, deterministic)
+    days = ds.map_batches(
+        lambda t: pa.table({
+            "rts": pc.floor_temporal(t["ts"], unit="day"),
+        }).group_by("rts").aggregate([]),
+        batch_format="pyarrow")
+    day_rows = sorted({r["rts"] for r in collect_rows(days)})
+    right = rd.from_arrow(pa.table({
+        "rts": pa.array(day_rows, pa.timestamp("us")),
+        "rate": pa.array([float(d.day) for d in day_rows], pa.float64()),
+    }))
+    out = asof_join_broadcast(left, right, left_on="ts", right_on="rts",
+                              value_columns=["rate"])
+    df = pd.DataFrame(collect_rows(out))
+    return df[["event_id", "r_rate"]].sort_values("event_id") \
+        .reset_index(drop=True)
+
+
 def q_top_parts_by_price(sf_dir: str):
     """Global sort + limit (ds.sort is the all-to-all; the result is tiny)."""
     ds = _read(sf_dir, "part", ["p_partkey", "p_retailprice"])
@@ -579,6 +610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_region_fk": q_nation_region_fk,
         "events_window": q_events_window,
         "events_daily_window": q_events_daily_window,
+        "events_asof_rate": q_events_asof_rate,
         "top_parts_by_price": q_top_parts_by_price,
         "dedup_exact_text": q_dedup_exact_text,
         "dedup_keep_first": q_dedup_keep_first,
@@ -675,6 +707,13 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n, round(sum(value), 6) AS sum, "
             "round(min(value), 6) AS min, round(max(value), 6) AS max, "
             "round(avg(value), 6) AS mean FROM events GROUP BY 1"
+        ),
+        "events_asof_rate": (
+            "WITH rates AS (SELECT date_trunc('day', ts) AS rts, "
+            "CAST(extract(day FROM min(ts)) AS DOUBLE) AS rate "
+            "FROM events GROUP BY 1) "
+            "SELECT e.event_id, r.rate AS r_rate FROM events e "
+            "ASOF JOIN rates r ON e.ts >= r.rts WHERE e.event_id < 100"
         ),
         "top_parts_by_price": (
             "SELECT p_partkey, p_retailprice FROM part "

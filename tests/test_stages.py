@@ -257,3 +257,39 @@ def test_tumbling_window_aggregate(ray_session):
     assert np.allclose(merged["mean"], merged["mean_g"])
     assert np.allclose(merged["min"], merged["min_g"])
     assert np.allclose(merged["max"], merged["max_g"])
+
+
+def test_asof_join_broadcast(ray_session):
+    """Backward as-of join vs a pandas merge_asof golden."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.joins import asof_join_broadcast
+    from gojsonschema_ray.util import collect_rows
+
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame({
+        "ts": pd.Timestamp("2024-05-01") + pd.to_timedelta(
+            np.sort(rng.integers(0, 86400, 2000)), unit="s"),
+        "sym": rng.choice(["A", "B"], 2000),
+        "lid": np.arange(2000, dtype="int64"),
+    })
+    right = pd.DataFrame({
+        "ts": pd.Timestamp("2024-05-01") + pd.to_timedelta(
+            np.sort(rng.integers(0, 86400, 150)), unit="s"),
+        "sym": rng.choice(["A", "B"], 150),
+        "px": rng.random(150) * 100,
+    })
+    out = pd.DataFrame(collect_rows(asof_join_broadcast(
+        rd.from_pandas(left).repartition(4), rd.from_pandas(right),
+        left_on="ts", right_on="ts", by="sym", value_columns=["px"])))
+    golden = pd.merge_asof(left.sort_values("ts"), right.sort_values("ts"),
+                           on="ts", by="sym", direction="backward")
+    merged = out.sort_values("lid").reset_index(drop=True)
+    golden = golden.sort_values("lid").reset_index(drop=True)
+    g_px = golden["px"].to_numpy()
+    o_px = merged["r_px"].to_numpy()
+    both_nan = np.isnan(g_px) & np.isnan(o_px)
+    assert (both_nan | np.isclose(g_px, o_px, equal_nan=False)).all()
+    assert (merged["asof_matched"].to_numpy() == ~np.isnan(g_px)).all()
