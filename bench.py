@@ -107,7 +107,9 @@ def bench_queries(sf_dir: str) -> dict:
              "customer_combinators", "events_unique_users", "lineitem_stats",
              "token_counts_by_lang", "events_props_json", "ann_top5",
              "sketch_lineitem", "dup_nchars_groups", "dedup_keep_first",
-             "quality_by_source", "minhash_near_dups", "simhash_near_dups"]
+             "quality_by_source", "minhash_near_dups", "simhash_near_dups",
+             "events_window", "events_daily_window", "events_asof_rate",
+             "top_parts_by_price", "nation_region_fk", "ngram_jaccard_pairs"]
     qs = M.queries()
     out = {}
     for name in names:
