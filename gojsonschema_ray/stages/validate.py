@@ -658,6 +658,25 @@ class TableValidator:
 
         cols = set(batch.column_names)
 
+        # root-level const/enum against the WHOLE row-as-object (canonical
+        # JSON equality, validation.go:409-441) — rare, per-row by necessity
+        if node.const is not _UNSET or node.enum is not None:
+            from ..schema.model import canonical
+
+            col_lists = {c: _as_array(batch[c]).to_pylist() for c in cols}
+            for i in range(n):
+                doc = {c: col_lists[c][i] for c in cols
+                       if col_lists[c][i] is not None}
+                cdoc = canonical(doc)
+                if node.const is not _UNSET and cdoc != node.const:
+                    emits.append(_Emit(np.array([i]), "const", "(root)",
+                                       "const", None))
+                    mask[i] = False
+                if node.enum is not None and cdoc not in node.enum:
+                    emits.append(_Emit(np.array([i]), "enum", "(root)",
+                                       node.describe_constraint("enum"), None))
+                    mask[i] = False
+
         # required (validation.go:614-626): column must exist and be non-null
         for req in node.required:
             if req in cols:

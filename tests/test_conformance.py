@@ -141,3 +141,108 @@ def test_error_descriptions_render():
         assert res.errors[0].describe() == "MISSING -> name"
     finally:
         set_description("required", old)
+
+
+# ---------------------------------------------------------------------------
+# corpus → VECTORIZED engine: object-of-scalars cases as 1-row Arrow tables
+# ---------------------------------------------------------------------------
+
+def _tableable(value) -> bool:
+    """Cases whose data can be one row of a typed Arrow table with the SAME
+    semantics the table engine defines: a JSON object of scalar / flat-list
+    members, no explicit nulls (Arrow NULL means ABSENT, JSON null means a
+    present null value — different statements), no empty/mixed lists
+    (no stable Arrow element type)."""
+    if not isinstance(value, dict) or not value:
+        return False
+    for v in value.values():
+        if v is None or isinstance(v, dict):
+            return False
+        if isinstance(v, bool):
+            continue
+        if isinstance(v, list):
+            if not v:
+                return False
+            kinds = {("b" if isinstance(e, bool) else type(e).__name__)
+                     for e in v}
+            if len(kinds) != 1 or any(
+                    isinstance(e, (list, dict)) or e is None for e in v):
+                return False
+        elif not isinstance(v, (int, str, Fraction, float)):
+            return False
+    return True
+
+
+def _to_arrow_row(value: dict):
+    import pyarrow as pa
+
+    cols = {}
+    for k, v in value.items():
+        if isinstance(v, Fraction):
+            v = int(v) if v.denominator == 1 else float(v)
+        elif isinstance(v, list):
+            v = [int(e) if isinstance(e, Fraction) and e.denominator == 1
+                 else (float(e) if isinstance(e, Fraction) else e) for e in v]
+        cols[k] = pa.array([v])
+    return pa.table(cols)
+
+
+def _vector_cases():
+    out = []
+    for draft_dir, draft in DRAFTS.items():
+        root = CORPUS / draft_dir
+        for path in sorted(root.rglob("*.json")):
+            if not _reference_scope(path):
+                continue
+            rel = path.relative_to(CORPUS).as_posix()
+            for gi, group in enumerate(_load(path)):
+                if group.get("disabled"):
+                    continue
+                if any(_tableable(c["data"]) for c in group["tests"]):
+                    out.append(pytest.param(
+                        draft, path, gi,
+                        id=f"vec::{rel}::{group['description'][:50].replace(' ', '_')}",
+                    ))
+    return out
+
+
+@pytest.mark.parametrize("draft,path,group_index", _vector_cases())
+def test_corpus_group_vectorized(draft, path, group_index):
+    """Each tableable corpus case becomes a 1-row Arrow table; the VECTORIZED
+    engine's verdict must match the corpus expectation whenever the case is
+    expressible under the table semantics (fraction-exact integers excepted:
+    a float-typed Arrow column keeps draft big.Rat parity via the engine's
+    float-is-integer rule, so no exclusions needed there)."""
+    import pyarrow as pa
+
+    from gojsonschema_ray.stages.validate import TableValidator
+
+    group = _load(path)[group_index]
+    compiler = Compiler(registry=_registry_copy(), draft=draft,
+                        auto_detect=True, validate_schema=True)
+    tree = compiler.compile(group["schema"])
+    failures = []
+    for case in group["tests"]:
+        data = case["data"]
+        if not _tableable(data):
+            continue
+        try:
+            batch = _to_arrow_row(data)
+        except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError):
+            continue  # bignum etc. — not representable as a typed column
+        # the generic engine is the semantics arbiter for the TABLE view of
+        # this data (dict == row); corpus `valid` applies when both agree
+        generic = tree.check({k: v for k, v in data.items()})
+        tv = TableValidator(tree, key_column=None, mode="verdict",
+                            emit_violations=False)
+        try:
+            mask, _ = tv.validate_batch(batch)
+        except ValueError:
+            continue  # root schema does not allow objects
+        got = bool(mask[0])
+        if got != generic:
+            failures.append(
+                f"  {case['description']}: vectorized={got} generic={generic}"
+            )
+    if failures:
+        pytest.fail(f"{group['description']}:\n" + "\n".join(failures))
