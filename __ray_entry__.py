@@ -316,6 +316,34 @@ def q_events_asof_rate(sf_dir: str) -> pd.DataFrame:
         .reset_index(drop=True)
 
 
+def q_lineitem_price_bands(sf_dir: str) -> pd.DataFrame:
+    """Broadcast range join: count lineitems per 10k-wide extendedprice band
+    (stages/joins.py range_join_broadcast + driver-merged counts)."""
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.joins import range_join_broadcast
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    bands = rd.from_arrow(pa.table({
+        "lo": pa.array([float(b * 10000) for b in range(12)]),
+        "hi": pa.array([float((b + 1) * 10000) for b in range(12)]),
+        "band_id": pa.array(list(range(12)), pa.int64()),
+    }))
+    joined = range_join_broadcast(ds, bands, on="l_extendedprice",
+                                  lo="lo", hi="hi", label="band_id")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select(["band"]).group_by("band").aggregate([("band", "count")])
+        return g.rename_columns(["band", "cnt"])
+
+    acc: dict[int, int] = {}
+    for r in collect_rows(joined.map_batches(partial, batch_format="pyarrow")):
+        acc[r["band"]] = acc.get(r["band"], 0) + int(r["cnt"])
+    return pd.DataFrame({"band": list(acc),
+                         "n": pd.Series(list(acc.values()), dtype="int64")})
+
+
 def q_top_parts_by_price(sf_dir: str):
     """Global sort + limit (ds.sort is the all-to-all; the result is tiny)."""
     ds = _read(sf_dir, "part", ["p_partkey", "p_retailprice"])
@@ -611,6 +639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": q_events_window,
         "events_daily_window": q_events_daily_window,
         "events_asof_rate": q_events_asof_rate,
+        "lineitem_price_bands": q_lineitem_price_bands,
         "top_parts_by_price": q_top_parts_by_price,
         "dedup_exact_text": q_dedup_exact_text,
         "dedup_keep_first": q_dedup_keep_first,
@@ -714,6 +743,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY 1) "
             "SELECT e.event_id, r.rate AS r_rate FROM events e "
             "ASOF JOIN rates r ON e.ts >= r.rts WHERE e.event_id < 100"
+        ),
+        "lineitem_price_bands": (
+            "SELECT CASE WHEN l_extendedprice >= 0 AND l_extendedprice < 120000 "
+            "THEN CAST(floor(l_extendedprice / 10000) AS BIGINT) ELSE -1 END "
+            "AS band, count(*) AS n FROM lineitem GROUP BY 1"
         ),
         "top_parts_by_price": (
             "SELECT p_partkey, p_retailprice FROM part "

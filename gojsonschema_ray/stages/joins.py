@@ -85,6 +85,55 @@ class _AsofProbe:
         return pa.table(cols)
 
 
+class _RangeProbe:
+    """map_batches payload: bucket left values into broadcast sorted
+    non-overlapping [lo, hi) intervals via searchsorted."""
+
+    def __init__(self, ref, on: str, label_column: str):
+        self.ref = ref
+        self.on = on
+        self.label_column = label_column
+        self._r = None
+
+    def _right(self):
+        if self._r is None:
+            import ray
+
+            h = self.ref
+            self._r = ray.get(h) if hasattr(h, "hex") else h
+        return self._r
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lows, highs, labels = self._right()
+        arr = batch[self.on]
+        v = (arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        pos = np.searchsorted(lows, v, side="right") - 1
+        ok = (pos >= 0) & np.isfinite(v)
+        ok &= v < highs[np.maximum(pos, 0)]
+        out = np.where(ok, labels[np.maximum(pos, 0)], -1)
+        cols = {name: batch[name] for name in batch.column_names}
+        cols[self.label_column] = pa.array(out.astype(np.int64))
+        return pa.table(cols)
+
+
+def range_join_broadcast(left, right, *, on: str, lo: str, hi: str,
+                         label: str, label_column: str = "band"):
+    """Label each left row with the id of the right interval [lo, hi)
+    containing `on` (-1 when uncovered). Intervals must be non-overlapping;
+    the right side is small and broadcast (dimension-table shape)."""
+    import ray
+
+    rt = collect_table(right)
+    lows = rt[lo].to_numpy(zero_copy_only=False).astype(np.float64)
+    highs = rt[hi].to_numpy(zero_copy_only=False).astype(np.float64)
+    labels = rt[label].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(lows, kind="stable")
+    ref = ray.put((lows[order], highs[order], labels[order]))
+    return left.map_batches(_RangeProbe(ref, on, label_column),
+                            batch_format="pyarrow")
+
+
 def asof_join_broadcast(left, right, *, left_on: str, right_on: str,
                         by: str | None = None,
                         value_columns: list[str],

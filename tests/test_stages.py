@@ -293,3 +293,28 @@ def test_asof_join_broadcast(ray_session):
     both_nan = np.isnan(g_px) & np.isnan(o_px)
     assert (both_nan | np.isclose(g_px, o_px, equal_nan=False)).all()
     assert (merged["asof_matched"].to_numpy() == ~np.isnan(g_px)).all()
+
+
+def test_range_join_broadcast(ray_session):
+    """Range join vs numpy golden (incl. uncovered values -> -1)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.joins import range_join_broadcast
+    from gojsonschema_ray.util import collect_rows
+
+    rng = np.random.default_rng(3)
+    vals = rng.random(3000) * 120 - 10  # some below/above all intervals
+    left = rd.from_arrow(pa.table({"v": vals})).repartition(4)
+    right = rd.from_arrow(pa.table({
+        "lo": pa.array([0.0, 25.0, 50.0, 75.0]),
+        "hi": pa.array([25.0, 50.0, 75.0, 100.0]),
+        "bid": pa.array([10, 11, 12, 13], pa.int64()),
+    }))
+    out = collect_rows(range_join_broadcast(left, right, on="v", lo="lo",
+                                            hi="hi", label="bid"))
+    got = {round(r["v"], 9): r["band"] for r in out}
+    for v in vals:
+        exp = -1 if (v < 0 or v >= 100) else 10 + int(v // 25)
+        assert got[round(float(v), 9)] == exp
