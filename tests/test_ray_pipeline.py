@@ -112,3 +112,22 @@ def test_flagship_resume(ray_session, clips_pq, tmp_path):
     summary2 = run_flagship(clips_pq, out, with_audio=False, files_per_partition=2)
     assert summary2["partitions"] == 3
     assert summary2["violations"] == summary["violations"]
+
+
+def test_wide_payload_batch_sizing(ray_session):
+    """Wide binary rows (2 s clips ≈ 64 KB each): results are identical under
+    native-block batches and small bounded batches — the knob that keeps
+    batch x concurrency inside the worker heap for image/audio payloads."""
+    from gojsonschema_ray import datagen
+    from gojsonschema_ray.pipelines.flagship import validate_clips
+    from gojsonschema_ray.util import collect_rows
+
+    ds = datagen.clips_dataset(1200, audio_cap_ms=2000, override_num_blocks=4)
+    counts = {}
+    for bs in (None, 64):
+        viol = validate_clips(ds, with_audio=True, with_uniqueness=False,
+                              audio_batch_size=bs, audio_cap_ms=2000)
+        rows = collect_rows(viol)
+        counts[bs] = sorted((r["key"], r["keyword"]) for r in rows)
+    assert counts[None] == counts[64]
+    assert len(counts[None]) > 0  # injected violations present
