@@ -521,7 +521,11 @@ def embedding_near_duplicates(ds, embedding_column: str, id_column: str,
         batch_format="pyarrow",
     )
     hot = hot_bucket_keys(scan)
-    id_dtype = "int64"
+    try:  # keep pair-frame dtype aligned with the actual id column
+        id_dtype = ds.schema().base_schema.field(id_column).type.to_pandas_dtype()
+    except Exception:  # noqa: BLE001 — schema probe is best-effort
+        id_dtype = "int64"
+    id_dtype = np.dtype(id_dtype) if id_dtype is not object else "object"
 
     def _empty_pairs() -> pd.DataFrame:
         return pd.DataFrame({"id_a": pd.Series([], dtype=id_dtype),

@@ -100,10 +100,27 @@ def ann_brute_force(ds, embedding_column: str, id_column: str,
 # IVF
 # ---------------------------------------------------------------------------
 class IVFIndex:
-    """Driver-trained k-means centroids + Ray-assigned inverted lists."""
+    """Driver-trained k-means centroids + Ray-assigned inverted lists.
+
+    Picklable: train once, `save()` beside the dataset, `load()` in later
+    runs / other jobs (compile-once-search-many, the engine's analog of the
+    reference's compile-once-validate-many amortization)."""
 
     def __init__(self, centroids: np.ndarray):
         self.centroids = _normalize(centroids)
+
+    def save(self, path: str) -> None:
+        import pickle
+
+        with open(path, "wb") as f:
+            pickle.dump(self.centroids, f)
+
+    @classmethod
+    def load(cls, path: str) -> "IVFIndex":
+        import pickle
+
+        with open(path, "rb") as f:
+            return cls(pickle.load(f))
 
     @classmethod
     def train(cls, ds, embedding_column: str, n_centroids: int = 64,

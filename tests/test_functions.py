@@ -179,3 +179,19 @@ def test_multimodal_plumbing(ray_session):
     rms = clips.map_batches(AudioFeatureStage, batch_format="pyarrow",
                             batch_size=32, concurrency=1).take_all()
     assert len(rms) > 50 and len(rms[0]["rms"]) == 16
+
+
+def test_ivf_save_load(emb_ds, tmp_path):
+    import numpy as np
+
+    from gojsonschema_ray.stages.similarity import IVFIndex
+
+    idx = IVFIndex.train(emb_ds, "embedding", n_centroids=8, iters=3)
+    p = str(tmp_path / "ivf.pkl")
+    idx.save(p)
+    idx2 = IVFIndex.load(p)
+    assert np.allclose(idx.centroids, idx2.centroids)
+    rows = emb_ds.take_all()
+    q = np.array([rows[10]["embedding"]])
+    df = idx2.search(emb_ds, "embedding", "vec_id", q, k=3, nprobe=3)
+    assert df.iloc[0]["vec_id"] == 10
