@@ -26,7 +26,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-CLIPS_N = int(os.environ.get("GRAFT_CLIPS_N", "150000"))
+CLIPS_N = int(os.environ.get("GRAFT_CLIPS_N", "600000"))
 CLIPS_CAP_MS = 20
 # The scaling criterion needs a compute-dominated job: efficiency
 # (T_N/T_4N)/4 >= 0.8 requires total compute ~90x the fixed per-run cost
