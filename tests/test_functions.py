@@ -195,3 +195,13 @@ def test_ivf_save_load(emb_ds, tmp_path):
     q = np.array([rows[10]["embedding"]])
     df = idx2.search(emb_ds, "embedding", "vec_id", q, k=3, nprobe=3)
     assert df.iloc[0]["vec_id"] == 10
+
+
+def test_exact_dedup_by_hash_parity(docs_ds):
+    """by_hash=True (8-byte shuffle keys, the at-scale mode) finds the same
+    duplicate multiset as value-keyed grouping."""
+    from gojsonschema_ray.stages.dedup import exact_duplicate_groups
+
+    by_val = exact_duplicate_groups(docs_ds, "text").take_all()
+    by_hash = exact_duplicate_groups(docs_ds, "text", by_hash=True).take_all()
+    assert sorted(r["n"] for r in by_val) == sorted(r["n"] for r in by_hash)
