@@ -110,11 +110,19 @@ class _Emit:
 
 
 class VectorResult:
-    __slots__ = ("mask", "emits")
+    """Per-row validity mask + violation fragments + a per-row SCORE (count
+    of passed keyword checks — the vectorized analog of the reference's
+    incrementScore, result.go:206-220, used only to rank anyOf/oneOf
+    branches when explaining failures)."""
 
-    def __init__(self, mask: np.ndarray, emits: list[_Emit] | None = None):
+    __slots__ = ("mask", "emits", "score")
+
+    def __init__(self, mask: np.ndarray, emits: list[_Emit] | None = None,
+                 score: np.ndarray | None = None):
         self.mask = mask
         self.emits = emits or []
+        self.score = score if score is not None \
+            else np.zeros(len(mask), dtype=np.int32)
 
 
 def _true(n: int) -> np.ndarray:
@@ -200,21 +208,31 @@ class VectorEvaluator:
                 if bad.any():
                     result.emits.extend(self._gate(sr.emits, bad))
         if node.any_of:
+            branches = [self.eval_column(sub, arr, path) for sub in node.any_of]
             acc = _false(n)
-            for sub in node.any_of:
-                acc |= self.eval_column(sub, arr, path).mask
+            for br in branches:
+                acc |= br.mask
             bad = present & ~acc
             if bad.any():
-                self._emit(result, np.nonzero(bad)[0], "number_any_of", path, "anyOf", arr)
+                self._emit_best_branch(result, bad, branches, "number_any_of",
+                                       path, "anyOf", arr)
             mask &= ~present | acc
         if node.one_of:
+            branches = [self.eval_column(sub, arr, path) for sub in node.one_of]
             cnt = np.zeros(n, dtype=np.int32)
-            for sub in node.one_of:
-                cnt += self.eval_column(sub, arr, path).mask.astype(np.int32)
+            for br in branches:
+                cnt += br.mask.astype(np.int32)
             ok = cnt == 1
-            bad = present & ~ok
-            if bad.any():
-                self._emit(result, np.nonzero(bad)[0], "number_one_of", path, "oneOf", arr)
+            # 0 valid branches -> report the closest (best-scoring) branch,
+            # like the reference (validation.go:304-329); >1 valid -> plain
+            none_valid = present & (cnt == 0)
+            multi_valid = present & (cnt > 1)
+            if none_valid.any():
+                self._emit_best_branch(result, none_valid, branches,
+                                       "number_one_of", path, "oneOf", arr)
+            if multi_valid.any():
+                self._emit(result, np.nonzero(multi_valid)[0], "number_one_of",
+                           path, "oneOf (multiple branches valid)", arr)
             mask &= ~present | ok
         if node.not_ is not None:
             sr = self.eval_column(node.not_, arr, path)
@@ -594,10 +612,25 @@ class VectorEvaluator:
         return mask
 
     # ------------------------------------------------------------------
+    def _emit_best_branch(self, result, bad: np.ndarray, branches,
+                          keyword: str, path: str, label: str, arr):
+        """Attribute combinator failures to the closest branch per row —
+        the branch with the highest score (most keyword checks passed),
+        the vectorized form of the reference's score-ranked error merge
+        (validation.go:277-329). One emit group per winning branch."""
+        scores = np.stack([br.score for br in branches])  # (nb, n)
+        best = scores.argmax(axis=0)
+        for b in range(len(branches)):
+            sel = bad & (best == b)
+            if sel.any():
+                self._emit(result, np.nonzero(sel)[0], keyword, path,
+                           f"{label} (closest: branch {b})", arr)
+
     def _apply(self, result, arr, path, present, mask, ok, keyword, expected):
         bad = present & ~ok
         if bad.any():
             self._emit(result, np.nonzero(bad)[0], keyword, path, expected, arr)
+        result.score += (present & ok).astype(np.int32)
         return mask & (~present | ok)
 
     def _emit(self, result: VectorResult, idx: np.ndarray, keyword: str,

@@ -144,3 +144,30 @@ def test_dependencies_on_columns():
                       "billing_address": ["a st", "b st", None]})
     mask, _ = TableValidator(tree).validate_batch(table)
     assert mask.tolist() == [True, True, False]
+
+
+def test_anyof_best_branch_attribution():
+    """Failed anyOf rows name the closest (highest-scoring) branch, the
+    vectorized analog of the reference's score-ranked error merge."""
+    import numpy as np
+    import pyarrow as pa
+
+    from gojsonschema_ray.schema import compile_schema
+    from gojsonschema_ray.stages.validate import TableValidator
+
+    tree = compile_schema({
+        "type": "object",
+        "properties": {"x": {"anyOf": [
+            {"minimum": 0, "maximum": 10},                       # branch 0
+            {"minimum": 100, "maximum": 110, "multipleOf": 3},   # branch 1
+        ]}},
+    })
+    tv = TableValidator(tree, key_column=None, mode="violations")
+    batch = pa.table({"x": pa.array([5, 99, -1], type=pa.int64())})
+    viol = tv(batch)
+    by_key = {r["key"]: r["expected"] for r in viol.to_pylist()}
+    # 99: branch 1 passes 2 checks (maximum, multipleOf) vs branch 0's 1
+    # -1: ties at 1 check each -> first branch wins deterministically
+    assert "branch 1" in by_key["1"]
+    assert "branch 0" in by_key["2"]
+    assert "0" not in by_key  # x=5 valid, no violation
