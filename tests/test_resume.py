@@ -94,3 +94,25 @@ def test_kill_resume(tmp_path):
                       if ln.startswith("SUMMARY ")][0][len("SUMMARY "):])
     assert ref["violations"] == summary["violations"]
     assert ref["rows"] == summary["rows"]
+
+
+def test_cli_gen_and_validate(tmp_path):
+    """python -m gojsonschema_ray gen/validate — the ray-job surface."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "PYTHONPATH": repo}
+    clips = str(tmp_path / "clips")
+    out = str(tmp_path / "out")
+    r1 = subprocess.run(
+        [sys.executable, "-m", "gojsonschema_ray", "gen", "--out", clips,
+         "--rows", "1500", "--cap-ms", "20", "--rows-per-file", "500"],
+        capture_output=True, text=True, env=env, cwd=repo, timeout=240)
+    assert r1.returncode == 0, r1.stderr[-500:]
+    assert json.loads(r1.stdout.strip().splitlines()[-1])["rows"] == 1500
+    r2 = subprocess.run(
+        [sys.executable, "-m", "gojsonschema_ray", "validate", "--input", clips,
+         "--out", out, "--audio-concurrency", "2", "--audio-cap-ms", "20"],
+        capture_output=True, text=True, env=env, cwd=repo, timeout=240)
+    assert r2.returncode == 0, r2.stderr[-500:]
+    summary = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert summary["rows"] == 1500 and summary["partitions"] >= 1
+    assert os.path.exists(os.path.join(out, "manifest.jsonl"))
