@@ -121,7 +121,9 @@ class MinHashLSHStage:
     (band_index, band_bucket_hash) into one int64 — a single fixed-width
     shuffle key per row.
 
-    Stateful (permutation tables built once) → run as an actor pool.
+    Ships as a task-pool INSTANCE by default (permutation tables are cheap
+    to pickle, so the read fuses into the stage); usable as an actor pool
+    where per-actor reuse matters.
 
     Signatures for the whole batch are computed in ONE vectorized pass:
     all shingle grams of the batch are hashed together, permuted per

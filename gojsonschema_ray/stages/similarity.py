@@ -26,7 +26,8 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 class BruteForceTopKStage:
-    """map_batches payload: per-batch cosine top-k against broadcast queries."""
+    """map_batches payload (task-pool instance): per-batch cosine top-k
+    against the ray.put-broadcast query matrix."""
 
     def __init__(self, embedding_column: str, id_column: str, queries_ref, k: int):
         self.embedding_column = embedding_column
