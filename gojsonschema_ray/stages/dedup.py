@@ -174,8 +174,20 @@ class MinHashLSHStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_column].to_pylist()
         ids = batch[self.id_column]
-        n = len(texts)
         sigs = self.signatures(texts)
+        # docs with no shingles (len < k) have no signature: banding them
+        # would collide EVERY such doc into one all-max bucket (quadratic
+        # candidate blowup on short-text corpora) — they are skipped, like
+        # excluding empty sets from Jaccard candidacy
+        has_sig = ~(sigs == np.iinfo(np.uint64).max).all(axis=1)
+        if not has_sig.all():
+            keep = np.nonzero(has_sig)[0]
+            sigs = sigs[keep]
+            ids = ids.take(pa.array(keep, type=pa.int64()))
+        n = len(sigs)
+        if n == 0:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             self.id_column: ids})
         # bucket-hash each band row of every doc in one structured-view pass
         band_rows = np.ascontiguousarray(sigs.reshape(n * self.bands, self.rows_per_band))
         buckets = pd.util.hash_array(

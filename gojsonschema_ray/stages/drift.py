@@ -51,6 +51,47 @@ def histogram(ds, column: str, edges: np.ndarray) -> np.ndarray:
     return out
 
 
+class MultiHistogramStage:
+    """map_batches payload: fixed-edge histogram partials for MANY columns in
+    one pass — (column, bin, count) rows per batch, merged on the driver.
+    One dataset scan covers every drift column instead of a scan per column."""
+
+    def __init__(self, edges_by_column: dict):
+        self.edges = {c: np.asarray(e, dtype=np.float64)
+                      for c, e in edges_by_column.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        names, bins, counts = [], [], []
+        for c, edges in self.edges.items():
+            if c not in batch.column_names:
+                continue
+            col = batch[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            v = col.drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
+            v = v[np.isfinite(v)]
+            h, _ = np.histogram(v, bins=edges)
+            row = [int((v < edges[0]).sum()), *h.tolist(),
+                   int((v > edges[-1]).sum())]
+            names.extend([c] * len(row))
+            bins.extend(range(len(row)))
+            counts.extend(row)
+        return pa.table({"column": pa.array(names),
+                         "bin": pa.array(bins, pa.int32()),
+                         "count": pa.array(counts, pa.int64())})
+
+
+def histograms(ds, edges_by_column: dict) -> dict:
+    """{column: merged histogram} from ONE pass over ds."""
+    out = {c: np.zeros(len(e) + 1, dtype=np.int64)
+           for c, e in edges_by_column.items()}
+    partials = ds.map_batches(MultiHistogramStage(edges_by_column),
+                              batch_format="pyarrow")
+    for r in collect_rows(partials):
+        out[r["column"]][r["bin"]] += r["count"]
+    return out
+
+
 def default_edges(digest, bins: int = 64) -> np.ndarray:
     """Histogram edges from a reference TDigest's quantiles (equi-depth-ish)."""
     qs = np.linspace(0.0, 1.0, bins + 1)
@@ -107,18 +148,24 @@ def drift_report(ds_ref, ds_new, columns: list[str], bins: int = 64,
 
     partials = ds_ref.map_batches(SketchStage(columns), batch_format="pyarrow")
     merged = merge_sketch_partials(collect_rows(partials))
-    report = {}
+    edges_by_col = {}
     for c in columns:
         st = merged.get(c)
         if st is None or st.digest is None or st.digest.n == 0:
             continue
         edges = default_edges(st.digest, bins)
-        if len(edges) < 2:
-            continue
-        ha = histogram(ds_ref, c, edges)
-        hb = histogram(ds_new, c, edges)
-        ks = ks_statistic(ha, hb)
-        p = psi(ha, hb)
+        if len(edges) >= 2:
+            edges_by_col[c] = edges
+    if not edges_by_col:
+        return {}
+    # ONE scan per dataset for ALL columns (a per-column histogram() loop
+    # would re-scan each dataset len(columns) times)
+    ha = histograms(ds_ref, edges_by_col)
+    hb = histograms(ds_new, edges_by_col)
+    report = {}
+    for c in edges_by_col:
+        ks = ks_statistic(ha[c], hb[c])
+        p = psi(ha[c], hb[c])
         report[c] = {
             "ks": ks, "psi": p,
             "drifted": bool(ks > ks_threshold or p > psi_threshold),

@@ -65,19 +65,28 @@ def build_key_set(ref_ds, pk: str, approx_threshold: int = 5_000_000):
         batch_format="pyarrow",
     )
     keys: set = set()
+    chunks: list[pa.Array] = []  # original-typed arrays for the bloom path
     exact = True
     bloom = None
     for b in distinct.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        arr = b[pk].combine_chunks() if isinstance(b[pk], pa.ChunkedArray) else b[pk]
         if exact:
-            keys.update(b[pk].to_pylist())
+            keys.update(arr.to_pylist())
+            chunks.append(arr)
             if len(keys) > approx_threshold:
                 exact = False
                 bloom = BloomFilter(capacity=approx_threshold * 20)
-                arr = pa.array(list(keys))
-                bloom.add_hashes(_hash_col(arr))
+                # hash the ORIGINAL typed chunks: the probe side hashes the
+                # fk column in its own dtype, and pandas' hash differs per
+                # dtype (int32 -1 != int64 -1) — a retyped re-materialization
+                # would silently drop keys from the filter
+                for c in chunks:
+                    bloom.add_hashes(_hash_col(c))
                 keys = set()
+                chunks = []
+                continue
         if not exact:
-            bloom.add_hashes(_hash_col(b[pk]))
+            bloom.add_hashes(_hash_col(arr))
     if exact:
         keys.discard(None)
         return "exact", keys

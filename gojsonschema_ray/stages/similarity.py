@@ -46,6 +46,12 @@ class BruteForceTopKStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         q = self._queries()  # (nq, d) already normalized
+        if batch.num_rows == 0:  # filtered-out IVF block: keep the schema
+            return pa.table({
+                "query": pa.array([], pa.int32()),
+                self.id_column: pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            })
         emb = _normalize(list_column_to_matrix(batch[self.embedding_column]))
         ids = batch[self.id_column].to_numpy(zero_copy_only=False)
         sim = emb @ q.T  # (n, nq)

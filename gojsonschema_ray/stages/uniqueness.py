@@ -122,11 +122,11 @@ def top_hot_keys(ds, key: str, sample_frac: float = 0.01, top_k: int = 16,
                  min_share: float = 0.001) -> set:
     """Sample-based hot-key scan (pre-shuffle skew detection): keys whose
     sampled share exceeds `min_share` of rows."""
-    sample = ds.random_sample(sample_frac, seed=42)
+    sample = ds.random_sample(sample_frac, seed=42).materialize()
+    n_sample = max(1, sample.count())
     counts = sample.map_batches(KeyCountStage(key), batch_format="pyarrow") \
         .groupby(key).sum("cnt")
     rows = collect_rows(counts.sort("sum(cnt)", descending=True).limit(top_k))
-    total = max(1, sum(r["sum(cnt)"] for r in rows))
-    est_total = total / max(sample_frac, 1e-9)
+    # a key's sampled share IS its estimated true share (uniform sampling)
     return {r[key] for r in rows
-            if r["sum(cnt)"] / max(est_total, 1) >= min_share and r[key] is not None}
+            if r["sum(cnt)"] / n_sample >= min_share and r[key] is not None}

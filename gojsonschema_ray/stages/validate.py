@@ -410,10 +410,11 @@ class VectorEvaluator:
                 dv = int(d)
                 ok = (vals % dv) == 0
             else:
-                # v multiple of a/b  ⇔  v*b % a == 0
+                # v multiple of a/b  ⇔  v*b % a == 0; the guard must bound
+                # the PRODUCT, not the values — int64 wraps past 2^63
                 a, b = d.numerator, d.denominator
-                prod = vals.astype(object) * b if (np.abs(vals).max(initial=0) > 2**52) \
-                    else vals * b
+                overflow = np.abs(vals).max(initial=0) > (2**62) // max(int(b), 1)
+                prod = vals.astype(object) * int(b) if overflow else vals * b
                 ok = (prod % a) == 0
             return np.asarray(ok, dtype=bool) | ~present
         # float column: exact decimal-rational check per DISTINCT value,
@@ -557,12 +558,19 @@ class VectorEvaluator:
         if (pa.types.is_integer(dt) or pa.types.is_floating(dt)
                 or pa.types.is_string(dt) or pa.types.is_large_string(dt)
                 or pa.types.is_boolean(dt)):
+            valid_el = _mask_to_np(pc.is_valid(flat), len(parent))
             vals = flat.to_numpy(zero_copy_only=False)
-            if pa.types.is_integer(dt):
-                vals = vals.astype(np.float64)  # canonical numeric equality
-            # count distinct (parent, value) pairs per parent vs list length
-            order = np.lexsort((vals, parent))
-            sp, sv = parent[order], vals[order]
+            parent_nn = parent
+            if not valid_el.all():
+                # null elements sort-crash object arrays and are handled by
+                # the null_counts pass below — compare non-null elements only
+                vals = vals[valid_el]
+                parent_nn = parent[valid_el]
+            # a typed Arrow column has ONE element type, so values compare
+            # exactly in their own dtype (no float cast: 2^53 and 2^53+1
+            # must stay distinct for int64 lists)
+            order = np.lexsort((vals, parent_nn))
+            sp, sv = parent_nn[order], vals[order]
             if len(sp):
                 same_as_prev = np.zeros(len(sp), dtype=bool)
                 if pa.types.is_string(dt) or pa.types.is_large_string(dt):
@@ -806,8 +814,7 @@ class TableValidator:
                                        f"dependency {key} -> {dep}", None))
                 mask &= ok
             else:
-                sub_mask, sub_viol = TableValidator(dep, self.key_column,
-                                                    emit_violations=False).validate_batch(batch)
+                sub_mask = self._sub_root_mask(dep, batch, n)
                 ok = ~key_present | sub_mask
                 if (~ok).any():
                     emits.append(_Emit(np.nonzero(~ok)[0], "missing_dependency", "(root)",
@@ -820,8 +827,7 @@ class TableValidator:
                                       (node.one_of, "number_one_of", "one")):
             if not sub_list:
                 continue
-            ms = [TableValidator(s, self.key_column, emit_violations=False)
-                  .validate_batch(batch)[0] for s in sub_list]
+            ms = [self._sub_root_mask(s, batch, n) for s in sub_list]
             if combine == "all":
                 ok = np.logical_and.reduce(ms)
             elif combine == "any":
@@ -832,19 +838,17 @@ class TableValidator:
                 emits.append(_Emit(np.nonzero(~ok)[0], kw, "(root)", kw, None))
             mask &= ok
         if node.not_ is not None:
-            sub = TableValidator(node.not_, self.key_column,
-                                 emit_violations=False).validate_batch(batch)[0]
+            sub = self._sub_root_mask(node.not_, batch, n)
             ok = ~sub
             if (~ok).any():
                 emits.append(_Emit(np.nonzero(~ok)[0], "number_not", "(root)", "not", None))
             mask &= ok
         if node.if_ is not None:
-            if_m = TableValidator(node.if_, self.key_column,
-                                  emit_violations=False).validate_batch(batch)[0]
-            then_m = TableValidator(node.then_, self.key_column, emit_violations=False) \
-                .validate_batch(batch)[0] if node.then_ else _true(n)
-            else_m = TableValidator(node.else_, self.key_column, emit_violations=False) \
-                .validate_batch(batch)[0] if node.else_ else _true(n)
+            if_m = self._sub_root_mask(node.if_, batch, n)
+            then_m = self._sub_root_mask(node.then_, batch, n) \
+                if node.then_ else _true(n)
+            else_m = self._sub_root_mask(node.else_, batch, n) \
+                if node.else_ else _true(n)
             ok = np.where(if_m, then_m, else_m)
             if (~ok).any():
                 emits.append(_Emit(np.nonzero(~ok)[0], "condition_then", "(root)",
@@ -854,6 +858,21 @@ class TableValidator:
         return mask, self._violations(batch, emits, n)
 
     # ------------------------------------------------------------------
+    def _sub_root_mask(self, sub: CompiledSchema, batch: pa.Table, n: int) -> np.ndarray:
+        """Validity of every row (an object) under a root-combinator branch.
+        A branch whose `type` excludes objects fails every row instead of
+        crashing the pipeline (rows ARE objects; the branch simply can't
+        match — validation.go type dispatch)."""
+        node = sub
+        while node.ref_schema is not None:
+            node = node.ref_schema
+        if node.pass_ is not None:
+            return _true(n) if node.pass_ else _false(n)
+        if node.types is not None and TYPE_OBJECT not in node.types:
+            return _false(n)
+        return TableValidator(sub, self.key_column,
+                              emit_violations=False).validate_batch(batch)[0]
+
     def _violations(self, batch: pa.Table, emits: list[_Emit], n: int) -> pa.Table:
         if not emits:
             return VIOLATION_SCHEMA.empty_table()

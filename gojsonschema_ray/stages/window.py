@@ -36,9 +36,11 @@ def tumbling_window_aggregate(ds, ts_column: str, value_column: str,
     def partial(t: pa.Table) -> pa.Table:
         # normalize any timestamp unit (ns from pandas, us from parquet) to us
         ts = pc.cast(pc.cast(t[ts_column], pa.timestamp("us")), pa.int64())
-        # integer floor-division keeps window boundaries exact (float64 would
-        # wobble at exact multiples of the width for large epochs)
-        win = pc.multiply(pc.divide(ts, width_us), width_us)
+        # integer FLOOR division (pc.divide truncates toward zero, which
+        # would misassign pre-epoch timestamps); exact at boundaries where
+        # float64 would wobble for large epochs
+        q = pc.multiply(pc.divide(ts, width_us), width_us)
+        win = pc.if_else(pc.greater(q, ts), pc.subtract(q, width_us), q)
         cols = {"w": win, "v": t[value_column]}
         keys = ["w"]
         if by is not None:

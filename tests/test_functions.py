@@ -205,3 +205,37 @@ def test_exact_dedup_by_hash_parity(docs_ds):
     by_val = exact_duplicate_groups(docs_ds, "text").take_all()
     by_hash = exact_duplicate_groups(docs_ds, "text", by_hash=True).take_all()
     assert sorted(r["n"] for r in by_val) == sorted(r["n"] for r in by_hash)
+
+
+def test_minhash_skips_short_texts(ray_session):
+    """Texts shorter than the shingle size produce NO signature rows — a
+    short-text-heavy corpus must not collapse into one quadratic bucket or
+    report empty-vs-empty as near-duplicates."""
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.dedup import minhash_near_duplicates
+
+    docs = [{"doc_id": i, "text": "ok"} for i in range(200)]  # all < k=5
+    docs += [{"doc_id": 900, "text": "the quick brown fox jumps high " * 4},
+             {"doc_id": 901, "text": "the quick brown fox jumps high " * 4}]
+    ds = rd.from_items(docs)
+    pairs = minhash_near_duplicates(ds, "text", "doc_id", threshold=0.5)
+    assert {(p["id_a"], p["id_b"]) for p in pairs} == {(900, 901)}
+
+
+def test_brute_force_empty_block(ray_session):
+    """An IVF-filtered empty block must not crash the top-k scan."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.similarity import ann_brute_force
+
+    empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                      "embedding": pa.array([], pa.list_(pa.float32()))})
+    full = pa.table({"vec_id": pa.array([1, 2], pa.int64()),
+                     "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]],
+                                           pa.list_(pa.float32()))})
+    ds = rd.from_arrow([empty, full])
+    df = ann_brute_force(ds, "embedding", "vec_id", np.array([[1.0, 0.0]]), k=1)
+    assert df.iloc[0]["vec_id"] == 1

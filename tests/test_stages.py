@@ -318,3 +318,23 @@ def test_range_join_broadcast(ray_session):
     for v in vals:
         exp = -1 if (v < 0 or v >= 100) else 10 + int(v // 25)
         assert got[round(float(v), 9)] == exp
+
+
+def test_window_pre_epoch_floor(ray_session):
+    """Pre-epoch timestamps floor to the window BEFORE them, never after."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.window import tumbling_window_aggregate
+    from gojsonschema_ray.util import collect_rows
+
+    df = pd.DataFrame({
+        "ts": [pd.Timestamp("1969-12-31 23:59:59"),
+               pd.Timestamp("1970-01-01 00:00:01")],
+        "value": [1.0, 2.0],
+    })
+    rows = collect_rows(tumbling_window_aggregate(
+        rd.from_pandas(df), "ts", "value", width_s=60))
+    wins = {pd.Timestamp(r["window_start"]): r["n"] for r in rows}
+    assert wins[pd.Timestamp("1969-12-31 23:59:00")] == 1
+    assert wins[pd.Timestamp("1970-01-01 00:00:00")] == 1

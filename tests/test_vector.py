@@ -171,3 +171,67 @@ def test_anyof_best_branch_attribution():
     assert "branch 1" in by_key["1"]
     assert "branch 0" in by_key["2"]
     assert "0" not in by_key  # x=5 valid, no violation
+
+
+def test_root_combinator_non_object_branch():
+    """Root anyOf/not with a non-object branch must evaluate (branch fails
+    per row), not crash the pipeline."""
+    import numpy as np
+    import pyarrow as pa
+
+    from gojsonschema_ray.schema import compile_schema
+    from gojsonschema_ray.stages.validate import TableValidator
+
+    batch = pa.table({"x": pa.array([1, 20], type=pa.int64())})
+    tree = compile_schema({"anyOf": [
+        {"type": "object", "properties": {"x": {"maximum": 10}}},
+        {"type": "string"},
+    ]})
+    tv = TableValidator(tree, key_column=None, emit_violations=False)
+    mask, _ = tv.validate_batch(batch)
+    assert mask.tolist() == [True, False]
+
+    tree2 = compile_schema({"not": {"type": "string"}})
+    tv2 = TableValidator(tree2, key_column=None, emit_violations=False)
+    mask2, _ = tv2.validate_batch(batch)
+    assert mask2.tolist() == [True, True]  # rows are objects, never strings
+
+
+def test_uniqueitems_null_elements_and_big_ints():
+    """uniqueItems: null elements must not crash string lists; int64 values
+    past 2^53 must not collide via a float cast."""
+    import pyarrow as pa
+
+    from gojsonschema_ray.schema import compile_schema
+    from gojsonschema_ray.stages.validate import TableValidator
+
+    tree = compile_schema({"type": "object",
+                           "properties": {"l": {"uniqueItems": True}}})
+    tv = TableValidator(tree, key_column=None, emit_violations=False)
+    sbatch = pa.table({"l": pa.array(
+        [["a", None, "b"], ["a", None, None], ["x", "x"]],
+        type=pa.list_(pa.string()))})
+    mask, _ = tv.validate_batch(sbatch)
+    assert mask.tolist() == [True, False, False]
+
+    big = 9007199254740992  # 2^53
+    ibatch = pa.table({"l": pa.array([[big, big + 1], [big, big]],
+                                     type=pa.list_(pa.int64()))})
+    mask2, _ = tv.validate_batch(ibatch)
+    assert mask2.tolist() == [True, False]
+
+
+def test_multipleof_large_int_no_overflow():
+    """multipleOf with a fractional divisor must not wrap int64 products."""
+    import pyarrow as pa
+
+    from gojsonschema_ray.schema import compile_schema
+    from gojsonschema_ray.stages.validate import TableValidator
+
+    v = 3 * 2**49  # true multiple of 3e-06, product v*1e6 overflows int64
+    tree = compile_schema({"type": "object",
+                           "properties": {"x": {"multipleOf": 3e-06}}})
+    tv = TableValidator(tree, key_column=None, emit_violations=False)
+    batch = pa.table({"x": pa.array([v], type=pa.int64())})
+    mask, _ = tv.validate_batch(batch)
+    assert mask.tolist() == [True]
