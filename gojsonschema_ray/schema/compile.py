@@ -42,6 +42,7 @@ from .model import (
     json_render,
     to_fraction,
 )
+from .re2 import Re2Pattern
 from .refs import (
     DRAFT4,
     DRAFT6,
@@ -101,10 +102,11 @@ class CompiledSchema:
         "items", "items_single", "additional_items",
         "multiple_of", "minimum", "maximum", "exclusive_minimum", "exclusive_maximum",
         "min_length", "max_length", "pattern", "pattern_src", "format",
+        "format_fn", "format_vector_fn",
         "min_properties", "max_properties", "required",
         "min_items", "max_items", "unique_items", "contains",
         "const", "enum", "one_of", "any_of", "all_of", "not_",
-        "if_", "then_", "else_",
+        "if_", "then_", "else_", "_prop_name_set",
     )
 
     def __init__(self, property: str | None = None, parent: "CompiledSchema | None" = None):
@@ -136,6 +138,8 @@ class CompiledSchema:
         self.pattern = None
         self.pattern_src: str | None = None
         self.format: str | None = None
+        self.format_fn = None          # custom checker captured at compile
+        self.format_vector_fn = None   # (builtins resolve per-process)
         self.min_properties: int | None = None
         self.max_properties: int | None = None
         self.required: list[str] = []
@@ -152,6 +156,7 @@ class CompiledSchema:
         self.if_: CompiledSchema | None = None
         self.then_: CompiledSchema | None = None
         self.else_: CompiledSchema | None = None
+        self._prop_name_set: frozenset | None = None
 
     # -- pickling: __slots__ default protocol; re.Pattern pickles natively ---
     def __getstate__(self):
@@ -176,13 +181,6 @@ class CompiledSchema:
         r = Result()
         self._validate_recursive(value, r, context)
         return r
-
-    def _type_ok(self, value_kind: str, is_int: bool) -> bool:
-        if self.types is None:
-            return True
-        if value_kind == TYPE_NUMBER or value_kind == TYPE_INTEGER:
-            return TYPE_NUMBER in self.types or (is_int and TYPE_INTEGER in self.types)
-        return value_kind in self.types
 
     def _validate_recursive(self, node, result: Result, ctx: str):
         if self.pass_ is not None:
@@ -252,9 +250,6 @@ class CompiledSchema:
         else:
             raise TypeError(f"not a JSON value: {type(node).__name__}")
         result.increment_score()
-
-    def _validate_recursive_entry(self, node, result, ctx):
-        self._validate_recursive(node, result, ctx)
 
     def _validate_schema(self, node, result: Result, ctx: str):
         """Combinators + dependencies + if/then/else (validation.go:270-397)."""
@@ -338,7 +333,9 @@ class CompiledSchema:
                 result.add_error(E.ERR_ENUM, ctx, value,
                                  {"allowed": self.describe_constraint("enum")})
         if self.format:
-            if not FORMATS.is_format(self.format, value):
+            ok = (self.format_fn(value) if self.format_fn is not None
+                  else FORMATS.is_format(self.format, value))
+            if not ok:
                 result.add_error(E.ERR_FORMAT, ctx, value, {"format": self.format})
         result.increment_score()
 
@@ -401,7 +398,10 @@ class CompiledSchema:
             else:
                 result.add_error(E.ERR_REQUIRED, ctx, value, {"property": req})
 
-        prop_names = {p.property for p in self.properties}
+        prop_names = self._prop_name_set
+        if prop_names is None:  # computed once; invariant after compile
+            prop_names = frozenset(p.property for p in self.properties)
+            self._prop_name_set = prop_names
         for pk, pv in value.items():
             pp_match = False
             for _, (rx, sub) in self.pattern_properties.items():
@@ -652,10 +652,7 @@ class Compiler:
             if not isinstance(pp, dict):
                 raise SchemaError("patternProperties must be an object of schemas")
             for k, v in pp.items():
-                try:
-                    rx = re.compile(k)
-                except re.error:
-                    raise SchemaError(f"invalid regex pattern: {k!r}")
+                rx = Re2Pattern(k)  # RE2 validity enforced at compile time
                 child = CompiledSchema(property=k, parent=cur)
                 self._parse(v, child)
                 cur.pattern_properties[k] = (rx, child)
@@ -764,16 +761,23 @@ class Compiler:
         if "pattern" in m:
             if not isinstance(m["pattern"], str):
                 raise SchemaError("pattern must be a string")
-            try:
-                cur.pattern = re.compile(m["pattern"])
-                cur.pattern_src = m["pattern"]
-            except re.error:
-                raise SchemaError("pattern must be a valid regular expression")
+            # RE2 compile check + RE2-backed matcher: the reference's Go
+            # regexp IS RE2, and the vectorized path runs the same kernel
+            cur.pattern = Re2Pattern(m["pattern"])
+            cur.pattern_src = m["pattern"]
 
         if "format" in m:
             if not isinstance(m["format"], str):
                 raise SchemaError("format must be a string")
             cur.format = m["format"]
+            # custom (non-builtin) checkers live in the driver's process-
+            # global registry; Ray workers re-import the module with only
+            # builtins, so capture the fn in the tree — if it can't pickle,
+            # shipping fails loudly instead of silently passing every row
+            from .formats import _BUILTINS
+
+            if cur.format not in _BUILTINS and FORMATS.has(cur.format):
+                cur.format_fn, cur.format_vector_fn = FORMATS.get(cur.format)
 
         # objects
         if "minProperties" in m:

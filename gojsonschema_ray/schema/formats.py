@@ -29,24 +29,24 @@ from typing import Callable
 # Scalar checkers
 # ---------------------------------------------------------------------------
 
-_RX_DATE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+_RX_DATE = re.compile(r"^\d{4}-\d{2}-\d{2}\Z")
 # Go's time.Parse accepts a fractional second after the seconds field even
 # when the layout omits it — mirror that ((\.\d+)? below).
-_RX_TIME_OFFSET = re.compile(r"^(\d{2}):(\d{2}):(\d{2})(\.\d+)?(Z|[+-]\d{2}:\d{2})$")
-_RX_TIME_PLAIN = re.compile(r"^(\d{2}):(\d{2}):(\d{2})(\.\d+)?$")
+_RX_TIME_OFFSET = re.compile(r"^(\d{2}):(\d{2}):(\d{2})(\.\d+)?(Z|[+-]\d{2}:\d{2})\Z")
+_RX_TIME_PLAIN = re.compile(r"^(\d{2}):(\d{2}):(\d{2})(\.\d+)?\Z")
 _RX_DATETIME = re.compile(
-    r"^(\d{4})-(\d{2})-(\d{2})[T](\d{2}):(\d{2}):(\d{2})(\.\d+)?(Z|[+-]\d{2}:\d{2})$"
+    r"^(\d{4})-(\d{2})-(\d{2})[T](\d{2}):(\d{2}):(\d{2})(\.\d+)?(Z|[+-]\d{2}:\d{2})\Z"
 )
 # Hostname per the reference (format_checkers.go:133): labels of 1-63
 # alphanumeric/hyphen chars, not starting/ending with hyphen; total len < 256.
 _RX_HOSTNAME = re.compile(
     r"^([a-zA-Z0-9]|[a-zA-Z0-9][a-zA-Z0-9\-]{0,61}[a-zA-Z0-9])"
-    r"(\.([a-zA-Z0-9]|[a-zA-Z0-9][a-zA-Z0-9\-]{0,61}[a-zA-Z0-9]))*$"
+    r"(\.([a-zA-Z0-9]|[a-zA-Z0-9][a-zA-Z0-9\-]{0,61}[a-zA-Z0-9]))*\Z"
 )
-_RX_UUID = re.compile(r"^[a-fA-F0-9]{8}-[a-fA-F0-9]{4}-[a-fA-F0-9]{4}-[a-fA-F0-9]{4}-[a-fA-F0-9]{12}$")
-_RX_JSON_POINTER = re.compile(r"^(?:/(?:[^~/]|~0|~1)*)*$")
-_RX_REL_JSON_POINTER = re.compile(r"^(?:0|[1-9][0-9]*)(?:#|(?:/(?:[^~/]|~0|~1)*)*)$")
-_RX_URI_TEMPLATE_BRACES = re.compile(r"^([^{}]*(\{[^{}]*\})?)*$")
+_RX_UUID = re.compile(r"^[a-fA-F0-9]{8}-[a-fA-F0-9]{4}-[a-fA-F0-9]{4}-[a-fA-F0-9]{4}-[a-fA-F0-9]{12}\Z")
+_RX_JSON_POINTER = re.compile(r"^(?:/(?:[^~/]|~0|~1)*)*\Z")
+_RX_REL_JSON_POINTER = re.compile(r"^(?:0|[1-9][0-9]*)(?:#|(?:/(?:[^~/]|~0|~1)*)*)\Z")
+_RX_URI_TEMPLATE_BRACES = re.compile(r"^([^{}]*(\{[^{}]*\})?)*\Z")
 # RFC5322-ish addr-spec: dot-atom or quoted-string local part, dot-atom or
 # [literal] domain; optional display-name with angle brackets (mail.ParseAddress
 # accepts name-addr form, format_checkers.go:191-199).
@@ -56,7 +56,7 @@ _ALNUM = r"(?:[A-Za-z0-9]|[^\x00-\x7f])"
 _LABEL = rf"{_ALNUM}(?:(?:[A-Za-z0-9\-]|[^\x00-\x7f])*{_ALNUM})?"
 _RX_ADDR_SPEC = re.compile(
     rf"^(?:{_ATEXT}+(?:\.{_ATEXT}+)*|\"(?:[^\"\\]|\\.)*\")"
-    rf"@(?:{_LABEL}(?:\.{_LABEL})*|\[[^\[\]]+\])$"
+    rf"@(?:{_LABEL}(?:\.{_LABEL})*|\[[^\[\]]+\])\Z"
 )
 _RX_PCT_BAD = re.compile(r"%(?![0-9A-Fa-f]{2})")
 _RX_CTRL_OR_SPACE_IN_AUTHORITY = re.compile(r"[\x00-\x20]")
@@ -119,21 +119,25 @@ def check_email(v) -> bool:
 
 
 def check_ipv4(v) -> bool:
+    """net.ParseIP(v) ok AND contains "." (format_checkers.go:202-211) —
+    IPv4-mapped IPv6 like ::ffff:1.2.3.4 is VALID in the reference."""
     if not isinstance(v, str):
         return True
-    if "." not in v:
+    if "." not in v or "%" in v:
         return False
     try:
-        ipaddress.IPv4Address(v)
+        ipaddress.ip_address(v)
         return True
-    except (ipaddress.AddressValueError, ValueError):
+    except ValueError:
         return False
 
 
 def check_ipv6(v) -> bool:
+    """net.ParseIP(v) ok AND contains ":" — Go rejects zone IDs (%eth0),
+    Python's ipaddress accepts them, so reject '%' explicitly."""
     if not isinstance(v, str):
         return True
-    if ":" not in v:
+    if ":" not in v or "%" in v:
         return False
     try:
         ipaddress.ip_address(v)
@@ -150,11 +154,15 @@ def _uri_parse_ok(v: str) -> bool:
         return False
     if _RX_PCT_BAD.search(v):
         return False
-    # control characters anywhere fail url.Parse
+    # control characters anywhere fail url.Parse; SPACES are legal in the
+    # path (Go's url.Parse accepts "http://h/a b") but not in the authority
     if any(ord(c) < 0x20 or c == "\x7f" for c in v):
         return False
-    if " " in v.split("#", 1)[0].split("?", 1)[0]:
-        return False
+    rest = v.split("#", 1)[0]
+    if "//" in rest:
+        authority = rest.split("//", 1)[1].split("/", 1)[0].split("?", 1)[0]
+        if _RX_CTRL_OR_SPACE_IN_AUTHORITY.search(authority):
+            return False
     return True
 
 
@@ -247,8 +255,9 @@ _VECTOR_REGEX: dict[str, str] = {
     "uuid": r"^[a-fA-F0-9]{8}-[a-fA-F0-9]{4}-[a-fA-F0-9]{4}-[a-fA-F0-9]{4}-[a-fA-F0-9]{12}$",
     "json-pointer": r"^(/([^~/]|~0|~1)*)*$",
     "relative-json-pointer": r"^(0|[1-9][0-9]*)(#|(/([^~/]|~0|~1)*)*)$",
-    "hostname": r"^([a-zA-Z0-9]|[a-zA-Z0-9][a-zA-Z0-9\-]{0,61}[a-zA-Z0-9])(\.([a-zA-Z0-9]|[a-zA-Z0-9][a-zA-Z0-9\-]{0,61}[a-zA-Z0-9]))*$",
-    "ipv4": r"^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$",
+    # hostname/ipv4 deliberately ABSENT: hostname needs the len<256 check
+    # and ipv4 must accept IPv4-mapped ::ffff:a.b.c.d like net.ParseIP —
+    # both run on the distinct-value dictionary path for exact scalar parity
     "date": r"^\d{4}-\d{2}-\d{2}$",
 }
 
@@ -278,6 +287,12 @@ class FormatRegistry:
     def has(self, name: str) -> bool:
         with self._lock:
             return name in self._checkers
+
+    def get(self, name: str):
+        """(scalar_fn, vector_fn|None) — used to capture CUSTOM checkers
+        into compiled trees so they ship to Ray workers."""
+        with self._lock:
+            return self._checkers.get(name), self._vector.get(name)
 
     def is_format(self, name: str, value) -> bool:
         with self._lock:

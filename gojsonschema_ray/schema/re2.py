@@ -1,0 +1,54 @@
+"""RE2 pattern matching for the generic engine.
+
+The reference's `pattern` semantics are Go `regexp` = RE2: unanchored
+search, `$` means end-of-text, no lookarounds (schema.go:653-669,
+validation.go:749-759). The vectorized path already runs RE2 via Arrow's
+`match_substring_regex`; the generic per-document path matches through the
+SAME kernel so the two engines cannot diverge (a Python `re` matcher
+accepted lookarounds that later crashed Arrow on workers, and treated a
+trailing newline as matched by `$`).
+
+Compilation is validated eagerly: non-RE2 syntax raises SchemaError at
+compile time, exactly where Go's regexp.Compile would reject it.
+"""
+
+from __future__ import annotations
+
+from .errors import SchemaError
+
+
+class Re2Pattern:
+    """Drop-in for the `.search(value) -> truthy` surface the engine uses."""
+
+    __slots__ = ("pattern",)
+
+    def __init__(self, pattern: str, validate: bool = True):
+        self.pattern = pattern
+        if validate:
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            try:
+                pc.match_substring_regex(pa.array([""]), pattern)
+            except Exception as e:  # ArrowInvalid on non-RE2 syntax
+                raise SchemaError(
+                    f"pattern must be a valid regular expression: {pattern!r}"
+                ) from e
+
+    def search(self, value) -> bool:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if not isinstance(value, str):
+            return False
+        return bool(pc.match_substring_regex(
+            pa.array([value]), self.pattern)[0].as_py())
+
+    def __getstate__(self):
+        return self.pattern
+
+    def __setstate__(self, state):
+        self.pattern = state  # already validated at compile time
+
+    def __repr__(self):
+        return f"Re2Pattern({self.pattern!r})"

@@ -150,7 +150,10 @@ class Registry:
     # -- pool mechanics ------------------------------------------------------
     def parse_references(self, document, ref: str, pooled: bool = True):
         ref = normalize_ref(ref)
-        if pooled and ref in self.documents:
+        if pooled and ref and ref in self.documents:
+            # duplicate NAMED refs are an error (schemaPool.go:56-58);
+            # the ANONYMOUS slot ("") is per-compile scratch — a shared
+            # registry must support compiling many anonymous documents
             raise SchemaError(f'Reference already exists: "{ref}"')
         draft = None
         if self.auto_detect:
@@ -208,8 +211,14 @@ class Registry:
             raise SchemaError(f'Reference must be canonical: "{ref}"')
         document = self._load_canonical(base)
         self.parse_references(document, base, pooled=True)
-        draft = detect_draft(document)
+        # draft comes from the pool entry parse_references just wrote, so the
+        # first call and later cached calls agree, and auto_detect=False is
+        # honored (a forced-draft compiler must not have ref'd subtrees
+        # silently parsed under their own $schema)
+        _, draft = self.documents[base]
         node = pointer_get(document, frag) if frag else document
+        if frag:
+            self.documents[normalize_ref(ref)] = (node, draft)
         return node, draft
 
     def _load_canonical(self, base: str):

@@ -268,10 +268,19 @@ class VectorEvaluator:
             mask &= ~present | ok
 
         # format -------------------------------------------------------
-        if node.format and FORMATS.has(node.format):
-            if col_kind == TYPE_STRING and (
-                pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)
-            ):
+        fmt_fn = getattr(node, "format_fn", None)
+        if node.format and (fmt_fn is not None or FORMATS.has(node.format)):
+            fmt_vec = getattr(node, "format_vector_fn", None)
+            is_str_col = col_kind == TYPE_STRING and (
+                pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type))
+            if fmt_fn is not None:
+                # custom checker captured in the tree (ships to workers whose
+                # process registry only has builtins)
+                if fmt_vec is not None and is_str_col:
+                    fm = _mask_to_np(fmt_vec(arr), n) | ~present
+                else:
+                    fm = self._python_rowwise(arr, present, fmt_fn, n)
+            elif is_str_col:
                 fm = _mask_to_np(FORMATS.vector_is_format(node.format, arr), n) | ~present
             else:
                 # non-string columns: built-ins pass; custom checkers get values

@@ -246,3 +246,85 @@ def test_corpus_group_vectorized(draft, path, group_index):
             )
     if failures:
         pytest.fail(f"{group['description']}:\n" + "\n".join(failures))
+
+
+def test_pattern_re2_semantics():
+    """Patterns compile and match under RE2 (Go regexp) semantics: lookarounds
+    are compile-time SchemaErrors, `$` is end-of-TEXT (no trailing-newline
+    match), and both engines agree."""
+    import pyarrow as pa
+
+    from gojsonschema_ray.schema import compile_schema
+    from gojsonschema_ray.stages.validate import TableValidator
+
+    with pytest.raises(SchemaError):
+        compile_schema({"type": "string", "pattern": "(?<=a)b"})
+
+    tree = compile_schema({"type": "object",
+                           "properties": {"s": {"pattern": "^ab$"}}})
+    assert tree.check({"s": "ab"})
+    assert not tree.check({"s": "ab\n"})  # Python re would have accepted this
+    tv = TableValidator(tree, key_column=None, emit_violations=False)
+    mask, _ = tv.validate_batch(pa.table({"s": ["ab", "ab\n"]}))
+    assert mask.tolist() == [True, False]
+
+
+def test_format_scalar_vector_edge_parity():
+    """Review-found divergences stay fixed: trailing-newline anchors,
+    hostname length in the vector path, net.ParseIP ipv4/ipv6 semantics,
+    spaces in URI paths vs authority."""
+    import pyarrow as pa
+
+    from gojsonschema_ray.schema.formats import FORMATS
+
+    assert not FORMATS.is_format("uuid", "12345678-1234-1234-1234-123456789abc\n")
+    long_host = "a." * 180 + "a"
+    assert not FORMATS.is_format("hostname", long_host)
+    assert FORMATS.vector_is_format("hostname",
+                                    pa.array([long_host])).to_pylist() == [False]
+    assert FORMATS.is_format("ipv4", "::ffff:1.2.3.4")      # net.ParseIP ok
+    assert not FORMATS.is_format("ipv6", "fe80::1%eth0")    # Go rejects zones
+    assert FORMATS.is_format("uri", "http://example.com/a b")
+    assert not FORMATS.is_format("uri", "http://exa mple.com/x")
+
+
+def test_shared_registry_anonymous_recompile():
+    """A shared registry compiles many anonymous documents (compile-once /
+    registry-reuse pattern, schemaLoader.go:96-144)."""
+    from gojsonschema_ray.schema import Compiler, Registry, compile_schema
+
+    reg = Registry()
+    reg.add("http://x/common.json", {"type": "integer"})
+    a = compile_schema({"$ref": "http://x/common.json"}, registry=reg)
+    b = compile_schema({"type": "string"}, registry=reg)
+    assert a.check(3) and b.check("s")
+    c = Compiler(registry=reg)
+    c.compile({"type": "integer"})
+    c.compile({"type": "string"})  # second anonymous compile must not raise
+
+
+def _even_len(v) -> bool:  # module-level: custom checkers must pickle
+    return not isinstance(v, str) or len(v) % 2 == 0
+
+
+def test_custom_format_ships_with_tree():
+    """Custom format checkers are captured into the compiled tree so a
+    pickled tree enforces them in processes whose registry lacks them."""
+    import pickle
+
+    import pyarrow as pa
+
+    from gojsonschema_ray.schema import FORMATS, compile_schema
+    from gojsonschema_ray.stages.validate import TableValidator
+
+    FORMATS.register("even-len", _even_len)
+    try:
+        tree = compile_schema({"type": "object",
+                               "properties": {"s": {"format": "even-len"}}})
+    finally:
+        FORMATS.remove("even-len")  # simulate a worker without the checker
+    t2 = pickle.loads(pickle.dumps(tree))
+    assert t2.check({"s": "ab"}) and not t2.check({"s": "abc"})
+    tv = TableValidator(t2, key_column=None, emit_violations=False)
+    mask, _ = tv.validate_batch(pa.table({"s": ["ab", "abc"]}))
+    assert mask.tolist() == [True, False]
