@@ -39,13 +39,14 @@ def _violation_counts_row(viol_ds, mapping: dict[str, tuple[str, str]]) -> pd.Da
             .aggregate([("keyword", "count")])
         return g.rename_columns(["keyword", "path", "cnt"])
 
-    counts = {k: 0 for k in mapping}
+    norm = {k: (v if isinstance(v, list) else [v]) for k, v in mapping.items()}
+    counts = {k: 0 for k in norm}
     partials = viol_ds.map_batches(partial, batch_format="pyarrow")
     for b in partials.iter_batches(batch_format="pyarrow"):
         for kw, path, c in zip(b["keyword"].to_pylist(), b["path"].to_pylist(),
                                b["cnt"].to_pylist()):
-            for out_col, (want_kw, want_path) in mapping.items():
-                if kw == want_kw and path == want_path:
+            for out_col, wanted in norm.items():
+                if (kw, path) in wanted:
                     counts[out_col] += c
     return pd.DataFrame([counts])
 
@@ -169,7 +170,8 @@ def q_embeddings_list_schema(sf_dir: str) -> pd.DataFrame:
     }, "vec_id")
     viol = ds.map_batches(tv, batch_format="pyarrow")
     return _violation_counts_row(viol, {
-        "wrong_len": ("array_min_items", "(root).embedding"),
+        "wrong_len": [("array_min_items", "(root).embedding"),
+                      ("array_max_items", "(root).embedding")],
         "items_min": ("items", "(root).embedding"),
         "no_big_elem": ("contains", "(root).embedding"),
         "dup_elems": ("unique", "(root).embedding"),
@@ -429,13 +431,14 @@ def q_token_counts_by_lang(sf_dir: str) -> pd.DataFrame:
 def q_ann_top5(sf_dir: str) -> pd.DataFrame:
     from gojsonschema_ray.stages.similarity import ann_brute_force
 
+    from gojsonschema_ray.util import collect_rows
+
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    q0 = None
-    for b in _read(sf_dir, "embeddings").iter_batches(batch_format="pyarrow"):
-        m = b.filter(pc.equal(b["vec_id"], 0))
-        if m.num_rows:
-            q0 = np.asarray(m["embedding"].to_pylist()[0], dtype=np.float64)
-            break
+    hits = collect_rows(ds.map_batches(
+        lambda t: t.filter(pc.equal(t["vec_id"], 0)), batch_format="pyarrow"))
+    if not hits:
+        raise ValueError("embeddings table has no vec_id 0")
+    q0 = np.asarray(hits[0]["embedding"], dtype=np.float64)
     df = ann_brute_force(ds, "embedding", "vec_id", q0[None, :], k=5)
     out = df[["vec_id", "cosine"]].copy()
     out["cosine"] = out["cosine"].round(6)
@@ -597,9 +600,10 @@ def q_flagship_clips(sf_dir: str) -> pd.DataFrame:
 
     n = 20_000
     ds = datagen.clips_dataset(n, audio_cap_ms=30, override_num_blocks=16)
+    key_ds = datagen.clips_dataset(n, with_audio=False, override_num_blocks=16)
     viol = validate_clips(ds, with_audio=True, with_uniqueness=True,
                           audio_concurrency=4, audio_batch_size=256,
-                          audio_cap_ms=30)
+                          audio_cap_ms=30, uniqueness_ds=key_ds)
     out = viol.groupby("keyword").count()
     df = out.to_pandas().rename(columns={"count()": "n"})
     return df.sort_values("keyword").reset_index(drop=True)
@@ -776,7 +780,8 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY n_chars HAVING count(*) > 1"
         ),
         "token_counts_by_lang": (
-            "SELECT lang, CAST(sum(len(string_split_regex(trim(text), '\\s+'))) "
+            "SELECT lang, CAST(sum(CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(string_split_regex(trim(text), '\\s+')) END) "
             "AS BIGINT) AS total_tokens FROM documents GROUP BY lang"
         ),
         "ann_top5": (

@@ -180,10 +180,15 @@ def write_clips_parquet(path: str, n: int, audio_cap_ms: int = 50,
     os.makedirs(path, exist_ok=True)
     todo = []
     for start in range(0, n, rows_per_file):
+        count = min(rows_per_file, n - start)
         fp = os.path.join(path, f"part-{start:012d}.parquet")
         if os.path.exists(fp):
-            continue  # resume: skip committed shards
-        todo.append((start, min(rows_per_file, n - start)))
+            import pyarrow.parquet as pq
+
+            if pq.read_metadata(fp).num_rows == count:
+                continue  # resume: skip complete shards
+            os.unlink(fp)  # short tail shard from a smaller previous n
+        todo.append((start, count))
     if not todo:
         return path
     try:

@@ -69,7 +69,7 @@ def quality_scores(texts: pd.Series) -> pd.DataFrame:
     n_digit = t.str.count(r"[0-9]")
     n_alpha = t.str.count(r"[A-Za-z]")
     sw = STOPWORDS["en"]
-    stop_ratio = t.str.lower().str.split(_WS).map(
+    stop_ratio = t.str.strip().str.lower().str.split(_WS).map(
         lambda ws: sum(1 for w in ws if w in sw) / len(ws) if ws and ws != [""] else 0.0
     )
     mean_wl = (n_alpha / n_tokens.replace(0, 1)).astype(float)

@@ -59,6 +59,13 @@ DEFAULT_RULESET = {
 META_COLUMNS = ["clip_id", "sr_hz", "dur_ms", "codec", "transcript"]
 AUDIO_COLUMNS = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"]
 
+# metadata-only runs read no `bytes` column — requiring it would flag EVERY
+# row; same rules otherwise
+META_RULESET = {
+    **DEFAULT_RULESET,
+    "required": [r for r in DEFAULT_RULESET["required"] if r != "bytes"],
+}
+
 
 def compiled_default_ruleset() -> CompiledSchema:
     return compile_schema(DEFAULT_RULESET)
@@ -186,15 +193,24 @@ def run_flagship(input_dir: str, out_dir: str, *,
 
     from ..sources.io import list_fragments, read_table
 
-    tree = compile_schema(ruleset or DEFAULT_RULESET)
+    tree = compile_schema(ruleset or
+                          (DEFAULT_RULESET if with_audio else META_RULESET))
     manifest = Manifest(os.path.join(out_dir, "manifest.jsonl"))
     files = list_fragments(input_dir)  # Lance fragments or parquet files
+    if any(str(f).startswith("fragment:") for f in files):
+        # Lance fragment ids are not file paths; the per-partition manifest
+        # wiring for Lance needs pylance (absent in this environment). Fail
+        # loudly instead of feeding ids to the parquet reader.
+        raise NotImplementedError(
+            "run_flagship partitions parquet shards; for a Lance dataset read "
+            "it via sources.io.read_table and run validate_clips directly")
     partitions = _partition_files(files, files_per_partition)
 
     for pi, frag in enumerate(partitions):
         pname = f"part-{pi:06d}"
-        if manifest.is_committed(pname):
-            continue
+        if manifest.is_committed_for(pname, frag):
+            continue  # committed AND same fragments — safe to skip
+
         ds = read_table(frag, columns=AUDIO_COLUMNS if with_audio else META_COLUMNS)
         viol = validate_clips(ds, tree, with_audio=with_audio,
                               with_uniqueness=False,  # global, see below
@@ -206,7 +222,7 @@ def run_flagship(input_dir: str, out_dir: str, *,
         viol.write_parquet(vdir)
         # sketch partials for lineage (metadata columns only — cheap second
         # scan that never touches `bytes`)
-        meta_ds = rd.read_parquet(frag, columns=["sr_hz", "dur_ms"])
+        meta_ds = read_table(frag, columns=["sr_hz", "dur_ms"])
         partials = meta_ds.map_batches(SketchStage(["sr_hz", "dur_ms"]),
                                        batch_format="pyarrow")
         partials = collect_rows(partials)
@@ -218,8 +234,8 @@ def run_flagship(input_dir: str, out_dir: str, *,
         manifest.commit(pname, frag, rows, viols, {"sketches": digests})
 
     # global uniqueness over ALL files (counts-only partial aggregation)
-    if not manifest.is_committed("__global__"):
-        ds_all = rd.read_parquet(files, columns=["clip_id"])
+    if not manifest.is_committed_for("__global__", files):
+        ds_all = read_table(files, columns=["clip_id"])
         uviol = uniqueness_violations(ds_all, "clip_id")
         udir = os.path.join(out_dir, "violations", "__global__")
         _clear_dir(udir)

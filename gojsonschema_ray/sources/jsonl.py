@@ -125,9 +125,9 @@ class JsonStructValidator:
                                f"document in {self.column}", None))
         if not emits:
             return VIOLATION_SCHEMA.empty_table()
-        tv = TableValidator.__new__(TableValidator)
-        tv.key_column = self.key_column
-        return tv._violations(batch, emits, n)
+        from ..stages.validate import violations_table
+
+        return violations_table(batch, emits, n, self.key_column)
 
 
 def validate_jsonl_column_fast(ds, tree, column: str,

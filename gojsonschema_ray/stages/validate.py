@@ -883,28 +883,35 @@ class TableValidator:
                               emit_violations=False).validate_batch(batch)[0]
 
     def _violations(self, batch: pa.Table, emits: list[_Emit], n: int) -> pa.Table:
-        if not emits:
-            return VIOLATION_SCHEMA.empty_table()
-        keys_col = None
-        if self.key_column and self.key_column in batch.column_names:
-            keys_col = _as_array(batch[self.key_column])
-        key_out, kw_out, path_out, exp_out, act_out = [], [], [], [], []
-        for e in emits:
-            idx = e.row_idx
-            if keys_col is not None:
-                ks = keys_col.take(pa.array(idx, type=pa.int64())).to_pylist()
-                key_out.extend("" if k is None else str(k) for k in ks)
-            else:
-                key_out.extend(str(i) for i in idx)
-            kw_out.extend([e.keyword] * len(idx))
-            path_out.extend([e.path] * len(idx))
-            exp_out.extend([e.expected] * len(idx))
-            if isinstance(e.actual, (pa.Array, pa.ChunkedArray)):
-                act_out.extend(_render_values(_as_array(e.actual), idx))
-            elif e.actual is None:
-                act_out.extend([""] * len(idx))
-            else:
-                act_out.extend([str(a) for a in e.actual])
-        return pa.table(
-            [key_out, kw_out, path_out, exp_out, act_out], schema=VIOLATION_SCHEMA
-        )
+        return violations_table(batch, emits, n, self.key_column)
+
+
+def violations_table(batch: pa.Table, emits: list[_Emit], n: int,
+                     key_column: str | None) -> pa.Table:
+    """Assemble the standard violations table from emit fragments — shared by
+    TableValidator and the JSON struct-decode validator."""
+    if not emits:
+        return VIOLATION_SCHEMA.empty_table()
+    keys_col = None
+    if key_column and key_column in batch.column_names:
+        keys_col = _as_array(batch[key_column])
+    key_out, kw_out, path_out, exp_out, act_out = [], [], [], [], []
+    for e in emits:
+        idx = e.row_idx
+        if keys_col is not None:
+            ks = keys_col.take(pa.array(idx, type=pa.int64())).to_pylist()
+            key_out.extend("" if k is None else str(k) for k in ks)
+        else:
+            key_out.extend(str(i) for i in idx)
+        kw_out.extend([e.keyword] * len(idx))
+        path_out.extend([e.path] * len(idx))
+        exp_out.extend([e.expected] * len(idx))
+        if isinstance(e.actual, (pa.Array, pa.ChunkedArray)):
+            act_out.extend(_render_values(_as_array(e.actual), idx))
+        elif e.actual is None:
+            act_out.extend([""] * len(idx))
+        else:
+            act_out.extend([str(a) for a in e.actual])
+    return pa.table(
+        [key_out, kw_out, path_out, exp_out, act_out], schema=VIOLATION_SCHEMA
+    )

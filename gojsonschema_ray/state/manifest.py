@@ -45,6 +45,15 @@ class Manifest:
     def is_committed(self, partition: str) -> bool:
         return partition in self._committed
 
+    def is_committed_for(self, partition: str, fragments: list[str]) -> bool:
+        """Committed AND covering exactly these fragments. A changed input
+        file list (appended files, different files_per_partition) re-chunks
+        partitions; skipping on name alone would silently leave new
+        fragments unvalidated. A mismatched partition is revalidated and
+        recommitted (the newest manifest line wins on reload)."""
+        rec = self._committed.get(partition)
+        return rec is not None and rec.get("fragments") == list(fragments)
+
     def commit(self, partition: str, fragments: list[str], rows: int,
                violations: int, extra: dict | None = None):
         rec = {"partition": partition, "fragments": fragments, "rows": rows,

@@ -131,3 +131,23 @@ def test_wide_payload_batch_sizing(ray_session):
         counts[bs] = sorted((r["key"], r["keyword"]) for r in rows)
     assert counts[None] == counts[64]
     assert len(counts[None]) > 0  # injected violations present
+
+
+def test_flagship_metadata_only_no_spurious_required(ray_session, tmp_path):
+    """with_audio=False reads no `bytes` column; the ruleset must not flag
+    every row as missing it (review regression)."""
+    from gojsonschema_ray import datagen
+    from gojsonschema_ray.pipelines.flagship import run_flagship
+    from gojsonschema_ray.util import collect_rows
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    inp = str(tmp_path / "clips")
+    datagen.write_clips_parquet(inp, 2000, audio_cap_ms=20, rows_per_file=1000)
+    out = str(tmp_path / "out")
+    s = run_flagship(inp, out, with_audio=False, files_per_partition=2)
+    viol = rd.read_parquet(str(tmp_path / "out" / "violations" / "part-000000"))
+    kws = {(r["keyword"], r["expected"]) for r in collect_rows(viol)}
+    assert ("required", "required bytes") not in kws
+    # metadata violations still present (injected enum/required/etc.)
+    assert s["violations"] > 0
