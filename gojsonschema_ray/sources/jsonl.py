@@ -127,7 +127,7 @@ class JsonStructValidator:
             return VIOLATION_SCHEMA.empty_table()
         from ..stages.validate import violations_table
 
-        return violations_table(batch, emits, n, self.key_column)
+        return violations_table(batch, emits, self.key_column)
 
 
 def validate_jsonl_column_fast(ds, tree, column: str,

@@ -173,9 +173,13 @@ class VectorEvaluator:
         if node.pass_ is not None:
             if node.pass_:
                 return VectorResult(_true(n))
-            r = VectorResult(_false(n))
-            self._emit(r, np.nonzero(np.ones(n, dtype=bool))[0], "false", path,
-                       "schema false", arr)
+            # `false` fails every PRESENT value; absent (null) slots still
+            # pass vacuously, same as every other keyword
+            present0 = _mask_to_np(pc.is_valid(arr), n)
+            r = VectorResult(~present0)
+            if present0.any():
+                self._emit(r, np.nonzero(present0)[0], "false", path,
+                           "schema false", arr)
             return r
         if node.ref_schema is not None:
             return self.eval_column(node.ref_schema, arr, path)
@@ -413,7 +417,12 @@ class VectorEvaluator:
         return mask
 
     def _multiple_of_mask(self, arr, d: Fraction, present, n) -> np.ndarray:
-        vals = arr.to_numpy(zero_copy_only=False)
+        if pa.types.is_integer(arr.type) and arr.null_count:
+            # nulls demote to_numpy to float64 (NaN), destroying exactness
+            # AND poisoning the overflow guard; nulls pass via ~present anyway
+            vals = arr.fill_null(0).to_numpy(zero_copy_only=False)
+        else:
+            vals = arr.to_numpy(zero_copy_only=False)
         if pa.types.is_integer(arr.type):
             if d.denominator == 1:
                 dv = int(d)
@@ -470,14 +479,27 @@ class VectorEvaluator:
                                f"maxItems {node.max_items}")
         flat = None
         parent = None
+        flat_nulls = None
         if node.items or node.contains is not None or node.unique_items:
             flat = _as_array(pc.list_flatten(arr))
             parent = (pc.list_parent_indices(arr).to_numpy(zero_copy_only=False)
                       if len(flat) else np.array([], dtype=np.int64))
+            flat_nulls = _mask_to_np(pc.is_null(flat), len(parent))
+
+        def _element_mask(child, sub_path):
+            """Child verdict per flattened element. eval_column treats nulls
+            as vacuous passes (absent-property semantics); LIST elements are
+            JSON null VALUES, so null slots get the child's verdict on null
+            (child.check(None) — exact generic-engine semantics)."""
+            m = self.eval_column(child, flat, sub_path).mask
+            if flat_nulls is not None and flat_nulls.any():
+                m = m.copy()
+                m[flat_nulls] = child.check(None)
+            return m
+
         if node.items and node.items_single:
             child = node.items[0]
-            cr = self.eval_column(child, flat, f"{path}[]")
-            ok = self._segment_all(cr.mask, parent, n)
+            ok = self._segment_all(_element_mask(child, f"{path}[]"), parent, n)
             mask = self._apply(result, arr, path, present, mask, ok, "items", "items")
         elif node.items:
             # tuple form: element i validates items[i]; tail validates
@@ -506,8 +528,8 @@ class VectorEvaluator:
             ok = self._unique_items_mask(arr, flat, parent, n)
             mask = self._apply(result, arr, path, present, mask, ok, "unique", "uniqueItems")
         if node.contains is not None and flat is not None:
-            cr = self.eval_column(node.contains, flat, f"{path}[]")
-            ok = self._segment_any(cr.mask, parent, n)
+            ok = self._segment_any(_element_mask(node.contains, f"{path}[]"),
+                                   parent, n)
             # empty lists fail contains
             lens_np = lens.to_numpy(zero_copy_only=False) if not isinstance(lens, np.ndarray) else lens
             lens_np = np.nan_to_num(lens_np.astype("float64"), nan=0).astype(np.int64)
@@ -568,13 +590,16 @@ class VectorEvaluator:
                 or pa.types.is_string(dt) or pa.types.is_large_string(dt)
                 or pa.types.is_boolean(dt)):
             valid_el = _mask_to_np(pc.is_valid(flat), len(parent))
-            vals = flat.to_numpy(zero_copy_only=False)
             parent_nn = parent
             if not valid_el.all():
-                # null elements sort-crash object arrays and are handled by
-                # the null_counts pass below — compare non-null elements only
-                vals = vals[valid_el]
+                # filter nulls IN ARROW first: to_numpy on an int array with
+                # nulls casts everything to float64, destroying exactness;
+                # null elements are handled by the null_counts pass below
+                flat_nn = flat.filter(pa.array(valid_el))
+                vals = flat_nn.to_numpy(zero_copy_only=False)
                 parent_nn = parent[valid_el]
+            else:
+                vals = flat.to_numpy(zero_copy_only=False)
             # a typed Arrow column has ONE element type, so values compare
             # exactly in their own dtype (no float cast: 2^53 and 2^53+1
             # must stay distinct for int64 lists)
@@ -582,10 +607,7 @@ class VectorEvaluator:
             sp, sv = parent_nn[order], vals[order]
             if len(sp):
                 same_as_prev = np.zeros(len(sp), dtype=bool)
-                if pa.types.is_string(dt) or pa.types.is_large_string(dt):
-                    same_as_prev[1:] = (sp[1:] == sp[:-1]) & (sv[1:] == sv[:-1])
-                else:
-                    same_as_prev[1:] = (sp[1:] == sp[:-1]) & (sv[1:] == sv[:-1])
+                same_as_prev[1:] = (sp[1:] == sp[:-1]) & (sv[1:] == sv[:-1])
                 dup_parents = np.unique(sp[same_as_prev])
                 ok[dup_parents] = False
             # nulls inside lists: a null elem equals another null elem
@@ -611,8 +633,13 @@ class VectorEvaluator:
         return ok
 
     def _struct_checks(self, node, arr, path, present, mask, result, n):
+        """Object keywords on a nested struct column: a field is a property,
+        a NULL field is ABSENT (validation.go:592-705 over Arrow structs)."""
+        fields = [f.name for f in arr.type]
+        prop_names = {p.property for p in node.properties}
+
         for req in node.required:
-            if req in [f.name for f in arr.type]:
+            if req in fields:
                 fok = _mask_to_np(pc.is_valid(pc.struct_field(arr, req)), n)
             else:
                 fok = _false(n)
@@ -620,12 +647,78 @@ class VectorEvaluator:
                                f"required {req}")
         for p_schema in node.properties:
             name = p_schema.property
-            if name not in [f.name for f in arr.type]:
+            if name not in fields:
                 continue
             sub = pc.struct_field(arr, name)
             sr = self.eval_column(p_schema, sub, f"{path}.{name}")
             mask &= ~present | sr.mask
             result.emits.extend(sr.emits)
+        # patternProperties against field names
+        for _, (rx, sub_schema) in node.pattern_properties.items():
+            for name in fields:
+                if rx.search(name):
+                    sr = self.eval_column(sub_schema, pc.struct_field(arr, name),
+                                          f"{path}.{name}")
+                    mask &= ~present | sr.mask
+                    result.emits.extend(sr.emits)
+        # additionalProperties over the fixed field set
+        if node.additional_properties is not None:
+            for name in fields:
+                if name in prop_names:
+                    continue
+                if any(rx.search(name)
+                       for rx, _ in node.pattern_properties.values()):
+                    continue
+                fcol = pc.struct_field(arr, name)
+                if node.additional_properties is False:
+                    ok = ~_mask_to_np(pc.is_valid(fcol), n)
+                    mask = self._apply(result, arr, path, present, mask, ok,
+                                       "additional_property_not_allowed",
+                                       f"property {name} not allowed")
+                elif isinstance(node.additional_properties, CompiledSchema):
+                    sr = self.eval_column(node.additional_properties, fcol,
+                                          f"{path}.{name}")
+                    mask &= ~present | sr.mask
+                    result.emits.extend(sr.emits)
+        # propertyNames over field names (fields with a present value count)
+        if node.property_names is not None:
+            for name in fields:
+                if not node.property_names.check(name):
+                    ok = ~_mask_to_np(pc.is_valid(pc.struct_field(arr, name)), n)
+                    mask = self._apply(result, arr, path, present, mask, ok,
+                                       "invalid_property_name",
+                                       f"propertyNames {name}")
+        # min/maxProperties: per-row count of present fields
+        if node.min_properties is not None or node.max_properties is not None:
+            cnt = np.zeros(n, dtype=np.int32)
+            for name in fields:
+                cnt += _mask_to_np(pc.is_valid(pc.struct_field(arr, name)), n) \
+                    .astype(np.int32)
+            if node.min_properties is not None:
+                mask = self._apply(result, arr, path, present, mask,
+                                   cnt >= node.min_properties,
+                                   "array_min_properties",
+                                   f"minProperties {node.min_properties}")
+            if node.max_properties is not None:
+                mask = self._apply(result, arr, path, present, mask,
+                                   cnt <= node.max_properties,
+                                   "array_max_properties",
+                                   f"maxProperties {node.max_properties}")
+        # dependencies (property and schema form)
+        for key, dep in node.dependencies.items():
+            if key not in fields:
+                continue
+            key_present = _mask_to_np(pc.is_valid(pc.struct_field(arr, key)), n)
+            if isinstance(dep, list):
+                need = _true(n)
+                for d in dep:
+                    need &= (_mask_to_np(pc.is_valid(pc.struct_field(arr, d)), n)
+                             if d in fields else _false(n))
+                ok = ~key_present | need
+            else:
+                ok = ~key_present | self.eval_column(dep, arr, path).mask
+            mask = self._apply(result, arr, path, present, mask, ok,
+                               "missing_dependency", f"dependency {key}")
         return mask
 
     # ------------------------------------------------------------------
@@ -674,13 +767,17 @@ class TableValidator:
         tree = compile_schema(ruleset)           # once, on the driver
         tv = TableValidator(tree, key_column="clip_id")
         ds.map_batches(tv, batch_format="pyarrow")   # stateless tasks
-    or as an actor pool: map_batches(TableValidator.remote_factory(...), ...).
+    (or wrap in an actor-pool payload class when heavier per-actor state
+    rides along — see pipelines.flagship.CombinedClipChecker).
     """
 
     def __init__(self, tree: CompiledSchema, key_column: str | None = None,
                  emit_violations: bool = True, mode: str = "verdict"):
-        if tree.pass_ is None and tree.ref_schema is None and tree.types is not None \
-                and TYPE_OBJECT not in tree.types:
+        node = tree
+        while node.ref_schema is not None:  # a $ref root must deref first
+            node = node.ref_schema
+        if node.pass_ is None and node.types is not None \
+                and TYPE_OBJECT not in node.types:
             raise ValueError("root schema must allow objects for table validation")
         self.tree = tree
         self.key_column = key_column
@@ -883,10 +980,10 @@ class TableValidator:
                               emit_violations=False).validate_batch(batch)[0]
 
     def _violations(self, batch: pa.Table, emits: list[_Emit], n: int) -> pa.Table:
-        return violations_table(batch, emits, n, self.key_column)
+        return violations_table(batch, emits, self.key_column)
 
 
-def violations_table(batch: pa.Table, emits: list[_Emit], n: int,
+def violations_table(batch: pa.Table, emits: list[_Emit],
                      key_column: str | None) -> pa.Table:
     """Assemble the standard violations table from emit fragments — shared by
     TableValidator and the JSON struct-decode validator."""

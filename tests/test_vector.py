@@ -235,3 +235,85 @@ def test_multipleof_large_int_no_overflow():
     batch = pa.table({"x": pa.array([v], type=pa.int64())})
     mask, _ = tv.validate_batch(batch)
     assert mask.tolist() == [True]
+
+
+def test_false_subschema_absent_passes():
+    """{"properties": {"bar": false}}: rows WITHOUT bar are valid (absent
+    property never meets the false schema); rows with bar fail."""
+    tree = compile_schema({"type": "object", "properties": {"bar": False}},
+                          draft=6)
+    mask, _ = TableValidator(tree, emit_violations=False).validate_batch(
+        pa.table({"bar": pa.array([None, "x"], type=pa.string())}))
+    assert mask.tolist() == [True, False]
+
+
+def test_uniqueitems_nulls_keep_int_exactness():
+    """A null element must not demote int64 lists to float64 (2^53 collision)."""
+    tree = compile_schema({"type": "object",
+                           "properties": {"l": {"uniqueItems": True}}})
+    big = 9007199254740992
+    batch = pa.table({"l": pa.array([[big, big + 1, None]],
+                                    type=pa.list_(pa.int64()))})
+    mask, _ = TableValidator(tree, emit_violations=False).validate_batch(batch)
+    assert mask.tolist() == [True]
+
+
+def test_nested_struct_object_keywords():
+    """additionalProperties / min-maxProperties / dependencies apply inside
+    struct columns, not just at the table root."""
+    tree = compile_schema({
+        "type": "object",
+        "properties": {"o": {
+            "type": "object",
+            "properties": {"a": {"type": "integer"}},
+            "additionalProperties": False,
+        }},
+    })
+    batch = pa.table({"o": pa.array(
+        [{"a": 1, "extra": None}, {"a": 2, "extra": "boom"}],
+        type=pa.struct([("a", pa.int64()), ("extra", pa.string())]))})
+    mask, viol = TableValidator(tree).validate_batch(batch)
+    assert mask.tolist() == [True, False]
+    assert "additional_property_not_allowed" in set(viol["keyword"].to_pylist())
+
+    tree2 = compile_schema({
+        "type": "object",
+        "properties": {"o": {"type": "object", "minProperties": 2}},
+    })
+    batch2 = pa.table({"o": pa.array(
+        [{"a": 1, "b": None}, {"a": 1, "b": 2}],
+        type=pa.struct([("a", pa.int64()), ("b", pa.int64())]))})
+    mask2, _ = TableValidator(tree2, emit_violations=False).validate_batch(batch2)
+    assert mask2.tolist() == [False, True]
+
+
+def test_null_list_elements_are_json_nulls():
+    """contains/items see null ELEMENTS as JSON null values, not absences."""
+    tree = compile_schema({"type": "object",
+                           "properties": {"l": {"contains": {"type": "string"}}}})
+    batch = pa.table({"l": pa.array([[None], ["ok"]], type=pa.list_(pa.string()))})
+    mask, _ = TableValidator(tree, emit_violations=False).validate_batch(batch)
+    assert mask.tolist() == [False, True]
+
+    tree2 = compile_schema({"type": "object",
+                            "properties": {"l": {"items": {"type": "string"}}}})
+    mask2, _ = TableValidator(tree2, emit_violations=False).validate_batch(batch)
+    assert mask2.tolist() == [False, True]
+
+
+def test_multipleof_int_column_with_nulls():
+    """Nulls in an int64 column must not float-demote exact multipleOf."""
+    tree = compile_schema({"type": "object",
+                           "properties": {"x": {"multipleOf": 2}}})
+    big_odd = 9007199254740993  # 2^53 + 1, rounds even in float64
+    batch = pa.table({"x": pa.array([big_odd, None], type=pa.int64())})
+    mask, _ = TableValidator(tree, emit_violations=False).validate_batch(batch)
+    assert mask.tolist() == [False, True]
+
+
+def test_ref_root_non_object_rejected():
+    """A $ref root to a non-object schema is rejected like the direct form."""
+    tree = compile_schema({"definitions": {"s": {"type": "string"}},
+                           "$ref": "#/definitions/s"})
+    with pytest.raises(ValueError):
+        TableValidator(tree)
