@@ -501,23 +501,47 @@ def q_quality_by_source(sf_dir: str) -> pd.DataFrame:
 # ---- non-SQL-expressible (rows-only checks) -------------------------------
 
 def q_minhash_near_dups(sf_dir: str) -> pd.DataFrame:
+    """MinHash LSH candidates + distributed exact-Jaccard verify. At 16 bands
+    × 8 rows a pair at jaccard j collides with prob 1-(1-j^8)^16 (≈1 for
+    j≥0.9); the documents table's injected near-dups all sit ≥0.92, so the
+    result equals the exact shingle-join oracle."""
     from gojsonschema_ray.stages.dedup import minhash_near_duplicates
+    from gojsonschema_ray.util import collect_rows
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     pairs = minhash_near_duplicates(ds, "text", "doc_id", threshold=0.5,
                                     concurrency=2)
-    return pd.DataFrame(pairs, columns=["id_a", "id_b", "jaccard"])
+    rows = collect_rows(pairs)
+    df = pd.DataFrame({
+        "id_a": pd.Series([r["id_a"] for r in rows], dtype="int64"),
+        "id_b": pd.Series([r["id_b"] for r in rows], dtype="int64"),
+        "jaccard": pd.Series([round(r["jaccard"], 6) for r in rows],
+                             dtype="float64"),
+    })
+    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 def q_simhash_near_dups(sf_dir: str) -> pd.DataFrame:
     from gojsonschema_ray.stages.dedup import simhash_near_duplicates
+    from gojsonschema_ray.util import collect_rows
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    rows = simhash_near_duplicates(ds, "text", "doc_id", max_hamming=8)
-    return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
+    rows = collect_rows(simhash_near_duplicates(ds, "text", "doc_id",
+                                                max_hamming=8))
+    df = pd.DataFrame({
+        "id_a": pd.Series([r["id_a"] for r in rows], dtype="int64"),
+        "id_b": pd.Series([r["id_b"] for r in rows], dtype="int64"),
+        "hamming": pd.Series([r["hamming"] for r in rows], dtype="int32"),
+    })
+    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 def q_embedding_near_dups(sf_dir: str) -> pd.DataFrame:
+    """Hyperplane-LSH cosine near-dups, oracle-checked against an exact
+    self-join: the driver's sf0.01 embeddings have max pairwise cosine ~0.51,
+    so 0.9-near-dups is exactly the empty set on BOTH sides (the oracle
+    verifies the engine invents no false positives; recall on injected dups
+    is covered by tests/test_functions.py::test_embedding_near_dup)."""
     from gojsonschema_ray.stages.dedup import embedding_near_duplicates
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -528,27 +552,43 @@ def q_embedding_near_dups(sf_dir: str) -> pd.DataFrame:
         df = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                            "id_b": pd.Series([], dtype="int64"),
                            "cosine": pd.Series([], dtype="float64")})
-    return df
+    df["cosine"] = df["cosine"].round(6)
+    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 def q_ivf_top5(sf_dir: str) -> pd.DataFrame:
+    """IVF index exercised in exact mode (nprobe = all 16 lists ⇒ identical
+    to brute force), so the DuckDB top-5 oracle is a hard check; approximate
+    nprobe<lists recall is covered by tests/test_functions.py."""
     from gojsonschema_ray.stages.similarity import IVFIndex
+    from gojsonschema_ray.util import collect_rows
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    rows = ds.limit(1).take_all()
-    q0 = np.asarray(rows[0]["embedding"], dtype=np.float64)[None, :]
+    hits = collect_rows(ds.map_batches(
+        lambda t: t.filter(pc.equal(t["vec_id"], 0)), batch_format="pyarrow"))
+    q0 = np.asarray(hits[0]["embedding"], dtype=np.float64)[None, :]
     idx = IVFIndex.train(ds, "embedding", n_centroids=16, iters=5)
-    df = idx.search(ds, "embedding", "vec_id", q0, k=5, nprobe=4)
+    df = idx.search(ds, "embedding", "vec_id", q0, k=5, nprobe=16)
     df["cosine"] = df["cosine"].round(6)
-    return df[["vec_id", "cosine"]]
+    return df[["vec_id", "cosine"]].reset_index(drop=True)
 
 
 def q_sketch_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Streaming sketch pass over two columns; the EXACT sketch fields
+    (count/nulls/min/max/mean — associative partials, no approximation) are
+    emitted for the DuckDB oracle. Approximate fields (HLL distinct, t-digest
+    quantiles) are accuracy-tested in tests/test_stages.py instead."""
     from gojsonschema_ray.stages.sketches import column_stats
 
     ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
     stats = column_stats(ds, ["l_quantity", "l_extendedprice"])
-    return pd.DataFrame([stats["l_quantity"], stats["l_extendedprice"]])
+    rows = []
+    for c in ("l_quantity", "l_extendedprice"):
+        s = stats[c]
+        rows.append({"column": c, "cnt": int(s["count"]), "nulls": int(s["nulls"]),
+                     "min_v": round(s["min"], 6), "max_v": round(s["max"], 6),
+                     "mean_v": round(s["mean"], 6)})
+    return pd.DataFrame(rows)
 
 
 def q_drift_events(sf_dir: str) -> pd.DataFrame:
@@ -575,6 +615,9 @@ def q_drift_events(sf_dir: str) -> pd.DataFrame:
 
 
 def q_langid_documents(sf_dir: str):
+    """Language-ID counts; the stopword-argmax heuristic is replicated
+    exactly in the DuckDB oracle (CJK class, first-200-token slice, strict-
+    improvement tie order en>de>es>fr)."""
     from gojsonschema_ray.functions.text import TextStatsStage
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -588,8 +631,9 @@ def q_langid_documents(sf_dir: str):
             batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
         for lang, c in zip(b["lang_pred"].to_pylist(), b["cnt"].to_pylist()):
             counts[lang] = counts.get(lang, 0) + c
-    return pd.DataFrame({"lang_pred": list(counts),
-                         "count()": pd.Series(list(counts.values()), dtype="int64")})
+    df = pd.DataFrame({"lang_pred": list(counts),
+                       "n": pd.Series(list(counts.values()), dtype="int64")})
+    return df.sort_values("lang_pred").reset_index(drop=True)
 
 
 def q_flagship_clips(sf_dir: str) -> pd.DataFrame:
@@ -653,14 +697,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_top5": q_ann_top5,
         "events_props_json": q_events_props_json,
         "quality_by_source": q_quality_by_source,
-        # non-SQL-expressible: rows-only checks
         "minhash_near_dups": q_minhash_near_dups,
-        "simhash_near_dups": q_simhash_near_dups,
         "embedding_near_dups": q_embedding_near_dups,
         "ivf_top5": q_ivf_top5,
         "sketch_lineitem": q_sketch_lineitem,
-        "drift_events": q_drift_events,
         "langid_documents": q_langid_documents,
+        # rows-only checks (SimHash needs hash-identical tokenized signatures,
+        # drift uses t-digest-derived bin edges, flagship decodes audio —
+        # none SQL-expressible)
+        "simhash_near_dups": q_simhash_near_dups,
+        "drift_events": q_drift_events,
         "flagship_clips": q_flagship_clips,
     }
 
@@ -798,5 +844,80 @@ def oracle_sql() -> dict[str, str]:
         "quality_by_source": (
             "SELECT source, round(avg(n_chars), 6) AS avg_chars "
             "FROM documents GROUP BY source"
+        ),
+        # exact shingle self-join: every pair with 5-gram Jaccard >= 0.5.
+        # The engine's 16x8 MinHash banding finds a pair at jaccard j with
+        # prob 1-(1-j^8)^16; the documents table's near-dups all sit >= 0.92
+        # (collide prob > 0.9999), so engine == oracle here.
+        "minhash_near_dups": (
+            "WITH grams AS (SELECT DISTINCT doc_id, "
+            "unnest(list_transform(generate_series(1, length(text) - 4), "
+            "i -> substr(text, i, 5))) AS gram FROM documents"
+            "), sizes AS (SELECT doc_id, count(*) AS c FROM grams GROUP BY doc_id"
+            "), inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i "
+            "FROM grams a JOIN grams b ON a.gram = b.gram "
+            "AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT ia AS id_a, ib AS id_b, "
+            "round(i * 1.0 / (s1.c + s2.c - i), 6) AS jaccard "
+            "FROM inter JOIN sizes s1 ON s1.doc_id = ia "
+            "JOIN sizes s2 ON s2.doc_id = ib "
+            "WHERE i * 1.0 / (s1.c + s2.c - i) >= 0.5"
+        ),
+        # exact cosine self-join >= 0.9 (empty at sf0.01 — max pairwise
+        # cosine ~0.51 — so this checks the LSH invents no false positives)
+        "embedding_near_dups": (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+            "FROM embeddings) "
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "round(list_cosine_similarity(a.v, b.v), 6) AS cosine "
+            "FROM e a JOIN e b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.v, b.v) >= 0.9"
+        ),
+        # IVF probed with ALL lists is exact, so brute-force top-5 is a hard
+        # oracle
+        "ivf_top5": (
+            "SELECT e.vec_id, round(list_cosine_similarity("
+            "CAST(e.embedding AS DOUBLE[]), "
+            "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)"
+            "), 6) AS cosine FROM embeddings e ORDER BY cosine DESC, e.vec_id LIMIT 5"
+        ),
+        "sketch_lineitem": (
+            "SELECT 'l_quantity' AS column, count(*) AS cnt, "
+            "count(*) FILTER (WHERE l_quantity IS NULL) AS nulls, "
+            "round(min(l_quantity), 6) AS min_v, round(max(l_quantity), 6) AS max_v, "
+            "round(avg(l_quantity), 6) AS mean_v FROM lineitem "
+            "UNION ALL "
+            "SELECT 'l_extendedprice', count(*), "
+            "count(*) FILTER (WHERE l_extendedprice IS NULL), "
+            "round(min(l_extendedprice), 6), round(max(l_extendedprice), 6), "
+            "round(avg(l_extendedprice), 6) FROM lineitem"
+        ),
+        # exact SQL replica of functions/text.py lang_id: CJK class -> zh;
+        # else stopword-hit argmax over the first 200 \s+ tokens (lowercased),
+        # strict-improvement tie order en>de>es>fr, all-zero -> und
+        "langid_documents": (
+            "WITH s AS (SELECT "
+            "CASE WHEN text IS NULL OR trim(text) = '' THEN NULL ELSE "
+            "list_transform(list_slice(string_split_regex(trim(text), '\\s+'), "
+            "1, 200), x -> lower(x)) END AS toks, "
+            "COALESCE(regexp_matches(text, "
+            "'[\\x{4e00}-\\x{9fff}\\x{3040}-\\x{30ff}]'), FALSE) AS cjk "
+            "FROM documents), sc AS (SELECT cjk, "
+            "COALESCE(len(list_filter(toks, x -> list_contains("
+            "['the','a','and','of','to','in','is','it','that','for'], x))), 0) AS s_en, "
+            "COALESCE(len(list_filter(toks, x -> list_contains("
+            "['der','die','das','und','ist','nicht','ein','mit','zu','auf'], x))), 0) AS s_de, "
+            "COALESCE(len(list_filter(toks, x -> list_contains("
+            "['el','la','los','las','y','es','en','que','de','un'], x))), 0) AS s_es, "
+            "COALESCE(len(list_filter(toks, x -> list_contains("
+            "['le','la','les','et','est','en','que','de','un','une'], x))), 0) AS s_fr "
+            "FROM s) "
+            "SELECT lang_pred, count(*) AS n FROM (SELECT "
+            "CASE WHEN cjk THEN 'zh' "
+            "WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0 THEN 'und' "
+            "WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en' "
+            "WHEN s_de >= s_es AND s_de >= s_fr THEN 'de' "
+            "WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS lang_pred FROM sc) "
+            "GROUP BY lang_pred"
         ),
     }

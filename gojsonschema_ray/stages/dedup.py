@@ -19,14 +19,26 @@ vectorized numpy; group-bys exchange fixed-width keys, never documents.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..util import collect_rows, list_column_to_matrix
+from ..util import list_column_to_matrix
+
+_LOG = logging.getLogger(__name__)
 
 _MERSENNE = np.uint64((1 << 61) - 1)
+
+#: Buckets larger than this emit STAR pairs (every member vs the bucket's min
+#: id) instead of all-pairs — O(g) rows instead of O(g²). One degenerate LSH
+#: bucket (e.g. a million identical docs) would otherwise expand to ~5·10¹¹
+#: pairs. Star keeps full dedup coverage (every member is compared to one
+#: representative, so connected-component grouping still links the bucket)
+#: and the fallback is LOGGED, never silent.
+DEFAULT_BUCKET_CAP = 512
 
 
 def _hash_strings(values) -> np.ndarray:
@@ -144,6 +156,13 @@ class MinHashLSHStage:
         self.hasher = MinHasher(num_perm, seed)
         self.perm_chunk = perm_chunk  # bounds the (chunk × n_shingles) temp
 
+    #: grams per compute slice — bounds the (perm_chunk × slice) uint64
+    #: temporary to ~32 MB. Large fresh allocations are pathologically slow
+    #: on first touch in VM environments (measured here: a one-shot 215 MB
+    #: temp cost ~50 s of page faults vs ~1 s warm), so the permute buffer is
+    #: preallocated once and reused across slices and perm chunks.
+    GRAM_SLICE = 1 << 17
+
     def signatures(self, texts: list) -> np.ndarray:
         """(n_docs, num_perm) uint64 signature matrix for a list of texts."""
         k = self.shingle_k
@@ -160,15 +179,39 @@ class MinHashLSHStage:
         if not grams:
             return sigs
         h = _hash_strings(grams)
-        starts = seg[:-1]
         nonempty = np.diff(seg) > 0
-        starts_ne = starts[nonempty]
-        for p0 in range(0, P, self.perm_chunk):
-            a = self.hasher.a[p0:p0 + self.perm_chunk]
-            b = self.hasher.b[p0:p0 + self.perm_chunk]
-            vals = (a[:, None] * h[None, :] + b[:, None]) % _MERSENNE
-            red = np.minimum.reduceat(vals, starts_ne, axis=1)  # (chunk, n_ne)
-            sigs[nonempty, p0:p0 + len(a)] = red.T
+        doc_idx = np.nonzero(nonempty)[0]
+        starts_ne = seg[:-1][nonempty]
+        ends_ne = seg[1:][nonempty]
+        # slice boundaries on whole-doc granularity (a doc longer than the
+        # slice budget gets its own slice)
+        cuts = [0]
+        acc = 0
+        for d in range(len(doc_idx)):
+            glen = int(ends_ne[d] - starts_ne[d])
+            if acc and acc + glen > self.GRAM_SLICE:
+                cuts.append(d)
+                acc = 0
+            acc += glen
+        cuts.append(len(doc_idx))
+        buf = None
+        for s0, s1 in zip(cuts[:-1], cuts[1:]):
+            g0, g1 = int(starts_ne[s0]), int(ends_ne[s1 - 1])
+            hs = h[g0:g1]
+            m = len(hs)
+            if buf is None or buf.shape[1] < m:
+                buf = np.empty((self.perm_chunk, m), dtype=np.uint64)
+            rel_starts = starts_ne[s0:s1] - g0
+            rows = doc_idx[s0:s1]
+            for p0 in range(0, P, self.perm_chunk):
+                a = self.hasher.a[p0:p0 + self.perm_chunk]
+                b = self.hasher.b[p0:p0 + self.perm_chunk]
+                w = buf[:len(a), :m]
+                np.multiply(a[:, None], hs[None, :], out=w)
+                np.add(w, b[:, None], out=w)
+                np.mod(w, _MERSENNE, out=w)
+                red = np.minimum.reduceat(w, rel_starts, axis=1)
+                sigs[rows, p0:p0 + len(a)] = red.T
         return sigs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -200,17 +243,24 @@ class MinHashLSHStage:
         return pa.table({"key": pa.array(key), self.id_column: id_rep})
 
 
-def _pairs_from_groups(group: pd.DataFrame, id_column: str) -> pd.DataFrame:
+def _pairs_from_groups(group: pd.DataFrame, id_column: str,
+                       cap: int = DEFAULT_BUCKET_CAP) -> pd.DataFrame:
+    """Vectorized within-bucket pair expansion (np.triu_indices); buckets over
+    `cap` fall back to star pairs against the min id (see DEFAULT_BUCKET_CAP)."""
     dt = group[id_column].dtype
-    ids = sorted(set(group[id_column].tolist()))
-    if len(ids) < 2:
+    ids = np.unique(np.asarray(group[id_column].to_numpy()))  # sorted unique
+    n = len(ids)
+    if n < 2:
         return pd.DataFrame({"id_a": pd.Series([], dtype=dt),
                              "id_b": pd.Series([], dtype=dt)})
-    a, b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
+    if n > cap:
+        _LOG.warning("LSH bucket of %d ids exceeds cap %d: emitting %d star "
+                     "pairs (min-id representative) instead of %d all-pairs",
+                     n, cap, n - 1, n * (n - 1) // 2)
+        a, b = np.broadcast_to(ids[0], n - 1).copy(), ids[1:]
+    else:
+        iu, ju = np.triu_indices(n, k=1)
+        a, b = ids[iu], ids[ju]
     return pd.DataFrame({"id_a": pd.Series(a, dtype=dt),
                          "id_b": pd.Series(b, dtype=dt)})
 
@@ -271,6 +321,39 @@ def pairs_by_partition(sig_ds, bucket_fn, n_parts: int | None = None):
     return parts.groupby("part").map_groups(per_partition, batch_format="pandas")
 
 
+def _pair_hash(t: pa.Table) -> np.ndarray:
+    """uint64 hash of the (id_a, id_b) pair columns."""
+    from .sketches import hash_arrow_array
+
+    return (hash_arrow_array(t["id_a"]) * np.uint64(0x9E3779B97F4A7C15)) \
+        ^ hash_arrow_array(t["id_b"])
+
+
+def unique_pairs(pairs_ds, n_parts: int | None = None):
+    """Deduplicate (id_a, id_b) pair rows found in several bands/tables.
+
+    Ray's sort-based groupby has a high fixed cost over many distinct keys
+    (measured here: 205 s for 480 k rows / 30 k pair keys), so this uses the
+    engine's coarse-partition pattern instead: hash the pair to ~#CPU
+    partitions, ONE repartition exchange, vectorized pandas drop_duplicates
+    per partition (~1 s for the same input). Extra columns (jaccard, hamming,
+    cosine) are carried through — duplicate rows of one pair carry identical
+    values, so keeping the first is exact."""
+    P = _next_pow2(n_parts or _shuffle_parts())
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = (_pair_hash(t) % np.uint64(P)).astype(np.int32)
+        return t.append_column("part", pa.array(part))
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=["id_a", "id_b"]) \
+            .drop(columns=["part"])
+
+    parts = pairs_ds.map_batches(add_part, batch_format="pyarrow") \
+        .repartition(P).materialize()
+    return parts.groupby("part").map_groups(per_part, batch_format="pandas")
+
+
 def hot_bucket_keys(sig_ds, key: str = "key") -> pa.Array:
     """Keys of buckets with ≥2 members — the pigeonhole prefilter.
 
@@ -298,7 +381,8 @@ def hot_bucket_keys(sig_ds, key: str = "key") -> pa.Array:
 def minhash_candidate_pairs(ds, text_column: str, id_column: str,
                             num_perm: int = 128, bands: int = 16,
                             shingle_k: int = 5, concurrency: int = 4,
-                            dedup_pairs: bool = True):
+                            dedup_pairs: bool = True,
+                            bucket_cap: int = DEFAULT_BUCKET_CAP):
     """Candidate near-dup id pairs from LSH buckets.
 
     Scale shape: the signature stage emits one fixed-width (key, id) row per
@@ -318,12 +402,12 @@ def minhash_candidate_pairs(ds, text_column: str, id_column: str,
                             num_perm=num_perm, bands=bands,
                             shingle_k=shingle_k)
     sigs = ds.map_batches(stage, batch_format="pyarrow")
-    pairs = pairs_by_partition(sigs, lambda g: _pairs_from_groups(g, id_column))
+    pairs = pairs_by_partition(
+        sigs, lambda g: _pairs_from_groups(g, id_column, cap=bucket_cap))
     if not dedup_pairs:
         return pairs
-    # dedup pairs discovered in multiple bands (small: pairs only;
-    # materialized so the dedup shuffle doesn't re-run the pair shuffle)
-    return pairs.repartition(8).materialize().groupby(["id_a", "id_b"]).count()
+    # dedup pairs discovered in multiple bands (fixed-width pair rows only)
+    return unique_pairs(pairs)
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
@@ -335,43 +419,172 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     return inter / union if union else 0.0
 
 
+def _candidate_id_bloom(pairs_ds, n_pairs: int, fp_rate: float = 1e-3):
+    """Fixed-size Bloom filter over candidate-pair doc ids.
+
+    The pair ids stream through the driver once to OR into the bitmap —
+    O(bitmap) driver memory regardless of candidate density (the bitmap is
+    sized from the pair count, ~1.8 KB per 1k ids at 0.1% fp). A false
+    positive only lets a stray non-candidate text ride the shuffle; it can
+    never drop a candidate. Ids are hashed in their ORIGINAL dtype (same
+    caveat as integrity.build_key_set): probe-side hashing must see the same
+    dtype."""
+    from .sketches import hash_arrow_array
+
+    from .integrity import BloomFilter
+
+    bloom = BloomFilter(capacity=max(1024, 2 * n_pairs), fp_rate=fp_rate)
+    for b in pairs_ds.iter_batches(batch_format="pyarrow"):
+        for col in ("id_a", "id_b"):
+            bloom.add_hashes(hash_arrow_array(b[col]))
+    return bloom
+
+
+def _pair_texts(ds, pairs_ds, text_column: str, id_column: str,
+                n_parts: int | None = None):
+    """Distributed text fetch for candidate pairs — NO driver text/pair
+    materialization (the round-1 `id2text` driver dict was the 100 TB
+    blocker).
+
+    1. broadcast a Bloom of candidate ids (`ray.put` once) and filter the
+       corpus to (likely-)candidate texts inside map_batches;
+    2. co-partition filtered texts with pair SIDE rows (two per pair) on
+       hash(doc_id) — ONE keyed shuffle in which candidate texts ride once —
+       and attach each side's text in a per-partition dict join.
+
+    Returns a Dataset of (id_a, id_b, jid, text): two rows per surviving
+    pair, one per side."""
+    import ray
+
+    from .sketches import hash_arrow_array
+
+    P = _next_pow2(n_parts or _shuffle_parts())
+    n_pairs = pairs_ds.count()
+    bloom_ref = ray.put(_candidate_id_bloom(pairs_ds, n_pairs))
+
+    def text_rows(t: pa.Table) -> pa.Table:
+        bloom = ray.get(bloom_ref)
+        ids = t[id_column]
+        keep = np.nonzero(bloom.contains_hashes(hash_arrow_array(ids)))[0]
+        idx = pa.array(keep, type=pa.int64())
+        ids_k = ids.take(idx)
+        part = (hash_arrow_array(ids_k) % np.uint64(P)).astype(np.int32)
+        # kind=0 text row: id_a/id_b carry jid so every column stays non-null
+        # (nullable int ids would round-trip through pandas as float64 and
+        # lose precision above 2^53)
+        return pa.table({
+            "part": pa.array(part),
+            "kind": pa.array(np.zeros(len(keep), dtype=np.int8)),
+            "jid": ids_k,
+            "id_a": ids_k,
+            "id_b": ids_k,
+            "text": t[text_column].take(idx),
+        })
+
+    def side_rows(t: pa.Table) -> pa.Table:
+        jid = pa.concat_arrays([
+            c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+            for c in (t["id_a"], t["id_b"])])
+        n = t.num_rows
+        idx = pa.array(np.concatenate([np.arange(n)] * 2), type=pa.int64())
+        id_a = t["id_a"].take(idx)
+        id_b = t["id_b"].take(idx)
+        part = (hash_arrow_array(jid) % np.uint64(P)).astype(np.int32)
+        return pa.table({
+            "part": pa.array(part),
+            "kind": pa.array(np.ones(2 * n, dtype=np.int8)),
+            "jid": jid,
+            "id_a": id_a,
+            "id_b": id_b,
+            "text": pa.nulls(2 * n, pa.string()),
+        })
+
+    texts = ds.map_batches(text_rows, batch_format="pyarrow")
+    sides = pairs_ds.map_batches(side_rows, batch_format="pyarrow")
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        is_text = df["kind"].to_numpy() == 0
+        lookup = dict(zip(df.loc[is_text, "jid"], df.loc[is_text, "text"]))
+        s = df[~is_text]
+        return pd.DataFrame({
+            "id_a": s["id_a"].to_numpy(),
+            "id_b": s["id_b"].to_numpy(),
+            "jid": s["jid"].to_numpy(),
+            "text": pd.Series(s["jid"].map(lookup).to_numpy(), dtype="object"),
+        })
+
+    u = texts.union(sides).repartition(P).materialize()
+    return u.groupby("part").map_groups(attach, batch_format="pandas")
+
+
 def minhash_near_duplicates(ds, text_column: str, id_column: str, *,
                             threshold: float = 0.7, num_perm: int = 128,
                             bands: int = 16, shingle_k: int = 5,
-                            concurrency: int = 4):
-    """Full near-dup pipeline: LSH candidates → exact Jaccard verify.
+                            concurrency: int = 4,
+                            bucket_cap: int = DEFAULT_BUCKET_CAP):
+    """Full near-dup pipeline: LSH candidates → distributed exact Jaccard
+    verify. Returns a Dataset of (id_a, id_b, jaccard) pairs ≥ threshold.
 
-    The verify joins text back by broadcasting candidate ids (candidates are
-    sparse — a tiny fraction of the corpus) and filtering the corpus with
-    `pc.is_in`; pairs then verify in a small driver-side pass. For dense
-    candidate sets switch the verify to a bucketed map_groups join."""
-    import ray
+    Scale shape (no driver materialization anywhere):
+    1. signature + banding: ONE fixed-width keyed shuffle (see
+       minhash_candidate_pairs);
+    2. pair dedup across bands: small (id_a, id_b)-keyed groupby;
+    3. text fetch: Bloom-broadcast corpus filter + ONE hash(doc_id)
+       co-partition shuffle (_pair_texts) — only candidate texts move;
+    4. verify: ONE hash(pair) shuffle of (pair, side, text) rows, Jaccard
+       computed per pair inside map_groups, thresholded there."""
+    import ray.data as rd
 
     cand = minhash_candidate_pairs(ds, text_column, id_column,
                                    num_perm=num_perm, bands=bands,
                                    shingle_k=shingle_k, concurrency=concurrency,
-                                   dedup_pairs=False)
-    pair_rows = [] if cand is None else list(
-        {(r["id_a"], r["id_b"]) for r in collect_rows(cand)})
-    pair_rows = [{"id_a": a, "id_b": b} for a, b in sorted(pair_rows)]
-    if not pair_rows:
-        return []
-    needed = sorted({r["id_a"] for r in pair_rows} | {r["id_b"] for r in pair_rows})
-    needed_arr = pa.array(needed)
-    texts_ds = ds.map_batches(
-        lambda t: t.select([id_column, text_column]).filter(
-            pc.is_in(t[id_column], value_set=needed_arr)),
-        batch_format="pyarrow",
-    )
-    id2text = {}
-    for b in texts_ds.iter_batches(batch_format="pyarrow"):
-        id2text.update(zip(b[id_column].to_pylist(), b[text_column].to_pylist()))
-    out = []
-    for r in pair_rows:
-        j = ngram_jaccard(id2text.get(r["id_a"]), id2text.get(r["id_b"]), shingle_k)
-        if j >= threshold:
-            out.append({"id_a": r["id_a"], "id_b": r["id_b"], "jaccard": j})
-    return out
+                                   dedup_pairs=True, bucket_cap=bucket_cap)
+    pairs = cand.map_batches(lambda t: t.select(["id_a", "id_b"]),
+                             batch_format="pyarrow").materialize()
+    try:
+        id_dtype = ds.schema().base_schema.field(id_column).type.to_pandas_dtype()
+        id_dtype = np.dtype(id_dtype) if id_dtype is not object else "object"
+    except Exception:  # noqa: BLE001 — schema probe is best-effort
+        id_dtype = "int64"
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({"id_a": pd.Series([], dtype=id_dtype),
+                             "id_b": pd.Series([], dtype=id_dtype),
+                             "jaccard": pd.Series([], dtype="float64")})
+
+    if pairs.count() == 0:
+        return rd.from_pandas(_empty())
+    sided = _pair_texts(ds, pairs, text_column, id_column)
+
+    from .sketches import hash_arrow_array
+
+    P = _next_pow2(_shuffle_parts())
+
+    def pair_part(t: pa.Table) -> pa.Table:
+        h = (hash_arrow_array(t["id_a"]) * np.uint64(0x9E3779B97F4A7C15)) \
+            ^ hash_arrow_array(t["id_b"])
+        return t.append_column(
+            "ppart", pa.array((h % np.uint64(P)).astype(np.int32)))
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_j = [], [], []
+        for (ia, ib), g in df.groupby(["id_a", "id_b"], sort=False):
+            ta = g.loc[g["jid"] == ia, "text"]
+            tb = g.loc[g["jid"] == ib, "text"]
+            if ta.empty or tb.empty:
+                continue
+            j = ngram_jaccard(ta.iloc[0], tb.iloc[0], shingle_k)
+            if j >= threshold:
+                out_a.append(ia)
+                out_b.append(ib)
+                out_j.append(j)
+        return pd.DataFrame({"id_a": pd.Series(out_a, dtype=id_dtype),
+                             "id_b": pd.Series(out_b, dtype=id_dtype),
+                             "jaccard": pd.Series(out_j, dtype="float64")})
+
+    keyed = sided.map_batches(pair_part, batch_format="pyarrow") \
+        .repartition(P).materialize()
+    return keyed.groupby("ppart").map_groups(verify, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -424,9 +637,12 @@ def hamming64(a: int, b: int) -> int:
 
 
 def simhash_near_duplicates(ds, text_column: str, id_column: str,
-                            max_hamming: int = 3):
+                            max_hamming: int = 3,
+                            bucket_cap: int = DEFAULT_BUCKET_CAP):
     """Near-dup pairs with hamming(simhash) <= max_hamming (<=3 guaranteed
-    found by the 4×16-bit band pigeonhole).
+    found by the 4×16-bit band pigeonhole). Returns a Dataset of
+    (id_a, id_b, hamming) — pairs found in several bands are deduplicated by
+    a small pair-keyed groupby, never a driver-side set.
 
     One signature pass, ONE coarse-partition keyed shuffle, vectorized
     per-partition pair expansion (same scale shape as
@@ -434,35 +650,51 @@ def simhash_near_duplicates(ds, text_column: str, id_column: str,
     sig = ds.map_batches(SimHashStage(text_column, id_column),
                          batch_format="pyarrow")
     grouped = pairs_by_partition(
-        sig, lambda g: _simhash_band_pairs(g, id_column, max_hamming))
-    seen_pairs = set()
-    out = []
-    for r in collect_rows(grouped):
-        key = (r["id_a"], r["id_b"])
-        if key not in seen_pairs:
-            seen_pairs.add(key)
-            out.append(r)
-    return out
+        sig, lambda g: _simhash_band_pairs(g, id_column, max_hamming,
+                                           cap=bucket_cap))
+    # the same pair carries the same hamming in every band — unique_pairs'
+    # keep-first is exact
+    return unique_pairs(grouped)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array."""
+    if hasattr(np, "bitwise_count"):  # numpy >= 2.0
+        return np.bitwise_count(x).astype(np.int32)
+    v = np.ascontiguousarray(x, dtype=np.uint64)
+    return np.unpackbits(v.view(np.uint8)).reshape(len(v), 64) \
+        .sum(axis=1).astype(np.int32)
 
 
 def _simhash_band_pairs(group: pd.DataFrame, id_column: str,
-                        max_hamming: int) -> pd.DataFrame:
-    rows = list(zip(group[id_column].tolist(),
-                    group["simhash"].astype(np.int64).tolist()))
-    a_out, b_out, d_out = [], [], []
-    for i in range(len(rows)):
-        for j in range(i + 1, len(rows)):
-            d = hamming64(rows[i][1] & 0xFFFFFFFFFFFFFFFF,
-                          rows[j][1] & 0xFFFFFFFFFFFFFFFF)
-            if d <= max_hamming:
-                ia, ib = sorted((rows[i][0], rows[j][0]))
-                a_out.append(ia)
-                b_out.append(ib)
-                d_out.append(d)
+                        max_hamming: int,
+                        cap: int = DEFAULT_BUCKET_CAP) -> pd.DataFrame:
+    """Vectorized hamming verify inside one band bucket: XOR over triu pair
+    indices + popcount. Buckets over `cap` use the star fallback (see
+    DEFAULT_BUCKET_CAP) — for identical docs (the degenerate case) hamming
+    via the representative still links every member at distance 0."""
     dt = group[id_column].dtype
-    return pd.DataFrame({"id_a": pd.Series(a_out, dtype=dt),
-                         "id_b": pd.Series(b_out, dtype=dt),
-                         "hamming": pd.Series(d_out, dtype="int32")})
+    g = group[[id_column, "simhash"]].drop_duplicates(subset=id_column) \
+        .sort_values(id_column)
+    ids = g[id_column].to_numpy()
+    n = len(ids)
+    if n < 2:
+        return pd.DataFrame({"id_a": pd.Series([], dtype=dt),
+                             "id_b": pd.Series([], dtype=dt),
+                             "hamming": pd.Series([], dtype="int32")})
+    h = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+    if n > cap:
+        _LOG.warning("SimHash band bucket of %d ids exceeds cap %d: emitting "
+                     "star pairs (min-id representative)", n, cap)
+        iu = np.zeros(n - 1, dtype=np.int64)
+        ju = np.arange(1, n, dtype=np.int64)
+    else:
+        iu, ju = np.triu_indices(n, k=1)
+    d = _popcount64(h[iu] ^ h[ju])
+    keep = d <= max_hamming
+    return pd.DataFrame({"id_a": pd.Series(ids[iu[keep]], dtype=dt),
+                         "id_b": pd.Series(ids[ju[keep]], dtype=dt),
+                         "hamming": pd.Series(d[keep], dtype="int32")})
 
 
 # ---------------------------------------------------------------------------
@@ -576,8 +808,6 @@ def embedding_near_duplicates(ds, embedding_column: str, id_column: str,
         })
 
     found = pairs_by_partition(bucketed, pairs)
-    deduped = found.repartition(8).materialize().groupby(["id_a", "id_b"]).max("cosine")
-    return deduped.map_batches(
-        lambda t: t.rename_columns(["id_a", "id_b", "cosine"]),
-        batch_format="pyarrow",
-    )
+    # the same pair carries the same cosine in every table — unique_pairs'
+    # keep-first is exact
+    return unique_pairs(found)

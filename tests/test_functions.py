@@ -81,20 +81,70 @@ def test_exact_dedup(docs_ds):
 
 def test_minhash_near_duplicates(docs_ds):
     from gojsonschema_ray.stages.dedup import minhash_near_duplicates
+    from gojsonschema_ray.util import collect_rows
 
-    pairs = minhash_near_duplicates(docs_ds, "text", "doc_id",
-                                    threshold=0.5, concurrency=2)
+    pairs = collect_rows(minhash_near_duplicates(docs_ds, "text", "doc_id",
+                                                 threshold=0.5, concurrency=2))
     got = {(p["id_a"], p["id_b"]) for p in pairs}
     assert (50, 51) in got
     assert (60, 61) in got
+    for p in pairs:  # pairs are (min, max)-ordered and meet the threshold
+        assert p["id_a"] < p["id_b"] and p["jaccard"] >= 0.5
 
 
 def test_simhash_near_duplicates(docs_ds):
     from gojsonschema_ray.stages.dedup import simhash_near_duplicates
+    from gojsonschema_ray.util import collect_rows
 
-    pairs = simhash_near_duplicates(docs_ds, "text", "doc_id", max_hamming=3)
+    pairs = collect_rows(simhash_near_duplicates(docs_ds, "text", "doc_id",
+                                                 max_hamming=3))
     got = {(p["id_a"], p["id_b"]) for p in pairs}
     assert (60, 61) in got  # identical docs: hamming 0
+    # Dataset output is already pair-deduplicated across the 4 bands
+    assert len(got) == len(pairs)
+
+
+def test_minhash_dense_duplicate_corpus(ray_session):
+    """50% identical docs: the verify stage must survive a dense candidate
+    set (it is fully distributed — Bloom-filtered text fetch + two keyed
+    shuffles, never a driver id→text dict)."""
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.dedup import minhash_near_duplicates
+    from gojsonschema_ray.util import collect_rows
+
+    n = 400
+    texts = [f"unique document number {i} carrying its own words {i * 13}"
+             for i in range(n)]
+    for i in range(0, n, 2):  # every even doc duplicates doc i+1
+        texts[i] = texts[i + 1]
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(n)), "text": texts}))
+    pairs = collect_rows(minhash_near_duplicates(ds, "text", "doc_id",
+                                                 threshold=0.9))
+    got = {(p["id_a"], p["id_b"]) for p in pairs}
+    assert got == {(i, i + 1) for i in range(0, n, 2)}
+    assert all(p["jaccard"] == 1.0 for p in pairs)
+
+
+def test_degenerate_bucket_capped(ray_session):
+    """10⁵ identical short docs: one LSH bucket per band would expand to
+    ~5·10⁹ pairs; the bucket cap routes it through star pairs (O(g) rows) so
+    candidate generation completes in bounded memory."""
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.dedup import minhash_candidate_pairs
+    from gojsonschema_ray.util import collect_rows
+
+    n = 100_000
+    ds = rd.from_arrow(pa.table({
+        "doc_id": list(range(n)),
+        "text": ["the quick brown fox jumps high over lazy dogs"] * n,
+    }))
+    pairs = collect_rows(minhash_candidate_pairs(ds, "text", "doc_id",
+                                                 dedup_pairs=True))
+    got = {(p["id_a"], p["id_b"]) for p in pairs}
+    # star fallback: every doc is linked to the bucket-min representative
+    assert got == {(0, i) for i in range(1, n)}
 
 
 @pytest.fixture(scope="module")
@@ -218,8 +268,11 @@ def test_minhash_skips_short_texts(ray_session):
     docs = [{"doc_id": i, "text": "ok"} for i in range(200)]  # all < k=5
     docs += [{"doc_id": 900, "text": "the quick brown fox jumps high " * 4},
              {"doc_id": 901, "text": "the quick brown fox jumps high " * 4}]
+    from gojsonschema_ray.util import collect_rows
+
     ds = rd.from_items(docs)
-    pairs = minhash_near_duplicates(ds, "text", "doc_id", threshold=0.5)
+    pairs = collect_rows(minhash_near_duplicates(ds, "text", "doc_id",
+                                                 threshold=0.5))
     assert {(p["id_a"], p["id_b"]) for p in pairs} == {(900, 901)}
 
 
