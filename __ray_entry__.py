@@ -318,6 +318,41 @@ def q_events_asof_rate(sf_dir: str) -> pd.DataFrame:
         .reset_index(drop=True)
 
 
+def q_events_asof_bucketed(sf_dir: str) -> pd.DataFrame:
+    """Big-right-side as-of join: the WHOLE events table (deduped to one row
+    per distinct ts via the coarse-partition pattern) is the right side —
+    larger than the 100-row left — so the time-bucketed co-partition path
+    runs instead of a broadcast (stages/joins.py asof_join_bucketed)."""
+    from gojsonschema_ray.stages.joins import asof_join_bucketed
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "value"])
+    left = ds.map_batches(
+        lambda t: t.filter(pc.less(t["event_id"], 100)).select(["event_id", "ts"]),
+        batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select(["ts", "value"]).group_by("ts") \
+            .aggregate([("value", "max")]).rename_columns(["ts", "qv"])
+        h = pd.util.hash_pandas_object(g["ts"].to_pandas(), index=False) \
+            .to_numpy("uint64")
+        return g.append_column("part", pa.array((h % 16).astype("int32")))
+
+    def reduce_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("ts", as_index=False)["qv"].max()
+
+    right = ds.map_batches(partial, batch_format="pyarrow") \
+        .repartition(16).materialize() \
+        .groupby("part").map_groups(reduce_part, batch_format="pandas")
+    out = asof_join_bucketed(left, right, left_on="ts", right_on="ts",
+                             value_columns=["qv"], left_keep=["event_id"],
+                             bucket_s=86400.0)
+    df = pd.DataFrame(collect_rows(out))
+    df["r_qv"] = df["r_qv"].round(6)
+    return df[["event_id", "r_qv"]].sort_values("event_id") \
+        .reset_index(drop=True)
+
+
 def q_lineitem_price_bands(sf_dir: str) -> pd.DataFrame:
     """Broadcast range join: count lineitems per 10k-wide extendedprice band
     (stages/joins.py range_join_broadcast + driver-merged counts)."""
@@ -347,11 +382,14 @@ def q_lineitem_price_bands(sf_dir: str) -> pd.DataFrame:
 
 
 def q_top_parts_by_price(sf_dir: str):
-    """Global sort + limit (ds.sort is the all-to-all; the result is tiny)."""
+    """Streaming global top-k: per-block top-k partials + driver merge of
+    blocks×k rows (stages/topk.py) — no all-to-all sort. The p_partkey
+    tiebreaker makes the ordering total."""
+    from gojsonschema_ray.stages.topk import global_top_k
+
     ds = _read(sf_dir, "part", ["p_partkey", "p_retailprice"])
-    out = ds.sort(["p_retailprice", "p_partkey"], descending=[True, False]) \
-            .limit(10)
-    return out
+    return global_top_k(ds, [("p_retailprice", "descending"),
+                             ("p_partkey", "ascending")], 10)
 
 
 def q_dedup_exact_text(sf_dir: str) -> pd.DataFrame:
@@ -687,6 +725,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": q_events_window,
         "events_daily_window": q_events_daily_window,
         "events_asof_rate": q_events_asof_rate,
+        "events_asof_bucketed": q_events_asof_bucketed,
         "lineitem_price_bands": q_lineitem_price_bands,
         "top_parts_by_price": q_top_parts_by_price,
         "dedup_exact_text": q_dedup_exact_text,
@@ -793,6 +832,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY 1) "
             "SELECT e.event_id, r.rate AS r_rate FROM events e "
             "ASOF JOIN rates r ON e.ts >= r.rts WHERE e.event_id < 100"
+        ),
+        "events_asof_bucketed": (
+            "WITH rights AS (SELECT ts AS rts, max(value) AS qv "
+            "FROM events GROUP BY ts), "
+            "lefts AS (SELECT event_id, ts FROM events WHERE event_id < 100) "
+            "SELECT l.event_id, round(r.qv, 6) AS r_qv FROM lefts l "
+            "ASOF JOIN rights r ON l.ts >= r.rts"
         ),
         "lineitem_price_bands": (
             "SELECT CASE WHEN l_extendedprice >= 0 AND l_extendedprice < 120000 "

@@ -125,7 +125,8 @@ class TextStatsStage:
         q = quality_scores(texts)
         for c in q.columns:
             batch[c] = q[c].values
-        batch["bpe_tokens"] = texts.map(bpe_token_count)
+        # one C-level regex pass (matches bpe_token_count's len(findall))
+        batch["bpe_tokens"] = texts.fillna("").str.count(BPE_RE).astype("int64")
         batch["lang_pred"] = texts.map(lang_id)
         batch["fingerprint"] = texts.map(rolling_fingerprint)
         return batch

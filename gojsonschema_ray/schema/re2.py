@@ -18,12 +18,20 @@ from .errors import SchemaError
 
 
 class Re2Pattern:
-    """Drop-in for the `.search(value) -> truthy` surface the engine uses."""
+    """Drop-in for the `.search(value) -> truthy` surface the engine uses.
 
-    __slots__ = ("pattern",)
+    Arrow's kernel recompiles the RE2 program per invocation, so results are
+    memoized per distinct value (bounded): the generic engine's hot loop
+    re-checks the same patternProperties field names and repeated values
+    document after document, which the memo turns into dict lookups."""
+
+    __slots__ = ("pattern", "_memo")
+
+    _MEMO_CAP = 4096
 
     def __init__(self, pattern: str, validate: bool = True):
         self.pattern = pattern
+        self._memo: dict = {}
         if validate:
             import pyarrow as pa
             import pyarrow.compute as pc
@@ -36,19 +44,27 @@ class Re2Pattern:
                 ) from e
 
     def search(self, value) -> bool:
+        if not isinstance(value, str):
+            return False
+        hit = self._memo.get(value)
+        if hit is not None:
+            return hit
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        if not isinstance(value, str):
-            return False
-        return bool(pc.match_substring_regex(
+        r = bool(pc.match_substring_regex(
             pa.array([value]), self.pattern)[0].as_py())
+        if len(self._memo) >= self._MEMO_CAP:
+            self._memo.clear()
+        self._memo[value] = r
+        return r
 
     def __getstate__(self):
         return self.pattern
 
     def __setstate__(self, state):
         self.pattern = state  # already validated at compile time
+        self._memo = {}
 
     def __repr__(self):
         return f"Re2Pattern({self.pattern!r})"

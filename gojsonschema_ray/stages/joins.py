@@ -9,11 +9,17 @@ joins as custom operators), in the engine's broadcast-small-side shape:
   broadcast + searchsorted machinery (non-overlapping intervals).
 
 Partitioning assumption (documented): the RIGHT side fits in the object
-store (dimension/quote tables — millions of rows, not billions). A
-billions x billions as-of join would need a time-bucketed co-partition of
-both sides (bucket = floor(ts/width) exchange, then per-bucket merge); the
-broadcast path is the right default for the reference-data joins training
-pipelines actually run.
+store (dimension/quote tables — millions of rows, not billions). For a
+right side too big to broadcast, `asof_join_bucketed` co-partitions BOTH
+sides on hash(key, floor(ts/width)): right rows ride the exchange once,
+and cross-bucket carry is resolved through the per-(key, bucket) *tail*
+table (latest right row of each bucket — small, broadcast) instead of a
+forward-fill replication.
+
+Value-column dtypes: both join flavors coerce `value_columns` to float64
+(unmatched rows are NaN). Integers above 2^53 lose precision and
+string/decimal value columns are unsupported — select/cast numeric value
+columns before joining.
 """
 
 from __future__ import annotations
@@ -143,7 +149,8 @@ def asof_join_broadcast(left, right, *, left_on: str, right_on: str,
     key when given), plus an `asof_matched` flag.
 
     Right side: collected once on the driver, per-key sorted numpy arrays,
-    broadcast via ray.put."""
+    broadcast via ray.put. Value columns must be numeric — they are coerced
+    to float64 (NaN = unmatched; see module docstring)."""
     import ray
 
     rt = collect_table(right)
@@ -167,3 +174,199 @@ def asof_join_broadcast(left, right, *, left_on: str, right_on: str,
         _AsofProbe(ref, left_on, by, value_columns, tol),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# big-right-side as-of join: time-bucketed co-partition
+# ---------------------------------------------------------------------------
+def _key_col(t: pa.Table, by: str | None) -> pa.Array:
+    if by is None:
+        return pa.array(np.zeros(t.num_rows, dtype=np.int64))
+    c = t[by]
+    return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+
+def asof_join_bucketed(left, right, *, left_on: str, right_on: str,
+                       value_columns: list[str], left_keep: list[str],
+                       by: str | None = None, bucket_s: float = 86400.0,
+                       tolerance_s: float | None = None,
+                       n_parts: int | None = None):
+    """Backward as-of join for a right side too large to broadcast.
+
+    Both sides co-partition on hash(key, bucket) where
+    bucket = floor(ts / bucket_s) — ONE keyed exchange each, no broadcast of
+    right VALUES. Cross-bucket carry (a left row whose predecessor sits in an
+    earlier bucket) resolves through the *tail* table: the latest right row
+    of every (key, bucket), computed with per-batch argmax partials and one
+    small exchange, then broadcast. A tail from an earlier bucket dominates
+    every non-tail row of that bucket, so `max(in-bucket predecessor,
+    latest tail at-or-before ts)` is exact.
+
+    Partitioning assumptions (documented): #distinct (key, bucket) rows —
+    NOT right rows — fit in the object store (pick bucket_s accordingly);
+    one (key, bucket) cell's rows land on one partition, so salt bucket_s
+    down if a single cell is hot. Value columns are coerced to float64
+    (see module docstring). Returns `left_keep` + `r_<col>` + `asof_matched`.
+    """
+    import ray
+
+    from .dedup import _next_pow2, _shuffle_parts
+    from .sketches import hash_arrow_array
+
+    W = int(bucket_s * 1_000_000)
+    P = _next_pow2(n_parts or _shuffle_parts())
+    tol = int(tolerance_s * 1_000_000) if tolerance_s is not None else None
+
+    # ---- pass 1: per-(key, bucket) tails ---------------------------------
+    def tail_partial(t: pa.Table) -> pa.Table:
+        ts = _ts_us(t[right_on])
+        key = _key_col(t, by)
+        bucket = ts // W
+        df_cols = {"k": key.to_pandas(), "b": bucket, "ts": ts}
+        for c in value_columns:
+            df_cols[f"v_{c}"] = t[c].to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+        import pandas as pd
+
+        df = pd.DataFrame(df_cols)
+        idx = df.groupby(["k", "b"], sort=False)["ts"].idxmax()
+        out = df.loc[idx]
+        h = pd.util.hash_pandas_object(out["k"], index=False).to_numpy(np.uint64)
+        b = np.ascontiguousarray(out["b"].to_numpy(), dtype=np.int64)
+        out = out.assign(part=((h ^ b.view(np.uint64))
+                               % np.uint64(P)).astype(np.int32))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def tail_reduce(df):
+        idx = df.groupby(["k", "b"], sort=False)["ts"].idxmax()
+        return df.loc[idx].drop(columns=["part"])
+
+    tails_ds = right.map_batches(tail_partial, batch_format="pyarrow") \
+        .repartition(P).materialize() \
+        .groupby("part").map_groups(tail_reduce, batch_format="pandas")
+    tt = collect_table(tails_ds)
+    # per-key ts-sorted tail arrays for the carry lookup
+    tails: dict = {}
+    t_keys = tt["k"].to_pylist() if tt.num_rows else []
+    t_ts = tt["ts"].to_numpy(zero_copy_only=False) if tt.num_rows else np.zeros(0, np.int64)
+    t_vals = {c: tt[f"v_{c}"].to_numpy(zero_copy_only=False)
+              for c in value_columns} if tt.num_rows else {}
+    order = np.argsort(np.asarray(t_ts), kind="stable")
+    for i in order:
+        slot = tails.setdefault(t_keys[i], [[], {c: [] for c in value_columns}])
+        slot[0].append(int(t_ts[i]))
+        for c in value_columns:
+            slot[1][c].append(float(t_vals[c][i]))
+    tails_final = {k: (np.asarray(tss, dtype=np.int64),
+                       {c: np.asarray(v) for c, v in cv.items()})
+                   for k, (tss, cv) in tails.items()}
+    tails_ref = ray.put(tails_final)
+
+    # ---- pass 2: union co-partition on hash(key, bucket) -----------------
+    base = left.schema().base_schema
+    if hasattr(base, "field"):  # arrow schema
+        keep_types = {c: base.field(c).type for c in left_keep}
+    else:  # PandasBlockSchema (names + numpy dtypes)
+        keep_types = {c: pa.from_numpy_dtype(t)
+                      for c, t in zip(base.names, base.types) if c in left_keep}
+
+    def _part_of(key: pa.Array, bucket: np.ndarray) -> pa.Array:
+        h = hash_arrow_array(key) ^ bucket.view(np.uint64)
+        return pa.array((h % np.uint64(P)).astype(np.int32))
+
+    def left_rows(t: pa.Table) -> pa.Table:
+        ts = _ts_us(t[left_on])
+        key = _key_col(t, by)
+        bucket = ts // W
+        n = t.num_rows
+        cols = {"part": _part_of(key, bucket), "kind": pa.array(np.zeros(n, np.int8)),
+                "k": key, "b": pa.array(bucket), "ts": pa.array(ts)}
+        for c in left_keep:
+            cols[c] = t[c]
+        for c in value_columns:
+            cols[f"v_{c}"] = pa.nulls(n, pa.float64())
+        return pa.table(cols)
+
+    def right_rows(t: pa.Table) -> pa.Table:
+        ts = _ts_us(t[right_on])
+        key = _key_col(t, by)
+        bucket = ts // W
+        n = t.num_rows
+        cols = {"part": _part_of(key, bucket), "kind": pa.array(np.ones(n, np.int8)),
+                "k": key, "b": pa.array(bucket), "ts": pa.array(ts)}
+        for c in left_keep:
+            cols[c] = pa.nulls(n, keep_types[c])
+        for c in value_columns:
+            cols[f"v_{c}"] = pa.array(
+                t[c].to_numpy(zero_copy_only=False).astype(np.float64))
+        return pa.table(cols)
+
+    def per_part(t: pa.Table) -> pa.Table:
+        tails_bc = ray.get(tails_ref) if hasattr(tails_ref, "hex") else tails_ref
+        import pandas as pd
+
+        kind = t["kind"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        bucket = t["b"].to_numpy(zero_copy_only=False)
+        l_idx = np.nonzero(kind == 0)[0]
+        out_vals = {c: np.full(len(l_idx), np.nan) for c in value_columns}
+        match_ts = np.full(len(l_idx), np.iinfo(np.int64).min, dtype=np.int64)
+        matched = np.zeros(len(l_idx), dtype=bool)
+        # group rows by (key, bucket) within the partition — C-level groupby,
+        # the python loop below runs once per CELL, not per row
+        cells = pd.DataFrame({"k": t["k"].to_pandas(), "b": bucket}) \
+            .groupby(["k", "b"], sort=False).indices
+        pos_in_l = np.full(t.num_rows, -1, dtype=np.int64)
+        pos_in_l[l_idx] = np.arange(len(l_idx))
+        rv = {c: t[f"v_{c}"].to_numpy(zero_copy_only=False)
+              for c in value_columns}
+        for (k, _b), rows in cells.items():
+            lrows = rows[kind[rows] == 0]
+            if len(lrows) == 0:
+                continue
+            rrows = rows[kind[rows] == 1]
+            lts = ts[lrows]
+            lpos = pos_in_l[lrows]
+            # in-bucket predecessor
+            if len(rrows):
+                r_order = rrows[np.argsort(ts[rrows], kind="stable")]
+                r_ts = ts[r_order]
+                pos = np.searchsorted(r_ts, lts, side="right") - 1
+                ok = pos >= 0
+                sel = lpos[ok]
+                match_ts[sel] = r_ts[pos[ok]]
+                matched[sel] = True
+                for c in value_columns:
+                    out_vals[c][sel] = rv[c][r_order[pos[ok]]]
+            # carry: latest tail at-or-before ts, if later than the
+            # in-bucket hit (covers left rows whose predecessor is in an
+            # earlier bucket; same-bucket tails can never beat the exact
+            # in-bucket predecessor found above)
+            side = tails_bc.get(k)
+            if side is not None:
+                c_ts, c_vals = side
+                pos = np.searchsorted(c_ts, lts, side="right") - 1
+                ok = (pos >= 0)
+                better = ok & (c_ts[np.maximum(pos, 0)] > match_ts[lpos])
+                sel = lpos[better]
+                match_ts[sel] = c_ts[pos[better]]
+                matched[sel] = True
+                for c in value_columns:
+                    out_vals[c][sel] = c_vals[c][pos[better]]
+        if tol is not None:
+            within = (ts[l_idx] - match_ts) <= tol
+            drop = matched & ~within
+            matched[drop] = False
+            for c in value_columns:
+                out_vals[c][np.nonzero(drop)[0]] = np.nan
+        idx_arr = pa.array(l_idx, type=pa.int64())
+        cols = {c: t[c].take(idx_arr) for c in left_keep}
+        for c in value_columns:
+            cols[f"r_{c}"] = pa.array(out_vals[c])
+        cols["asof_matched"] = pa.array(matched)
+        return pa.table(cols)
+
+    u = left.map_batches(left_rows, batch_format="pyarrow").union(
+        right.map_batches(right_rows, batch_format="pyarrow")) \
+        .repartition(P).materialize()
+    return u.groupby("part").map_groups(per_part, batch_format="pyarrow")

@@ -132,7 +132,17 @@ class IVFIndex:
     @classmethod
     def train(cls, ds, embedding_column: str, n_centroids: int = 64,
               sample_limit: int = 20_000, iters: int = 10, seed: int = 42) -> "IVFIndex":
-        sample = collect_rows(ds.limit(sample_limit))
+        """k-means on a seeded RANDOM sample — `ds.limit()` would train on
+        the first blocks only, which biases centroids (and silently degrades
+        recall) on sorted/clustered corpora, the normal case for curated
+        data."""
+        total = ds.count()
+        if total > sample_limit:
+            frac = min(1.0, (sample_limit * 1.25) / total)
+            sampled = ds.random_sample(frac, seed=seed).limit(sample_limit)
+        else:
+            sampled = ds
+        sample = collect_rows(sampled)
         x = _normalize(np.stack([r[embedding_column] for r in sample]).astype(np.float64))
         rng = np.random.default_rng(seed)
         n_centroids = min(n_centroids, len(x))

@@ -36,6 +36,7 @@ import pyarrow.compute as pc
 
 from ..schema.compile import CompiledSchema, _UNSET
 from ..schema.formats import FORMATS
+from ..schema.errors import SchemaError
 from ..schema.model import (
     TYPE_ARRAY,
     TYPE_BOOLEAN,
@@ -47,6 +48,21 @@ from ..schema.model import (
     json_render,
     to_fraction,
 )
+
+
+def _deref(node):
+    """Follow $ref links to the concrete schema node. A pure-$ref cycle
+    (e.g. root {"$ref": "#"} — compile wires ref_schema to a placeholder
+    that can point back at itself) raises SchemaError instead of spinning
+    forever at validator construction."""
+    seen: set[int] = set()
+    while node.ref_schema is not None:
+        if id(node) in seen:
+            raise SchemaError("pure $ref cycle: reference resolves to itself "
+                              "with no concrete schema")
+        seen.add(id(node))
+        node = node.ref_schema
+    return node
 
 VIOLATION_SCHEMA = pa.schema(
     [
@@ -773,9 +789,7 @@ class TableValidator:
 
     def __init__(self, tree: CompiledSchema, key_column: str | None = None,
                  emit_violations: bool = True, mode: str = "verdict"):
-        node = tree
-        while node.ref_schema is not None:  # a $ref root must deref first
-            node = node.ref_schema
+        node = _deref(tree)  # a $ref root must deref first (cycle-checked)
         if node.pass_ is None and node.types is not None \
                 and TYPE_OBJECT not in node.types:
             raise ValueError("root schema must allow objects for table validation")
@@ -793,9 +807,7 @@ class TableValidator:
     # ------------------------------------------------------------------
     def validate_batch(self, batch: pa.Table) -> tuple[np.ndarray, pa.Table]:
         n = batch.num_rows
-        node = self.tree
-        while node.ref_schema is not None:
-            node = node.ref_schema
+        node = _deref(self.tree)
         mask = _true(n)
         emits: list[_Emit] = []
         if node.pass_ is not None:
@@ -969,9 +981,7 @@ class TableValidator:
         A branch whose `type` excludes objects fails every row instead of
         crashing the pipeline (rows ARE objects; the branch simply can't
         match — validation.go type dispatch)."""
-        node = sub
-        while node.ref_schema is not None:
-            node = node.ref_schema
+        node = _deref(sub)
         if node.pass_ is not None:
             return _true(n) if node.pass_ else _false(n)
         if node.types is not None and TYPE_OBJECT not in node.types:

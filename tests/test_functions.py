@@ -276,6 +276,53 @@ def test_minhash_skips_short_texts(ray_session):
     assert {(p["id_a"], p["id_b"]) for p in pairs} == {(900, 901)}
 
 
+def test_ivf_sorted_data_recall(ray_session):
+    """IVF trained on a dataset SORTED by cluster: the seeded random sample
+    must cover all clusters (ds.limit would see only the first ones and
+    silently degrade recall). recall@5 vs brute force >= 0.9."""
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.similarity import IVFIndex, ann_brute_force
+
+    rng = np.random.default_rng(5)
+    n_clusters, per = 8, 400
+    centers = rng.standard_normal((n_clusters, 16)) * 4
+    pts = np.concatenate([centers[c] + 0.3 * rng.standard_normal((per, 16))
+                          for c in range(n_clusters)])  # sorted by cluster
+    ds = rd.from_arrow(pa.table({
+        "vec_id": list(range(n_clusters * per)),
+        "embedding": [r.tolist() for r in pts],
+    })).repartition(8)
+    # sample_limit < rows so training MUST subsample
+    idx = IVFIndex.train(ds, "embedding", n_centroids=n_clusters,
+                         sample_limit=800, iters=10)
+    q = pts[[5, per * 5 + 3, per * 7 + 9]]  # queries from several clusters
+    approx = idx.search(ds, "embedding", "vec_id", q, k=5, nprobe=2)
+    exact = ann_brute_force(ds, "embedding", "vec_id", q, k=5)
+    hits = 0
+    for qi in range(len(q)):
+        a = set(approx[approx["query"] == qi]["vec_id"])
+        e = set(exact[exact["query"] == qi]["vec_id"])
+        hits += len(a & e)
+    assert hits / (5 * len(q)) >= 0.9
+
+
+def test_global_top_k(ray_session):
+    """Streaming top-k equals the full sort, including boundary ties broken
+    by the id tiebreaker."""
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.topk import global_top_k
+
+    rng = np.random.default_rng(2)
+    vals = np.round(rng.random(5000) * 50, 0)  # heavy ties
+    ds = rd.from_arrow(pa.table({
+        "id": list(range(5000)), "v": vals})).repartition(16)
+    got = global_top_k(ds, [("v", "descending"), ("id", "ascending")], 10)
+    exp = sorted(zip(vals, range(5000)), key=lambda t: (-t[0], t[1]))[:10]
+    assert list(zip(got["v"].to_pylist(), got["id"].to_pylist())) == exp
+
+
 def test_brute_force_empty_block(ray_session):
     """An IVF-filtered empty block must not crash the top-k scan."""
     import numpy as np

@@ -295,6 +295,63 @@ def test_asof_join_broadcast(ray_session):
     assert (merged["asof_matched"].to_numpy() == ~np.isnan(g_px)).all()
 
 
+def test_asof_join_bucketed_matches_broadcast(ray_session):
+    """The time-bucketed co-partition path (big-right-side mode) returns the
+    same matches as the broadcast path / pandas merge_asof — including left
+    rows whose predecessor sits several empty buckets back (carry via the
+    tail table) and a right side LARGER than the left."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.joins import asof_join_bucketed
+    from gojsonschema_ray.util import collect_rows
+
+    rng = np.random.default_rng(11)
+    # right is 10x the left; timestamps cluster so some buckets are empty
+    n_l, n_r = 300, 3000
+    l_off = np.sort(rng.choice([0, 50_000, 400_000], n_l)
+                    + rng.integers(0, 20_000, n_l))
+    r_off = np.sort(rng.choice([0, 45_000], n_r) + rng.integers(0, 20_000, n_r))
+    left = pd.DataFrame({
+        "ts": pd.Timestamp("2024-05-01") + pd.to_timedelta(l_off, unit="s"),
+        "sym": rng.choice(["A", "B", "C"], n_l),
+        "lid": np.arange(n_l, dtype="int64"),
+    })
+    right = pd.DataFrame({
+        "ts": pd.Timestamp("2024-05-01") + pd.to_timedelta(r_off, unit="s"),
+        "sym": rng.choice(["A", "B", "C"], n_r),
+        "px": rng.random(n_r) * 100,
+    })
+    out = pd.DataFrame(collect_rows(asof_join_bucketed(
+        rd.from_pandas(left).repartition(4),
+        rd.from_pandas(right).repartition(6),
+        left_on="ts", right_on="ts", by="sym", value_columns=["px"],
+        left_keep=["lid"], bucket_s=3600.0)))
+    golden = pd.merge_asof(left.sort_values("ts"), right.sort_values("ts"),
+                           on="ts", by="sym", direction="backward")
+    merged = out.sort_values("lid").reset_index(drop=True)
+    golden = golden.sort_values("lid").reset_index(drop=True)
+    g_px = golden["px"].to_numpy()
+    o_px = merged["r_px"].to_numpy()
+    both_nan = np.isnan(g_px) & np.isnan(o_px)
+    assert (both_nan | np.isclose(g_px, o_px, equal_nan=False)).all()
+    assert (merged["asof_matched"].to_numpy() == ~np.isnan(g_px)).all()
+    # tolerance variant: matches older than 2h are dropped
+    out_tol = pd.DataFrame(collect_rows(asof_join_bucketed(
+        rd.from_pandas(left), rd.from_pandas(right),
+        left_on="ts", right_on="ts", by="sym", value_columns=["px"],
+        left_keep=["lid"], bucket_s=3600.0, tolerance_s=7200.0)))
+    golden_tol = pd.merge_asof(
+        left.sort_values("ts"), right.sort_values("ts"), on="ts", by="sym",
+        direction="backward", tolerance=pd.Timedelta(seconds=7200))
+    mt = out_tol.sort_values("lid").reset_index(drop=True)
+    gt = golden_tol.sort_values("lid").reset_index(drop=True)
+    gp, op = gt["px"].to_numpy(), mt["r_px"].to_numpy()
+    nn = np.isnan(gp) & np.isnan(op)
+    assert (nn | np.isclose(gp, op, equal_nan=False)).all()
+
+
 def test_range_join_broadcast(ray_session):
     """Range join vs numpy golden (incl. uncovered values -> -1)."""
     import numpy as np
