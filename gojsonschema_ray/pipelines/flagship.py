@@ -180,30 +180,33 @@ def run_flagship(input_dir: str, out_dir: str, *,
                  files_per_partition: int = 4,
                  audio_concurrency: int = 4,
                  audio_batch_size: int | None = None,
-                 audio_cap_ms: int = 50) -> dict:
-    """Resumable production run over a partitioned parquet clips table.
+                 audio_cap_ms: int = 50,
+                 fragment_reader=None,
+                 fragment_counter=None) -> dict:
+    """Resumable production run over a partitioned clips table — parquet
+    shards or a Lance dataset (the north-star storage).
 
-    Partition = a group of input files; each partition streams through the
-    validators, writes its violations under out_dir/violations/<partition>/,
-    and commits a manifest line (fragments, row/violation counts, sketch
-    digests). A killed run re-invokes this and skips committed partitions.
-    Global checks (uniqueness across partitions) run as a final counts-only
-    pass recorded under the "__global__" partition."""
+    Partition = a group of fragments (parquet file paths, or Lance fragment
+    ids via sources.io.read_fragments — only the reader differs behind the
+    seam); each partition streams through the validators, writes its
+    violations under out_dir/violations/<partition>/, and commits a manifest
+    line (fragment ids, row/violation counts, sketch digests). A killed run
+    re-invokes this and skips committed partitions. Global checks
+    (uniqueness across partitions) run as a final counts-only pass recorded
+    under the "__global__" partition. `fragment_reader`/`fragment_counter`
+    override the pylance per-fragment scan (tests inject parquet-backed
+    fakes)."""
     import ray.data as rd
 
-    from ..sources.io import list_fragments, read_table
+    from ..sources.io import (
+        fragment_row_count, list_fragments, read_fragments, read_table,
+    )
 
     tree = compile_schema(ruleset or
                           (DEFAULT_RULESET if with_audio else META_RULESET))
     manifest = Manifest(os.path.join(out_dir, "manifest.jsonl"))
-    files = list_fragments(input_dir)  # Lance fragments or parquet files
-    if any(str(f).startswith("fragment:") for f in files):
-        # Lance fragment ids are not file paths; the per-partition manifest
-        # wiring for Lance needs pylance (absent in this environment). Fail
-        # loudly instead of feeding ids to the parquet reader.
-        raise NotImplementedError(
-            "run_flagship partitions parquet shards; for a Lance dataset read "
-            "it via sources.io.read_table and run validate_clips directly")
+    files = list_fragments(input_dir)  # Lance fragment ids or parquet paths
+    lance_mode = any(str(f).startswith("fragment:") for f in files)
     partitions = _partition_files(files, files_per_partition)
 
     for pi, frag in enumerate(partitions):
@@ -211,7 +214,9 @@ def run_flagship(input_dir: str, out_dir: str, *,
         if manifest.is_committed_for(pname, frag):
             continue  # committed AND same fragments — safe to skip
 
-        ds = read_table(frag, columns=AUDIO_COLUMNS if with_audio else META_COLUMNS)
+        ds = read_fragments(input_dir, frag,
+                            columns=AUDIO_COLUMNS if with_audio else META_COLUMNS,
+                            fragment_reader=fragment_reader)
         viol = validate_clips(ds, tree, with_audio=with_audio,
                               with_uniqueness=False,  # global, see below
                               audio_concurrency=audio_concurrency,
@@ -222,20 +227,25 @@ def run_flagship(input_dir: str, out_dir: str, *,
         viol.write_parquet(vdir)
         # sketch partials for lineage (metadata columns only — cheap second
         # scan that never touches `bytes`)
-        meta_ds = read_table(frag, columns=["sr_hz", "dur_ms"])
+        meta_ds = read_fragments(input_dir, frag, columns=["sr_hz", "dur_ms"],
+                                 fragment_reader=fragment_reader)
         partials = meta_ds.map_batches(SketchStage(["sr_hz", "dur_ms"]),
                                        batch_format="pyarrow")
         partials = collect_rows(partials)
         merged = merge_sketch_partials(partials)
         digests = {k: base64.b64encode(pickle.dumps(v)).decode() for k, v in merged.items()}
-        rows = sum(pq.read_metadata(f).num_rows for f in frag)
+        rows = sum(fragment_row_count(input_dir, f, fragment_counter)
+                   for f in frag)
         viols = sum(pq.read_metadata(os.path.join(vdir, f)).num_rows
                     for f in os.listdir(vdir) if f.endswith(".parquet"))
         manifest.commit(pname, frag, rows, viols, {"sketches": digests})
 
-    # global uniqueness over ALL files (counts-only partial aggregation)
+    # global uniqueness over ALL files (counts-only partial aggregation).
+    # Lance mode streams the pruned clip_id column via the dataset reader
+    # (per-fragment materialization of every id would spill at 10^12 rows)
     if not manifest.is_committed_for("__global__", files):
-        ds_all = read_table(files, columns=["clip_id"])
+        ds_all = read_table(input_dir if lance_mode else files,
+                            columns=["clip_id"])
         uviol = uniqueness_violations(ds_all, "clip_id")
         udir = os.path.join(out_dir, "violations", "__global__")
         _clear_dir(udir)

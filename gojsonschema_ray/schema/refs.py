@@ -8,10 +8,13 @@ Mirrors the reference's ``gojsonreference`` usage plus ``schemaPool.go`` and
   during a pre-parse walk (``schemaPool.go:48-137``).
 - Lookup order: full-reference hit (location-independent identifiers) →
   fragment-stripped base + JSON-pointer walk → compile-time load for
-  canonical refs (``schemaPool.go:139-215``).  In this sandbox only
-  ``file://`` and the embedded draft meta-schema URLs are loadable; http(s)
-  refs must be preloaded via ``Registry.add`` (mirroring
-  ``SchemaLoader.AddSchema``, ``schemaLoader.go:96-144``).
+  canonical refs (``schemaPool.go:139-215``): ``file://``, the embedded
+  draft meta-schema URLs, and — like the reference's lazy mid-compile fetch
+  (``schemaPool.go:187-204``, ``jsonLoader.go:180-204``) — http(s) via an
+  injectable loader (``Registry(http_loader=...)``; the default uses
+  urllib, with HTTP-status error text matching ``locales.go:432-435``).
+  Preloading via ``Registry.add`` (``SchemaLoader.AddSchema``,
+  ``schemaLoader.go:96-144``) still takes precedence and avoids all I/O.
 - Draft auto-detection from ``$schema`` (``draft.go:90-125``); the official
   draft-04/06/07 meta-schemas ship embedded (``draft.go:45-63``) — vendored
   here as package data (public json-schema.org documents).
@@ -108,7 +111,8 @@ def pointer_get(document, fragment: str):
         token = raw.replace("~1", "/").replace("~0", "~")
         if isinstance(node, dict):
             if token not in node:
-                raise SchemaError(f'object has no key "{token}"')
+                # error-text parity with the reference (schema_test.go:371-382)
+                raise SchemaError(f"Object has no key '{token}'")
             node = node[token]
         elif isinstance(node, list):
             try:
@@ -133,9 +137,12 @@ class Registry:
     preloads documents so cross-document ``$ref`` resolves without I/O.
     """
 
-    def __init__(self, auto_detect: bool = True):
+    def __init__(self, auto_detect: bool = True, http_loader=None):
         self.documents: dict[str, tuple] = {}  # ref -> (doc, draft|None)
         self.auto_detect = auto_detect
+        # callable url -> JSON text; None = default urllib fetcher. Inject a
+        # stub for hermetic tests or a hardened client in production.
+        self.http_loader = http_loader
 
     # -- public API (AddSchema / AddSchemas analog) --------------------------
     def add(self, url: str, doc) -> "Registry":
@@ -222,6 +229,8 @@ class Registry:
         return node, draft
 
     def _load_canonical(self, base: str):
+        # embedded meta-schemas answer without I/O, mirroring the reference's
+        # cached drafts.GetMetaSchema fast path (jsonLoader.go:182-186)
         meta = load_meta_schema(base)
         if meta is not None:
             return meta
@@ -230,10 +239,36 @@ class Registry:
             path = urllib.parse.unquote(parts.path)
             with open(path) as f:
                 return parse_json(f.read())
+        if parts.scheme in ("http", "https"):
+            loader = self.http_loader or default_http_loader
+            return parse_json(loader(base))
         raise SchemaError(
-            f'Could not resolve reference "{base}": remote loading is disabled; '
-            f"preload it with registry.add(url, doc)"
+            f'Could not resolve reference "{base}": unsupported scheme '
+            f'"{parts.scheme}"'
         )
+
+
+def default_http_loader(url: str) -> str:
+    """Lazy mid-compile remote fetch (schemaPool.go:187-204). Non-200
+    responses raise with the reference's error text (locales.go:432-435:
+    "Could not read schema from HTTP, response status is {status}")."""
+    import urllib.error
+    import urllib.request
+
+    try:
+        with urllib.request.urlopen(url, timeout=10) as resp:
+            status = getattr(resp, "status", 200)
+            if status != 200:
+                raise SchemaError(
+                    "Could not read schema from HTTP, response status is "
+                    f"{status} {getattr(resp, 'reason', '')}".rstrip())
+            return resp.read().decode("utf-8")
+    except urllib.error.HTTPError as e:
+        raise SchemaError(
+            "Could not read schema from HTTP, response status is "
+            f"{e.code} {e.reason}") from e
+    except urllib.error.URLError as e:
+        raise SchemaError(f'Could not access schema "{url}": {e.reason}') from e
 
 
 def detect_draft(document) -> int | None:

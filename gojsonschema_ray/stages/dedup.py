@@ -99,6 +99,64 @@ def dedup_exact(ds, column: str, id_column: str, n_parts: int = 32):
     return parts.groupby("part").map_groups(per_part, batch_format="pandas")
 
 
+def dedup_exact_rows(ds, column: str, id_column: str, n_parts: int | None = None,
+                     salt_buckets: int = 8, hot_keys: set | None = None):
+    """Keep-first exact dedup returning the FULL surviving rows (payload
+    rides the shuffle, co-located by value) — the skew-aware payload variant
+    of dedup_exact (which only exchanges (value, min_id) partials).
+
+    A hot value (e.g. an empty/boilerplate text at 10%+ of the corpus) would
+    pin its whole payload on one partition; uniqueness.top_hot_keys samples
+    the skew up front and uniqueness.add_salted_key spreads hot values over
+    `salt_buckets` sub-buckets. Each sub-bucket emits a local survivor; the
+    global survivor per hot value resolves in a driver-side second pass
+    bounded by len(hot) × salt_buckets rows — never the corpus."""
+    from .uniqueness import add_salted_key, top_hot_keys
+
+    hot = top_hot_keys(ds, column) if hot_keys is None else set(hot_keys)
+    P = _next_pow2(n_parts or _shuffle_parts())
+
+    def project(t: pa.Table) -> pa.Table:
+        t2 = add_salted_key(t, column, hot, salt_buckets)
+        sk = t2["_shuffle_key"].to_numpy(zero_copy_only=False)
+        part = (np.ascontiguousarray(sk).view(np.uint64)
+                % np.uint64(P)).astype(np.int32)
+        return t2.drop_columns(["_shuffle_key"]).append_column(
+            "part", pa.array(part))
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        idx = df.groupby(column, sort=False, dropna=False)[id_column].idxmin()
+        return df.loc[idx].drop(columns=["part"])
+
+    parts = ds.map_batches(project, batch_format="pyarrow") \
+        .repartition(P).materialize()
+    survivors = parts.groupby("part") \
+        .map_groups(per_part, batch_format="pandas")
+    if not hot:
+        return survivors
+    survivors = survivors.materialize()  # consumed twice below
+    hot_arr = pa.array([k for k in hot if k is not None])
+    from ..util import collect_rows
+
+    hot_rows = collect_rows(survivors.map_batches(
+        lambda t: t.select([column, id_column]).filter(
+            pc.is_in(t[column], value_set=hot_arr)),
+        batch_format="pyarrow"))
+    best: dict = {}
+    for r in hot_rows:
+        cur = best.get(r[column])
+        if cur is None or r[id_column] < cur:
+            best[r[column]] = r[id_column]
+    losers = sorted({r[id_column] for r in hot_rows} - set(best.values()))
+    if not losers:
+        return survivors
+    loser_arr = pa.array(losers)
+    return survivors.map_batches(
+        lambda t: t.filter(pc.invert(pc.is_in(t[id_column],
+                                              value_set=loser_arr))),
+        batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -104,6 +104,57 @@ def test_simhash_near_duplicates(docs_ds):
     assert len(got) == len(pairs)
 
 
+def test_dedup_exact_rows_hot_key_salting(ray_session):
+    """Payload keep-first dedup on a skewed corpus (one value = 30% of rows):
+    salting spreads the hot value's payload across partitions (max partition
+    share stays bounded) and the global survivor per value is still the min
+    id."""
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.dedup import dedup_exact_rows
+    from gojsonschema_ray.stages.uniqueness import add_salted_key
+    from gojsonschema_ray.util import collect_rows
+
+    n = 3000
+    rng = np.random.default_rng(9)
+    texts = [f"doc body {i}" for i in range(n)]
+    hot_idx = rng.choice(n, size=n // 3, replace=False)
+    for i in hot_idx:
+        texts[i] = "THE HOT BOILERPLATE VALUE"
+    tab = pa.table({"doc_id": list(range(n)), "text": texts,
+                    "payload": [f"p{i}" for i in range(n)]})
+    ds = rd.from_arrow(tab).repartition(8)
+
+    out = collect_rows(dedup_exact_rows(ds, "text", "doc_id",
+                                        hot_keys={"THE HOT BOILERPLATE VALUE"}))
+    by_text = {}
+    for r in out:
+        assert r["text"] not in by_text, "duplicate survivor"
+        by_text[r["text"]] = r
+    assert len(by_text) == len(set(texts))
+    hot_min = min(int(i) for i in hot_idx)
+    assert by_text["THE HOT BOILERPLATE VALUE"]["doc_id"] == hot_min
+    assert by_text["THE HOT BOILERPLATE VALUE"]["payload"] == f"p{hot_min}"
+    for i in range(n):  # every survivor keeps its own payload row
+        if texts[i] in by_text and by_text[texts[i]]["doc_id"] == i:
+            assert by_text[texts[i]]["payload"] == f"p{i}"
+
+    # partition balance: salted shuffle keys spread the hot value
+    P = 16
+    salted = add_salted_key(tab, "text", {"THE HOT BOILERPLATE VALUE"}, 8)
+    parts = (np.ascontiguousarray(
+        salted["_shuffle_key"].to_numpy(zero_copy_only=False))
+        .view(np.uint64) % P)
+    share = np.bincount(parts.astype(np.int64), minlength=P) / n
+    assert share.max() < 0.33  # unsalted, the hot partition would hold >0.33
+    unsalted = add_salted_key(tab, "text", set(), 8)
+    uparts = (np.ascontiguousarray(
+        unsalted["_shuffle_key"].to_numpy(zero_copy_only=False))
+        .view(np.uint64) % P)
+    ushare = np.bincount(uparts.astype(np.int64), minlength=P) / n
+    assert ushare.max() > share.max()  # salting strictly improved balance
+
+
 def test_minhash_dense_duplicate_corpus(ray_session):
     """50% identical docs: the verify stage must survive a dense candidate
     set (it is fully distributed — Bloom-filtered text fetch + two keyed
