@@ -652,6 +652,37 @@ def q_drift_events(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def q_drift_events_fixed(sf_dir: str) -> pd.DataFrame:
+    """KS/PSI drift between the first and second half of the events stream
+    over FIXED bin edges — closed-form, so the DuckDB oracle replicates it
+    exactly (window-function cumsums). Edges sit at x.xx5 offsets so the
+    2-decimal-quantized value column never lands on a bin boundary."""
+    from gojsonschema_ray.stages.drift import drift_report_fixed
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    lo = hi = None
+    for r in collect_rows(ds.map_batches(
+            lambda t: pa.table({"mn": [pc.min(t["ts"]).as_py()],
+                                "mx": [pc.max(t["ts"]).as_py()]}),
+            batch_format="pyarrow")):
+        lo = r["mn"] if lo is None else min(lo, r["mn"])
+        hi = r["mx"] if hi is None else max(hi, r["mx"])
+    lo_us = pd.Timestamp(lo).value // 1000
+    hi_us = pd.Timestamp(hi).value // 1000
+    mid = pa.scalar(pd.Timestamp((lo_us + (hi_us - lo_us) // 2) * 1000)
+                    .to_datetime64())
+    first = ds.map_batches(lambda t: t.filter(pc.less(t["ts"], mid)),
+                           batch_format="pyarrow")
+    second = ds.map_batches(lambda t: t.filter(pc.greater_equal(t["ts"], mid)),
+                            batch_format="pyarrow")
+    edges = np.linspace(-0.005, 599.995, 21)
+    rep = drift_report_fixed(first, second, ["value"], {"value": edges})
+    return pd.DataFrame([{"column": c, "ks": round(v["ks"], 4),
+                          "psi": round(v["psi"], 4), "drifted": v["drifted"]}
+                         for c, v in rep.items()])
+
+
 def q_langid_documents(sf_dir: str):
     """Language-ID counts; the stopword-argmax heuristic is replicated
     exactly in the DuckDB oracle (CJK class, first-200-token slice, strict-
@@ -744,6 +775,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only checks (SimHash needs hash-identical tokenized signatures,
         # drift uses t-digest-derived bin edges, flagship decodes audio —
         # none SQL-expressible)
+        "drift_events_fixed": q_drift_events_fixed,
         "simhash_near_dups": q_simhash_near_dups,
         "drift_events": q_drift_events,
         "flagship_clips": q_flagship_clips,
@@ -937,6 +969,40 @@ def oracle_sql() -> dict[str, str]:
             "count(*) FILTER (WHERE l_extendedprice IS NULL), "
             "round(min(l_extendedprice), 6), round(max(l_extendedprice), 6), "
             "round(avg(l_extendedprice), 6) FROM lineitem"
+        ),
+        # exact SQL replica of the fixed-bin KS/PSI drift check: same split
+        # point (integer-microsecond midpoint), same 20 uniform bins at
+        # -0.005..599.995 plus under/overflow, same 1e-6 PSI clipping
+        "drift_events_fixed": (
+            "WITH b AS (SELECT epoch_us(min(ts)) AS lo_us, "
+            "epoch_us(max(ts)) AS hi_us FROM events), "
+            "binned AS (SELECT CASE WHEN epoch_us(ts) < "
+            "(SELECT lo_us + (hi_us - lo_us) // 2 FROM b) THEN 0 ELSE 1 END "
+            "AS side, "
+            "CASE WHEN value < -0.005 THEN 0 WHEN value > 599.995 THEN 21 "
+            "ELSE CAST(floor((value + 0.005) / 30.0) AS INT) + 1 END AS bin "
+            "FROM events), "
+            "counts AS (SELECT side, bin, count(*) AS c FROM binned "
+            "GROUP BY 1, 2), "
+            "spine AS (SELECT s.side, g.generate_series AS bin FROM "
+            "(VALUES (0), (1)) s(side), generate_series(0, 21) g), "
+            "filled AS (SELECT sp.side, sp.bin, COALESCE(c.c, 0) AS c "
+            "FROM spine sp LEFT JOIN counts c "
+            "ON sp.side = c.side AND sp.bin = c.bin), "
+            "tot AS (SELECT side, sum(c) AS t FROM filled GROUP BY 1), "
+            "cum AS (SELECT f.side, f.bin, "
+            "sum(f.c) OVER (PARTITION BY f.side ORDER BY f.bin) * 1.0 / t.t "
+            "AS cdf, f.c * 1.0 / t.t AS p FROM filled f JOIN tot t "
+            "ON f.side = t.side), "
+            "ks AS (SELECT max(abs(a.cdf - b2.cdf)) AS v FROM cum a "
+            "JOIN cum b2 ON a.bin = b2.bin AND a.side = 0 AND b2.side = 1), "
+            "psiq AS (SELECT sum((pa - pb) * ln(pa / pb)) AS v FROM ("
+            "SELECT greatest(a.p, 1e-6) AS pa, greatest(b2.p, 1e-6) AS pb "
+            "FROM cum a JOIN cum b2 "
+            "ON a.bin = b2.bin AND a.side = 0 AND b2.side = 1)) "
+            "SELECT 'value' AS column, round(ks.v, 4) AS ks, "
+            "round(psiq.v, 4) AS psi, "
+            "(ks.v > 0.1 OR psiq.v > 0.2) AS drifted FROM ks, psiq"
         ),
         # exact SQL replica of functions/text.py lang_id: CJK class -> zh;
         # else stopword-hit argmax over the first 200 \s+ tokens (lowercased),

@@ -109,8 +109,8 @@ def bench_queries(sf_dir: str) -> dict:
              "sketch_lineitem", "dup_nchars_groups", "dedup_keep_first",
              "quality_by_source", "minhash_near_dups", "simhash_near_dups",
              "events_window", "events_daily_window", "events_asof_rate",
-             "top_parts_by_price", "nation_region_fk", "ngram_jaccard_pairs",
-             "lineitem_price_bands"]
+             "events_asof_bucketed", "top_parts_by_price", "nation_region_fk",
+             "ngram_jaccard_pairs", "lineitem_price_bands"]
     qs = M.queries()
     out = {}
     for name in names:

@@ -138,6 +138,27 @@ def drift_from_digests(digest_a, digest_b, bins: int = 64,
             "drifted": bool(ks > ks_threshold or p > psi_threshold)}
 
 
+def drift_report_fixed(ds_ref, ds_new, columns: list[str],
+                       edges_by_column: dict,
+                       ks_threshold: float = 0.1,
+                       psi_threshold: float = 0.2) -> dict:
+    """KS/PSI over CALLER-FIXED bin edges — closed-form and therefore
+    SQL-oracle-checkable (the t-digest-derived edges of drift_report are
+    data-dependent and only approximately reproducible). Same one-scan-per-
+    dataset histogram machinery."""
+    edges = {c: np.asarray(edges_by_column[c], dtype=np.float64)
+             for c in columns}
+    ha = histograms(ds_ref, edges)
+    hb = histograms(ds_new, edges)
+    report = {}
+    for c in columns:
+        ks = ks_statistic(ha[c], hb[c])
+        p = psi(ha[c], hb[c])
+        report[c] = {"ks": ks, "psi": p,
+                     "drifted": bool(ks > ks_threshold or p > psi_threshold)}
+    return report
+
+
 def drift_report(ds_ref, ds_new, columns: list[str], bins: int = 64,
                  ks_threshold: float = 0.1, psi_threshold: float = 0.2) -> dict:
     """Compare distributions of `columns` between two datasets.

@@ -2,12 +2,14 @@
 `binary` columns with typed metadata, processed by actor-pool map_batches
 stages with SMALL batch sizes (wide rows × concurrency must fit worker heap).
 
-Audio decode is REAL (stdlib wav / raw s16le — see stages/audio.py). Image
-and video codecs need external libraries this container does not ship, so the
-decode kernels are STUBBED behind `CodecUnavailable` / a deterministic fake —
-the Ray-side plumbing (schemas, actor signatures, batch sizing, output
-layout) is real and tested, and swapping in a real decoder is a one-method
-change.
+Decode status by modality:
+- audio: REAL (stdlib wav / raw s16le — stages/audio.py);
+- image: REAL for uncompressed formats (binary PPM/PGM, 24/32-bit BMP —
+  pure-numpy codecs in functions/imaging.py, the default backend);
+  JPEG/PNG need Pillow, which this container does not ship — backend='pil'
+  raises CodecUnavailable; backend='fake' remains for plumbing tests;
+- video: container demuxing (mp4/mkv) needs pyav/ffmpeg — STUBBED; the raw
+  concatenated-frames layout keeps the explode plumbing real and tested.
 """
 
 from __future__ import annotations
@@ -38,20 +40,24 @@ def _fake_decode_image(blob: bytes, height: int, width: int) -> np.ndarray:
 class ImageFeatureStage:
     """Actor-pool payload: decode → resize (area-mean pool) → feature vector.
 
-    `backend='fake'` uses the deterministic stub; `backend='pil'` raises
-    CodecUnavailable here (no image libs in this container)."""
+    `backend='numpy'` (default) REALLY decodes binary PPM/PGM/BMP payloads
+    (functions/imaging.py) and takes dimensions from the image itself —
+    undecodable rows are skipped; `backend='fake'` uses the deterministic
+    stub (needs the height/width metadata columns); `backend='pil'` raises
+    CodecUnavailable here (no Pillow in this container)."""
 
     def __init__(self, bytes_column: str = "bytes", id_column: str = "id",
                  height_column: str = "height", width_column: str = "width",
-                 out_size: int = 8, backend: str = "fake"):
-        if backend not in ("fake", "pil"):
+                 out_size: int = 8, backend: str = "numpy"):
+        if backend not in ("numpy", "fake", "pil"):
             raise ValueError(backend)
         if backend == "pil":
             try:
                 import PIL  # noqa: F401
             except ImportError as e:
                 raise CodecUnavailable(
-                    "image decoding requires Pillow; use backend='fake' for plumbing tests"
+                    "JPEG/PNG decoding requires Pillow; 'numpy' covers "
+                    "PPM/PGM/BMP, 'fake' is for plumbing tests"
                 ) from e
         self.backend = backend
         self.bytes_column = bytes_column
@@ -75,13 +81,22 @@ class ImageFeatureStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_column].to_pylist()
         blobs = batch[self.bytes_column].to_pylist()
-        hs = batch[self.height_column].to_pylist()
-        ws = batch[self.width_column].to_pylist()
+        if self.backend == "fake":
+            hs = batch[self.height_column].to_pylist()
+            ws = batch[self.width_column].to_pylist()
         out_ids, oh, ow, oc, feats = [], [], [], [], []
         for i, blob in enumerate(blobs):
             if blob is None:
                 continue
-            img = _fake_decode_image(blob, int(hs[i]), int(ws[i]))
+            if self.backend == "fake":
+                img = _fake_decode_image(blob, int(hs[i]), int(ws[i]))
+            else:
+                from ..functions.imaging import decode_image
+
+                try:
+                    img = decode_image(blob)
+                except CodecUnavailable:
+                    continue  # undecodable payload: skip, never crash a block
             f = self._resize_mean_pool(img) / 255.0
             out_ids.append(str(ids[i]))
             oh.append(img.shape[0])

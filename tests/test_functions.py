@@ -257,14 +257,16 @@ def test_multimodal_plumbing(ray_session):
         "bytes": [b"\x01\x02" * 100, b"\x09\x08" * 100],
         "height": [32, 16], "width": [32, 16],
     }))
-    feats = imgs.map_batches(ImageFeatureStage, batch_format="pyarrow",
-                             concurrency=1, batch_size=16,
-                             fn_constructor_kwargs={"out_size": 4}).take_all()
+    feats = imgs.map_batches(
+        ImageFeatureStage, batch_format="pyarrow", concurrency=1,
+        batch_size=16,
+        fn_constructor_kwargs={"out_size": 4, "backend": "fake"}).take_all()
     assert len(feats) == 2 and len(feats[0]["features"]) == 4 * 4 * 3
     # determinism
-    feats2 = imgs.map_batches(ImageFeatureStage, batch_format="pyarrow",
-                              concurrency=1, batch_size=16,
-                              fn_constructor_kwargs={"out_size": 4}).take_all()
+    feats2 = imgs.map_batches(
+        ImageFeatureStage, batch_format="pyarrow", concurrency=1,
+        batch_size=16,
+        fn_constructor_kwargs={"out_size": 4, "backend": "fake"}).take_all()
     assert feats[0]["features"] == feats2[0]["features"]
 
     # frame sampling explodes rows
@@ -280,6 +282,62 @@ def test_multimodal_plumbing(ray_session):
     rms = clips.map_batches(AudioFeatureStage, batch_format="pyarrow",
                             batch_size=32, concurrency=1).take_all()
     assert len(rms) > 50 and len(rms[0]["rms"]) == 16
+
+
+def test_image_codecs_roundtrip():
+    """Pure-numpy PPM/PGM/BMP codecs: encode→decode is the identity, header
+    comments parse, corrupt payloads raise CodecUnavailable."""
+    import pytest as _pytest
+
+    from gojsonschema_ray.functions.imaging import (
+        decode_bmp, decode_image, decode_pnm, encode_bmp, encode_pnm,
+    )
+    from gojsonschema_ray.stages.audio import CodecUnavailable
+
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 256, (13, 7, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, (9, 5, 1), dtype=np.uint8)
+    assert (decode_pnm(encode_pnm(rgb)) == rgb).all()
+    assert (decode_pnm(encode_pnm(gray)) == gray).all()
+    assert (decode_bmp(encode_bmp(rgb)) == rgb).all()  # incl. row padding
+    # magic sniffing
+    assert (decode_image(encode_bmp(rgb)) == rgb).all()
+    assert (decode_image(encode_pnm(rgb)) == rgb).all()
+    # comments in the PNM header
+    blob = encode_pnm(rgb)
+    commented = b"P6\n# a comment\n7 13\n# another\n255\n" + blob.split(b"\n", 3)[3]
+    assert (decode_pnm(commented) == rgb).all()
+    for bad in (b"", b"JF" + b"\x00" * 100, b"P6\n7 13\n255\n" + b"\x00" * 5,
+                b"BM" + b"\x00" * 20):
+        with _pytest.raises(CodecUnavailable):
+            decode_image(bad)
+
+
+def test_image_feature_stage_real_decode(ray_session):
+    """The default numpy backend really decodes PPM/BMP payloads: dimensions
+    come from the image, features equal the direct mean-pool computation,
+    undecodable rows are skipped."""
+    import ray.data as rd
+
+    from gojsonschema_ray.functions.imaging import encode_bmp, encode_pnm
+    from gojsonschema_ray.stages.multimodal import ImageFeatureStage
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 256, (24, 16, 3), dtype=np.uint8)
+    b = rng.integers(0, 256, (10, 32, 3), dtype=np.uint8)
+    imgs = rd.from_arrow(pa.table({
+        "id": ["ppm", "bmp", "junk"],
+        "bytes": [encode_pnm(a), encode_bmp(b), b"\xff\xd8 not a jpeg decoder"],
+    }))
+    rows = {r["id"]: r for r in imgs.map_batches(
+        ImageFeatureStage, batch_format="pyarrow", concurrency=1,
+        batch_size=8, fn_constructor_kwargs={"out_size": 4}).take_all()}
+    assert set(rows) == {"ppm", "bmp"}  # junk row skipped
+    assert (rows["ppm"]["height"], rows["ppm"]["width"]) == (24, 16)
+    assert (rows["bmp"]["height"], rows["bmp"]["width"]) == (10, 32)
+    stage = ImageFeatureStage(out_size=4)
+    exp = (stage._resize_mean_pool(a) / 255.0).ravel()
+    assert np.allclose(rows["ppm"]["features"], exp, atol=1e-6)
 
 
 def test_ivf_save_load(emb_ds, tmp_path):
