@@ -8,8 +8,10 @@ Decode status by modality:
   pure-numpy codecs in functions/imaging.py, the default backend);
   JPEG/PNG need Pillow, which this container does not ship — backend='pil'
   raises CodecUnavailable; backend='fake' remains for plumbing tests;
-- video: container demuxing (mp4/mkv) needs pyav/ffmpeg — STUBBED; the raw
-  concatenated-frames layout keeps the explode plumbing real and tested.
+- video: REAL RIFF/AVI demuxing (pure-python chunk walk —
+  functions/video.py); frame payload decode (MJPEG) and mp4/mkv demuxing
+  need libjpeg/pyav — guarded. The raw concatenated-frames layout remains
+  for codec-free plumbing tests.
 """
 
 from __future__ import annotations
@@ -110,17 +112,33 @@ class ImageFeatureStage:
 
 
 class FrameSampleStage:
-    """Video frame sampling stub: emits every k-th "frame" of a raw
-    concatenated-frames payload. Real container demuxing (mp4/mkv) would
-    need pyav/ffmpeg — not in this container; raw layout keeps the Ray
-    plumbing (explode one row → many frame rows) real."""
+    """Video frame sampling: emits every k-th frame of a video payload
+    (explode one row → many frame rows).
+
+    `container='avi'` REALLY demuxes RIFF/AVI containers (pure-python chunk
+    walk, functions/video.py) — frame payloads stay opaque bytes (decoding
+    MJPEG etc. needs libjpeg/ffmpeg, absent here); undemuxable rows are
+    skipped. `container='raw'` splits a concatenated fixed-size-frames
+    payload. mp4/mkv demuxing would need pyav — still out of scope."""
 
     def __init__(self, bytes_column: str = "bytes", id_column: str = "id",
-                 frame_bytes: int = 1024, every_k: int = 10):
+                 frame_bytes: int = 1024, every_k: int = 10,
+                 container: str = "raw"):
+        if container not in ("raw", "avi"):
+            raise ValueError(container)
         self.bytes_column = bytes_column
         self.id_column = id_column
         self.frame_bytes = frame_bytes
         self.every_k = every_k
+        self.container = container
+
+    def _frames(self, blob: bytes) -> list[bytes]:
+        if self.container == "avi":
+            from ..functions.video import demux_avi_frames
+
+            return demux_avi_frames(blob)
+        fb = self.frame_bytes
+        return [blob[i * fb:(i + 1) * fb] for i in range(len(blob) // fb)]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_column].to_pylist()
@@ -129,11 +147,14 @@ class FrameSampleStage:
         for vid, blob in zip(ids, blobs):
             if not blob:
                 continue
-            n_frames = len(blob) // self.frame_bytes
-            for fi in range(0, n_frames, self.every_k):
+            try:
+                frames = self._frames(blob)
+            except CodecUnavailable:
+                continue  # undemuxable payload: skip, never crash a block
+            for fi in range(0, len(frames), self.every_k):
                 out_id.append(str(vid))
                 out_frame.append(fi)
-                out_blob.append(blob[fi * self.frame_bytes:(fi + 1) * self.frame_bytes])
+                out_blob.append(frames[fi])
         return pa.table({
             "id": pa.array(out_id),
             "frame": pa.array(out_frame, pa.int32()),

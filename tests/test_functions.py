@@ -313,6 +313,54 @@ def test_image_codecs_roundtrip():
             decode_image(bad)
 
 
+def test_avi_demux_roundtrip():
+    """Pure-python RIFF/AVI demux: encode→demux is the identity, nested
+    LISTs and odd-size padding handled, junk raises CodecUnavailable."""
+    import pytest as _pytest
+
+    from gojsonschema_ray.functions.video import demux_avi_frames, encode_avi
+    from gojsonschema_ray.stages.audio import CodecUnavailable
+
+    frames = [b"frame-%d-%s" % (i, b"x" * (i % 5)) for i in range(9)]
+    blob = encode_avi(frames)
+    assert demux_avi_frames(blob) == frames  # odd sizes exercise padding
+    # other-stream chunks are ignored
+    import struct
+
+    extra = encode_avi(frames, stream=1)
+    assert demux_avi_frames(extra, stream=1) == frames
+    assert demux_avi_frames(extra, stream=0) == []
+    for bad in (b"", b"RIFF" + b"\x00" * 20, b"RIFF\x04\x00\x00\x00WAVE"):
+        with _pytest.raises(CodecUnavailable):
+            demux_avi_frames(bad)
+    # truncated chunk inside movi (declared size exceeds the container)
+    inner = b"00dc" + struct.pack("<I", 100) + b"short"
+    movi = b"LIST" + struct.pack("<I", 4 + len(inner)) + b"movi" + inner
+    with _pytest.raises(CodecUnavailable):
+        demux_avi_frames(b"RIFF" + struct.pack("<I", 4 + len(movi))
+                         + b"AVI " + movi)
+
+
+def test_frame_sample_stage_avi(ray_session):
+    """container='avi' really demuxes; undemuxable rows are skipped."""
+    import ray.data as rd
+
+    from gojsonschema_ray.functions.video import encode_avi
+    from gojsonschema_ray.stages.multimodal import FrameSampleStage
+
+    frames = [b"F%02d" % i for i in range(10)]
+    vids = rd.from_arrow(pa.table({
+        "id": ["v1", "junk"],
+        "bytes": [encode_avi(frames), b"not a riff container"],
+    }))
+    rows = vids.map_batches(
+        FrameSampleStage, batch_format="pyarrow", concurrency=1,
+        fn_constructor_kwargs={"container": "avi", "every_k": 3}).take_all()
+    assert [(r["id"], r["frame"], r["frame_bytes"]) for r in rows] == \
+        [("v1", 0, b"F00"), ("v1", 3, b"F03"), ("v1", 6, b"F06"),
+         ("v1", 9, b"F09")]
+
+
 def test_image_feature_stage_real_decode(ray_session):
     """The default numpy backend really decodes PPM/BMP payloads: dimensions
     come from the image, features equal the direct mean-pool computation,

@@ -277,3 +277,39 @@ def test_format_vector_matches_scalar(fmt, extra, data):
     vec = FORMATS.vector_is_format(fmt, arr).to_pylist()
     scalar = [FORMATS.is_format(fmt, v) for v in values]
     assert [bool(v) for v in vec] == scalar, (fmt, values, vec, scalar)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    gray=st.booleans(),
+    data=st.data(),
+)
+def test_image_codec_roundtrip_property(h, w, gray, data):
+    """encode→decode identity for the pure-numpy image codecs over random
+    shapes (odd widths exercise BMP row padding)."""
+    from gojsonschema_ray.functions.imaging import (
+        decode_bmp, decode_pnm, encode_bmp, encode_pnm,
+    )
+
+    c = 1 if gray else 3
+    flat = data.draw(st.lists(st.integers(0, 255), min_size=h * w * c,
+                              max_size=h * w * c))
+    img = np.asarray(flat, dtype=np.uint8).reshape(h, w, c)
+    assert (decode_pnm(encode_pnm(img)) == img).all()
+    if c == 3:
+        assert (decode_bmp(encode_bmp(img)) == img).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(frames=st.lists(st.binary(max_size=40), max_size=12),
+       stream=st.integers(min_value=0, max_value=3))
+def test_avi_demux_roundtrip_property(frames, stream):
+    """encode→demux identity for the RIFF/AVI walker over random frame
+    payloads (odd sizes exercise even-byte padding), per stream id."""
+    from gojsonschema_ray.functions.video import demux_avi_frames, encode_avi
+
+    blob = encode_avi(frames, stream=stream)
+    assert demux_avi_frames(blob, stream=stream) == frames
+    assert demux_avi_frames(blob, stream=stream + 1) == []
