@@ -35,6 +35,11 @@ def _pnm_tokens(blob: bytes, n: int) -> tuple[list[int], int]:
                 cur = b""
             while i < len(blob) and blob[i:i + 1] not in (b"\n", b"\r"):
                 i += 1
+            if len(vals) >= n:
+                # comment directly after the last header token: its
+                # terminating newline is the single separator byte — the
+                # binary payload starts right after it
+                return vals, i + 1
             continue
         if c in b" \t\r\n":
             if cur:

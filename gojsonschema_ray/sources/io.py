@@ -66,6 +66,10 @@ def _lance_fragment_reader(path: str, fid: int, columns):
 
 
 def _lance_fragment_counter(path: str, fid: int) -> int:
+    if not HAVE_LANCE:
+        raise RuntimeError(
+            "Lance fragment row counts need pylance; install it or inject a "
+            "fragment_counter alongside your fragment_reader")
     return lance.dataset(path).get_fragment(fid).count_rows()
 
 

@@ -35,9 +35,13 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 #: Buckets larger than this emit STAR pairs (every member vs the bucket's min
 #: id) instead of all-pairs — O(g) rows instead of O(g²). One degenerate LSH
 #: bucket (e.g. a million identical docs) would otherwise expand to ~5·10¹¹
-#: pairs. Star keeps full dedup coverage (every member is compared to one
-#: representative, so connected-component grouping still links the bucket)
-#: and the fallback is LOGGED, never silent.
+#: pairs. Coverage caveat: star links every member through ONE
+#: representative, which is exact for the common degenerate case (identical/
+#: boilerplate content — every star edge passes the verify), but a capped
+#: bucket of merely-similar docs loses pairs whose similarity to the
+#: representative falls below the verify threshold. The fallback is LOGGED,
+#: never silent — raise the cap (or pre-collapse exact duplicates) if a
+#: logged bucket matters.
 DEFAULT_BUCKET_CAP = 512
 
 
@@ -135,13 +139,24 @@ def dedup_exact_rows(ds, column: str, id_column: str, n_parts: int | None = None
     if not hot:
         return survivors
     survivors = survivors.materialize()  # consumed twice below
-    hot_arr = pa.array([k for k in hot if k is not None])
+    hot_non_null = [k for k in hot if k is not None]
+    hot_arr = pa.array(hot_non_null) if hot_non_null else None
+    null_is_hot = None in hot
+
+    def hot_filter(t: pa.Table) -> pa.Table:
+        m = None
+        if hot_arr is not None:
+            m = pc.is_in(t[column], value_set=hot_arr)
+        if null_is_hot:  # a null hot value is salted too; second pass must see it
+            nulls = pc.is_null(t[column])
+            m = nulls if m is None else pc.or_kleene(m, nulls)
+        return t.select([column, id_column]).filter(
+            pc.fill_null(m, False))
+
     from ..util import collect_rows
 
-    hot_rows = collect_rows(survivors.map_batches(
-        lambda t: t.select([column, id_column]).filter(
-            pc.is_in(t[column], value_set=hot_arr)),
-        batch_format="pyarrow"))
+    hot_rows = collect_rows(survivors.map_batches(hot_filter,
+                                                  batch_format="pyarrow"))
     best: dict = {}
     for r in hot_rows:
         cur = best.get(r[column])
@@ -614,13 +629,10 @@ def minhash_near_duplicates(ds, text_column: str, id_column: str, *,
         return rd.from_pandas(_empty())
     sided = _pair_texts(ds, pairs, text_column, id_column)
 
-    from .sketches import hash_arrow_array
-
     P = _next_pow2(_shuffle_parts())
 
     def pair_part(t: pa.Table) -> pa.Table:
-        h = (hash_arrow_array(t["id_a"]) * np.uint64(0x9E3779B97F4A7C15)) \
-            ^ hash_arrow_array(t["id_b"])
+        h = _pair_hash(t)  # same pair hash as unique_pairs — one invariant
         return t.append_column(
             "ppart", pa.array((h % np.uint64(P)).astype(np.int32)))
 

@@ -138,8 +138,10 @@ class IVFIndex:
         data."""
         total = ds.count()
         if total > sample_limit:
-            frac = min(1.0, (sample_limit * 1.25) / total)
-            sampled = ds.random_sample(frac, seed=seed).limit(sample_limit)
+            # no .limit() after the sample: limit() truncates in BLOCK order,
+            # which would re-introduce positional bias (the dataset's tail
+            # would never be sampled); the binomial size variance is fine
+            sampled = ds.random_sample(sample_limit / total, seed=seed)
         else:
             sampled = ds
         sample = collect_rows(sampled)

@@ -19,11 +19,8 @@ from ..util import collect_table
 
 
 def _top_of(t: pa.Table, sort_keys: list[tuple[str, str]], k: int) -> pa.Table:
-    if t.num_rows <= k:
-        idx = pc.sort_indices(t, sort_keys=sort_keys)
-        return t.take(idx)
-    idx = pc.sort_indices(t, sort_keys=sort_keys)[:k]
-    return t.take(idx)
+    # slicing past the end is safe: returns all rows when num_rows <= k
+    return t.take(pc.sort_indices(t, sort_keys=sort_keys)[:k])
 
 
 def global_top_k(ds, sort_keys: list[tuple[str, str]], k: int) -> pa.Table:

@@ -155,6 +155,27 @@ def test_dedup_exact_rows_hot_key_salting(ray_session):
     assert ushare.max() > share.max()  # salting strictly improved balance
 
 
+def test_dedup_exact_rows_null_hot_key(ray_session):
+    """A None hot key must neither crash (all-None hot set) nor leak
+    duplicate null survivors (salted null rows resolve to ONE global
+    survivor in the second pass)."""
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.dedup import dedup_exact_rows
+    from gojsonschema_ray.util import collect_rows
+
+    n = 600
+    texts = [None if i % 3 == 0 else f"doc {i}" for i in range(n)]
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(n)),
+                                 "text": pa.array(texts, pa.string())}))
+    for hot in ({None}, {None, "doc 1"}):
+        out = collect_rows(dedup_exact_rows(ds, "text", "doc_id",
+                                            hot_keys=hot))
+        nulls = [r for r in out if r["text"] is None]
+        assert len(nulls) == 1 and nulls[0]["doc_id"] == 0
+        assert len(out) == 1 + len([t for t in texts if t is not None])
+
+
 def test_minhash_dense_duplicate_corpus(ray_session):
     """50% identical docs: the verify stage must survive a dense candidate
     set (it is fully distributed — Bloom-filtered text fetch + two keyed
@@ -305,8 +326,13 @@ def test_image_codecs_roundtrip():
     assert (decode_image(encode_pnm(rgb)) == rgb).all()
     # comments in the PNM header
     blob = encode_pnm(rgb)
-    commented = b"P6\n# a comment\n7 13\n# another\n255\n" + blob.split(b"\n", 3)[3]
+    payload = blob.split(b"\n", 3)[3]
+    commented = b"P6\n# a comment\n7 13\n# another\n255\n" + payload
     assert (decode_pnm(commented) == rgb).all()
+    # comment directly AFTER the last header token: its newline is the
+    # separator — pixels must not shift by one
+    trailing = b"P6\n7 13\n255# trailing comment\n" + payload
+    assert (decode_pnm(trailing) == rgb).all()
     for bad in (b"", b"JF" + b"\x00" * 100, b"P6\n7 13\n255\n" + b"\x00" * 5,
                 b"BM" + b"\x00" * 20):
         with _pytest.raises(CodecUnavailable):
