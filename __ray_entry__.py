@@ -353,6 +353,58 @@ def q_events_asof_bucketed(sf_dir: str) -> pd.DataFrame:
         .reset_index(drop=True)
 
 
+def q_events_asof_by_user(sf_dir: str) -> pd.DataFrame:
+    """Per-KEY bucketed as-of join: each of the first 100 events picks up the
+    latest value at-or-before its timestamp AMONG ITS OWN USER's events —
+    co-partitioned on hash(user_id, day-bucket), right side = whole table.
+    Every left row matches itself, so the inner DuckDB ASOF JOIN (per-user)
+    is an exact oracle."""
+    from gojsonschema_ray.stages.joins import asof_join_bucketed
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    left = ds.map_batches(
+        lambda t: t.filter(pc.less(t["event_id"], 100))
+                   .select(["event_id", "user_id", "ts"]),
+        batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select(["user_id", "ts", "value"]).group_by(["user_id", "ts"]) \
+            .aggregate([("value", "max")]) \
+            .rename_columns(["user_id", "ts", "qv"])
+        h = pd.util.hash_pandas_object(g["ts"].to_pandas(), index=False) \
+            .to_numpy("uint64")
+        return g.append_column("part", pa.array((h % 16).astype("int32")))
+
+    def reduce_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["user_id", "ts"], as_index=False)["qv"].max()
+
+    right = ds.map_batches(partial, batch_format="pyarrow") \
+        .repartition(16).materialize() \
+        .groupby("part").map_groups(reduce_part, batch_format="pandas")
+    out = asof_join_bucketed(left, right, left_on="ts", right_on="ts",
+                             by="user_id", value_columns=["qv"],
+                             left_keep=["event_id"], bucket_s=86400.0)
+    df = pd.DataFrame(collect_rows(out))
+    df = df[df["asof_matched"]]
+    df["r_qv"] = df["r_qv"].round(6)
+    return df[["event_id", "r_qv"]].sort_values("event_id") \
+        .reset_index(drop=True)
+
+
+def q_dedup_rows_salted(sf_dir: str):
+    """Keep-first payload dedup (full surviving rows ride a skew-salted
+    value-keyed shuffle — stages/dedup.dedup_exact_rows); oracle =
+    min(doc_id) per text with the row's own payload columns."""
+    from gojsonschema_ray.stages.dedup import dedup_exact_rows
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    out = dedup_exact_rows(ds, "text", "doc_id")
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "text", "n_chars"]),
+        batch_format="pyarrow")
+
+
 def q_lineitem_price_bands(sf_dir: str) -> pd.DataFrame:
     """Broadcast range join: count lineitems per 10k-wide extendedprice band
     (stages/joins.py range_join_broadcast + driver-merged counts)."""
@@ -757,6 +809,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_window": q_events_daily_window,
         "events_asof_rate": q_events_asof_rate,
         "events_asof_bucketed": q_events_asof_bucketed,
+        "events_asof_by_user": q_events_asof_by_user,
+        "dedup_rows_salted": q_dedup_rows_salted,
         "lineitem_price_bands": q_lineitem_price_bands,
         "top_parts_by_price": q_top_parts_by_price,
         "dedup_exact_text": q_dedup_exact_text,
@@ -871,6 +925,18 @@ def oracle_sql() -> dict[str, str]:
             "lefts AS (SELECT event_id, ts FROM events WHERE event_id < 100) "
             "SELECT l.event_id, round(r.qv, 6) AS r_qv FROM lefts l "
             "ASOF JOIN rights r ON l.ts >= r.rts"
+        ),
+        "events_asof_by_user": (
+            "WITH rights AS (SELECT user_id AS ru, ts AS rts, max(value) AS qv "
+            "FROM events GROUP BY user_id, ts), "
+            "lefts AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_id < 100) "
+            "SELECT l.event_id, round(r.qv, 6) AS r_qv FROM lefts l "
+            "ASOF JOIN rights r ON l.user_id = r.ru AND l.ts >= r.rts"
+        ),
+        "dedup_rows_salted": (
+            "SELECT min(doc_id) AS doc_id, text, "
+            "arg_min(n_chars, doc_id) AS n_chars FROM documents GROUP BY text"
         ),
         "lineitem_price_bands": (
             "SELECT CASE WHEN l_extendedprice >= 0 AND l_extendedprice < 120000 "
