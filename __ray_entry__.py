@@ -21,10 +21,12 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def _read(sf_dir: str, table: str, columns=None):
+def _read(sf_dir: str, table: str, columns=None, num_blocks: int | None = None):
     import ray.data as rd
 
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    kw = {"override_num_blocks": num_blocks} if num_blocks else {}
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                           columns=columns, **kw)
 
 
 def _violation_counts_row(viol_ds, mapping: dict[str, tuple[str, str]]) -> pd.DataFrame:
@@ -598,7 +600,9 @@ def q_minhash_near_dups(sf_dir: str) -> pd.DataFrame:
     from gojsonschema_ray.stages.dedup import minhash_near_duplicates
     from gojsonschema_ray.util import collect_rows
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    # documents is ONE parquet file = one read block; split it so the
+    # signature stage (the pipeline's compute) parallelizes across CPUs
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=32)
     pairs = minhash_near_duplicates(ds, "text", "doc_id", threshold=0.5,
                                     concurrency=2)
     rows = collect_rows(pairs)
@@ -615,7 +619,7 @@ def q_simhash_near_dups(sf_dir: str) -> pd.DataFrame:
     from gojsonschema_ray.stages.dedup import simhash_near_duplicates
     from gojsonschema_ray.util import collect_rows
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=32)
     rows = collect_rows(simhash_near_duplicates(ds, "text", "doc_id",
                                                 max_hamming=8))
     df = pd.DataFrame({
