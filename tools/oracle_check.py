@@ -9,7 +9,7 @@ import duckdb, pandas as pd, numpy as np
 import ray
 
 sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 ray.init(address="local", num_cpus=16, include_dashboard=False, logging_level="ERROR")
 from ray.data import DataContext
