@@ -289,6 +289,54 @@ def q_events_daily_window(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("window_start").reset_index(drop=True)
 
 
+def q_events_hopping_window(sf_dir: str) -> pd.DataFrame:
+    """Overlapping 2-day windows hopping daily over events.value — each row
+    lands in 2 windows (stages/window.py hopping_window_aggregate)."""
+    from gojsonschema_ray.stages.window import hopping_window_aggregate
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    out = hopping_window_aggregate(ds, "ts", "value", width_s=2 * 86400,
+                                   hop_s=86400)
+    df = pd.DataFrame(collect_rows(out))
+    df["window_start"] = pd.to_datetime(df["window_start"])
+    for c in ("sum", "min", "max", "mean"):
+        df[c] = df[c].round(6)
+    return df.sort_values("window_start").reset_index(drop=True)
+
+
+def q_events_sessions(sf_dir: str) -> pd.DataFrame:
+    """Gap-based session windows per user (30-minute inactivity gap):
+    hash(user) co-partition + vectorized per-partition gap split
+    (stages/window.py session_windows)."""
+    from gojsonschema_ray.stages.window import session_windows
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    out = session_windows(ds, "user_id", "ts", gap_s=1800)
+    df = pd.DataFrame(collect_rows(out))
+    df["session_start"] = pd.to_datetime(df["session_start"])
+    df["dur_s"] = df["dur_s"].round(6)
+    return df.sort_values(["user_id", "session_start"]).reset_index(drop=True)
+
+
+def q_events_top2_per_user(sf_dir: str) -> pd.DataFrame:
+    """Grouped top-k: each user's 2 highest-value events (per-batch local
+    top-k partials + one hash(user) exchange — stages/topk.py
+    grouped_top_k)."""
+    from gojsonschema_ray.stages.topk import grouped_top_k
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "value"])
+    out = grouped_top_k(ds, "user_id",
+                        [("value", "descending"), ("event_id", "ascending")],
+                        k=2)
+    df = pd.DataFrame(collect_rows(out))
+    df["value"] = df["value"].round(6)
+    return df[["user_id", "event_id", "value"]] \
+        .sort_values(["user_id", "event_id"]).reset_index(drop=True)
+
+
 def q_events_asof_rate(sf_dir: str) -> pd.DataFrame:
     """Broadcast as-of join: each of the first 100 events picks up the rate
     of the latest daily boundary at-or-before its timestamp
@@ -811,6 +859,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_region_fk": q_nation_region_fk,
         "events_window": q_events_window,
         "events_daily_window": q_events_daily_window,
+        "events_hopping_window": q_events_hopping_window,
+        "events_sessions": q_events_sessions,
+        "events_top2_per_user": q_events_top2_per_user,
         "events_asof_rate": q_events_asof_rate,
         "events_asof_bucketed": q_events_asof_bucketed,
         "events_asof_by_user": q_events_asof_by_user,
@@ -915,6 +966,38 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n, round(sum(value), 6) AS sum, "
             "round(min(value), 6) AS min, round(max(value), 6) AS max, "
             "round(avg(value), 6) AS mean FROM events GROUP BY 1"
+        ),
+        # each event belongs to 2 overlapping 2-day windows hopping daily:
+        # window starts are floor(ts/day)*day and that minus a day
+        "events_hopping_window": (
+            "WITH e AS (SELECT epoch_us(ts) AS tsu, value FROM events), "
+            "x AS (SELECT make_timestamp((tsu // 86400000000) * 86400000000 "
+            "- j.generate_series * 86400000000) AS window_start, value "
+            "FROM e, generate_series(0, 1) j "
+            "WHERE (tsu // 86400000000) * 86400000000 "
+            "- j.generate_series * 86400000000 > tsu - 172800000000) "
+            "SELECT window_start, count(*) AS n, round(sum(value), 6) AS sum, "
+            "round(min(value), 6) AS min, round(max(value), 6) AS max, "
+            "round(avg(value), 6) AS mean FROM x GROUP BY 1"
+        ),
+        # gap-based sessionization via the classic lag/cumsum window recipe
+        "events_sessions": (
+            "WITH o AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts) IS NULL OR "
+            "ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) "
+            "> INTERVAL 1800 SECOND THEN 1 ELSE 0 END AS brk FROM events), "
+            "s AS (SELECT user_id, ts, sum(brk) OVER "
+            "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) "
+            "AS sid FROM o) "
+            "SELECT user_id, min(ts) AS session_start, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "round(epoch(max(ts) - min(ts)), 6) AS dur_s "
+            "FROM s GROUP BY user_id, sid"
+        ),
+        "events_top2_per_user": (
+            "SELECT user_id, event_id, round(value, 6) AS value FROM events "
+            "QUALIFY row_number() OVER (PARTITION BY user_id "
+            "ORDER BY value DESC, event_id) <= 2"
         ),
         "events_asof_rate": (
             "WITH rates AS (SELECT date_trunc('day', ts) AS rts, "

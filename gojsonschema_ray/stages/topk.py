@@ -12,6 +12,7 @@ any top-k).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -34,3 +35,38 @@ def global_top_k(ds, sort_keys: list[tuple[str, str]], k: int) -> pa.Table:
     if merged.num_rows == 0:
         return merged
     return _top_of(merged, sort_keys, k)
+
+
+def grouped_top_k(ds, group_column: str, sort_keys: list[tuple[str, str]],
+                  k: int, n_parts: int | None = None):
+    """Top-k rows PER GROUP. Per-batch local per-group top-k (any global
+    winner is in its batch's local top-k under the same total ordering)
+    shrinks the exchange to <= groups-per-batch x k rows; ONE hash(group)
+    co-partition shuffle; exact per-group head(k) per partition. Returns a
+    Dataset. Include a tiebreaker in sort_keys for a total order."""
+    from .dedup import _next_pow2, _shuffle_parts
+    from .sketches import hash_arrow_array
+
+    P = _next_pow2(n_parts or _shuffle_parts())
+    cols = [group_column] + [c for c, _ in sort_keys]
+    asc = [True] + [d == "ascending" for _, d in sort_keys]
+
+    def local_top(df, with_part: bool):
+        df = df.sort_values(cols, ascending=asc, kind="stable")
+        out = df.groupby(group_column, sort=False, dropna=False).head(k)
+        if with_part:
+            import pandas as _pd
+
+            h = _pd.util.hash_pandas_object(out[group_column], index=False) \
+                .to_numpy("uint64")
+            out = out.assign(part=(h % np.uint64(P)).astype("int32"))
+        return out
+
+    partials = ds.map_batches(lambda df: local_top(df, True),
+                              batch_format="pandas")
+
+    def per_part(df):
+        return local_top(df, False).drop(columns=["part"])
+
+    parts = partials.repartition(P).materialize()
+    return parts.groupby("part").map_groups(per_part, batch_format="pandas")

@@ -80,3 +80,100 @@ def tumbling_window_aggregate(ds, ts_column: str, value_column: str,
         return pa.table(cols)
 
     return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+def hopping_window_aggregate(ds, ts_column: str, value_column: str,
+                             width_s: int, hop_s: int, n_parts: int = 32):
+    """Overlapping (hopping/sliding) windows: every `hop_s` a window of
+    `width_s` opens; each row lands in ceil(width/hop) windows. Same
+    combiner-first scale shape as the tumbling variant — the per-batch
+    explode multiplies ROWS by the window fan-out, but only (window, partial)
+    rows ride the exchange. Returns (window_start, n, sum, min, max, mean)."""
+    from .sketches import hash_arrow_array
+
+    width_us = np.int64(width_s) * np.int64(1_000_000)
+    hop_us = np.int64(hop_s) * np.int64(1_000_000)
+    fanout = int(np.ceil(width_s / hop_s))
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(t[ts_column], pa.timestamp("us")), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        v = t[value_column].to_numpy(zero_copy_only=False)
+        base = (ts // hop_us) * hop_us  # latest window start at-or-before ts
+        wins, vals = [], []
+        for j in range(fanout):
+            s = base - np.int64(j) * hop_us
+            keep = s > ts - width_us  # ts < s + width  (s <= ts by base def)
+            wins.append(s[keep])
+            vals.append(v[keep])
+        w = np.concatenate(wins)
+        vv = np.concatenate(vals)
+        g = pa.table({"w": pa.array(w), "v": pa.array(vv)}).group_by("w") \
+            .aggregate([("v", "count"), ("v", "sum"), ("v", "min"),
+                        ("v", "max")]) \
+            .rename_columns(["w", "n", "s", "mn", "mx"])
+        part = (hash_arrow_array(g["w"]) % np.uint64(n_parts)).astype(np.int32)
+        return g.append_column("part", pa.array(part))
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("w", as_index=False, sort=False).agg(
+            n=("n", "sum"), s=("s", "sum"), mn=("mn", "min"), mx=("mx", "max"))
+
+    parts = ds.map_batches(partial, batch_format="pyarrow") \
+        .repartition(n_parts).materialize()
+    merged = parts.groupby("part").map_groups(per_part, batch_format="pandas")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start": pc.cast(t["w"], pa.timestamp("us")),
+            "n": t["n"],
+            "sum": t["s"],
+            "min": t["mn"],
+            "max": t["mx"],
+            "mean": pc.divide(pc.cast(t["s"], pa.float64()),
+                              pc.cast(t["n"], pa.float64())),
+        })
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+def session_windows(ds, key_column: str, ts_column: str, gap_s: float,
+                    n_parts: int | None = None):
+    """Gap-based session windows per key: consecutive events of one key
+    belong to the same session while the gap between them is <= gap_s.
+
+    ONE hash(key) co-partition exchange (all of a key's events must
+    co-locate — the documented partitioning assumption; a single
+    pathologically hot key bounds one partition), then a vectorized
+    per-partition sort + gap split. Returns
+    (key, session_start: timestamp[us], n, dur_s)."""
+    from .dedup import _next_pow2, _shuffle_parts
+    from .sketches import hash_arrow_array
+
+    P = _next_pow2(n_parts or _shuffle_parts())
+
+    def project(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t[ts_column], pa.timestamp("us"))
+        part = (hash_arrow_array(t[key_column]) % np.uint64(P)).astype(np.int32)
+        return pa.table({key_column: t[key_column], "ts": ts,
+                         "part": pa.array(part)})
+
+    gap = pd.Timedelta(seconds=gap_s)
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_column, "ts"], kind="stable")
+        brk = (df[key_column] != df[key_column].shift()) \
+            | (df["ts"].diff() > gap)
+        sid = brk.cumsum()
+        g = df.groupby(sid, sort=False)
+        out = pd.DataFrame({
+            key_column: g[key_column].first(),
+            "session_start": g["ts"].min(),
+            "n": g["ts"].count().astype("int64"),
+            "dur_s": (g["ts"].max() - g["ts"].min()).dt.total_seconds(),
+        })
+        return out.reset_index(drop=True)
+
+    parts = ds.map_batches(project, batch_format="pyarrow") \
+        .repartition(P).materialize()
+    return parts.groupby("part").map_groups(per_part, batch_format="pandas")

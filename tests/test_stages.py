@@ -295,6 +295,97 @@ def test_asof_join_broadcast(ray_session):
     assert (merged["asof_matched"].to_numpy() == ~np.isnan(g_px)).all()
 
 
+def test_hopping_window_aggregate(ray_session):
+    """Overlapping windows vs a pandas golden: every row lands in
+    ceil(width/hop) windows; counts/sums per window agree."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.window import hopping_window_aggregate
+    from gojsonschema_ray.util import collect_rows
+
+    rng = np.random.default_rng(4)
+    ts = pd.Timestamp("2024-03-01") + pd.to_timedelta(
+        rng.integers(0, 10 * 3600, 5000), unit="s")
+    vals = rng.random(5000).round(3)
+    ds = rd.from_pandas(pd.DataFrame({"ts": ts, "value": vals})).repartition(6)
+    out = pd.DataFrame(collect_rows(hopping_window_aggregate(
+        ds, "ts", "value", width_s=3600, hop_s=900)))
+    # golden: explode each row into its 4 windows
+    tsu = ts.astype("int64") // 1000  # us
+    rows = []
+    for j in range(4):
+        s = (tsu // (900 * 10**6)) * (900 * 10**6) - j * 900 * 10**6
+        keep = s > tsu - 3600 * 10**6
+        rows.append(pd.DataFrame({"w": s[keep], "v": vals[np.asarray(keep)]}))
+    golden = pd.concat(rows).groupby("w").agg(
+        n=("v", "count"), sum=("v", "sum")).reset_index()
+    merged = out.sort_values("window_start").reset_index(drop=True)
+    golden = golden.sort_values("w").reset_index(drop=True)
+    assert len(merged) == len(golden)
+    assert (merged["n"].to_numpy() == golden["n"].to_numpy()).all()
+    assert np.allclose(merged["sum"].to_numpy(), golden["sum"].to_numpy())
+    # each source row contributes to exactly width/hop windows
+    assert merged["n"].sum() == 4 * 5000
+
+
+def test_session_windows(ray_session):
+    """Gap sessionization vs a pandas lag/cumsum golden, incl. a key whose
+    events span several sessions and a single-event key."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.window import session_windows
+    from gojsonschema_ray.util import collect_rows
+
+    base = pd.Timestamp("2024-06-01")
+    rows = []
+    for u, offs in {
+        "a": [0, 10, 20, 2000, 2005, 9000],   # 3 sessions (gap 600 s)
+        "b": [50],                            # 1 session
+        "c": [0, 500, 1100, 1690, 5000],      # chained: 2 sessions
+    }.items():
+        for o in offs:
+            rows.append({"user": u, "ts": base + pd.Timedelta(seconds=o)})
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(3)
+    out = pd.DataFrame(collect_rows(session_windows(ds, "user", "ts",
+                                                    gap_s=600)))
+    out = out.sort_values(["user", "session_start"]).reset_index(drop=True)
+    got = [(r["user"], int(r["n"]), round(r["dur_s"], 3))
+           for r in out.to_dict("records")]
+    assert got == [("a", 3, 20.0), ("a", 2, 5.0), ("a", 1, 0.0),
+                   ("b", 1, 0.0),
+                   ("c", 4, 1690.0), ("c", 1, 0.0)]
+
+
+def test_grouped_top_k(ray_session):
+    """Per-group top-k vs a pandas golden with heavy ties (tiebreaker id)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.topk import grouped_top_k
+    from gojsonschema_ray.util import collect_rows
+
+    rng = np.random.default_rng(6)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 40, 4000),
+        "id": np.arange(4000, dtype="int64"),
+        "v": np.round(rng.random(4000) * 10, 0),  # ties
+    })
+    ds = rd.from_pandas(df).repartition(8)
+    out = pd.DataFrame(collect_rows(grouped_top_k(
+        ds, "g", [("v", "descending"), ("id", "ascending")], k=3)))
+    golden = df.sort_values(["g", "v", "id"],
+                            ascending=[True, False, True]) \
+        .groupby("g").head(3)
+    a = out.sort_values(["g", "id"]).reset_index(drop=True)
+    b = golden.sort_values(["g", "id"]).reset_index(drop=True)[a.columns]
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
 def test_asof_join_bucketed_matches_broadcast(ray_session):
     """The time-bucketed co-partition path (big-right-side mode) returns the
     same matches as the broadcast path / pandas merge_asof — including left
