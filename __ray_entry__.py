@@ -289,6 +289,18 @@ def q_events_daily_window(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("window_start").reset_index(drop=True)
 
 
+def q_heavy_users(sf_dir: str) -> pd.DataFrame:
+    """Heavy hitters WITHOUT a per-key shuffle: Count-Min-Sketch partials
+    (fixed-size, driver-merged) nominate candidates — CMS never
+    underestimates, so recall is guaranteed — and an exact recount pass over
+    the broadcast candidate set drops false positives
+    (stages/sketches.py heavy_hitters)."""
+    from gojsonschema_ray.stages.sketches import heavy_hitters
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    return heavy_hitters(ds, "user_id", min_count=80)
+
+
 def q_events_hopping_window(sf_dir: str) -> pd.DataFrame:
     """Overlapping 2-day windows hopping daily over events.value — each row
     lands in 2 windows (stages/window.py hopping_window_aggregate)."""
@@ -859,6 +871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_region_fk": q_nation_region_fk,
         "events_window": q_events_window,
         "events_daily_window": q_events_daily_window,
+        "heavy_users": q_heavy_users,
         "events_hopping_window": q_events_hopping_window,
         "events_sessions": q_events_sessions,
         "events_top2_per_user": q_events_top2_per_user,
@@ -966,6 +979,10 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n, round(sum(value), 6) AS sum, "
             "round(min(value), 6) AS min, round(max(value), 6) AS max, "
             "round(avg(value), 6) AS mean FROM events GROUP BY 1"
+        ),
+        "heavy_users": (
+            "SELECT user_id, count(*) AS n FROM events "
+            "GROUP BY user_id HAVING count(*) >= 80"
         ),
         # each event belongs to 2 overlapping 2-day windows hopping daily:
         # window starts are floor(ts/day)*day and that minus a day

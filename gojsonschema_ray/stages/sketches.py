@@ -373,3 +373,119 @@ def column_stats(ds, columns: list[str] | None = None) -> dict[str, dict]:
     partials = ds.map_batches(SketchStage(columns), batch_format="pyarrow")
     merged = merge_sketch_partials(collect_rows(partials))
     return {k: v.summary() for k, v in merged.items()}
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch + exact-verified heavy hitters
+# ---------------------------------------------------------------------------
+class CountMinSketch:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005): d rows of w counters,
+    point estimate = min over rows — never an UNDERestimate, so every true
+    heavy hitter passes a CMS threshold test (no false negatives; false
+    positives are possible and get filtered by an exact recount).
+
+    Associative: partials merge by elementwise addition, so one fixed-size
+    (d × w int64) table per batch rides to the driver instead of a
+    per-key shuffle."""
+
+    __slots__ = ("table", "w", "d", "_seeds")
+
+    def __init__(self, width: int = 16384, depth: int = 4):
+        self.w = width
+        self.d = depth
+        self.table = np.zeros((depth, width), dtype=np.int64)
+        # double hashing h_i = h1 + i*h2 over the 64-bit value hash
+        self._seeds = np.arange(depth, dtype=np.uint64)
+
+    def _positions(self, h: np.ndarray) -> np.ndarray:
+        """(d, n) counter indices for value hashes h."""
+        h2 = (h >> np.uint64(32)) | np.uint64(1)
+        return (h[None, :] + self._seeds[:, None] * h2[None, :]) \
+            % np.uint64(self.w)
+
+    def add_hashes(self, h: np.ndarray):
+        pos = self._positions(h)
+        for i in range(self.d):
+            np.add.at(self.table[i], pos[i].astype(np.int64), 1)
+
+    def estimate_hashes(self, h: np.ndarray) -> np.ndarray:
+        pos = self._positions(h)
+        est = self.table[0][pos[0].astype(np.int64)]
+        for i in range(1, self.d):
+            est = np.minimum(est, self.table[i][pos[i].astype(np.int64)])
+        return est
+
+    def merge(self, other: "CountMinSketch"):
+        assert self.table.shape == other.table.shape
+        self.table += other.table
+
+
+def heavy_hitters(ds, column: str, min_count: int,
+                  width: int = 16384, depth: int = 4):
+    """EXACT (value, n) rows for values occurring >= min_count times, found
+    WITHOUT a per-key shuffle:
+
+    1. CMS pass: one fixed-size partial per batch, summed on the driver.
+       CMS never underestimates, so the candidate set (est >= min_count)
+       contains every true heavy hitter;
+    2. per-batch distinct values probe the merged CMS (broadcast once via
+       ray.put) to emit candidates;
+    3. exact recount pass restricted to candidate values (pc.is_in filter +
+       per-batch partial counts, driver-merged) drops CMS false positives.
+
+    Scale assumption: the CANDIDATE set is small (it is: at most
+    total_rows/min_count true heavies + CMS collisions, tunable via width).
+    Returns a pandas DataFrame (column, n), n exact."""
+    import pandas as pd
+    import ray
+
+    def cms_partial(t: pa.Table) -> pa.Table:
+        cms = CountMinSketch(width, depth)
+        arr = t[column]
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        cms.add_hashes(hash_arrow_array(arr.drop_null()))
+        return pa.table({"partial": pa.array([pickle.dumps(cms)], pa.binary())})
+
+    merged: CountMinSketch | None = None
+    for r in collect_rows(ds.map_batches(cms_partial, batch_format="pyarrow")):
+        p = pickle.loads(r["partial"])
+        if merged is None:
+            merged = p
+        else:
+            merged.merge(p)
+    if merged is None:
+        return pd.DataFrame({column: pd.Series([], dtype="object"),
+                             "n": pd.Series([], dtype="int64")})
+    cms_ref = ray.put(merged)
+
+    def candidates(t: pa.Table) -> pa.Table:
+        cms = ray.get(cms_ref)
+        g = t.select([column]).group_by(column).aggregate([])
+        arr = g[column].combine_chunks() if isinstance(g[column], pa.ChunkedArray) \
+            else g[column]
+        arr = arr.drop_null()
+        est = cms.estimate_hashes(hash_arrow_array(arr))
+        keep = np.nonzero(est >= min_count)[0]
+        return pa.table({column: arr.take(pa.array(keep, type=pa.int64()))})
+
+    cand_vals: set = set()
+    for b in ds.map_batches(candidates, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        cand_vals.update(b[column].to_pylist())
+    if not cand_vals:
+        return pd.DataFrame({column: pd.Series([], dtype="object"),
+                             "n": pd.Series([], dtype="int64")})
+    cand_arr = pa.array(sorted(cand_vals))
+
+    def recount(t: pa.Table) -> pa.Table:
+        f = t.select([column]).filter(pc.is_in(t[column], value_set=cand_arr))
+        g = f.group_by(column).aggregate([(column, "count")])
+        return g.rename_columns([column, "cnt"])
+
+    acc: dict = {}
+    for r in collect_rows(ds.map_batches(recount, batch_format="pyarrow")):
+        acc[r[column]] = acc.get(r[column], 0) + int(r["cnt"])
+    rows = [(k, n) for k, n in acc.items() if n >= min_count]
+    rows.sort()
+    return pd.DataFrame({column: [k for k, _ in rows],
+                         "n": pd.Series([n for _, n in rows], dtype="int64")})

@@ -295,6 +295,29 @@ def test_asof_join_broadcast(ray_session):
     assert (merged["asof_matched"].to_numpy() == ~np.isnan(g_px)).all()
 
 
+def test_cms_heavy_hitters(ray_session):
+    """CMS-nominated + exact-recounted heavy hitters equal the exact
+    groupby answer, including under a tiny sketch (heavy collisions → many
+    false-positive candidates, all filtered by the recount)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.sketches import heavy_hitters
+
+    rng = np.random.default_rng(8)
+    keys = rng.integers(0, 5000, 30_000).astype(str)  # long tail
+    keys[:2000] = "heavy-1"
+    keys[2000:2900] = "heavy-2"
+    keys[2900:2999] = "almost"  # 99 < threshold
+    ds = rd.from_pandas(pd.DataFrame({"k": keys})).repartition(8)
+    exact = pd.Series(keys).value_counts()
+    want = {k: int(n) for k, n in exact.items() if n >= 100}
+    for width in (16384, 256):  # tiny width stresses the recount filter
+        got = heavy_hitters(ds, "k", min_count=100, width=width)
+        assert dict(zip(got["k"], got["n"])) == want, width
+
+
 def test_hopping_window_aggregate(ray_session):
     """Overlapping windows vs a pandas golden: every row lands in
     ceil(width/hop) windows; counts/sums per window agree."""
