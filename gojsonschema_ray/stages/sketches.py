@@ -211,12 +211,13 @@ class HyperLogLog:
 
 
 def hash_arrow_array(arr) -> np.ndarray:
-    """Vectorized 64-bit hashing of an Arrow array (pandas hash kernel)."""
+    """Vectorized 64-bit hashing of an Arrow array or pandas Series (pandas
+    hash kernel) — the engine's ONE partitioning hash."""
     import pandas as pd
 
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    s = arr.to_pandas()
+    s = arr if isinstance(arr, pd.Series) else arr.to_pandas()
     return pd.util.hash_pandas_object(s, index=False).to_numpy(dtype=np.uint64)
 
 
@@ -426,24 +427,23 @@ def heavy_hitters(ds, column: str, min_count: int,
     WITHOUT a per-key shuffle:
 
     1. CMS pass: one fixed-size partial per batch, summed on the driver.
-       CMS never underestimates, so the candidate set (est >= min_count)
-       contains every true heavy hitter;
-    2. per-batch distinct values probe the merged CMS (broadcast once via
-       ray.put) to emit candidates;
-    3. exact recount pass restricted to candidate values (pc.is_in filter +
-       per-batch partial counts, driver-merged) drops CMS false positives.
+       CMS never underestimates, so est >= min_count admits every true
+       heavy hitter;
+    2. recount pass: each batch counts its values, keeps only those the
+       broadcast merged CMS (ray.put once) estimates at >= min_count, and
+       emits exact partial counts; the driver sums them and applies the
+       final exact threshold, dropping CMS false positives.
 
-    Scale assumption: the CANDIDATE set is small (it is: at most
-    total_rows/min_count true heavies + CMS collisions, tunable via width).
-    Returns a pandas DataFrame (column, n), n exact."""
+    Two scans total, no per-key shuffle. Scale assumption: the CANDIDATE
+    set is small (at most total_rows/min_count true heavies + CMS
+    collisions, tunable via width). Returns a pandas DataFrame (column, n),
+    n exact."""
     import pandas as pd
     import ray
 
     def cms_partial(t: pa.Table) -> pa.Table:
         cms = CountMinSketch(width, depth)
-        arr = t[column]
-        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
-        cms.add_hashes(hash_arrow_array(arr.drop_null()))
+        cms.add_hashes(hash_arrow_array(t[column].drop_null()))
         return pa.table({"partial": pa.array([pickle.dumps(cms)], pa.binary())})
 
     merged: CountMinSketch | None = None
@@ -458,29 +458,15 @@ def heavy_hitters(ds, column: str, min_count: int,
                              "n": pd.Series([], dtype="int64")})
     cms_ref = ray.put(merged)
 
-    def candidates(t: pa.Table) -> pa.Table:
-        cms = ray.get(cms_ref)
-        g = t.select([column]).group_by(column).aggregate([])
-        arr = g[column].combine_chunks() if isinstance(g[column], pa.ChunkedArray) \
-            else g[column]
-        arr = arr.drop_null()
-        est = cms.estimate_hashes(hash_arrow_array(arr))
-        keep = np.nonzero(est >= min_count)[0]
-        return pa.table({column: arr.take(pa.array(keep, type=pa.int64()))})
-
-    cand_vals: set = set()
-    for b in ds.map_batches(candidates, batch_format="pyarrow") \
-            .iter_batches(batch_format="pyarrow"):
-        cand_vals.update(b[column].to_pylist())
-    if not cand_vals:
-        return pd.DataFrame({column: pd.Series([], dtype="object"),
-                             "n": pd.Series([], dtype="int64")})
-    cand_arr = pa.array(sorted(cand_vals))
-
     def recount(t: pa.Table) -> pa.Table:
-        f = t.select([column]).filter(pc.is_in(t[column], value_set=cand_arr))
-        g = f.group_by(column).aggregate([(column, "count")])
-        return g.rename_columns([column, "cnt"])
+        cms = ray.get(cms_ref)
+        g = t.select([column]).group_by(column) \
+            .aggregate([(column, "count")]) \
+            .rename_columns([column, "cnt"])
+        g = g.filter(pc.is_valid(g[column]))
+        est = cms.estimate_hashes(hash_arrow_array(g[column]))
+        keep = pa.array(np.nonzero(est >= min_count)[0], type=pa.int64())
+        return g.take(keep)
 
     acc: dict = {}
     for r in collect_rows(ds.map_batches(recount, batch_format="pyarrow")):

@@ -47,6 +47,10 @@ def grouped_top_k(ds, group_column: str, sort_keys: list[tuple[str, str]],
     from .dedup import _next_pow2, _shuffle_parts
     from .sketches import hash_arrow_array
 
+    for _, d in sort_keys:
+        if d not in ("ascending", "descending"):
+            raise ValueError(f"sort direction must be 'ascending' or "
+                             f"'descending', got {d!r}")
     P = _next_pow2(n_parts or _shuffle_parts())
     cols = [group_column] + [c for c, _ in sort_keys]
     asc = [True] + [d == "ascending" for _, d in sort_keys]
@@ -55,10 +59,7 @@ def grouped_top_k(ds, group_column: str, sort_keys: list[tuple[str, str]],
         df = df.sort_values(cols, ascending=asc, kind="stable")
         out = df.groupby(group_column, sort=False, dropna=False).head(k)
         if with_part:
-            import pandas as _pd
-
-            h = _pd.util.hash_pandas_object(out[group_column], index=False) \
-                .to_numpy("uint64")
+            h = hash_arrow_array(out[group_column])
             out = out.assign(part=(h % np.uint64(P)).astype("int32"))
         return out
 

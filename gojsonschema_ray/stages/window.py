@@ -23,6 +23,36 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _merge_window_partials(partials_ds, n_parts: int, by: str | None = None):
+    """Shared exchange + finalize for the window operators: coarse-partition
+    the (window[, by], n, s, mn, mx, part) partial rows, merge vectorized per
+    partition, emit (window_start[, by], n, sum, min, max, mean)."""
+    group_keys = ["w"] + ([by] if by is not None else [])
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(group_keys, as_index=False, sort=False).agg(
+            n=("n", "sum"), s=("s", "sum"), mn=("mn", "min"), mx=("mx", "max"))
+
+    parts = partials_ds.repartition(n_parts).materialize()
+    merged = parts.groupby("part").map_groups(per_part, batch_format="pandas")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        cols = {"window_start": pc.cast(t["w"], pa.timestamp("us"))}
+        if by is not None:
+            cols[by] = t[by]
+        cols.update({
+            "n": t["n"],
+            "sum": t["s"],
+            "min": t["mn"],
+            "max": t["mx"],
+            "mean": pc.divide(pc.cast(t["s"], pa.float64()),
+                              pc.cast(t["n"], pa.float64())),
+        })
+        return pa.table(cols)
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
+
+
 def tumbling_window_aggregate(ds, ts_column: str, value_column: str,
                               width_s: int, by: str | None = None,
                               n_parts: int = 32):
@@ -52,34 +82,8 @@ def tumbling_window_aggregate(ds, ts_column: str, value_column: str,
         part = (hash_arrow_array(g["w"]) % np.uint64(n_parts)).astype(np.int32)
         return g.append_column("part", pa.array(part))
 
-    group_keys = ["w"] + ([by] if by is not None else [])
-
-    def per_part(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby(group_keys, as_index=False, sort=False).agg(
-            n=("n", "sum"), s=("s", "sum"), mn=("mn", "min"), mx=("mx", "max"))
-        return out
-
-    parts = ds.map_batches(partial, batch_format="pyarrow") \
-        .repartition(n_parts).materialize()
-    merged = parts.groupby("part").map_groups(per_part, batch_format="pandas")
-
-    def finalize(t: pa.Table) -> pa.Table:
-        cols = {
-            "window_start": pc.cast(t["w"], pa.timestamp("us")),
-        }
-        if by is not None:
-            cols[by] = t[by]
-        cols.update({
-            "n": t["n"],
-            "sum": t["s"],
-            "min": t["mn"],
-            "max": t["mx"],
-            "mean": pc.divide(pc.cast(t["s"], pa.float64()),
-                              pc.cast(t["n"], pa.float64())),
-        })
-        return pa.table(cols)
-
-    return merged.map_batches(finalize, batch_format="pyarrow")
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return _merge_window_partials(partials, n_parts, by)
 
 
 def hopping_window_aggregate(ds, ts_column: str, value_column: str,
@@ -88,7 +92,8 @@ def hopping_window_aggregate(ds, ts_column: str, value_column: str,
     `width_s` opens; each row lands in ceil(width/hop) windows. Same
     combiner-first scale shape as the tumbling variant — the per-batch
     explode multiplies ROWS by the window fan-out, but only (window, partial)
-    rows ride the exchange. Returns (window_start, n, sum, min, max, mean)."""
+    rows ride the exchange. Null values are skipped (tumbling/SQL NULL
+    semantics). Returns (window_start, n, sum, min, max, mean)."""
     from .sketches import hash_arrow_array
 
     width_us = np.int64(width_s) * np.int64(1_000_000)
@@ -96,9 +101,13 @@ def hopping_window_aggregate(ds, ts_column: str, value_column: str,
     fanout = int(np.ceil(width_s / hop_s))
 
     def partial(t: pa.Table) -> pa.Table:
+        v_col = t[value_column]
+        v_col = v_col.combine_chunks() if isinstance(v_col, pa.ChunkedArray) \
+            else v_col
+        valid = pc.is_valid(v_col).to_numpy(zero_copy_only=False)
         ts = pc.cast(pc.cast(t[ts_column], pa.timestamp("us")), pa.int64()) \
-            .to_numpy(zero_copy_only=False)
-        v = t[value_column].to_numpy(zero_copy_only=False)
+            .to_numpy(zero_copy_only=False)[valid]
+        v = v_col.to_numpy(zero_copy_only=False)[valid]
         base = (ts // hop_us) * hop_us  # latest window start at-or-before ts
         wins, vals = [], []
         for j in range(fanout):
@@ -106,35 +115,16 @@ def hopping_window_aggregate(ds, ts_column: str, value_column: str,
             keep = s > ts - width_us  # ts < s + width  (s <= ts by base def)
             wins.append(s[keep])
             vals.append(v[keep])
-        w = np.concatenate(wins)
-        vv = np.concatenate(vals)
-        g = pa.table({"w": pa.array(w), "v": pa.array(vv)}).group_by("w") \
+        g = pa.table({"w": pa.array(np.concatenate(wins)),
+                      "v": pa.array(np.concatenate(vals))}).group_by("w") \
             .aggregate([("v", "count"), ("v", "sum"), ("v", "min"),
                         ("v", "max")]) \
             .rename_columns(["w", "n", "s", "mn", "mx"])
         part = (hash_arrow_array(g["w"]) % np.uint64(n_parts)).astype(np.int32)
         return g.append_column("part", pa.array(part))
 
-    def per_part(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("w", as_index=False, sort=False).agg(
-            n=("n", "sum"), s=("s", "sum"), mn=("mn", "min"), mx=("mx", "max"))
-
-    parts = ds.map_batches(partial, batch_format="pyarrow") \
-        .repartition(n_parts).materialize()
-    merged = parts.groupby("part").map_groups(per_part, batch_format="pandas")
-
-    def finalize(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "window_start": pc.cast(t["w"], pa.timestamp("us")),
-            "n": t["n"],
-            "sum": t["s"],
-            "min": t["mn"],
-            "max": t["mx"],
-            "mean": pc.divide(pc.cast(t["s"], pa.float64()),
-                              pc.cast(t["n"], pa.float64())),
-        })
-
-    return merged.map_batches(finalize, batch_format="pyarrow")
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return _merge_window_partials(partials, n_parts, by=None)
 
 
 def session_windows(ds, key_column: str, ts_column: str, gap_s: float,
@@ -162,9 +152,17 @@ def session_windows(ds, key_column: str, ts_column: str, gap_s: float,
 
     def per_part(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([key_column, "ts"], kind="stable")
-        brk = (df[key_column] != df[key_column].shift()) \
-            | (df["ts"].diff() > gap)
-        sid = brk.cumsum()
+        # key-change test on the ORIGINAL dtype: a .shift() comparison would
+        # upcast int64 keys to float64 (merging distinct ids >= 2^53) and
+        # treat None inconsistently. numpy elementwise != keeps int64 exact
+        # and groups None keys together (SQL PARTITION BY NULL semantics).
+        keys_np = df[key_column].to_numpy()
+        kc = np.empty(len(df), dtype=bool)
+        if len(df):
+            kc[0] = True
+            kc[1:] = keys_np[1:] != keys_np[:-1]
+        brk = kc | (df["ts"].diff() > gap).to_numpy()
+        sid = np.cumsum(brk)
         g = df.groupby(sid, sort=False)
         out = pd.DataFrame({
             key_column: g[key_column].first(),

@@ -383,6 +383,61 @@ def test_session_windows(ray_session):
                    ("c", 4, 1690.0), ("c", 1, 0.0)]
 
 
+def test_hopping_window_skips_nulls(ray_session):
+    """Null values must be skipped (tumbling/SQL NULL semantics) — not
+    counted, not poisoning sums with NaN."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.window import hopping_window_aggregate
+    from gojsonschema_ray.util import collect_rows
+
+    base = pd.Timestamp("2024-01-01").value // 1000
+    t = pa.table({
+        "ts": pa.array([base, base + 1, base + 2], pa.timestamp("us")),
+        "value": pa.array([1.0, None, 3.0], pa.float64()),
+    })
+    out = pd.DataFrame(collect_rows(hopping_window_aggregate(
+        rd.from_arrow(t), "ts", "value", width_s=3600, hop_s=3600)))
+    assert out["n"].tolist() == [2]
+    assert out["sum"].tolist() == [4.0] and out["mean"].tolist() == [2.0]
+
+
+def test_session_windows_large_int_keys(ray_session):
+    """int64 keys above 2^53 must not merge via a float64 upcast in the
+    key-change test."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.window import session_windows
+    from gojsonschema_ray.util import collect_rows
+
+    k1, k2 = 2**53, 2**53 + 1  # indistinguishable as float64
+    base = pd.Timestamp("2024-06-01")
+    df = pd.DataFrame({
+        "user": [k1, k1, k2, k2],
+        "ts": [base, base + pd.Timedelta(seconds=10),
+               base + pd.Timedelta(seconds=20),
+               base + pd.Timedelta(seconds=30)],
+    })
+    out = pd.DataFrame(collect_rows(session_windows(
+        rd.from_pandas(df), "user", "ts", gap_s=600)))
+    assert sorted((int(r["user"]), int(r["n"]))
+                  for r in out.to_dict("records")) == [(k1, 2), (k2, 2)]
+
+
+def test_grouped_top_k_rejects_bad_direction(ray_session):
+    import pytest as _pytest
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.topk import grouped_top_k
+
+    ds = rd.from_items([{"g": 1, "v": 2}])
+    with _pytest.raises(ValueError, match="direction"):
+        grouped_top_k(ds, "g", [("v", "desc")], k=1)
+
+
 def test_grouped_top_k(ray_session):
     """Per-group top-k vs a pandas golden with heavy ties (tiebreaker id)."""
     import numpy as np
