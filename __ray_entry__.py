@@ -289,6 +289,16 @@ def q_events_daily_window(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("window_start").reset_index(drop=True)
 
 
+def q_vocab_bigrams(sf_dir: str):
+    """Vocabulary building: word-bigram counts >= 40 over the document
+    corpus (functions/text.py token_frequencies — per-batch combiner + one
+    hash(gram) exchange)."""
+    from gojsonschema_ray.functions.text import token_frequencies
+
+    ds = _read(sf_dir, "documents", ["text"], num_blocks=16)
+    return token_frequencies(ds, "text", min_count=40, n=2)
+
+
 def q_heavy_users(sf_dir: str) -> pd.DataFrame:
     """Heavy hitters WITHOUT a per-key shuffle: Count-Min-Sketch partials
     (fixed-size, driver-merged) nominate candidates — CMS never
@@ -871,6 +881,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_region_fk": q_nation_region_fk,
         "events_window": q_events_window,
         "events_daily_window": q_events_daily_window,
+        "vocab_bigrams": q_vocab_bigrams,
         "heavy_users": q_heavy_users,
         "events_hopping_window": q_events_hopping_window,
         "events_sessions": q_events_sessions,
@@ -983,6 +994,15 @@ def oracle_sql() -> dict[str, str]:
         "heavy_users": (
             "SELECT user_id, count(*) AS n FROM events "
             "GROUP BY user_id HAVING count(*) >= 80"
+        ),
+        "vocab_bigrams": (
+            "WITH d AS (SELECT string_split_regex(trim(lower(text)), "
+            "'\\s+') AS l FROM documents "
+            "WHERE text IS NOT NULL AND trim(text) != ''), "
+            "g AS (SELECT unnest(list_transform(generate_series(1, "
+            "len(l) - 1), i -> l[i] || ' ' || l[i + 1])) AS gram FROM d) "
+            "SELECT gram, count(*) AS n FROM g GROUP BY gram "
+            "HAVING count(*) >= 40"
         ),
         # each event belongs to 2 overlapping 2-day windows hopping daily:
         # window starts are floor(ts/day)*day and that minus a day

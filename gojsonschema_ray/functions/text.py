@@ -130,3 +130,49 @@ class TextStatsStage:
         batch["lang_pred"] = texts.map(lang_id)
         batch["fingerprint"] = texts.map(rolling_fingerprint)
         return batch
+
+
+def token_frequencies(ds, text_column: str, min_count: int = 1, n: int = 1,
+                      lowercase: bool = True, n_parts: int | None = None):
+    """Corpus vocabulary: (gram, n) counts of word n-grams at or above
+    `min_count` — the vocabulary-building pass of a training-data pipeline.
+
+    Tokenization = the engine's SQL-reproducible contract (``\\s+`` split of
+    trimmed text); n-grams join `n` consecutive tokens with single spaces.
+    Scale shape: per-batch explode + partial counts (the combiner bounds the
+    exchange by distinct-grams-per-batch, not token count), ONE coarse
+    hash(gram) partition exchange, vectorized per-partition totals with the
+    threshold applied there. Returns a Dataset of (gram, n)."""
+    from ..stages.dedup import _next_pow2, _shuffle_parts
+    from ..stages.sketches import hash_arrow_array
+
+    P = _next_pow2(n_parts or _shuffle_parts())
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        grams: list[str] = []
+        for text in df[text_column]:
+            if not text:
+                continue
+            t = text.strip()
+            if not t:
+                continue
+            toks = _WS.split(t.lower() if lowercase else t)
+            if n == 1:
+                grams.extend(toks)
+            else:
+                grams.extend(" ".join(toks[i:i + n])
+                             for i in range(len(toks) - n + 1))
+        s = pd.Series(grams, dtype="object").value_counts()
+        out = pd.DataFrame({"gram": s.index, "cnt": s.to_numpy()})
+        h = hash_arrow_array(out["gram"])
+        return out.assign(part=(h % np.uint64(P)).astype("int32"))
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("gram", as_index=False, sort=False)["cnt"].sum()
+        g = g[g["cnt"] >= min_count]
+        return pd.DataFrame({"gram": g["gram"],
+                             "n": g["cnt"].astype("int64")})
+
+    parts = ds.map_batches(partial, batch_format="pandas") \
+        .repartition(P).materialize()
+    return parts.groupby("part").map_groups(per_part, batch_format="pandas")

@@ -305,6 +305,24 @@ def test_multimodal_plumbing(ray_session):
     assert len(rms) > 50 and len(rms[0]["rms"]) == 16
 
 
+def test_token_frequencies(ray_session):
+    """Vocabulary counts vs a pandas golden, unigram + bigram, with
+    threshold, case folding, and null/empty rows skipped."""
+    import ray.data as rd
+
+    from gojsonschema_ray.functions.text import token_frequencies
+    from gojsonschema_ray.util import collect_rows
+
+    texts = ["the cat sat", "The cat SAT down", None, "  ", "cat sat"]
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts, pa.string())}))
+    uni = {r["gram"]: r["n"] for r in collect_rows(
+        token_frequencies(ds, "text", min_count=2, n=1))}
+    assert uni == {"the": 2, "cat": 3, "sat": 3}
+    bi = {r["gram"]: r["n"] for r in collect_rows(
+        token_frequencies(ds, "text", min_count=2, n=2))}
+    assert bi == {"the cat": 2, "cat sat": 3}
+
+
 def test_image_codecs_roundtrip():
     """Pure-numpy PPM/PGM/BMP codecs: encode→decode is the identity, header
     comments parse, corrupt payloads raise CodecUnavailable."""
