@@ -299,6 +299,17 @@ def q_vocab_bigrams(sf_dir: str):
     return token_frequencies(ds, "text", min_count=40, n=2)
 
 
+def q_doc_freq_unigrams(sf_dir: str):
+    """Document frequencies (the df of tf-idf): number of documents
+    containing each word, thresholded — token_frequencies in
+    distinct-per-doc mode."""
+    from gojsonschema_ray.functions.text import token_frequencies
+
+    ds = _read(sf_dir, "documents", ["text"], num_blocks=16)
+    return token_frequencies(ds, "text", min_count=300, n=1,
+                             distinct_per_doc=True)
+
+
 def q_heavy_users(sf_dir: str) -> pd.DataFrame:
     """Heavy hitters WITHOUT a per-key shuffle: Count-Min-Sketch partials
     (fixed-size, driver-merged) nominate candidates — CMS never
@@ -882,6 +893,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": q_events_window,
         "events_daily_window": q_events_daily_window,
         "vocab_bigrams": q_vocab_bigrams,
+        "doc_freq_unigrams": q_doc_freq_unigrams,
         "heavy_users": q_heavy_users,
         "events_hopping_window": q_events_hopping_window,
         "events_sessions": q_events_sessions,
@@ -1003,6 +1015,13 @@ def oracle_sql() -> dict[str, str]:
             "len(l) - 1), i -> l[i] || ' ' || l[i + 1])) AS gram FROM d) "
             "SELECT gram, count(*) AS n FROM g GROUP BY gram "
             "HAVING count(*) >= 40"
+        ),
+        "doc_freq_unigrams": (
+            "WITH d AS (SELECT unnest(list_distinct(string_split_regex("
+            "trim(lower(text)), '\\s+'))) AS gram FROM documents "
+            "WHERE text IS NOT NULL AND trim(text) != '') "
+            "SELECT gram, count(*) AS n FROM d GROUP BY gram "
+            "HAVING count(*) >= 300"
         ),
         # each event belongs to 2 overlapping 2-day windows hopping daily:
         # window starts are floor(ts/day)*day and that minus a day

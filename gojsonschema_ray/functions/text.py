@@ -133,9 +133,12 @@ class TextStatsStage:
 
 
 def token_frequencies(ds, text_column: str, min_count: int = 1, n: int = 1,
-                      lowercase: bool = True, n_parts: int | None = None):
+                      lowercase: bool = True, distinct_per_doc: bool = False,
+                      n_parts: int | None = None):
     """Corpus vocabulary: (gram, n) counts of word n-grams at or above
     `min_count` — the vocabulary-building pass of a training-data pipeline.
+    `distinct_per_doc=True` counts each gram at most once per document
+    (DOCUMENT frequency, the df of tf-idf) instead of per occurrence.
 
     Tokenization = the engine's SQL-reproducible contract (``\\s+`` split of
     trimmed text); n-grams join `n` consecutive tokens with single spaces.
@@ -158,10 +161,13 @@ def token_frequencies(ds, text_column: str, min_count: int = 1, n: int = 1,
                 continue
             toks = _WS.split(t.lower() if lowercase else t)
             if n == 1:
-                grams.extend(toks)
+                doc_grams = toks
             else:
-                grams.extend(" ".join(toks[i:i + n])
-                             for i in range(len(toks) - n + 1))
+                doc_grams = [" ".join(toks[i:i + n])
+                             for i in range(len(toks) - n + 1)]
+            if distinct_per_doc:
+                doc_grams = list(dict.fromkeys(doc_grams))
+            grams.extend(doc_grams)
         s = pd.Series(grams, dtype="object").value_counts()
         out = pd.DataFrame({"gram": s.index, "cnt": s.to_numpy()})
         h = hash_arrow_array(out["gram"])

@@ -321,6 +321,11 @@ def test_token_frequencies(ray_session):
     bi = {r["gram"]: r["n"] for r in collect_rows(
         token_frequencies(ds, "text", min_count=2, n=2))}
     assert bi == {"the cat": 2, "cat sat": 3}
+    # document-frequency mode: each gram counted once per doc
+    df = {r["gram"]: r["n"] for r in collect_rows(
+        token_frequencies(ds, "text", min_count=1, n=1,
+                          distinct_per_doc=True))}
+    assert df == {"the": 2, "cat": 3, "sat": 3, "down": 1}
 
 
 def test_image_codecs_roundtrip():

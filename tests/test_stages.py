@@ -383,6 +383,34 @@ def test_session_windows(ray_session):
                    ("c", 4, 1690.0), ("c", 1, 0.0)]
 
 
+def test_hopping_equals_tumbling_when_hop_is_width(ray_session):
+    """Invariant: hop == width degenerates to tumbling windows — the two
+    operators must agree exactly."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.window import (
+        hopping_window_aggregate, tumbling_window_aggregate,
+    )
+    from gojsonschema_ray.util import collect_rows
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({
+        "ts": pd.Timestamp("2024-02-01") + pd.to_timedelta(
+            rng.integers(0, 5 * 86400, 3000), unit="s"),
+        "value": rng.random(3000).round(3),
+    })
+    ds = rd.from_pandas(df).repartition(5)
+    hop = pd.DataFrame(collect_rows(hopping_window_aggregate(
+        ds, "ts", "value", width_s=86400, hop_s=86400)))
+    tum = pd.DataFrame(collect_rows(tumbling_window_aggregate(
+        ds, "ts", "value", width_s=86400)))
+    a = hop.sort_values("window_start").reset_index(drop=True)
+    b = tum.sort_values("window_start").reset_index(drop=True)[a.columns]
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
 def test_hopping_window_skips_nulls(ray_session):
     """Null values must be skipped (tumbling/SQL NULL semantics) — not
     counted, not poisoning sums with NaN."""
