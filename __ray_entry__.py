@@ -1008,9 +1008,9 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY user_id HAVING count(*) >= 80"
         ),
         "vocab_bigrams": (
-            "WITH d AS (SELECT string_split_regex(trim(lower(text)), "
-            "'\\s+') AS l FROM documents "
-            "WHERE text IS NOT NULL AND trim(text) != ''), "
+            "WITH d AS (SELECT string_split_regex(trim(lower(text), "
+            "' \t\n\r\x0b\x0c'), '\\s+') AS l FROM documents "
+            "WHERE text IS NOT NULL AND trim(text, ' \t\n\r\x0b\x0c') != ''), "
             "g AS (SELECT unnest(list_transform(generate_series(1, "
             "len(l) - 1), i -> l[i] || ' ' || l[i + 1])) AS gram FROM d) "
             "SELECT gram, count(*) AS n FROM g GROUP BY gram "
@@ -1018,8 +1018,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_freq_unigrams": (
             "WITH d AS (SELECT unnest(list_distinct(string_split_regex("
-            "trim(lower(text)), '\\s+'))) AS gram FROM documents "
-            "WHERE text IS NOT NULL AND trim(text) != '') "
+            "trim(lower(text), ' \t\n\r\x0b\x0c'), '\\s+'))) AS gram "
+            "FROM documents "
+            "WHERE text IS NOT NULL AND trim(text, ' \t\n\r\x0b\x0c') != '') "
             "SELECT gram, count(*) AS n FROM d GROUP BY gram "
             "HAVING count(*) >= 300"
         ),

@@ -141,13 +141,16 @@ def token_frequencies(ds, text_column: str, min_count: int = 1, n: int = 1,
     (DOCUMENT frequency, the df of tf-idf) instead of per occurrence.
 
     Tokenization = the engine's SQL-reproducible contract (``\\s+`` split of
-    trimmed text); n-grams join `n` consecutive tokens with single spaces.
-    Scale shape: per-batch explode + partial counts (the combiner bounds the
-    exchange by distinct-grams-per-batch, not token count), ONE coarse
-    hash(gram) partition exchange, vectorized per-partition totals with the
-    threshold applied there. Returns a Dataset of (gram, n)."""
+    trimmed text — ASCII whitespace; exotic Unicode spaces are outside the
+    contract since RE2/DuckDB ``\\s`` is ASCII-only); n-grams join `n`
+    consecutive tokens with single spaces. Scale shape: per-batch explode +
+    partial counts (the combiner bounds the exchange by
+    distinct-grams-per-batch, not token count), then the SAME exchange as
+    key-uniqueness (uniqueness.aggregate_key_counts). Returns a Dataset of
+    (gram, n)."""
     from ..stages.dedup import _next_pow2, _shuffle_parts
     from ..stages.sketches import hash_arrow_array
+    from ..stages.uniqueness import aggregate_key_counts
 
     P = _next_pow2(n_parts or _shuffle_parts())
 
@@ -169,16 +172,10 @@ def token_frequencies(ds, text_column: str, min_count: int = 1, n: int = 1,
                 doc_grams = list(dict.fromkeys(doc_grams))
             grams.extend(doc_grams)
         s = pd.Series(grams, dtype="object").value_counts()
-        out = pd.DataFrame({"gram": s.index, "cnt": s.to_numpy()})
+        out = pd.DataFrame({"gram": s.index,
+                            "cnt": s.to_numpy().astype("int64")})
         h = hash_arrow_array(out["gram"])
         return out.assign(part=(h % np.uint64(P)).astype("int32"))
 
-    def per_part(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("gram", as_index=False, sort=False)["cnt"].sum()
-        g = g[g["cnt"] >= min_count]
-        return pd.DataFrame({"gram": g["gram"],
-                             "n": g["cnt"].astype("int64")})
-
-    parts = ds.map_batches(partial, batch_format="pandas") \
-        .repartition(P).materialize()
-    return parts.groupby("part").map_groups(per_part, batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return aggregate_key_counts(partials, "gram", min_count=min_count)
