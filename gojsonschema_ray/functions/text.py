@@ -179,3 +179,42 @@ def token_frequencies(ds, text_column: str, min_count: int = 1, n: int = 1,
 
     partials = ds.map_batches(partial, batch_format="pandas")
     return aggregate_key_counts(partials, "gram", min_count=min_count)
+
+
+# PII patterns in RE2 syntax — compiled by Arrow's replace_substring_regex
+# (RE2), the same engine family as the vectorized validators, so behavior is
+# identical on workers and in DuckDB regexp_replace.
+PII_PATTERNS = {
+    "email": (r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    "phone": (r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "<PHONE>"),
+}
+
+
+class PiiRedactStage:
+    """map_batches payload: redact PII spans (email/IPv4/phone by default)
+    from a text column, appending `<col>_redacted` plus per-kind match-count
+    columns — the scrubbing pass of a web-corpus pipeline.
+
+    All matching runs through Arrow RE2 kernels (count_substring_regex /
+    replace_substring_regex): one C-level pass per pattern, no Python per
+    row. Order matters (email before phone: an address's digits must not be
+    half-eaten by the phone pattern) — patterns apply in dict order."""
+
+    def __init__(self, text_column: str = "text",
+                 patterns: dict | None = None):
+        self.text_column = text_column
+        self.patterns = patterns or PII_PATTERNS
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.text_column]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        out = col
+        counts = {}
+        for kind, (pattern, repl) in self.patterns.items():
+            counts[kind] = pc.count_substring_regex(out, pattern)
+            out = pc.replace_substring_regex(out, pattern, repl)
+        batch = batch.append_column(f"{self.text_column}_redacted", out)
+        for kind, c in counts.items():
+            batch = batch.append_column(f"n_{kind}", c)
+        return batch

@@ -305,6 +305,32 @@ def test_multimodal_plumbing(ray_session):
     assert len(rms) > 50 and len(rms[0]["rms"]) == 16
 
 
+def test_pii_redact_stage(ray_session):
+    """Email/IP/phone redaction via Arrow RE2 kernels, with per-kind counts,
+    null passthrough, and email-before-phone ordering."""
+    import ray.data as rd
+
+    from gojsonschema_ray.functions.text import PiiRedactStage
+
+    t = pa.table({"text": pa.array([
+        "mail a.b+c@ex-ample.org or ping 10.0.0.255 today",
+        "call +1 (555) 123-4567 or 555-867-5309x",
+        "user99@host.io's number is 555 123 9876",
+        "nothing sensitive here",
+        None,
+    ], pa.string())})
+    rows = rd.from_arrow(t).map_batches(PiiRedactStage, batch_format="pyarrow",
+                                        concurrency=1).take_all()
+    red = [r["text_redacted"] for r in rows]
+    assert red[0] == "mail <EMAIL> or ping <IP> today"
+    assert red[1].startswith("call <PHONE>")
+    assert "<EMAIL>" in red[2] and "<PHONE>" in red[2]
+    assert red[3] == "nothing sensitive here"
+    assert red[4] is None
+    assert [r["n_email"] for r in rows] == [1, 0, 1, 0, None]
+    assert [r["n_ipv4"] for r in rows] == [1, 0, 0, 0, None]
+
+
 def test_token_frequencies(ray_session):
     """Vocabulary counts vs a pandas golden, unigram + bigram, with
     threshold, case folding, and null/empty rows skipped."""
