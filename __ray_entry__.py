@@ -199,6 +199,92 @@ def q_customer_combinators(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def q_customer_formats(sf_dir: str) -> pd.DataFrame:
+    """Format checkers on table data, reached through `definitions` + `$ref`
+    (compiler registry path, reference schemaPool.go): a synthesized uuid
+    column (hex via lpad of the key, every 7th row corrupted) checked with
+    {"format": "uuid"} (pure-regex vector kernel, format_checkers.go:327-334)
+    and an ipv4 column ("10.<key % 300>.0.1" — octets 256-299 invalid)
+    checked with {"format": "ipv4"} (net.ParseIP parity via the
+    distinct-value dictionary path, format_checkers.go:202-211). Column
+    derivation is pure Arrow compute so the DuckDB oracle replicates it
+    textually."""
+    ds = _read(sf_dir, "customer", ["c_custkey"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        key = t["c_custkey"].to_pandas()
+        uid = ("00000000-0000-0000-0000-" + key.astype(str).str.zfill(12)
+               + pd.Series(np.where(key % 7 == 0, "x", ""), index=key.index))
+        ip = "10." + (key % 300).astype(str) + ".0.1"
+        return pa.table({"c_custkey": t["c_custkey"],
+                         "uid": pa.array(uid, pa.string()),
+                         "ip": pa.array(ip, pa.string())})
+
+    tv = _validator({
+        "type": "object",
+        "definitions": {
+            "uuidcol": {"type": "string", "format": "uuid"},
+            "ipcol": {"type": "string", "format": "ipv4"},
+        },
+        "properties": {
+            "uid": {"$ref": "#/definitions/uuidcol"},
+            "ip": {"$ref": "#/definitions/ipcol"},
+        },
+    }, "c_custkey")
+    viol = ds.map_batches(derive, batch_format="pyarrow") \
+        .map_batches(tv, batch_format="pyarrow")
+    return _violation_counts_row(viol, {
+        "bad_uuid": ("format", "(root).uid"),
+        "bad_ip": ("format", "(root).ip"),
+    })
+
+
+def q_documents_pii(sf_dir: str) -> pd.DataFrame:
+    """PII redaction driver check: deterministic PII spans (email / IPv4 /
+    phone keyed on doc_id) are appended to the document text with Arrow
+    compute, then PiiRedactStage counts+redacts them via RE2 kernels; the
+    DuckDB oracle re-counts with regexp_extract_all using the IDENTICAL
+    patterns (both engines are RE2). Per-kind counts are per-batch partials
+    summed on the driver — one row out."""
+    from gojsonschema_ray.functions.text import PiiRedactStage
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    stage = PiiRedactStage(text_column="spiked")
+
+    def spike(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_pandas()
+        text = t["text"].to_pandas()
+        sfx = np.where(did % 3 == 0,
+                       " contact user" + did.astype(str) + "@example.com", "")
+        sfx = sfx + np.where(did % 5 == 0,
+                             " from 10." + (did % 256).astype(str) + ".0.1",
+                             "")
+        sfx = sfx + np.where(did % 7 == 0, " call +1 555-123-4567", "")
+        # null text stays null (SQL `text || ...` = NULL parity)
+        mask = text.notna()
+        spiked = pd.Series([None] * len(text), dtype="object",
+                           index=text.index)
+        spiked[mask] = text[mask] + pd.Series(sfx, index=text.index)[mask]
+        return pa.table({"doc_id": t["doc_id"],
+                         "spiked": pa.array(spiked, pa.string())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = stage(t)
+        return pa.table({
+            k: pa.array([pc.sum(out[k]).as_py() or 0], pa.int64())
+            for k in ("n_email", "n_ipv4", "n_phone")
+        })
+
+    rows = collect_rows(ds.map_batches(spike, batch_format="pyarrow")
+                        .map_batches(partial, batch_format="pyarrow"))
+    acc = {k: 0 for k in ("n_email", "n_ipv4", "n_phone")}
+    for r in rows:
+        for k in acc:
+            acc[k] += int(r[k])
+    return pd.DataFrame([acc])
+
+
 def q_events_unique_users(sf_dir: str):
     from gojsonschema_ray.stages.uniqueness import duplicate_keys
 
@@ -619,9 +705,13 @@ def q_ann_top5(sf_dir: str) -> pd.DataFrame:
 
 
 def q_events_props_json(sf_dir: str) -> pd.DataFrame:
-    """Dynamic JSON column validated with the GENERIC engine (per-row parse —
-    the JSON-variant path; typed columns use the vectorized path instead)."""
-    from gojsonschema_ray.schema import compile_schema, parse_json
+    """Dynamic JSON column validated on the FAST path (polars struct-decode
+    + vectorized evaluator, sources/jsonl.py JsonStructValidator; malformed
+    batches fall back per-row to the exact generic engine). Bad rows are
+    counted as DISTINCT violating keys inside the same stage — keys are
+    batch-local row indices, so the count must not cross batch fusion."""
+    from gojsonschema_ray.schema import compile_schema
+    from gojsonschema_ray.sources.jsonl import JsonStructValidator
 
     tree = compile_schema({
         "type": "object",
@@ -629,18 +719,12 @@ def q_events_props_json(sf_dir: str) -> pd.DataFrame:
         "properties": {"k": {"minimum": 0, "maximum": 50}},
     })
     ds = _read(sf_dir, "events", ["props"])
+    fastv = JsonStructValidator(tree, "props")
 
     def count_bad(batch: pa.Table) -> pa.Table:
-        bad = 0
-        for s in batch["props"].to_pylist():
-            try:
-                doc = parse_json(s) if s is not None else None
-            except Exception:
-                bad += 1
-                continue
-            if doc is None or not tree.check(doc):
-                bad += 1
-        return pa.table({"bad": pa.array([bad], pa.int64())})
+        viol = fastv(batch)
+        n = pc.count_distinct(viol["key"]).as_py() if viol.num_rows else 0
+        return pa.table({"bad": pa.array([n], pa.int64())})
 
     partials = ds.map_batches(count_bad, batch_format="pyarrow")
     from gojsonschema_ray.util import collect_rows
@@ -885,6 +969,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_conditional": q_orders_conditional,
         "embeddings_list_schema": q_embeddings_list_schema,
         "customer_combinators": q_customer_combinators,
+        "customer_formats": q_customer_formats,
+        "documents_pii": q_documents_pii,
         "events_unique_users": q_events_unique_users,
         "lineitem_stats": q_lineitem_stats,
         "customers_without_events": q_customers_without_events,
@@ -973,6 +1059,39 @@ def oracle_sql() -> dict[str, str]:
         "events_unique_users": (
             "SELECT user_id, count(*) AS n_rows FROM events "
             "GROUP BY user_id HAVING count(*) > 1"
+        ),
+        # same derived columns as the Ray query; uuid via the vector kernel's
+        # exact regex, ipv4 validity closed-form (octet 2 must be <= 255 —
+        # the only octet that varies; no leading zeros by construction)
+        "customer_formats": (
+            "WITH x AS (SELECT c_custkey, "
+            "'00000000-0000-0000-0000-' || "
+            "lpad(CAST(c_custkey AS VARCHAR), 12, '0') || "
+            "CASE WHEN c_custkey % 7 = 0 THEN 'x' ELSE '' END AS uid "
+            "FROM customer) "
+            "SELECT count(*) FILTER (WHERE NOT regexp_matches(uid, "
+            "'^[a-fA-F0-9]{8}-[a-fA-F0-9]{4}-[a-fA-F0-9]{4}-"
+            "[a-fA-F0-9]{4}-[a-fA-F0-9]{12}$')) AS bad_uuid, "
+            "count(*) FILTER (WHERE c_custkey % 300 > 255) AS bad_ip FROM x"
+        ),
+        # identical RE2 patterns as functions/text.py PII_PATTERNS (DuckDB's
+        # regex engine is RE2 too), counts on the same spiked column
+        "documents_pii": (
+            "WITH x AS (SELECT text || "
+            "CASE WHEN doc_id % 3 = 0 THEN ' contact user' || "
+            "CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END || "
+            "CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || "
+            "CAST(doc_id % 256 AS VARCHAR) || '.0.1' ELSE '' END || "
+            "CASE WHEN doc_id % 7 = 0 THEN ' call +1 555-123-4567' "
+            "ELSE '' END AS t FROM documents) "
+            "SELECT CAST(sum(len(regexp_extract_all(t, "
+            "'[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}'))) "
+            "AS BIGINT) AS n_email, "
+            "CAST(sum(len(regexp_extract_all(t, "
+            "'\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b'))) AS BIGINT) AS n_ipv4, "
+            "CAST(sum(len(regexp_extract_all(t, "
+            "'\\+?\\b[0-9][0-9()\\- \\t]{7,}[0-9]\\b'))) AS BIGINT) "
+            "AS n_phone FROM x"
         ),
         "lineitem_stats": (
             "SELECT count(*) AS cnt, count(*) FILTER (WHERE l_quantity IS NULL) AS nulls, "

@@ -37,8 +37,10 @@ def _pnm_tokens(blob: bytes, n: int) -> tuple[list[int], int]:
                 i += 1
             if len(vals) >= n:
                 # comment directly after the last header token: its
-                # terminating newline is the single separator byte — the
-                # binary payload starts right after it
+                # terminating line end is the single separator — consume a
+                # CRLF pair as ONE unit so the payload isn't shifted a byte
+                if blob[i:i + 2] == b"\r\n":
+                    return vals, i + 2
                 return vals, i + 1
             continue
         if c in b" \t\r\n":

@@ -45,7 +45,11 @@ def bpe_token_count(text: str | None) -> int:
 
 def lang_id(text: str | None) -> str:
     """Cheap n-gram/stopword heuristic: CJK chars → zh; else argmax stopword
-    hit-rate over the profiles; 'und' (undetermined) when nothing scores."""
+    hit-rate over the profiles; 'und' (undetermined) when nothing scores.
+
+    Scalar reference implementation — the hot path is ``lang_id_batch``
+    (C-level regex passes over a whole Series); parity is property-tested
+    (tests/test_functions.py)."""
     if not text:
         return "und"
     if _CJK.search(text):
@@ -59,19 +63,73 @@ def lang_id(text: str | None) -> str:
     return best
 
 
-def quality_scores(texts: pd.Series) -> pd.DataFrame:
-    """Vectorized quality signals: length, punct ratio, digit ratio, stopword
-    ratio, mean word length — the standard web-corpus filters."""
+class _TokenStructure:
+    """Shared batch tokenization (one strip+split+explode+lower pass) that
+    quality scoring and language-ID both read — tokenizing once instead of
+    once per signal is the stage's main batch win.
+
+    Tokens follow the engine contract (\\s+ split of trimmed text)."""
+
+    def __init__(self, texts: pd.Series):
+        t = texts.fillna("")
+        toks = t.str.strip().str.split()  # C-level; drops empty tokens
+        self.n_docs = len(t)
+        self.lens = toks.str.len().fillna(0).astype("int64").to_numpy()
+        ex = toks.explode()
+        flat = ex[ex.notna()]
+        starts = np.zeros(self.n_docs + 1, dtype=np.int64)
+        np.cumsum(self.lens, out=starts[1:])
+        self.doc_idx = np.repeat(np.arange(self.n_docs), self.lens)
+        self.low = flat.str.lower().reset_index(drop=True)
+        # token position within its doc (for first-N-token slices)
+        self.pos = np.arange(len(self.low)) - starts[self.doc_idx]
+
+    def hit_counts(self, vocab: set, max_pos: int | None = None) -> np.ndarray:
+        """(n_docs,) counts of tokens in `vocab` (optionally only the first
+        `max_pos` tokens of each doc)."""
+        hits = self.low.isin(vocab).to_numpy()
+        if max_pos is not None:
+            hits = hits & (self.pos < max_pos)
+        out = np.zeros(self.n_docs, dtype=np.int64)
+        np.add.at(out, self.doc_idx[hits], 1)
+        return out
+
+
+def lang_id_batch(texts: pd.Series,
+                  tokens: _TokenStructure | None = None) -> np.ndarray:
+    """Vectorized ``lang_id`` over a Series: one shared tokenization, one
+    isin pass per language profile over the first-200-token slice, one CJK
+    contains pass — no per-row Python. Exactly equivalent to mapping
+    ``lang_id`` (strict-improvement argmax in en>de>es>fr order, all-zero →
+    'und', CJK anywhere in the full text → 'zh')."""
     t = texts.fillna("")
+    ts = tokens if tokens is not None else _TokenStructure(texts)
+    langs = list(STOPWORDS)
+    scores = np.stack([ts.hit_counts(STOPWORDS[lang], max_pos=200)
+                       for lang in langs], axis=1)
+    pred = np.where(scores.max(axis=1) == 0, "und",
+                    np.asarray(langs, dtype=object)[scores.argmax(axis=1)])
+    cjk = t.str.contains(_CJK, regex=True).to_numpy()
+    return np.where(cjk, "zh", pred)
+
+
+def quality_scores(texts: pd.Series,
+                   tokens: "_TokenStructure | None" = None) -> pd.DataFrame:
+    """Vectorized quality signals: length, punct ratio, digit ratio, stopword
+    ratio, mean word length — the standard web-corpus filters. Pass a shared
+    ``_TokenStructure`` to avoid re-tokenizing (TextStatsStage does)."""
+    t = texts.fillna("")
+    ts = tokens if tokens is not None else _TokenStructure(texts)
     n_chars = t.str.len()
-    n_tokens = t.str.strip().str.split(_WS).map(lambda x: 0 if x == [""] else len(x))
+    n_tokens = pd.Series(ts.lens, index=t.index)
     n_punct = t.str.count(r"[^\w\s]")
     n_digit = t.str.count(r"[0-9]")
     n_alpha = t.str.count(r"[A-Za-z]")
-    sw = STOPWORDS["en"]
-    stop_ratio = t.str.strip().str.lower().str.split(_WS).map(
-        lambda ws: sum(1 for w in ws if w in sw) / len(ws) if ws and ws != [""] else 0.0
-    )
+    stop_hits = ts.hit_counts(STOPWORDS["en"])
+    stop_ratio = pd.Series(
+        np.divide(stop_hits, ts.lens, out=np.zeros(len(t)),
+                  where=ts.lens > 0),
+        index=t.index)
     mean_wl = (n_alpha / n_tokens.replace(0, 1)).astype(float)
     return pd.DataFrame({
         "n_chars": n_chars.astype("int64"),
@@ -111,6 +169,70 @@ def rolling_fingerprint(text: str | None, k: int = 8, keep: int = 4) -> int:
     return int(out)
 
 
+def rolling_fingerprint_batch(texts: pd.Series, k: int = 8,
+                              keep: int = 4) -> np.ndarray:
+    """(n_docs,) int64 winnowing fingerprints in one vectorized pass —
+    equivalent to mapping ``rolling_fingerprint``.
+
+    One byte-concat of the batch, k-byte sliding windows over the concat
+    (windows crossing doc boundaries masked out), the Rabin-Karp sum as k
+    shifted vector adds (no (windows, k) temp), then per-doc smallest-
+    ``keep`` unique hashes via one lexsort — no per-document Python."""
+    t = texts.fillna("")
+    enc = [s.encode("utf-8") for s in t]  # per-row encode is C-level
+    blens = np.array([len(b) for b in enc], dtype=np.int64)
+    # scalar parity: docs with FEWER THAN k CHARS are 0 even if their utf-8
+    # byte length reaches k (the scalar's len(text) < k early-out)
+    char_lens = t.str.len().to_numpy()
+    out = np.zeros(len(t), dtype=np.uint64)
+    if not ((char_lens >= k) & (blens >= k)).any():
+        return out.astype(np.int64)
+    buf = np.frombuffer(b"".join(enc), dtype=np.uint8).astype(np.uint64)
+    starts = np.zeros(len(t) + 1, dtype=np.int64)
+    np.cumsum(blens, out=starts[1:])
+    base = int(_FP_BASE)
+    mask = int(_FP_MOD_MASK)
+    powers_py = [1] * k
+    for i in range(1, k):
+        powers_py[i] = (powers_py[i - 1] * base) & mask
+    powers = np.array(powers_py, dtype=np.uint64)
+    # h[p] = sum_j buf[p+j] * powers[k-1-j]  (uint64 wraparound, then mask —
+    # identical to the scalar's (windows * powers[::-1]).sum)
+    n_win = len(buf) - k + 1
+    h = np.zeros(n_win, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            h += buf[j:j + n_win] * powers[k - 1 - j]
+    h &= _FP_MOD_MASK
+    # windows fully inside doc d start in [starts[d], starts[d+1] - k]
+    n_keep_per_doc = np.where(char_lens >= k, np.maximum(blens - k + 1, 0), 0)
+    doc_idx = np.repeat(np.arange(len(t)), n_keep_per_doc)
+    offs = np.arange(len(doc_idx)) - np.concatenate(
+        [[0], np.cumsum(n_keep_per_doc)])[:-1][doc_idx]
+    win_pos = starts[doc_idx] + offs
+    hv = h[win_pos]
+    # per-doc smallest `keep` unique values: lexsort by (doc, hash), drop
+    # consecutive duplicates within a doc, rank-within-doc < keep
+    order = np.lexsort((hv, doc_idx))
+    ds_, hs_ = doc_idx[order], hv[order]
+    first = np.ones(len(ds_), dtype=bool)
+    first[1:] = (ds_[1:] != ds_[:-1]) | (hs_[1:] != hs_[:-1])
+    ds_, hs_ = ds_[first], hs_[first]
+    new_doc = np.ones(len(ds_), dtype=bool)
+    new_doc[1:] = ds_[1:] != ds_[:-1]
+    idx = np.arange(len(ds_))
+    rank = idx - np.maximum.accumulate(np.where(new_doc, idx, 0))
+    sel = rank < keep
+    dsel, hsel, rsel = ds_[sel], hs_[sel], rank[sel]
+    # mix sequentially over the ≤`keep` rank columns (vector ops per rank)
+    with np.errstate(over="ignore"):
+        for r in range(keep):
+            m = rsel == r
+            cur = out[dsel[m]]
+            out[dsel[m]] = ((cur * _FP_BASE) ^ hsel[m]) & _FP_MOD_MASK
+    return out.astype(np.int64)
+
+
 class TextStatsStage:
     """map_batches payload (pandas format): append text-analysis columns.
 
@@ -122,13 +244,14 @@ class TextStatsStage:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         texts = batch[self.text_column]
-        q = quality_scores(texts)
+        tokens = _TokenStructure(texts)  # tokenize ONCE for quality + lang
+        q = quality_scores(texts, tokens=tokens)
         for c in q.columns:
             batch[c] = q[c].values
         # one C-level regex pass (matches bpe_token_count's len(findall))
         batch["bpe_tokens"] = texts.fillna("").str.count(BPE_RE).astype("int64")
-        batch["lang_pred"] = texts.map(lang_id)
-        batch["fingerprint"] = texts.map(rolling_fingerprint)
+        batch["lang_pred"] = lang_id_batch(texts, tokens=tokens)
+        batch["fingerprint"] = rolling_fingerprint_batch(texts)
         return batch
 
 
@@ -184,10 +307,15 @@ def token_frequencies(ds, text_column: str, min_count: int = 1, n: int = 1,
 # PII patterns in RE2 syntax — compiled by Arrow's replace_substring_regex
 # (RE2), the same engine family as the vectorized validators, so behavior is
 # identical on workers and in DuckDB regexp_replace.
+#
+# The phone pattern is \b-anchored on both ends (no match can start or end
+# inside an alphanumeric run, so order ids like "abc123456789" don't
+# redact) and its interior class excludes newlines ([ \t], not \s) so a
+# digit-leading line can't be glued to the previous line's digits.
 PII_PATTERNS = {
     "email": (r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     "ipv4": (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
-    "phone": (r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "<PHONE>"),
+    "phone": (r"\+?\b[0-9][0-9()\- \t]{7,}[0-9]\b", "<PHONE>"),
 }
 
 
@@ -198,8 +326,11 @@ class PiiRedactStage:
 
     All matching runs through Arrow RE2 kernels (count_substring_regex /
     replace_substring_regex): one C-level pass per pattern, no Python per
-    row. Order matters (email before phone: an address's digits must not be
-    half-eaten by the phone pattern) — patterns apply in dict order."""
+    row. Per-kind counts are computed on the ORIGINAL text (order-
+    independent; a span matching two patterns counts under both).
+    Replacement order still matters (email before phone: an address's
+    digits must not be half-eaten by the phone pattern) — patterns apply in
+    dict order."""
 
     def __init__(self, text_column: str = "text",
                  patterns: dict | None = None):
@@ -212,7 +343,7 @@ class PiiRedactStage:
         out = col
         counts = {}
         for kind, (pattern, repl) in self.patterns.items():
-            counts[kind] = pc.count_substring_regex(out, pattern)
+            counts[kind] = pc.count_substring_regex(col, pattern)
             out = pc.replace_substring_regex(out, pattern, repl)
         batch = batch.append_column(f"{self.text_column}_redacted", out)
         for kind, c in counts.items():

@@ -242,10 +242,17 @@ def run_flagship(input_dir: str, out_dir: str, *,
 
     # global uniqueness over ALL files (counts-only partial aggregation).
     # Lance mode streams the pruned clip_id column via the dataset reader
-    # (per-fragment materialization of every id would spill at 10^12 rows)
+    # (per-fragment materialization of every id would spill at 10^12 rows);
+    # with an INJECTED fragment_reader the global pass goes through the same
+    # seam as the partition scans (read_table would bypass the injection —
+    # the pruned column set keeps the per-fragment tables small)
     if not manifest.is_committed_for("__global__", files):
-        ds_all = read_table(input_dir if lance_mode else files,
-                            columns=["clip_id"])
+        if lance_mode and fragment_reader is not None:
+            ds_all = read_fragments(input_dir, files, columns=["clip_id"],
+                                    fragment_reader=fragment_reader)
+        else:
+            ds_all = read_table(input_dir if lance_mode else files,
+                                columns=["clip_id"])
         uviol = uniqueness_violations(ds_all, "clip_id")
         udir = os.path.join(out_dir, "violations", "__global__")
         _clear_dir(udir)

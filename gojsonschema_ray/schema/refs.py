@@ -140,8 +140,17 @@ class Registry:
     def __init__(self, auto_detect: bool = True, http_loader=None):
         self.documents: dict[str, tuple] = {}  # ref -> (doc, draft|None)
         self.auto_detect = auto_detect
-        # callable url -> JSON text; None = default urllib fetcher. Inject a
-        # stub for hermetic tests or a hardened client in production.
+        # callable url -> JSON text; None = default urllib fetcher; False =
+        # DISABLE remote fetch (preload-only mode — any unresolved remote
+        # $ref raises instead of touching the network).
+        #
+        # SECURITY: the default matches the reference (gojsonschema fetches
+        # remote $refs with no scheme/host restriction), which means
+        # compiling an UNTRUSTED schema can trigger arbitrary http(s)
+        # requests from the compiling process (SSRF surface). Callers
+        # validating untrusted schemas should pass http_loader=False (or a
+        # hardened allow-listing loader) and preload needed documents via
+        # Registry.add.
         self.http_loader = http_loader
 
     # -- public API (AddSchema / AddSchemas analog) --------------------------
@@ -240,6 +249,11 @@ class Registry:
             with open(path) as f:
                 return parse_json(f.read())
         if parts.scheme in ("http", "https"):
+            if self.http_loader is False:  # preload-only opt-out
+                raise SchemaError(
+                    f'Could not resolve reference "{base}": remote fetch '
+                    "disabled (Registry(http_loader=False)); preload it via "
+                    "Registry.add")
             loader = self.http_loader or default_http_loader
             return parse_json(loader(base))
         raise SchemaError(

@@ -601,17 +601,24 @@ def minhash_near_duplicates(ds, text_column: str, id_column: str, *,
     Scale shape (no driver materialization anywhere):
     1. signature + banding: ONE fixed-width keyed shuffle (see
        minhash_candidate_pairs);
-    2. pair dedup across bands: small (id_a, id_b)-keyed groupby;
-    3. text fetch: Bloom-broadcast corpus filter + ONE hash(doc_id)
+    2. text fetch: Bloom-broadcast corpus filter + ONE hash(doc_id)
        co-partition shuffle (_pair_texts) — only candidate texts move;
-    4. verify: ONE hash(pair) shuffle of (pair, side, text) rows, Jaccard
-       computed per pair inside map_groups, thresholded there."""
+    3. verify: ONE hash(pair) shuffle of (pair, side, text) rows, Jaccard
+       computed per pair inside map_groups, thresholded there.
+
+    Pairs found in several bands are NOT deduplicated up front
+    (dedup_pairs=False): the verify step already groups on the pair key —
+    the same hash(pair) partition collates every copy and emits one row —
+    so a dedicated unique_pairs exchange would be a fourth all-to-all that
+    buys nothing (measured ~1.5 s fixed cost at sf0.1). The only cost of
+    carrying dups is ≤2·(bands−1) extra fixed-width side rows per
+    duplicated pair riding shuffles 2–3."""
     import ray.data as rd
 
     cand = minhash_candidate_pairs(ds, text_column, id_column,
                                    num_perm=num_perm, bands=bands,
                                    shingle_k=shingle_k, concurrency=concurrency,
-                                   dedup_pairs=True, bucket_cap=bucket_cap)
+                                   dedup_pairs=False, bucket_cap=bucket_cap)
     pairs = cand.map_batches(lambda t: t.select(["id_a", "id_b"]),
                              batch_format="pyarrow").materialize()
     try:
@@ -661,7 +668,11 @@ def minhash_near_duplicates(ds, text_column: str, id_column: str, *,
 # SimHash
 # ---------------------------------------------------------------------------
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (term-frequency weighted)."""
+    """64-bit SimHash over whitespace tokens (term-frequency weighted).
+
+    Scalar reference implementation — the hot path is ``simhash64_batch``
+    (one vectorized pass over a whole batch); parity between the two is
+    property-tested (tests/test_functions.py)."""
     if not text:
         return 0
     toks = text.split()
@@ -677,6 +688,61 @@ def simhash64(text: str) -> int:
     return int(out)
 
 
+#: tokens per compute slice — bounds the (slice × 64) uint8 bit-plane temp to
+#: ~16 MB (same first-touch rationale as MinHashLSHStage.GRAM_SLICE).
+_SIMHASH_TOK_SLICE = 1 << 18
+
+
+def simhash64_batch(texts: list) -> np.ndarray:
+    """(n_docs,) uint64 SimHash signatures in one vectorized pass.
+
+    Equivalent to ``[simhash64(t or "") for t in texts]``: per-bit
+    accumulation of ±1 over every token INSTANCE (the scalar's
+    unique+counts weighting is the same sum, just factored), done as one
+    ``pd.util.hash_array`` over the batch's flat token list, a
+    little-endian bit unpack, and a per-doc segmented ``np.add.reduceat``
+    — no per-document Python in the signature hot path."""
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    flat: list[str] = []
+    seg = np.zeros(n + 1, dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = (t or "").split()
+        flat.extend(toks)
+        seg[i + 1] = len(flat)
+    if not flat:
+        return out
+    h = _hash_strings(flat)
+    lens = np.diff(seg)
+    nonempty = lens > 0
+    doc_idx = np.nonzero(nonempty)[0]
+    starts_ne = seg[:-1][nonempty]
+    # per-bit set-count S per doc: acc = 2S - n_toks, bit set iff acc > 0
+    S = np.empty((len(doc_idx), 64), dtype=np.int64)
+    # slice on whole-doc granularity to bound the uint8 bit-plane temp
+    cut = 0
+    while cut < len(doc_idx):
+        hi = cut
+        tok0 = int(starts_ne[cut])
+        while hi < len(doc_idx):
+            end = int(seg[doc_idx[hi] + 1])
+            if hi > cut and end - tok0 > _SIMHASH_TOK_SLICE:
+                break
+            hi += 1
+        tok1 = int(seg[doc_idx[hi - 1] + 1])
+        hs = np.ascontiguousarray(h[tok0:tok1])
+        bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8), axis=1,
+                             bitorder="little")  # (toks, 64), col j = bit j
+        S[cut:hi] = np.add.reduceat(bits, starts_ne[cut:hi] - tok0, axis=0,
+                                    dtype=np.int64)
+        cut = hi
+    bitset = (2 * S) > lens[nonempty][:, None]
+    powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    out[doc_idx] = (bitset.astype(np.uint64) * powers[None, :]).sum(
+        axis=1, dtype=np.uint64)
+    return out
+
+
 class SimHashStage:
     """doc → 4 rows of (key, id, simhash): key packs (band_index, 16-bit band
     value) so ALL four pigeonhole bands ride ONE keyed shuffle instead of four
@@ -689,7 +755,7 @@ class SimHashStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_column].to_pylist()
         n = len(texts)
-        hashes = np.array([simhash64(t or "") for t in texts], dtype=np.uint64)
+        hashes = simhash64_batch(texts)
         keys = np.empty(4 * n, dtype=np.int64)
         for band in range(4):
             chunk = (hashes >> np.uint64(band * 16)) & np.uint64(0xFFFF)
@@ -852,13 +918,20 @@ def embedding_near_duplicates(ds, embedding_column: str, id_column: str,
         import ray.data as rd
 
         return rd.from_pandas(_empty_pairs())
+    # broadcast the hot-bucket key set via ray.put (same pattern as the
+    # MinHash Bloom): at duplicate-dense scale the hot set is exactly what
+    # grows, and a closure-captured Array would be re-pickled into every task
+    import ray
+
+    hot_ref = ray.put(hot)
+
+    def keep_hot(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["key"], value_set=ray.get(hot_ref)))
+
     bucketed = ds.map_batches(
         HyperplaneLSHStage(**kwargs, with_embedding=True),
         batch_format="pyarrow",
-    ).map_batches(
-        lambda t: t.filter(pc.is_in(t["key"], value_set=hot)),
-        batch_format="pyarrow",
-    )
+    ).map_batches(keep_hot, batch_format="pyarrow")
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
         ids = group[id_column].tolist()

@@ -382,6 +382,9 @@ def test_image_codecs_roundtrip():
     # separator — pixels must not shift by one
     trailing = b"P6\n7 13\n255# trailing comment\n" + payload
     assert (decode_pnm(trailing) == rgb).all()
+    # same, with a CRLF line ending: the \r\n pair is ONE separator
+    trailing_crlf = b"P6\n7 13\n255# trailing comment\r\n" + payload
+    assert (decode_pnm(trailing_crlf) == rgb).all()
     for bad in (b"", b"JF" + b"\x00" * 100, b"P6\n7 13\n255\n" + b"\x00" * 5,
                 b"BM" + b"\x00" * 20):
         with _pytest.raises(CodecUnavailable):

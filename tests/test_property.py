@@ -313,3 +313,67 @@ def test_avi_demux_roundtrip_property(frames, stream):
     blob = encode_avi(frames, stream=stream)
     assert demux_avi_frames(blob, stream=stream) == frames
     assert demux_avi_frames(blob, stream=stream + 1) == []
+
+
+# ---------------------------------------------------------------------------
+# batch text kernels vs their scalar reference implementations
+# ---------------------------------------------------------------------------
+
+_texts = st.lists(
+    st.one_of(
+        st.none(),
+        st.text(max_size=60),
+        st.text(alphabet=" \t\n\r\x1c\xa0abäö汉0.+@-", max_size=40),
+        st.sampled_from([
+            "", " ", "the cat and the hat", "der hund ist nicht da",
+            "el que la y es un", "le chat est une de les", "汉字 test",
+            "a", "and", "de la", "ééé", "ééééé", "x" * 8,
+        ]),
+    ),
+    min_size=0, max_size=25,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(texts=_texts)
+def test_simhash_batch_matches_scalar(texts):
+    """simhash64_batch (one hash+unpack+reduceat pass) must agree bit-for-bit
+    with the per-document scalar simhash64."""
+    import pandas as _pd
+
+    from gojsonschema_ray.stages.dedup import simhash64, simhash64_batch
+
+    batch = simhash64_batch(texts)
+    scalar = np.array([simhash64(t or "") for t in texts], dtype=np.uint64)
+    assert (batch == scalar).all(), texts
+
+
+@settings(max_examples=60, deadline=None)
+@given(texts=_texts)
+def test_lang_id_batch_matches_scalar(texts):
+    """lang_id_batch (shared tokenization + isin hit counts) must agree with
+    the scalar stopword-argmax heuristic, including CJK / empty / und."""
+    import pandas as _pd
+
+    from gojsonschema_ray.functions.text import lang_id, lang_id_batch
+
+    batch = list(lang_id_batch(_pd.Series(texts, dtype="object")))
+    scalar = [lang_id(t) for t in texts]
+    assert batch == scalar, texts
+
+
+@settings(max_examples=60, deadline=None)
+@given(texts=_texts)
+def test_fingerprint_batch_matches_scalar(texts):
+    """rolling_fingerprint_batch (one concat + windowed Rabin-Karp + lexsort
+    pass) must agree with the per-document scalar winnowing fingerprint,
+    including multi-byte texts shorter than k chars."""
+    import pandas as _pd
+
+    from gojsonschema_ray.functions.text import (
+        rolling_fingerprint, rolling_fingerprint_batch,
+    )
+
+    batch = rolling_fingerprint_batch(_pd.Series(texts, dtype="object"))
+    scalar = np.array([rolling_fingerprint(t) for t in texts])
+    assert len(batch) == len(scalar) and (batch == scalar).all(), texts
