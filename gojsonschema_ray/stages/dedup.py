@@ -319,23 +319,32 @@ class MinHashLSHStage:
 def _pairs_from_groups(group: pd.DataFrame, id_column: str,
                        cap: int = DEFAULT_BUCKET_CAP) -> pd.DataFrame:
     """Vectorized within-bucket pair expansion (np.triu_indices); buckets over
-    `cap` fall back to star pairs against the min id (see DEFAULT_BUCKET_CAP)."""
+    `cap` fall back to star pairs against the min id (see DEFAULT_BUCKET_CAP).
+
+    Star-fallback pairs carry capped=True so downstream consumers can detect
+    degraded bucket coverage from the returned dataset itself (any(capped) ⇒
+    at least one bucket exceeded the cap) instead of scraping worker logs."""
     dt = group[id_column].dtype
     ids = np.unique(np.asarray(group[id_column].to_numpy()))  # sorted unique
     n = len(ids)
     if n < 2:
         return pd.DataFrame({"id_a": pd.Series([], dtype=dt),
-                             "id_b": pd.Series([], dtype=dt)})
+                             "id_b": pd.Series([], dtype=dt),
+                             "capped": pd.Series([], dtype="bool")})
     if n > cap:
         _LOG.warning("LSH bucket of %d ids exceeds cap %d: emitting %d star "
                      "pairs (min-id representative) instead of %d all-pairs",
                      n, cap, n - 1, n * (n - 1) // 2)
         a, b = np.broadcast_to(ids[0], n - 1).copy(), ids[1:]
+        capped = True
     else:
         iu, ju = np.triu_indices(n, k=1)
         a, b = ids[iu], ids[ju]
+        capped = False
     return pd.DataFrame({"id_a": pd.Series(a, dtype=dt),
-                         "id_b": pd.Series(b, dtype=dt)})
+                         "id_b": pd.Series(b, dtype=dt),
+                         "capped": pd.Series(
+                             np.full(len(a), capped), dtype="bool")})
 
 
 def _shuffle_parts(target_per_cpu: int = 1) -> int:
@@ -465,6 +474,14 @@ def minhash_candidate_pairs(ds, text_column: str, id_column: str,
     dedup_pairs=True collapses the same pair found in several bands with a
     second (small) exchange; callers that already de-duplicate while
     consuming (e.g. the Jaccard verifier) pass False and skip it.
+
+    `bucket_cap` is a RECALL knob: buckets larger than it emit star pairs
+    (every member linked through the bucket-min representative) instead of
+    all-pairs, which preserves full recall for identical-content buckets but
+    can miss A~B links in a capped bucket of merely-similar docs. Such pairs
+    carry capped=True in the returned dataset, so `any(capped)` detects
+    degraded coverage without scraping worker logs; raise the cap to trade
+    memory for recall.
 
     The signature stage ships as a task-pool INSTANCE (permutation tables are
     cheap to pickle), so Ray fuses the read into the stage and every CPU
@@ -597,6 +614,10 @@ def minhash_near_duplicates(ds, text_column: str, id_column: str, *,
                             bucket_cap: int = DEFAULT_BUCKET_CAP):
     """Full near-dup pipeline: LSH candidates → distributed exact Jaccard
     verify. Returns a Dataset of (id_a, id_b, jaccard) pairs ≥ threshold.
+
+    `bucket_cap` bounds per-bucket pair expansion (recall knob — see
+    minhash_candidate_pairs); use the candidate API's `capped` column to
+    audit coverage when tuning it.
 
     Scale shape (no driver materialization anywhere):
     1. signature + banding: ONE fixed-width keyed shuffle (see
@@ -777,8 +798,10 @@ def simhash_near_duplicates(ds, text_column: str, id_column: str,
                             bucket_cap: int = DEFAULT_BUCKET_CAP):
     """Near-dup pairs with hamming(simhash) <= max_hamming (<=3 guaranteed
     found by the 4×16-bit band pigeonhole). Returns a Dataset of
-    (id_a, id_b, hamming) — pairs found in several bands are deduplicated by
-    a small pair-keyed groupby, never a driver-side set.
+    (id_a, id_b, hamming, capped) — pairs found in several bands are
+    deduplicated by a small pair-keyed groupby, never a driver-side set.
+    capped=True marks pairs from buckets over `bucket_cap` (star fallback —
+    recall knob, see minhash_candidate_pairs).
 
     One signature pass, ONE coarse-partition keyed shuffle, vectorized
     per-partition pair expansion (same scale shape as
@@ -817,20 +840,25 @@ def _simhash_band_pairs(group: pd.DataFrame, id_column: str,
     if n < 2:
         return pd.DataFrame({"id_a": pd.Series([], dtype=dt),
                              "id_b": pd.Series([], dtype=dt),
-                             "hamming": pd.Series([], dtype="int32")})
+                             "hamming": pd.Series([], dtype="int32"),
+                             "capped": pd.Series([], dtype="bool")})
     h = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
     if n > cap:
         _LOG.warning("SimHash band bucket of %d ids exceeds cap %d: emitting "
                      "star pairs (min-id representative)", n, cap)
         iu = np.zeros(n - 1, dtype=np.int64)
         ju = np.arange(1, n, dtype=np.int64)
+        capped = True
     else:
         iu, ju = np.triu_indices(n, k=1)
+        capped = False
     d = _popcount64(h[iu] ^ h[ju])
     keep = d <= max_hamming
     return pd.DataFrame({"id_a": pd.Series(ids[iu[keep]], dtype=dt),
                          "id_b": pd.Series(ids[ju[keep]], dtype=dt),
-                         "hamming": pd.Series(d[keep], dtype="int32")})
+                         "hamming": pd.Series(d[keep], dtype="int32"),
+                         "capped": pd.Series(
+                             np.full(int(keep.sum()), capped), dtype="bool")})
 
 
 # ---------------------------------------------------------------------------

@@ -217,6 +217,8 @@ def test_degenerate_bucket_capped(ray_session):
     got = {(p["id_a"], p["id_b"]) for p in pairs}
     # star fallback: every doc is linked to the bucket-min representative
     assert got == {(0, i) for i in range(1, n)}
+    # ADVICE r2: degraded coverage is detectable from the dataset itself
+    assert all(p["capped"] for p in pairs)
 
 
 @pytest.fixture(scope="module")
