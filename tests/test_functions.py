@@ -576,3 +576,48 @@ def test_brute_force_empty_block(ray_session):
     ds = rd.from_arrow([empty, full])
     df = ann_brute_force(ds, "embedding", "vec_id", np.array([[1.0, 0.0]]), k=1)
     assert df.iloc[0]["vec_id"] == 1
+
+
+def test_simhash_near_dups_query_golden(ray_session):
+    """Exact golden for the rows-only driver query `simhash_near_dups`
+    (VERDICT r2 #10): the engine's LSH output is DETERMINISTIC given the
+    banding scheme, so the expected pair set is derivable independently —
+    brute-force all-pairs hamming over scalar simhash64 (the reference
+    kernel the batched stage is hypothesis-tested against), keeping pairs
+    that (a) have hamming <= 8 and (b) share at least one of the four
+    16-bit pigeonhole bands (the LSH bucket criterion)."""
+    import os
+    import sys
+
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __ray_entry__ as M
+
+    from gojsonschema_ray.stages.dedup import simhash64
+
+    sf = "/root/testdata/sf0.01"
+    t = pq.read_table(os.path.join(sf, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    ids = np.asarray(t["doc_id"].to_pylist())
+    h = np.array([simhash64(x or "") for x in t["text"].to_pylist()],
+                 dtype=np.uint64)
+    order = np.argsort(ids)
+    ids, h = ids[order], h[order]
+    n = len(ids)
+    iu, ju = np.triu_indices(n, k=1)
+    x = h[iu] ^ h[ju]
+    ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+    shares_band = np.zeros(len(iu), dtype=bool)
+    for band in range(4):
+        ba = (h >> np.uint64(band * 16)) & np.uint64(0xFFFF)
+        shares_band |= ba[iu] == ba[ju]
+    keep = (ham <= 8) & shares_band
+    golden = {(int(ids[i]), int(ids[j]), int(d))
+              for i, j, d in zip(iu[keep], ju[keep], ham[keep])}
+
+    df = M.queries()["simhash_near_dups"](sf)
+    got = {(int(a), int(b), int(d))
+           for a, b, d in zip(df["id_a"], df["id_b"], df["hamming"])}
+    assert got == golden
+    assert len(got) > 0

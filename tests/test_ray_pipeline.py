@@ -151,3 +151,63 @@ def test_flagship_metadata_only_no_spurious_required(ray_session, tmp_path):
     assert ("required", "required bytes") not in kws
     # metadata violations still present (injected enum/required/etc.)
     assert s["violations"] > 0
+
+
+def test_flagship_clips_query_golden(ray_session):
+    """End-to-end golden for the rows-only driver query `flagship_clips`
+    (VERDICT r2 #10): per-keyword violation counts over the deterministic
+    20k-row clips table, expected values computed CLOSED-FORM from the F1
+    injection rules plus the documented checker contracts — never from
+    engine output.
+
+    Audio branch logic (datagen.clip_bytes + AudioInvariantChecker):
+    - codec "mp3???" has no decoder entry -> decode;
+    - truncated payloads (i%1013==0) cut the blob to 2/5: an odd surviving
+      s16le byte count makes np.frombuffer raise -> decode, an even short
+      read -> pcm_length (wav rows subtract the 44-byte header first);
+    - duplicate-id rows (i%997==0) carry row i-1's clip_id, so the checker
+      compares against row i-1's reference transcript -> transcript
+      violation unless that reference is itself null.
+    """
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __ray_entry__ as M
+
+    n, cap = 20_000, 30  # q_flagship_clips constants
+    dec = pcm = tr = 0
+    for i in range(n):
+        meta = datagen.row_meta(i)
+        sr, dur, codec = meta["sr_hz"], meta["dur_ms"], meta["codec"]
+        nsamp = int(sr * min(dur, cap) / 1000)
+        if codec.startswith("mp3"):
+            dec += 1
+            continue
+        if i % 1013 == 0:
+            if codec == "wav":
+                avail = max(0, max(1, (44 + 2 * nsamp) * 2 // 5) - 44)
+            else:
+                avail = max(1, (2 * nsamp) * 2 // 5)
+            if avail % 2 == 1:
+                dec += 1
+            else:
+                pcm += 1
+        if i % 1000 != 499 and i % 997 == 0 and i > 0 \
+                and ((i - 1) % 967 != 0 or (i - 1) % 971 == 0):
+            tr += 1
+    golden = {
+        "enum": sum(1 for i in range(n) if i % 991 == 0)
+        + sum(1 for i in range(n) if i % 977 == 0),
+        "number_gt": sum(1 for i in range(n) if i % 983 == 0),
+        "number_lte": sum(1 for i in range(n) if i % 1009 == 0 and i % 983 != 0),
+        "string_gte": sum(1 for i in range(n) if i % 971 == 0),
+        "required": sum(1 for i in range(n) if i % 967 == 0 and i % 971 != 0),
+        "unique": sum(1 for v in collections.Counter(
+            datagen.row_meta(i)["clip_id"] for i in range(n)).values() if v > 1),
+        "decode": dec,
+        "pcm_length": pcm,
+        "transcript": tr,
+    }
+    df = M.queries()["flagship_clips"]("/root/testdata/sf0.01")
+    got = dict(zip(df["keyword"], df["n"]))
+    assert got == golden
