@@ -811,6 +811,8 @@ def q_embedding_near_dups(sf_dir: str) -> pd.DataFrame:
         df = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                            "id_b": pd.Series([], dtype="int64"),
                            "cosine": pd.Series([], dtype="float64")})
+    else:  # drop the capped coverage marker — the oracle schema is 3 columns
+        df = df[["id_a", "id_b", "cosine"]]
     df["cosine"] = df["cosine"].round(6)
     return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 

@@ -914,14 +914,21 @@ class HyperplaneLSHStage:
 
 def embedding_near_duplicates(ds, embedding_column: str, id_column: str,
                               dim: int, threshold: float = 0.95,
-                              n_planes: int = 8, n_tables: int = 4):
+                              n_planes: int = 8, n_tables: int = 4,
+                              bucket_cap: int = DEFAULT_BUCKET_CAP):
     """Cosine near-dup pairs within multi-table hyperplane-LSH buckets.
 
     Two passes so the wide embedding vectors never ride the full shuffle:
     pass 1 shuffles 16-byte (key, count) partials to find hot buckets;
     pass 2 re-buckets, keeps only hot-bucket rows WITH their embeddings, and
     computes within-bucket pairwise cosine via one numpy matmul per group.
-    Pairs found in several tables are deduplicated by a final groupby."""
+    Pairs found in several tables are deduplicated by a final groupby.
+
+    Buckets over `bucket_cap` fall back to star pairs against the min-id
+    member (cosine of the representative vs every other member — O(n·dim)
+    instead of the O(n²·dim) full matmul), marked capped=True — same recall
+    knob as minhash_candidate_pairs; identical-embedding degenerate buckets
+    keep full recall through the representative."""
     kwargs = dict(embedding_column=embedding_column, id_column=id_column,
                   dim=dim, n_planes=n_planes, n_tables=n_tables)
     # task-pool instances (hyperplanes are cheap to pickle): the read fuses
@@ -940,7 +947,8 @@ def embedding_near_duplicates(ds, embedding_column: str, id_column: str,
     def _empty_pairs() -> pd.DataFrame:
         return pd.DataFrame({"id_a": pd.Series([], dtype=id_dtype),
                              "id_b": pd.Series([], dtype=id_dtype),
-                             "cosine": pd.Series([], dtype="float64")})
+                             "cosine": pd.Series([], dtype="float64"),
+                             "capped": pd.Series([], dtype="bool")})
 
     if len(hot) == 0:
         import ray.data as rd
@@ -963,19 +971,38 @@ def embedding_near_duplicates(ds, embedding_column: str, id_column: str,
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
         ids = group[id_column].tolist()
-        if len(ids) < 2:
+        n = len(ids)
+        if n < 2:
             return _empty_pairs()
-        m = np.stack(group[embedding_column].tolist()).astype(np.float64)
+        # sort by id so the star representative is the bucket-min member
+        order = np.argsort(np.asarray(ids))
+        ids = [ids[k] for k in order]
+        m = np.stack(group[embedding_column].to_numpy()[order].tolist()) \
+            .astype(np.float64)
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        sim = m @ m.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        keep = sim[iu, ju] >= threshold
+        if n > bucket_cap:
+            _LOG.warning("embedding LSH bucket of %d ids exceeds cap %d: "
+                         "emitting star pairs (min-id representative)",
+                         n, bucket_cap)
+            sims = m[1:] @ m[0]           # O(n·dim), not O(n²·dim)
+            iu = np.zeros(n - 1, dtype=np.int64)
+            ju = np.arange(1, n, dtype=np.int64)
+            keep = sims >= threshold
+            vals = sims
+            capped = True
+        else:
+            sim = m @ m.T
+            iu, ju = np.triu_indices(n, k=1)
+            vals = sim[iu, ju]
+            keep = vals >= threshold
+            capped = False
         return pd.DataFrame({
             "id_a": pd.Series([min(ids[i], ids[j]) for i, j in zip(iu[keep], ju[keep])],
                               dtype=id_dtype),
             "id_b": pd.Series([max(ids[i], ids[j]) for i, j in zip(iu[keep], ju[keep])],
                               dtype=id_dtype),
-            "cosine": pd.Series(sim[iu, ju][keep], dtype="float64"),
+            "cosine": pd.Series(vals[keep], dtype="float64"),
+            "capped": pd.Series(np.full(int(keep.sum()), capped), dtype="bool"),
         })
 
     found = pairs_by_partition(bucketed, pairs)

@@ -621,3 +621,24 @@ def test_simhash_near_dups_query_golden(ray_session):
            for a, b, d in zip(df["id_a"], df["id_b"], df["hamming"])}
     assert got == golden
     assert len(got) > 0
+
+
+def test_embedding_degenerate_bucket_capped(ray_session):
+    """2k identical embeddings: every LSH table hashes them into ONE bucket,
+    which exceeds the cap — the star fallback links every member to the
+    min-id representative at cosine 1.0 in O(n·dim), flagged capped=True."""
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.dedup import embedding_near_duplicates
+    from gojsonschema_ray.util import collect_rows
+
+    n, dim = 2000, 16
+    vec = list(np.ones(dim, dtype=np.float64) / np.sqrt(dim))
+    ds = rd.from_arrow(pa.table({"vec_id": list(range(n)),
+                                 "embedding": [vec] * n}))
+    pairs = collect_rows(embedding_near_duplicates(
+        ds, "embedding", "vec_id", dim=dim, threshold=0.95, bucket_cap=512))
+    got = {(p["id_a"], p["id_b"]) for p in pairs}
+    assert got == {(0, i) for i in range(1, n)}
+    assert all(p["capped"] for p in pairs)
+    assert all(abs(p["cosine"] - 1.0) < 1e-9 for p in pairs)
