@@ -211,3 +211,41 @@ def test_flagship_clips_query_golden(ray_session):
     df = M.queries()["flagship_clips"]("/root/testdata/sf0.01")
     got = dict(zip(df["keyword"], df["n"]))
     assert got == golden
+
+
+def test_drift_events_query_golden(ray_session):
+    """Bound-based golden for the rows-only driver query `drift_events`
+    (VERDICT r2 #10): the t-digest bin edges are engine state, so instead of
+    freezing them the test checks the digest-binned KS/PSI against an
+    EXACT numpy recomputation of the same first-half/second-half split.
+    Binned KS underestimates exact KS by at most the largest bin mass, so a
+    0.05 agreement band is a real regression guard (sign errors, off-by-one
+    edge handling, split drift all land far outside it)."""
+    import sys
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __ray_entry__ as M
+
+    sf = "/root/testdata/sf0.01"
+    df = M.queries()["drift_events"](sf)
+    assert list(df["column"]) == ["value"]
+
+    ev = pq.read_table(os.path.join(sf, "events.parquet"),
+                       columns=["ts", "value"]).to_pandas()
+    lo, hi = ev["ts"].min(), ev["ts"].max()
+    mid = lo + (hi - lo) / 2
+    a = ev.loc[ev["ts"] < mid, "value"].to_numpy()
+    b = ev.loc[ev["ts"] >= mid, "value"].to_numpy()
+    # exact two-sample KS
+    allv = np.sort(np.unique(np.concatenate([a, b])))
+    ca = np.searchsorted(np.sort(a), allv, side="right") / len(a)
+    cb = np.searchsorted(np.sort(b), allv, side="right") / len(b)
+    ks_exact = float(np.abs(ca - cb).max())
+    got = float(df["ks"][0])
+    assert abs(got - ks_exact) <= 0.05, (got, ks_exact)
+    assert float(df["psi"][0]) >= 0.0
+    assert bool(df["drifted"][0]) == (ks_exact > 0.1 or float(df["psi"][0]) > 0.2)
