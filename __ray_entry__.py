@@ -780,6 +780,59 @@ def q_minhash_near_dups(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def q_lineitem_hash_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic 10% sample of lineitem keyed on l_orderkey: Knuth
+    multiplicative hash threshold (stages/sampling.py), exactly replicated
+    by the oracle's modular arithmetic — the reproducible-sharding primitive
+    of a training pipeline (same key → same split, no RNG/order dependence).
+    Whole orders stay together (the key is the order, not the line)."""
+    from gojsonschema_ray.stages.sampling import hash_sample
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    sample = hash_sample(ds, "l_orderkey", 0.1)
+    # per-batch partials: rows + qty sum + distinct-orderkey partial sets
+    rows = collect_rows(sample.map_batches(
+        lambda t: pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "qty": pa.array([pc.sum(t["l_quantity"]).as_py() or 0.0],
+                            pa.float64()),
+        }), batch_format="pyarrow"))
+    n = sum(r["n"] for r in rows)
+    qty = float(sum(r["qty"] for r in rows))
+    # distinct orders: per-batch np.unique partials, tiny key lists to the
+    # driver (Ray's sort-based unique() pays its many-distinct-key fixed
+    # cost — BASELINE.md note 3; the sampled key set is small by design)
+    key_rows = collect_rows(sample.map_batches(
+        lambda t: pa.table({"k": pa.array(
+            np.unique(t["l_orderkey"].to_numpy(zero_copy_only=False)))}),
+        batch_format="pyarrow"))
+    n_orders = len(np.unique(np.array([r["k"] for r in key_rows],
+                                      dtype=np.int64)))
+    return pd.DataFrame([{"n_rows": int(n),
+                          "n_orders": int(n_orders),
+                          "sum_qty": round(qty, 2)}])
+
+
+def q_documents_tokens(sf_dir: str) -> pd.DataFrame:
+    """Row-expanding token explode (functions/text.explode_tokens): docs
+    0..19 become one row per token with 1-based position — pure Arrow
+    split+flatten+arange, checked against DuckDB unnest/generate_subscripts
+    (both keep empty tokens from consecutive separators)."""
+    from gojsonschema_ray.functions.text import explode_tokens
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], 20)), batch_format="pyarrow")
+    rows = collect_rows(explode_tokens(ds, "text", "doc_id"))
+    df = pd.DataFrame({
+        "doc_id": pd.Series([r["doc_id"] for r in rows], dtype="int64"),
+        "seq": pd.Series([r["seq"] for r in rows], dtype="int64"),
+        "token": pd.Series([r["token"] for r in rows], dtype="object"),
+    })
+    return df.sort_values(["doc_id", "seq"]).reset_index(drop=True)
+
+
 def q_simhash_near_dups(sf_dir: str) -> pd.DataFrame:
     from gojsonschema_ray.stages.dedup import simhash_near_duplicates
     from gojsonschema_ray.util import collect_rows
@@ -991,6 +1044,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_by_user": q_events_asof_by_user,
         "dedup_rows_salted": q_dedup_rows_salted,
         "lineitem_price_bands": q_lineitem_price_bands,
+        "lineitem_hash_sample": q_lineitem_hash_sample,
+        "documents_tokens": q_documents_tokens,
         "top_parts_by_price": q_top_parts_by_price,
         "dedup_exact_text": q_dedup_exact_text,
         "dedup_keep_first": q_dedup_keep_first,
@@ -1207,6 +1262,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CASE WHEN l_extendedprice >= 0 AND l_extendedprice < 120000 "
             "THEN CAST(floor(l_extendedprice / 10000) AS BIGINT) ELSE -1 END "
             "AS band, count(*) AS n FROM lineitem GROUP BY 1"
+        ),
+        # Knuth multiplicative hash threshold, exactly the engine's
+        # stages/sampling.py formula: (k * 2654435761) mod 2^32 < 0.1 * 2^32
+        "lineitem_hash_sample": (
+            "SELECT count(*) AS n_rows, "
+            "count(DISTINCT l_orderkey) AS n_orders, "
+            "round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty "
+            "FROM lineitem "
+            "WHERE (l_orderkey * 2654435761) % 4294967296 < 429496730"
+        ),
+        "documents_tokens": (
+            "SELECT doc_id, "
+            "CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) "
+            "AS seq, unnest(string_split(text, ' ')) AS token "
+            "FROM documents WHERE doc_id < 20 ORDER BY doc_id, seq"
         ),
         "top_parts_by_price": (
             "SELECT p_partkey, p_retailprice FROM part "

@@ -349,3 +349,48 @@ class PiiRedactStage:
         for kind, c in counts.items():
             batch = batch.append_column(f"n_{kind}", c)
         return batch
+
+
+def explode_tokens(ds, text_column: str, id_column: str,
+                   pattern: str = " "):
+    """Row-expanding tokenization: one output row per token with its
+    1-based position — (id, seq, token).
+
+    The flat_map analog done the columnar way: pc.split_pattern produces a
+    ListArray per batch; tokens come from its flattened values buffer and
+    positions from an arange minus each row's repeated list offset — the
+    whole expansion is three Arrow/numpy kernels, no Python per row or per
+    token. Null texts yield no rows (split of null is a null list);
+    consecutive separators yield empty-string tokens, matching SQL
+    string_split semantics so a DuckDB unnest/generate_subscripts oracle
+    replicates the output exactly.
+
+    Scale shape: pure per-batch expansion — no shuffle; output blocks grow
+    by the token/doc ratio, so pair it with a smaller batch_size upstream
+    if documents are long.
+    """
+
+    def expand(batch: pa.Table) -> pa.Table:
+        col = batch[text_column]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        lists = pc.split_pattern(col, pattern)
+        lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) \
+            else lists
+        offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        # null rows contribute zero-length segments in a ListArray only if
+        # offsets repeat; enforce that by zeroing their extents via fill
+        lengths = np.diff(offsets)
+        valid = ~np.asarray(pc.is_null(lists).to_numpy(zero_copy_only=False))
+        lengths = np.where(valid, lengths, 0)
+        parent = np.repeat(np.arange(len(lengths)), lengths)
+        starts = np.repeat(np.cumsum(np.concatenate([[0], lengths[:-1]])),
+                           lengths)
+        seq = np.arange(int(lengths.sum()), dtype=np.int64) - starts + 1
+        # tokens of valid rows, in row-major order
+        flat = lists.flatten()  # drops null rows' slots entirely
+        ids = batch[id_column].take(pa.array(parent, type=pa.int64()))
+        return pa.table({id_column: ids,
+                         "seq": pa.array(seq),
+                         "token": flat})
+
+    return ds.map_batches(expand, batch_format="pyarrow")

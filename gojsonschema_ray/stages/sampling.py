@@ -1,0 +1,91 @@
+"""Deterministic hash-based sampling / dataset splitting.
+
+A 100 TB training-data pipeline needs REPRODUCIBLE sampling: the same row
+must land in the same split on every run, on every worker, with no
+coordination — so membership is a pure function of the row's key, not of
+RNG state, row order, or block boundaries (Ray Data's random_sample() is
+none of those things). gojsonschema has no analog (single-document engine);
+this generalizes "which documents do I validate" the way stages/uniqueness
+generalizes uniqueItems (SURVEY.md §2.6).
+
+The hash is Knuth multiplicative hashing on the integer key:
+
+    h(k) = (k * 2654435761) mod 2**32          (2654435761 = ⌊2^32/φ⌋)
+
+chosen over a cryptographic or library hash because it is (a) vectorizable
+as two numpy ops per batch, (b) exactly replicable in ANSI SQL
+(``(key * 2654435761) % 4294967296``) so the driver's DuckDB oracle checks
+the sample EXACTLY, and (c) well-mixing for the low bits that the threshold
+test uses. Fractions map to disjoint half-open threshold bands so
+``hash_split(ds, k, [0.8, 0.1, 0.1])`` yields provably disjoint,
+jointly-exhaustive splits.
+
+Scale shape: membership is a per-batch Arrow filter — no shuffle, no
+driver state, composes with column pruning at the read.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+KNUTH = np.uint64(2654435761)
+MOD = np.uint64(1) << np.uint64(32)
+
+
+def hash_bucket_u32(keys: np.ndarray, salt: int = 0) -> np.ndarray:
+    """(key + salt) * 2654435761 mod 2^32 as uint64 — the membership hash.
+
+    Keys must be non-negative integers (ids). `salt` decorrelates
+    independent samples over the same key column."""
+    k = keys.astype(np.uint64, copy=False) + np.uint64(salt)
+    return (k * KNUTH) & (MOD - np.uint64(1))
+
+
+def _band_filter(batch: pa.Table, column: str, lo: int, hi: int,
+                 salt: int) -> pa.Table:
+    col = batch[column]
+    keys = np.asarray(col.to_numpy(zero_copy_only=False))
+    h = hash_bucket_u32(keys, salt)
+    mask = (h >= np.uint64(lo)) & (h < np.uint64(hi))
+    if col.null_count if hasattr(col, "null_count") else 0:
+        mask &= ~np.asarray(pc.is_null(col).to_numpy(zero_copy_only=False))
+    return batch.filter(pa.array(mask))
+
+
+def hash_sample(ds, column: str, fraction: float, *, salt: int = 0):
+    """Rows whose key hashes below ``fraction`` of the 32-bit space.
+
+    Deterministic: the same key is always in/out for a given (fraction,
+    salt); growing the fraction only ADDS rows (nested samples), so a 1%
+    smoke sample is a strict subset of the 10% eval sample. Null keys are
+    dropped (membership of an unknown key is undefined).
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    hi = int(round(fraction * float(MOD)))
+    return ds.map_batches(
+        lambda t: _band_filter(t, column, 0, hi, salt),
+        batch_format="pyarrow")
+
+
+def hash_split(ds, column: str, fractions: list[float], *, salt: int = 0):
+    """Split into len(fractions) disjoint datasets by threshold bands.
+
+    ``fractions`` must sum to <= 1.0 (any remainder is simply unassigned —
+    useful for "80/10/10 of a 50% subsample"). Each returned Dataset is an
+    independent lazy pipeline over the same input; consume them separately.
+    """
+    if any(f < 0 for f in fractions):
+        raise ValueError("fractions must be non-negative")
+    if sum(fractions) > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {sum(fractions)} > 1")
+    edges = np.cumsum([0.0] + list(fractions))
+    bounds = [int(round(e * float(MOD))) for e in edges]
+    outs = []
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        outs.append(ds.map_batches(
+            lambda t, lo=lo, hi=hi: _band_filter(t, column, lo, hi, salt),
+            batch_format="pyarrow"))
+    return outs

@@ -642,3 +642,55 @@ def test_embedding_degenerate_bucket_capped(ray_session):
     assert got == {(0, i) for i in range(1, n)}
     assert all(p["capped"] for p in pairs)
     assert all(abs(p["cosine"] - 1.0) < 1e-9 for p in pairs)
+
+
+def test_hash_sample_and_split(ray_session):
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.sampling import (
+        hash_bucket_u32, hash_sample, hash_split,
+    )
+    from gojsonschema_ray.util import collect_rows
+
+    n = 20_000
+    ds = rd.from_arrow(pa.table({"k": list(range(n))})).repartition(8)
+    s10 = {r["k"] for r in collect_rows(hash_sample(ds, "k", 0.1))}
+    s30 = {r["k"] for r in collect_rows(hash_sample(ds, "k", 0.3))}
+    # deterministic closed form
+    h = hash_bucket_u32(np.arange(n))
+    assert s10 == set(np.nonzero(h < round(0.1 * 2**32))[0].tolist())
+    # nested: growing the fraction only adds rows
+    assert s10 <= s30
+    # rough size (hash is well-mixing)
+    assert 0.07 < len(s10) / n < 0.13
+    # different salt decorrelates
+    s10b = {r["k"] for r in collect_rows(hash_sample(ds, "k", 0.1, salt=7))}
+    assert s10 != s10b
+    # split: disjoint and (with sum=1) exhaustive
+    parts = [({r["k"] for r in collect_rows(p)})
+             for p in hash_split(ds, "k", [0.8, 0.1, 0.1])]
+    assert parts[0] | parts[1] | parts[2] == set(range(n))
+    assert not (parts[0] & parts[1]) and not (parts[1] & parts[2]) \
+        and not (parts[0] & parts[2])
+    # the first band IS the plain sample
+    assert parts[1] | parts[0] >= s10  # bands are threshold-ordered
+
+
+def test_explode_tokens(ray_session):
+    import ray.data as rd
+
+    from gojsonschema_ray.functions.text import explode_tokens
+    from gojsonschema_ray.util import collect_rows
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["a b c", "", None, "x  y", "solo"],
+    }))
+    rows = sorted(((r["doc_id"], r["seq"], r["token"])
+                   for r in collect_rows(explode_tokens(ds, "text", "doc_id"))))
+    assert rows == [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "c"),
+        (2, 1, ""),                      # empty text -> one empty token (SQL parity)
+        (4, 1, "x"), (4, 2, ""), (4, 3, "y"),  # double space -> empty token
+        (5, 1, "solo"),
+    ]
