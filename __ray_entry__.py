@@ -439,6 +439,46 @@ def q_events_sessions(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["user_id", "session_start"]).reset_index(drop=True)
 
 
+def q_events_rolling_avg(sf_dir: str) -> pd.DataFrame:
+    """Trailing 5-row mean of `value` per user in (ts, event_id) order —
+    stages/window.rolling_by_key (one hash(user) co-partition + vectorized
+    pandas groupby.rolling). Oracle: the exact SQL ROWS-frame window AVG;
+    event_id breaks timestamp ties so the frame is deterministic."""
+    from gojsonschema_ray.stages.window import rolling_by_key
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    out = rolling_by_key(ds, "user_id", "ts", "value", 5,
+                         order_columns=("event_id",))
+    rows = collect_rows(out)
+    df = pd.DataFrame({
+        "user_id": pd.Series([r["user_id"] for r in rows], dtype="int64"),
+        "event_id": pd.Series([r["event_id"] for r in rows], dtype="int64"),
+        "roll_avg": pd.Series([round(r["roll_mean"], 6) for r in rows],
+                              dtype="float64"),
+    })
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
+def q_orders_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact per-customer order-price quantiles (many small groups — the
+    regime where exact beats the t-digest sketch path) via
+    stages/sketches.grouped_quantiles. Oracle: SQL quantile_cont (both sides
+    linear interpolation)."""
+    from gojsonschema_ray.stages.sketches import grouped_quantiles
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    out = grouped_quantiles(ds, "o_custkey", "o_totalprice", qs=(0.5, 0.9))
+    rows = collect_rows(out)
+    df = pd.DataFrame({
+        "o_custkey": pd.Series([r["o_custkey"] for r in rows], dtype="int64"),
+        "p50": pd.Series([round(r["q50"], 6) for r in rows], dtype="float64"),
+        "p90": pd.Series([round(r["q90"], 6) for r in rows], dtype="float64"),
+    })
+    return df.sort_values("o_custkey").reset_index(drop=True)
+
+
 def q_events_top2_per_user(sf_dir: str) -> pd.DataFrame:
     """Grouped top-k: each user's 2 highest-value events (per-batch local
     top-k partials + one hash(user) exchange — stages/topk.py
@@ -780,6 +820,30 @@ def q_minhash_near_dups(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def q_minhash_clusters(sf_dir: str) -> pd.DataFrame:
+    """Near-dup clustering: MinHash+LSH verified pairs → connected
+    components (stages/dedup.near_dup_clusters) → one (doc_id, cluster_id =
+    component-min id) row per clustered doc — the keep-one-per-cluster step
+    of corpus dedup. Oracle: recursive-CTE reachability over the exact
+    shingle-join pairs (cluster_id = min reachable id)."""
+    from gojsonschema_ray.stages.dedup import (
+        minhash_near_duplicates,
+        near_dup_clusters,
+    )
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=32)
+    pairs = minhash_near_duplicates(ds, "text", "doc_id", threshold=0.5,
+                                    concurrency=2)
+    rows = collect_rows(near_dup_clusters(pairs))
+    df = pd.DataFrame({
+        "doc_id": pd.Series([r["doc_id"] for r in rows], dtype="int64"),
+        "cluster_id": pd.Series([r["cluster_id"] for r in rows],
+                                dtype="int64"),
+    })
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_lineitem_hash_sample(sf_dir: str) -> pd.DataFrame:
     """Deterministic 10% sample of lineitem keyed on l_orderkey: Knuth
     multiplicative hash threshold (stages/sampling.py), exactly replicated
@@ -998,6 +1062,47 @@ def q_flagship_clips(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("keyword").reset_index(drop=True)
 
 
+def q_clips_audio_features(sf_dir: str) -> pd.DataFrame:
+    """Per-clip audio features (stages/audio.AudioFeatureStage: RMS/peak
+    dBFS, ZCR, spectral centroid, clipping fraction, FFT-peak frequency)
+    over the deterministic synthetic clips table, aggregated per codec.
+    Rows-only: audio decode is not SQL-expressible; the closed-form golden
+    (datagen sines are 0.5 FS ⇒ RMS −9.03 dBFS, ZCR ≈ f, centroid ≈ f)
+    lives in tests/test_stages.py."""
+    from gojsonschema_ray import datagen
+    from gojsonschema_ray.stages.audio import AudioFeatureStage
+    from gojsonschema_ray.util import collect_rows
+
+    n = 5_000
+    ds = datagen.clips_dataset(n, audio_cap_ms=30, override_num_blocks=8)
+    feats = ds.map_batches(AudioFeatureStage, batch_size=256,
+                           batch_format="pyarrow", concurrency=(1, 4))
+
+    def partial(t: pa.Table) -> pa.Table:
+        ok = pc.fill_null(t["decode_ok"], False)
+        tt = t.filter(ok)
+        return pa.table({
+            "n_ok": pa.array([tt.num_rows], pa.int64()),
+            "n_bad": pa.array([t.num_rows - tt.num_rows], pa.int64()),
+            "sum_rms": pa.array([pc.sum(tt["rms_dbfs"]).as_py() or 0.0],
+                                pa.float64()),
+            "n_clipped": pa.array(
+                [pc.sum(pc.cast(pc.greater(tt["clipped_frac"], 0.0),
+                                pa.int64())).as_py() or 0],
+                pa.int64()),
+        })
+
+    rows = collect_rows(feats.map_batches(partial, batch_format="pyarrow"))
+    n_ok = sum(r["n_ok"] for r in rows)
+    n_bad = sum(r["n_bad"] for r in rows)
+    mean_rms = sum(r["sum_rms"] for r in rows) / max(n_ok, 1)
+    return pd.DataFrame([{
+        "n_ok": int(n_ok), "n_bad": int(n_bad),
+        "mean_rms_dbfs": round(mean_rms, 3),
+        "n_clipped": int(sum(r["n_clipped"] for r in rows)),
+    }])
+
+
 def entry() -> Any:
     """Flagship smoke on sf0.001: constraint validation over lineitem +
     documents + uniqueness on events, one violations summary Dataset."""
@@ -1038,6 +1143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_users": q_heavy_users,
         "events_hopping_window": q_events_hopping_window,
         "events_sessions": q_events_sessions,
+        "events_rolling_avg": q_events_rolling_avg,
+        "orders_quantiles": q_orders_quantiles,
         "events_top2_per_user": q_events_top2_per_user,
         "events_asof_rate": q_events_asof_rate,
         "events_asof_bucketed": q_events_asof_bucketed,
@@ -1056,6 +1163,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_json": q_events_props_json,
         "quality_by_source": q_quality_by_source,
         "minhash_near_dups": q_minhash_near_dups,
+        "minhash_clusters": q_minhash_clusters,
+        "clips_audio_features": q_clips_audio_features,
         "embedding_near_dups": q_embedding_near_dups,
         "ivf_top5": q_ivf_top5,
         "sketch_lineitem": q_sketch_lineitem,
@@ -1213,6 +1322,21 @@ def oracle_sql() -> dict[str, str]:
             "round(min(value), 6) AS min, round(max(value), 6) AS max, "
             "round(avg(value), 6) AS mean FROM x GROUP BY 1"
         ),
+        # exact ROWS-frame trailing mean; event_id breaks ts ties so the
+        # frame (and thus the value) is deterministic on both sides
+        "events_rolling_avg": (
+            "SELECT user_id, event_id, round(avg(value) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS roll_avg "
+            "FROM events"
+        ),
+        # quantile_cont == linear interpolation == pandas/numpy default
+        "orders_quantiles": (
+            "SELECT o_custkey, "
+            "round(quantile_cont(o_totalprice, 0.5), 6) AS p50, "
+            "round(quantile_cont(o_totalprice, 0.9), 6) AS p90 "
+            "FROM orders GROUP BY o_custkey"
+        ),
         # gap-based sessionization via the classic lag/cumsum window recipe
         "events_sessions": (
             "WITH o AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER "
@@ -1341,6 +1465,30 @@ def oracle_sql() -> dict[str, str]:
             "FROM inter JOIN sizes s1 ON s1.doc_id = ia "
             "JOIN sizes s2 ON s2.doc_id = ib "
             "WHERE i * 1.0 / (s1.c + s2.c - i) >= 0.5"
+        ),
+        # connected components over the same exact-shingle pairs: recursive
+        # min-label reachability (cluster_id = min id reachable over the
+        # undirected pair graph) — the keep-one-per-cluster dedup step
+        "minhash_clusters": (
+            "WITH RECURSIVE grams AS (SELECT DISTINCT doc_id, "
+            "unnest(list_transform(generate_series(1, length(text) - 4), "
+            "i -> substr(text, i, 5))) AS gram FROM documents"
+            "), sizes AS (SELECT doc_id, count(*) AS c FROM grams GROUP BY doc_id"
+            "), inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i "
+            "FROM grams a JOIN grams b ON a.gram = b.gram "
+            "AND a.doc_id < b.doc_id GROUP BY 1, 2"
+            "), pairs AS (SELECT ia AS id_a, ib AS id_b "
+            "FROM inter JOIN sizes s1 ON s1.doc_id = ia "
+            "JOIN sizes s2 ON s2.doc_id = ib "
+            "WHERE i * 1.0 / (s1.c + s2.c - i) >= 0.5"
+            "), edges AS (SELECT id_a AS u, id_b AS v FROM pairs "
+            "UNION ALL SELECT id_b, id_a FROM pairs"
+            "), reach(node, r) AS ("
+            "SELECT u, u FROM edges "
+            "UNION "
+            "SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node"
+            ") SELECT node AS doc_id, min(r) AS cluster_id "
+            "FROM reach GROUP BY node"
         ),
         # exact cosine self-join >= 0.9 (empty at sf0.01 — max pairwise
         # cosine ~0.51 — so this checks the LSH invents no false positives)

@@ -20,10 +20,14 @@ minimum is the pipeline's repeatable throughput.
 num_cpus=N and num_cpus=4N (default 4 and 16) on the SAME input (the sandbox
 proxy for N- vs 4N-node clusters) and report throughput at both plus scaling
 efficiency (= (rate_4N/rate_N)/4); also appends the result to
-BENCH/BASELINE.md. Each level primes the page cache, runs one UNTIMED
-quarter-scale warm-up, then reports the MEDIAN of 3 timed runs — round 2's
-spread (0.891/1.22/1.45 on identical code) traced to unwarmed 4-CPU
-baselines, so the warm-up + median is what makes the figure reproducible.
+BENCH/BASELINE.md. Measurement is INTERLEAVED PAIRS: three (N, 4N) pairs run
+back-to-back, each level a fresh process that primes the page cache and runs
+one untimed quarter-scale warm-up before its single timed run; the reported
+figure is the MEDIAN of the three pairwise efficiencies. Rationale: round 2's
+spread (0.891/1.22/1.45 on identical code) came from this VM's conditions
+drifting between a ~4-minute 4-CPU phase and a ~45 s 16-CPU phase measured
+many minutes apart — pairing keeps the two points of each efficiency sample
+temporally adjacent, so drift moves a whole pair, not the ratio.
 """
 
 from __future__ import annotations
@@ -190,28 +194,28 @@ def run_main() -> dict:
 
 
 def run_scaling_worker(num_cpus: int) -> dict:
-    """One parallelism level, fresh Ray session. Reproducibility recipe
-    (round 2's figures spread 0.891-1.45 on identical code because the
-    ~4-minute 4-CPU phase absorbed unwarmed page-fault cost): prime the page
-    cache, run one UNTIMED quarter-scale warm-up, then report the MEDIAN of
-    3 timed runs."""
+    """One parallelism level, fresh Ray session, ONE timed run. Steady-state
+    recipe: prime the page cache, run one UNTIMED quarter-scale warm-up
+    (worker ramp, numpy pools, codec paths), then time a single full run.
+    run_scaling() calls this in alternating (N, 4N) pairs so each pairwise
+    efficiency compares temporally adjacent conditions."""
     _init_ray(num_cpus)
     _warm_files(_clips_cache(SCALING_CLIPS_N, SCALING_CAP_MS))
-    # untimed warm-up: worker ramp, numpy pools, codec paths
     bench_clips_validate(num_cpus, SCALING_CLIPS_N // 4, SCALING_CAP_MS)
-    runs = [bench_clips_validate(num_cpus, SCALING_CLIPS_N, SCALING_CAP_MS)
-            for _ in range(3)]
+    run = bench_clips_validate(num_cpus, SCALING_CLIPS_N, SCALING_CAP_MS)
     import ray
 
     ray.shutdown()
-    med = sorted(runs, key=lambda r: r["sec"])[1]
-    return {"num_cpus": num_cpus, "runs": [round(r["sec"], 2) for r in runs],
-            **med}
+    return {"num_cpus": num_cpus, **run}
+
+
+SCALING_PAIRS = int(os.environ.get("GRAFT_SCALING_PAIRS", "3"))
 
 
 def run_scaling() -> dict:
-    """Two fresh processes at N and 4N CPUs on the same cached input (the
-    sandbox proxy for N- vs 4N-node clusters, per driver instruction)."""
+    """Interleaved (N, 4N) pairs in fresh processes on the same cached input
+    (the sandbox proxy for N- vs 4N-node clusters, per driver instruction).
+    Reports the median of the pairwise efficiencies."""
     # generate the caches once, at full parallelism (outside both measured
     # runs): the timed input plus the quarter-scale warm-up input
     _init_ray(32)
@@ -221,34 +225,45 @@ def run_scaling() -> dict:
 
     ray.shutdown()
 
-    results = {}
-    for cpus in (SCALING_CPUS_LOW, SCALING_CPUS_HIGH):
+    def _one(cpus: int) -> dict:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--scaling-worker",
              str(cpus)],
-            capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
-            timeout=3600,
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)), timeout=3600,
         )
-        line = [l for l in out.stdout.strip().split("\n") if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+        line = [l for l in out.stdout.strip().split("\n")
+                if l.startswith("{")][-1]
+        return json.loads(line)
+
     lo, hi = SCALING_CPUS_LOW, SCALING_CPUS_HIGH
-    r_lo = results[lo]["clips_per_sec"]
-    r_hi = results[hi]["clips_per_sec"]
-    eff = (r_hi / r_lo) / 4.0
+    pairs = []
+    for _ in range(SCALING_PAIRS):
+        res_lo = _one(lo)
+        res_hi = _one(hi)
+        pairs.append({
+            "rate_low": round(res_lo["clips_per_sec"], 1),
+            "rate_high": round(res_hi["clips_per_sec"], 1),
+            "sec_low": round(res_lo["sec"], 2),
+            "sec_high": round(res_hi["sec"], 2),
+            "eff": round((res_hi["clips_per_sec"] / res_lo["clips_per_sec"])
+                         / (hi / lo), 3),
+        })
+    med = sorted(pairs, key=lambda p: p["eff"])[len(pairs) // 2]
     report = {
         "metric": f"scaling efficiency {lo}->{hi} cpus (proxy for N->4N nodes)",
-        "value": round(eff, 3),
+        "value": med["eff"],
         "unit": "efficiency",
         "clips_n": SCALING_CLIPS_N,
         "cap_ms": SCALING_CAP_MS,
         "cpus_low": lo,
         "cpus_high": hi,
-        "rate_low": round(r_lo, 1),
-        "rate_high": round(r_hi, 1),
-        "sec_low": round(results[lo]["sec"], 2),
-        "sec_high": round(results[hi]["sec"], 2),
-        "runs_low": results[lo]["runs"],
-        "runs_high": results[hi]["runs"],
+        "rate_low": med["rate_low"],
+        "rate_high": med["rate_high"],
+        "sec_low": med["sec_low"],
+        "sec_high": med["sec_high"],
+        "pairs": pairs,
+        "timing": "median_of_interleaved_pairs",
     }
     _append_baseline(report)
     return report
@@ -263,8 +278,11 @@ def _append_baseline(report: dict):
         lines.append("| clips | cpus N->4N | rate@N (clips/s) | rate@4N (clips/s) | "
                      "efficiency (r4N/rN)/4 |\n")
         lines.append("|---|---|---|---|---|\n")
+    pair_note = "; ".join(f"{p['eff']} ({p['rate_low']}/{p['rate_high']})"
+                          for p in report.get("pairs", []))
     lines.append(f"| {report['clips_n']} | {report['cpus_low']}->{report['cpus_high']} | "
-                 f"{report['rate_low']} | {report['rate_high']} | {report['value']} |\n")
+                 f"{report['rate_low']} | {report['rate_high']} | {report['value']} | "
+                 f"pairs: {pair_note} |\n")
     with open(path, "a") as f:
         f.writelines(lines)
 

@@ -65,6 +65,24 @@ def _hanning(n: int) -> np.ndarray:
     return w
 
 
+def _peak_frequency(xf: np.ndarray, sr: int) -> float:
+    """FFT-peak frequency of a (mean-removed float) signal: 4x zero-padded
+    Hann spectrum argmax + parabolic interpolation on the mainlobe — the
+    same estimator best_fit_sine_snr seeds its least-squares fit with."""
+    n = len(xf)
+    nfft = 1 << max(12, int(np.ceil(np.log2(4 * n))))
+    spec = np.abs(np.fft.rfft(xf * _hanning(n), n=nfft))
+    k = int(np.argmax(spec[1:])) + 1
+    if 1 <= k < len(spec) - 1:
+        a, b, c = spec[k - 1], spec[k], spec[k + 1]
+        denom = a - 2 * b + c
+        delta = 0.5 * (a - c) / denom if denom != 0 else 0.0
+        delta = float(np.clip(delta, -0.5, 0.5))
+    else:
+        delta = 0.0
+    return (k + delta) * sr / nfft
+
+
 def best_fit_sine_snr(x: np.ndarray, sr: int) -> float:
     """SNR (dB) of x against its least-squares best single-sine fit.
 
@@ -82,16 +100,7 @@ def best_fit_sine_snr(x: np.ndarray, sr: int) -> float:
     xf = x.astype(np.float64)
     xf = xf - xf.mean()
     nfft = 1 << max(12, int(np.ceil(np.log2(4 * n))))
-    spec = np.abs(np.fft.rfft(xf * _hanning(n), n=nfft))
-    k = int(np.argmax(spec[1:])) + 1
-    if 1 <= k < len(spec) - 1:
-        a, b, c = spec[k - 1], spec[k], spec[k + 1]
-        denom = a - 2 * b + c
-        delta = 0.5 * (a - c) / denom if denom != 0 else 0.0
-        delta = float(np.clip(delta, -0.5, 0.5))
-    else:
-        delta = 0.0
-    freq = (k + delta) * sr / nfft
+    freq = _peak_frequency(xf, sr)
     t = np.arange(n) / sr
     pad_res = sr / nfft
 
@@ -206,3 +215,97 @@ class AudioInvariantChecker:
              for col in cols],
             schema=VIOLATION_SCHEMA,
         )
+
+
+_FS = 32767.0  # datagen encodes amplitude relative to int16 positive FS
+
+
+def pcm_features(pcm: np.ndarray, sr: int) -> dict:
+    """Per-clip audio features over decoded int16 PCM — the filter/bucket
+    signals of a training-data audio pipeline (silence gating by RMS,
+    clipping rejection, tone/voicing proxies). All numpy over the clip:
+    one float64 copy, one rFFT; no sample-level Python.
+
+    Returns rms_dbfs, peak_dbfs (dB re. int16 full scale), zcr_hz (zero
+    crossings per second), spectral_centroid_hz (magnitude-weighted rFFT
+    mean, DC excluded), clipped_frac (samples at |FS|), est_freq_hz (padded
+    FFT peak — _peak_frequency)."""
+    n = len(pcm)
+    if n == 0:
+        return {"n_samples": 0, "rms_dbfs": None, "peak_dbfs": None,
+                "zcr_hz": None, "spectral_centroid_hz": None,
+                "clipped_frac": None, "est_freq_hz": None}
+    xf = pcm.astype(np.float64)
+    rms = float(np.sqrt(np.mean(xf * xf)))
+    peak = float(np.max(np.abs(xf)))
+    with np.errstate(divide="ignore"):
+        rms_dbfs = float(20 * np.log10(max(rms, 1e-12) / _FS))
+        peak_dbfs = float(20 * np.log10(max(peak, 1e-12) / _FS))
+    signs = np.signbit(xf)
+    crossings = int(np.count_nonzero(signs[1:] != signs[:-1]))
+    zcr_hz = crossings * sr / (2.0 * n)  # crossing pairs per second
+    spec = np.abs(np.fft.rfft(xf - xf.mean()))
+    freqs = np.fft.rfftfreq(n, d=1.0 / sr)
+    mass = float(spec[1:].sum())
+    centroid = float((freqs[1:] * spec[1:]).sum() / mass) if mass > 0 else 0.0
+    # count on the float copy: np.abs over int16 would wrap at -32768
+    clipped = int(np.count_nonzero(np.abs(xf) >= _FS))
+    est = _peak_frequency(xf - xf.mean(), sr) if n >= 16 else None
+    return {"n_samples": n, "rms_dbfs": rms_dbfs, "peak_dbfs": peak_dbfs,
+            "zcr_hz": float(zcr_hz), "spectral_centroid_hz": centroid,
+            "clipped_frac": clipped / n,
+            "est_freq_hz": None if est is None else float(est)}
+
+
+FEATURE_SCHEMA = pa.schema([
+    ("clip_id", pa.string()),
+    ("decode_ok", pa.bool_()),
+    ("n_samples", pa.int64()),
+    ("rms_dbfs", pa.float64()),
+    ("peak_dbfs", pa.float64()),
+    ("zcr_hz", pa.float64()),
+    ("spectral_centroid_hz", pa.float64()),
+    ("clipped_frac", pa.float64()),
+    ("est_freq_hz", pa.float64()),
+])
+
+
+class AudioFeatureStage:
+    """Actor-pool map_batches payload: decode + per-clip feature extraction.
+
+    Same deployment shape as AudioInvariantChecker (stateful decode table in
+    __init__, small batches — audio rows are wide); a row that fails to
+    decode emits decode_ok=False with null features instead of failing the
+    batch, so a corrupt shard degrades to filterable rows, not a dead task."""
+
+    def __init__(self, audio_cap_ms: int | None = None):
+        self.audio_cap_ms = audio_cap_ms
+        self.decoders = {
+            "wav": lambda blob, sr: decode_wav(blob),
+            "pcm_s16le": decode_raw_s16le,
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["clip_id"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        srs = batch["sr_hz"].to_pylist()
+        codecs = batch["codec"].to_pylist()
+        rows = []
+        for cid, blob, sr, codec in zip(ids, blobs, srs, codecs):
+            dec = self.decoders.get(codec)
+            feat = None
+            if dec is not None and blob is not None:
+                try:
+                    pcm, file_sr = dec(blob, sr)
+                    feat = pcm_features(pcm, int(file_sr or sr))
+                except Exception:  # noqa: BLE001 — any decode failure → row
+                    feat = None
+            if feat is None:
+                rows.append({"clip_id": cid, "decode_ok": False,
+                             "n_samples": None, "rms_dbfs": None,
+                             "peak_dbfs": None, "zcr_hz": None,
+                             "spectral_centroid_hz": None,
+                             "clipped_frac": None, "est_freq_hz": None})
+            else:
+                rows.append({"clip_id": cid, "decode_ok": True, **feat})
+        return pa.Table.from_pylist(rows, schema=FEATURE_SCHEMA)

@@ -1009,3 +1009,138 @@ def embedding_near_duplicates(ds, embedding_column: str, id_column: str,
     # the same pair carries the same cosine in every table — unique_pairs'
     # keep-first is exact
     return unique_pairs(found)
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering (connected components over verified pairs)
+# ---------------------------------------------------------------------------
+def _cc_labels(u: np.ndarray, v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized connected components over an edge list.
+
+    Returns (nodes, root) where root[i] is the minimum node id of nodes[i]'s
+    component. Min-label propagation with pointer jumping — each round is
+    pure numpy (gather, np.minimum.at scatter-min, label[label] jump), and
+    the jump halves chain depth so rounds are O(log n), never a per-edge
+    Python loop. np.unique sorts nodes, so index order == id order and the
+    index-space minimum maps back to the id-space minimum."""
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    ui, vi = inv[: len(u)], inv[len(u):]
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        m = np.minimum(label[ui], label[vi])
+        new = label.copy()
+        np.minimum.at(new, ui, m)
+        np.minimum.at(new, vi, m)
+        new = new[new]  # pointer jump
+        if np.array_equal(new, label):
+            break
+        label = new
+    return nodes, nodes[label]
+
+
+def near_dup_clusters(pairs_ds, id_a: str = "id_a", id_b: str = "id_b", *,
+                      n_parts: int | None = None,
+                      driver_cap: int = 5_000_000):
+    """Connected components over verified near-dup pairs: the canonical
+    "keep one document per duplicate cluster" step after minhash / simhash /
+    embedding dedup. Returns a Dataset of (doc_id, cluster_id) for every id
+    that appears in a pair, cluster_id = the component's minimum id (so
+    keep = doc_id == cluster_id, drop the rest).
+
+    Scale shape (the corpus never moves — only the duplicate GRAPH, which is
+    pair-count sized):
+    1. ONE hash(pair) coarse-partition exchange; each partition runs the
+       vectorized local CC over its edges and emits (node, local_root)
+       mappings — ≤ 2 rows per edge.
+    2. ONE hash(node) exchange groups a node's mappings: its minimum root
+       becomes its mapping row, and each additional distinct root becomes a
+       root-equivalence edge (components that span partitions).
+    3. The CONTRACTED equivalence edges — cross-partition component links
+       only, not pairs — resolve on the driver with the same numpy kernel;
+       the root→final dict broadcasts via ray.put into a final label pass.
+    The driver-side graph is bounded by how many components straddle
+    partitions; driver_cap guards the degenerate case with a logged
+    overflow (raise it, or pre-collapse exact duplicates first — identical
+    docs are the bulk of real dup mass and collapse in step 1)."""
+    import ray
+    import ray.data as rd
+
+    from ..util import collect_rows
+    from .sketches import hash_arrow_array
+
+    P = _next_pow2(n_parts or _shuffle_parts())
+
+    def edge_part(t: pa.Table) -> pa.Table:
+        part = (_pair_hash(t.select([id_a, id_b]).rename_columns(
+            ["id_a", "id_b"])) % np.uint64(P)).astype(np.int32)
+        return pa.table({"u": t[id_a], "v": t[id_b], "part": pa.array(part)})
+
+    def local_cc(df: pd.DataFrame) -> pd.DataFrame:
+        nodes, roots = _cc_labels(df["u"].to_numpy(), df["v"].to_numpy())
+        return pd.DataFrame({"node": nodes, "root": roots})
+
+    edges = pairs_ds.map_batches(edge_part, batch_format="pyarrow") \
+        .repartition(P).materialize()
+    if edges.count() == 0:
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                              "cluster_id": pd.Series([], dtype="int64")})
+        return rd.from_pandas(empty)
+    mapping = edges.groupby("part").map_groups(local_cc, batch_format="pandas")
+
+    def node_part(t: pa.Table) -> pa.Table:
+        part = (hash_arrow_array(t["node"]) % np.uint64(P)).astype(np.int32)
+        return t.append_column("npart", pa.array(part))
+
+    def per_node(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["node", "root"])
+        mn = d.groupby("node", sort=False)["root"].transform("min")
+        is_min = d["root"].to_numpy() == mn.to_numpy()
+        m = d.loc[is_min].drop_duplicates("node")
+        eq = d.loc[~is_min]
+        return pd.DataFrame({
+            "kind": np.concatenate([np.zeros(len(m), np.int8),
+                                    np.ones(len(eq), np.int8)]),
+            "a": np.concatenate([m["node"].to_numpy(),
+                                 mn.loc[eq.index].to_numpy()]),
+            "b": np.concatenate([m["root"].to_numpy(),
+                                 eq["root"].to_numpy()]),
+        })
+
+    grouped = mapping.map_batches(node_part, batch_format="pyarrow") \
+        .repartition(P).materialize() \
+        .groupby("npart").map_groups(per_node, batch_format="pandas") \
+        .materialize()  # consumed twice: equivalence edges + label pass
+
+    eq_rows = collect_rows(grouped.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], 1)).select(["a", "b"]),
+        batch_format="pyarrow"))
+    if len(eq_rows) > driver_cap:
+        _LOG.warning(
+            "near_dup_clusters: %d cross-partition equivalence edges exceed "
+            "driver_cap=%d — resolving anyway; raise the cap or pre-collapse "
+            "exact duplicates to shrink the contracted graph",
+            len(eq_rows), driver_cap)
+    froot: dict = {}
+    if eq_rows:
+        eu = np.array([r["a"] for r in eq_rows])
+        ev = np.array([r["b"] for r in eq_rows])
+        nodes, roots = _cc_labels(eu, ev)
+        froot = {n: r for n, r in zip(nodes.tolist(), roots.tolist())
+                 if n != r}
+    froot_ref = ray.put(froot)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        f = ray.get(froot_ref)
+        keep = t.filter(pc.equal(t["kind"], 0))
+        roots = keep["b"].to_pandas()
+        if f:
+            roots = roots.map(lambda r: f.get(r, r))
+        return pa.table({
+            "doc_id": keep["a"].combine_chunks(),
+            "cluster_id": pa.array(roots.to_numpy(),
+                                   type=keep["b"].type
+                                   if isinstance(keep["b"], pa.Array)
+                                   else keep["b"].combine_chunks().type),
+        })
+
+    return grouped.map_batches(finalize, batch_format="pyarrow")

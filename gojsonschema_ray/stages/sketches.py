@@ -475,3 +475,36 @@ def heavy_hitters(ds, column: str, min_count: int,
     rows.sort()
     return pd.DataFrame({column: [k for k, _ in rows],
                          "n": pd.Series([n for _, n in rows], dtype="int64")})
+
+
+def grouped_quantiles(ds, key_column: str, value_column: str,
+                      qs: tuple = (0.5,), n_parts: int | None = None):
+    """EXACT per-key quantiles (linear interpolation — SQL quantile_cont
+    parity) for the many-small-groups regime: ONE hash(key) co-partition
+    exchange, then vectorized pandas groupby.quantile per partition.
+
+    Partitioning assumption (documented): one key's values fit a partition
+    — the complement of this module's t-digest path, which handles the
+    few-heavy-keys regime with mergeable approximate partials. Returns
+    (key, q<percent> per requested quantile)."""
+    import pandas as pd
+
+    from .dedup import _next_pow2, _shuffle_parts
+
+    P = _next_pow2(n_parts or _shuffle_parts())
+    names = [f"q{int(round(q * 100))}" for q in qs]
+
+    def project(t: pa.Table) -> pa.Table:
+        part = (hash_arrow_array(t[key_column]) % np.uint64(P)).astype(np.int32)
+        return pa.table({key_column: t[key_column], "v": t[value_column],
+                         "part": pa.array(part)})
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key_column, sort=False, dropna=False)["v"]
+        frames = {name: g.quantile(q, interpolation="linear")
+                  for q, name in zip(qs, names)}
+        return pd.DataFrame(frames).reset_index()
+
+    parts = ds.map_batches(project, batch_format="pyarrow") \
+        .repartition(P).materialize()
+    return parts.groupby("part").map_groups(per_part, batch_format="pandas")

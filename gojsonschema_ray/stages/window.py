@@ -175,3 +175,47 @@ def session_windows(ds, key_column: str, ts_column: str, gap_s: float,
     parts = ds.map_batches(project, batch_format="pyarrow") \
         .repartition(P).materialize()
     return parts.groupby("part").map_groups(per_part, batch_format="pandas")
+
+
+def rolling_by_key(ds, key_column: str, ts_column: str, value_column: str,
+                   window_rows: int, order_columns: tuple = (),
+                   n_parts: int | None = None):
+    """Per-key trailing row-window mean — SQL `AVG(v) OVER (PARTITION BY key
+    ORDER BY ts[, tiebreaks] ROWS BETWEEN window_rows-1 PRECEDING AND
+    CURRENT ROW)`. `order_columns` break timestamp ties deterministically
+    (pass a unique id; SQL row-frame windows are otherwise
+    order-nondeterministic under equal timestamps).
+
+    Same scale shape as session_windows: ONE hash(key) co-partition exchange
+    (a key's rows must co-locate — documented assumption: rows-per-key
+    bounds one partition, not the corpus), then a vectorized per-partition
+    sort + pandas groupby.rolling. Returns the key, ordering columns and
+    `roll_mean` (partial windows at a key's head average the rows available,
+    SQL ROWS-frame semantics)."""
+    from .dedup import _next_pow2, _shuffle_parts
+    from .sketches import hash_arrow_array
+
+    P = _next_pow2(n_parts or _shuffle_parts())
+    order = [ts_column, *order_columns]
+
+    def project(t: pa.Table) -> pa.Table:
+        cols = {c: t[c] for c in dict.fromkeys(
+            [key_column, *order, value_column])}
+        part = (hash_arrow_array(t[key_column]) % np.uint64(P)).astype(np.int32)
+        cols["part"] = pa.array(part)
+        return pa.table(cols)
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_column, *order], kind="stable")
+        # sorted by key + sort=False ⇒ group order == row order, so the
+        # flattened rolling result aligns positionally; dropna=False keeps
+        # null keys (SQL PARTITION BY NULL groups them together)
+        vals = df.groupby(key_column, sort=False, dropna=False)[value_column] \
+            .rolling(window_rows, min_periods=1).mean().to_numpy()
+        out = df.drop(columns=["part", value_column]).copy()
+        out["roll_mean"] = vals
+        return out
+
+    parts = ds.map_batches(project, batch_format="pyarrow") \
+        .repartition(P).materialize()
+    return parts.groupby("part").map_groups(per_part, batch_format="pandas")

@@ -592,3 +592,171 @@ def test_window_pre_epoch_floor(ray_session):
     wins = {pd.Timestamp(r["window_start"]): r["n"] for r in rows}
     assert wins[pd.Timestamp("1969-12-31 23:59:00")] == 1
     assert wins[pd.Timestamp("1970-01-01 00:00:00")] == 1
+
+
+def test_cc_labels_chain_and_star():
+    from gojsonschema_ray.stages.dedup import _cc_labels
+
+    u = np.array([1, 2, 3, 10, 20, 21], dtype=np.int64)
+    v = np.array([2, 3, 4, 11, 21, 22], dtype=np.int64)
+    nodes, roots = _cc_labels(u, v)
+    got = dict(zip(nodes.tolist(), roots.tolist()))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10,
+                   20: 20, 21: 20, 22: 20, 11: 10}
+
+
+def test_near_dup_clusters_chain_across_partitions(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.dedup import near_dup_clusters
+    from gojsonschema_ray.util import collect_rows
+
+    # a 20-node chain (every edge in a different block, so components span
+    # partitions and the cross-partition equivalence path is exercised) plus
+    # an isolated pair
+    pairs = pd.DataFrame({
+        "id_a": list(range(19)) + [100],
+        "id_b": list(range(1, 20)) + [101],
+    })
+    ds = rd.from_pandas(pairs).repartition(7)
+    rows = collect_rows(near_dup_clusters(ds, n_parts=4))
+    got = {r["doc_id"]: r["cluster_id"] for r in rows}
+    expect = {i: 0 for i in range(20)}
+    expect.update({100: 100, 101: 100})
+    assert got == expect
+
+
+def test_near_dup_clusters_empty(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.dedup import near_dup_clusters
+    from gojsonschema_ray.util import collect_rows
+
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                          "id_b": pd.Series([], dtype="int64")})
+    out = near_dup_clusters(rd.from_pandas(empty))
+    assert collect_rows(out) == []
+    assert set(out.schema().names) == {"doc_id", "cluster_id"}
+
+
+def test_rolling_by_key_closed_form(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.window import rolling_by_key
+    from gojsonschema_ray.util import collect_rows
+
+    df = pd.DataFrame({
+        "user": [1, 1, 1, 1, 1, 2, 2],
+        "ts": pd.to_datetime([10, 20, 30, 40, 50, 10, 20], unit="s"),
+        "eid": [0, 1, 2, 3, 4, 5, 6],
+        "v": [1.0, 2.0, 3.0, 4.0, 5.0, 10.0, 20.0],
+    })
+    rows = collect_rows(rolling_by_key(
+        rd.from_pandas(df).repartition(3), "user", "ts", "v", 2,
+        order_columns=("eid",)))
+    got = {r["eid"]: r["roll_mean"] for r in rows}
+    assert got == {0: 1.0, 1: 1.5, 2: 2.5, 3: 3.5, 4: 4.5,
+                   5: 10.0, 6: 15.0}
+
+
+def test_rolling_by_key_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.window import rolling_by_key
+    from gojsonschema_ray.util import collect_rows
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "user": rng.integers(0, 5, 200),
+        "ts": pd.to_datetime(rng.integers(0, 10 ** 6, 200), unit="s"),
+        "eid": np.arange(200),
+        "v": rng.normal(size=200),
+    })
+    rows = collect_rows(rolling_by_key(
+        rd.from_pandas(df).repartition(6), "user", "ts", "v", 3,
+        order_columns=("eid",)))
+    got = pd.DataFrame(rows).sort_values("eid").reset_index(drop=True)
+    exp = df.sort_values(["user", "ts", "eid"], kind="stable")
+    exp = exp.assign(roll_mean=exp.groupby("user", sort=False)["v"]
+                     .rolling(3, min_periods=1).mean().to_numpy())
+    exp = exp.sort_values("eid").reset_index(drop=True)
+    np.testing.assert_allclose(got["roll_mean"].to_numpy(),
+                               exp["roll_mean"].to_numpy())
+
+
+def test_grouped_quantiles(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.sketches import grouped_quantiles
+    from gojsonschema_ray.util import collect_rows
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 20, 500),
+        "v": rng.normal(size=500) * 100,
+    })
+    rows = collect_rows(grouped_quantiles(
+        rd.from_pandas(df).repartition(8), "k", "v", qs=(0.5, 0.9)))
+    got = pd.DataFrame(rows).sort_values("k").reset_index(drop=True)
+    exp = df.groupby("k")["v"].quantile([0.5, 0.9]).unstack()
+    np.testing.assert_allclose(got["q50"].to_numpy(),
+                               exp[0.5].to_numpy())
+    np.testing.assert_allclose(got["q90"].to_numpy(),
+                               exp[0.9].to_numpy())
+
+
+def test_pcm_features_sine_closed_form():
+    """datagen sines are 0.5 FS at integral frequency: RMS −9.03 dBFS,
+    peak −6.02 dBFS, ZCR == f crossing pairs/s, FFT peak == f, no clipping."""
+    from gojsonschema_ray.datagen import clip_frequency, synth_pcm
+    from gojsonschema_ray.stages.audio import pcm_features
+
+    i = 7
+    f = clip_frequency(i)  # 107 Hz
+    pcm = synth_pcm(i, 16000, 1000, 1000)  # one full second
+    feat = pcm_features(pcm, 16000)
+    assert feat["n_samples"] == 16000
+    assert abs(feat["rms_dbfs"] - 20 * np.log10(0.5 / np.sqrt(2))) < 0.05
+    assert abs(feat["peak_dbfs"] - 20 * np.log10(0.5)) < 0.05
+    assert abs(feat["zcr_hz"] - f) < 2.0
+    assert abs(feat["est_freq_hz"] - f) < 1.0
+    assert feat["clipped_frac"] == 0.0
+    assert 0.5 * f < feat["spectral_centroid_hz"] < 6 * f
+
+
+def test_pcm_features_empty_and_clipped():
+    from gojsonschema_ray.stages.audio import pcm_features
+
+    empty = pcm_features(np.zeros(0, dtype=np.int16), 16000)
+    assert empty["n_samples"] == 0 and empty["rms_dbfs"] is None
+    square = np.where(np.arange(1000) % 2 == 0, 32767, -32767) \
+        .astype(np.int16)
+    feat = pcm_features(square, 8000)
+    assert feat["clipped_frac"] == 1.0
+    assert abs(feat["peak_dbfs"]) < 1e-9
+
+
+def test_audio_feature_stage(ray_session):
+    from gojsonschema_ray import datagen
+    from gojsonschema_ray.stages.audio import AudioFeatureStage
+    from gojsonschema_ray.util import collect_rows
+
+    n = 2000
+    ds = datagen.clips_dataset(n, audio_cap_ms=30, override_num_blocks=4)
+    rows = collect_rows(ds.map_batches(AudioFeatureStage, batch_size=256,
+                                       batch_format="pyarrow",
+                                       concurrency=(1, 2)))
+    assert len(rows) == n
+    ok = [r for r in rows if r["decode_ok"]]
+    bad = [r for r in rows if not r["decode_ok"]]
+    # datagen injects undecodable rows (mp3??? codec i%977==0, truncated
+    # payload i%1013==0) sparsely — a handful at n=2000, never zero
+    assert 1 <= len(bad) <= 10
+    rms = [r["rms_dbfs"] for r in ok
+           if r["n_samples"] and r["n_samples"] > 100]
+    assert abs(np.mean(rms) - 20 * np.log10(0.5 / np.sqrt(2))) < 0.3
