@@ -642,6 +642,65 @@ def q_lineitem_price_bands(sf_dir: str) -> pd.DataFrame:
                          "n": pd.Series(list(acc.values()), dtype="int64")})
 
 
+def q_orders_customer_join(sf_dir: str) -> pd.DataFrame:
+    """Broadcast equi-join: every order enriched with its customer's nation
+    (stages/joins.hash_join_broadcast — customer is the dimension side,
+    collected + ray.put once; the orders fact side streams, NO shuffle).
+    Row-level output so the oracle hash-verifies every matched row."""
+    from gojsonschema_ray.stages.joins import hash_join_broadcast
+    from gojsonschema_ray.util import collect_rows
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(lambda t: t.rename_columns(["o_custkey", "c_nationkey"]),
+                     batch_format="pyarrow")
+    out = hash_join_broadcast(orders, cust, on="o_custkey", how="inner")
+    rows = collect_rows(out)
+    df = pd.DataFrame({
+        "o_orderkey": pd.Series([r["o_orderkey"] for r in rows], dtype="int64"),
+        "o_custkey": pd.Series([r["o_custkey"] for r in rows], dtype="int64"),
+        "c_nationkey": pd.Series([r["c_nationkey"] for r in rows],
+                                 dtype="int64"),
+    })
+    return df.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def q_lineitem_orders_join(sf_dir: str) -> pd.DataFrame:
+    """Shuffle equi-join, fact ⋈ fact: lineitem ⋈ orders on orderkey
+    (stages/joins.hash_join_shuffle — ONE hash(key) co-partition exchange per
+    side, vectorized per-partition merge), then per-priority revenue
+    aggregated with per-batch partials (only (priority, n, sum) rows reach
+    the driver)."""
+    from gojsonschema_ray.stages.joins import hash_join_shuffle
+    from gojsonschema_ray.util import collect_rows
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]) \
+        .map_batches(
+            lambda t: t.rename_columns(["l_orderkey", "o_orderpriority"]),
+            batch_format="pyarrow")
+    joined = hash_join_shuffle(li, orders, on="l_orderkey", how="inner",
+                               left_columns=["l_extendedprice"],
+                               right_columns=["o_orderpriority"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_orderpriority", sort=False)["l_extendedprice"] \
+            .agg(["count", "sum"]).reset_index()
+        return g.rename(columns={"count": "n", "sum": "s"})
+
+    acc: dict[str, list] = {}
+    for r in collect_rows(joined.map_batches(partial, batch_format="pandas")):
+        slot = acc.setdefault(r["o_orderpriority"], [0, 0.0])
+        slot[0] += int(r["n"]); slot[1] += float(r["s"])
+    keys = sorted(acc)
+    return pd.DataFrame({
+        "o_orderpriority": keys,
+        "n": pd.Series([acc[k][0] for k in keys], dtype="int64"),
+        "sum_price": pd.Series([round(acc[k][1], 2) for k in keys],
+                               dtype="float64"),
+    })
+
+
 def q_top_parts_by_price(sf_dir: str):
     """Streaming global top-k: per-block top-k partials + driver merge of
     blocks×k rows (stages/topk.py) — no all-to-all sort. The p_partkey
@@ -1151,6 +1210,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_by_user": q_events_asof_by_user,
         "dedup_rows_salted": q_dedup_rows_salted,
         "lineitem_price_bands": q_lineitem_price_bands,
+        "orders_customer_join": q_orders_customer_join,
+        "lineitem_orders_join": q_lineitem_orders_join,
         "lineitem_hash_sample": q_lineitem_hash_sample,
         "documents_tokens": q_documents_tokens,
         "top_parts_by_price": q_top_parts_by_price,
@@ -1386,6 +1447,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CASE WHEN l_extendedprice >= 0 AND l_extendedprice < 120000 "
             "THEN CAST(floor(l_extendedprice / 10000) AS BIGINT) ELSE -1 END "
             "AS band, count(*) AS n FROM lineitem GROUP BY 1"
+        ),
+        # row-level inner equi-join — hash-verifies every matched row
+        "orders_customer_join": (
+            "SELECT o_orderkey, o_custkey, c_nationkey "
+            "FROM orders JOIN customer ON o_custkey = c_custkey"
+        ),
+        # fact-fact join + aggregate on the joined side's column
+        "lineitem_orders_join": (
+            "SELECT o_orderpriority, count(*) AS n, "
+            "round(sum(l_extendedprice), 2) AS sum_price "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY o_orderpriority"
         ),
         # Knuth multiplicative hash threshold, exactly the engine's
         # stages/sampling.py formula: (k * 2654435761) mod 2^32 < 0.1 * 2^32

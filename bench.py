@@ -11,7 +11,10 @@ num_cpus=$RAY_GRAFT_CPUS or 32) and print ONE JSON line:
 Timing methodology (STEADY-STATE, documented because this VM's cold-start
 asymmetry is pathological — BASELINE.md optimization note 7): input files
 are pre-read to prime the OS page cache, then every query runs TWICE and
-the per-query minimum is reported ("timing": "min_of_2_steady_state").
+the per-query minimum is reported ("timing": "min_of_3_steady_state").
+Three passes, not two: back-to-back identical runs on this VM spread
+30-90% per query (BASELINE.md note 7), so a 2-pass min still carries
+noise the third pass usually removes.
 The first pass pays one-off costs a long-running production job amortizes
 (Ray worker-pool ramp, numpy first-touch page faults, import time); the
 minimum is the pipeline's repeatable throughput.
@@ -113,7 +116,7 @@ def bench_clips_validate(num_cpus: int, n: int = CLIPS_N,
             "violations": n_viol}
 
 
-def bench_queries(sf_dir: str, passes: int = 2) -> dict:
+def bench_queries(sf_dir: str, passes: int = 3) -> dict:
     """The oracle-checked pipelines at bench scale — `passes` full passes,
     per-query MINIMUM reported (steady-state; see module docstring)."""
     import __ray_entry__ as M
@@ -171,7 +174,7 @@ def run_main() -> dict:
     q = bench_queries(SF_DIR)
     clips_path = _ensure_clips()
     _warm_files(clips_path)
-    runs = [bench_clips_validate(NUM_CPUS) for _ in range(2)]
+    runs = [bench_clips_validate(NUM_CPUS) for _ in range(3)]
     clips = min(runs, key=lambda r: r["sec"])
     q["clips_validate"] = round(clips["sec"], 3)
     total = sum(q.values())
@@ -179,7 +182,7 @@ def run_main() -> dict:
         "metric": "validated clips/sec (constraint-eval throughput)",
         "value": round(total, 3),
         "unit": "sec",
-        "timing": "min_of_2_steady_state",
+        "timing": "min_of_3_steady_state",
         "queries": q,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,

@@ -1,6 +1,10 @@
 """Join operators Ray Data lacks natively (SURVEY.md brief: as-of / range
 joins as custom operators), in the engine's broadcast-small-side shape:
 
+- **equi-join**: `hash_join_broadcast` (dimension-table right side —
+  collected once, `ray.put`, per-batch vectorized pandas merge, NO shuffle)
+  and `hash_join_shuffle` (fact ⋈ fact — ONE hash(key) co-partition
+  exchange per side, per-partition vectorized merge; inner/left/semi/anti).
 - **as-of join**: for each left row, the latest right row whose timestamp is
   <= the left timestamp (optionally per key). The right side is collected,
   sorted, `ray.put` ONCE, and probed with vectorized `np.searchsorted`
@@ -370,3 +374,168 @@ def asof_join_bucketed(left, right, *, left_on: str, right_on: str,
         right.map_batches(right_rows, batch_format="pyarrow")) \
         .repartition(P).materialize()
     return u.groupby("part").map_groups(per_part, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# general equi-joins (broadcast small-side / co-partitioned shuffle)
+# ---------------------------------------------------------------------------
+def _drop_null_keys_pd(df, on: str):
+    return df[df[on].notna()]
+
+
+class _BroadcastJoinProbe:
+    """map_batches payload: per-batch vectorized pandas merge against the
+    broadcast right side. SQL NULL semantics: null keys never match (pandas
+    merge would equate NaN keys, so null-key rows are split off and, for a
+    left join, re-appended unmatched)."""
+
+    def __init__(self, right_ref, on: str, how: str):
+        self.right_ref = right_ref
+        self.on = on
+        self.how = how
+        self._r = None
+
+    def _right(self):
+        if self._r is None:
+            import ray
+
+            h = self.right_ref
+            self._r = ray.get(h) if hasattr(h, "hex") else h
+        return self._r
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        right = self._right()
+        df = batch.to_pandas()
+        ok = df[self.on].notna()
+        matched = df[ok].merge(right, on=self.on, how=self.how,
+                               suffixes=("", "_r"))
+        if self.how == "left" and (~ok).any():
+            nulls = df[~ok].reindex(columns=matched.columns)
+            matched = pd.concat([matched, nulls], ignore_index=True)
+        return pa.Table.from_pandas(matched, preserve_index=False)
+
+
+def hash_join_broadcast(left, right, *, on: str, how: str = "inner",
+                        right_columns: list[str] | None = None):
+    """Equi-join with a SMALL right side: collect + `ray.put` once, probe
+    with a vectorized pandas merge inside map_batches — no shuffle, the left
+    side streams. `how` = "inner" | "left". Duplicate right keys fan out
+    (SQL join semantics); null keys never match.
+
+    Partitioning assumption (documented): the right side fits in the object
+    store — dimension tables (region/nation/customer), lookups, vocab maps.
+    Use `hash_join_shuffle` when both sides are fact-table sized."""
+    import ray
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"hash_join_broadcast: how={how!r}")
+    rt = collect_table(right)
+    rdf = rt.to_pandas()
+    if right_columns is not None:
+        rdf = rdf[[on, *right_columns]]
+    rdf = _drop_null_keys_pd(rdf, on)
+    ref = ray.put(rdf)
+    return left.map_batches(_BroadcastJoinProbe(ref, on, how),
+                            batch_format="pyarrow")
+
+
+def hash_join_shuffle(left, right, *, on: str, how: str = "inner",
+                      left_columns: list[str] | None = None,
+                      right_columns: list[str] | None = None,
+                      n_parts: int | None = None):
+    """Equi-join of two LARGE sides: each side projected + tagged in one
+    map_batches pass, co-partitioned on hash(key) % P in ONE exchange per
+    side (the union shares a single repartition), then a vectorized pandas
+    merge per partition. `how` = "inner" | "left" | "semi" | "anti"
+    (semi/anti return left rows with a match / with no match — deduplicated
+    probe side, no fan-out).
+
+    Partitioning assumption (documented): one key's rows fit a partition —
+    keys, not the corpus, bound the cell. Null keys never match; for
+    how="left"/"anti" null-key left rows are preserved/returned. Output
+    columns: `left_columns` + right `right_columns` (suffixed `_r` on
+    collision). The key must share a name on both sides (rename upstream)."""
+    import pandas as pd
+
+    from .dedup import _next_pow2, _shuffle_parts
+    from .sketches import hash_arrow_array
+
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"hash_join_shuffle: how={how!r}")
+    P = _next_pow2(n_parts or _shuffle_parts())
+    lcols = left_columns or [c for c in left.schema().names if c != on]
+    rcols = right_columns or [c for c in right.schema().names if c != on]
+    if how in ("semi", "anti"):
+        rcols = []
+    rcols_out = [f"{c}_r" if c in lcols else c for c in rcols]
+
+    l_schema = left.schema()
+    l_types = {c: t for c, t in zip(l_schema.names, l_schema.types)}
+
+    r_schema = right.schema()
+    r_type_map = {f"{c}_r" if c in lcols else c: _as_arrow_type(t)
+                  for c, t in zip(r_schema.names, r_schema.types)}
+    r_key_type = _as_arrow_type(dict(zip(r_schema.names, r_schema.types))[on])
+    l_key_type = _as_arrow_type(l_types[on])
+    if l_key_type != r_key_type:
+        # hash partitioning is type-sensitive: int64 2 and float64 2.0 land
+        # in different partitions and the join silently drops matches —
+        # fail loudly instead
+        raise TypeError(
+            f"hash_join_shuffle: key {on!r} differs in type across sides "
+            f"(left={l_key_type}, right={r_key_type}) — cast one side first")
+
+    # both union branches emit IDENTICAL column order/types:
+    # part, kind, key, lcols..., rcols_out...
+    def left_rows(t: pa.Table) -> pa.Table:
+        part = (hash_arrow_array(t[on]) % np.uint64(P)).astype(np.int32)
+        n = t.num_rows
+        cols = {"part": pa.array(part),
+                "kind": pa.array(np.zeros(n, np.int8)), on: t[on]}
+        for c in lcols:
+            cols[c] = t[c]
+        for name in rcols_out:
+            cols[name] = pa.nulls(n, r_type_map[name])
+        return pa.table(cols)
+
+    def right_rows(t: pa.Table) -> pa.Table:
+        part = (hash_arrow_array(t[on]) % np.uint64(P)).astype(np.int32)
+        n = t.num_rows
+        cols = {"part": pa.array(part),
+                "kind": pa.array(np.ones(n, np.int8)), on: t[on]}
+        for c in lcols:
+            cols[c] = pa.nulls(n, _as_arrow_type(l_types[c]))
+        for c, name in zip(rcols, rcols_out):
+            cols[name] = t[c]
+        return pa.table(cols)
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        lt = df[df["kind"] == 0]
+        rt = df[df["kind"] == 1]
+        ldf = lt[[on, *lcols]]
+        ok = ldf[on].notna()
+        if how in ("semi", "anti"):
+            keys = set(rt.loc[rt[on].notna(), on].to_numpy())
+            hit = ldf[on].isin(keys) & ok
+            return ldf[hit] if how == "semi" else ldf[~hit]
+        rdf = rt.loc[rt[on].notna(), [on, *rcols_out]]
+        out = ldf[ok].merge(rdf, on=on, how="inner" if how == "inner" else "left")
+        if how == "left" and (~ok).any():
+            out = pd.concat([out, ldf[~ok].reindex(columns=out.columns)],
+                            ignore_index=True)
+        return out
+
+    u = left.map_batches(left_rows, batch_format="pyarrow").union(
+        right.map_batches(right_rows, batch_format="pyarrow")) \
+        .repartition(P).materialize()
+    return u.groupby("part").map_groups(per_part, batch_format="pandas")
+
+
+def _as_arrow_type(t):
+    """Schema type → arrow DataType (Ray schemas carry numpy dtypes for
+    pandas blocks)."""
+    if isinstance(t, pa.DataType):
+        return t
+    return pa.from_numpy_dtype(t)

@@ -760,3 +760,106 @@ def test_audio_feature_stage(ray_session):
     rms = [r["rms_dbfs"] for r in ok
            if r["n_samples"] and r["n_samples"] > 100]
     assert abs(np.mean(rms) - 20 * np.log10(0.5 / np.sqrt(2))) < 0.3
+
+
+def _join_frames():
+    import pandas as pd
+
+    left = pd.DataFrame({
+        "k": [1, 2, 2, 3, None, 5],
+        "lv": [10.0, 20.0, 21.0, 30.0, 40.0, 50.0],
+        "v": [1, 2, 3, 4, 5, 6],  # name collision with the right side
+    })
+    right = pd.DataFrame({
+        "k": [2, 2, 3, 4, None],
+        "rv": [200.0, 201.0, 300.0, 400.0, 999.0],
+        "v": [7, 8, 9, 10, 11],
+    })
+    return left, right
+
+
+def _sql_merge(left, right, how):
+    """pandas merge with SQL null-key semantics (nulls never match)."""
+    import pandas as pd
+
+    l_ok, r_ok = left[left["k"].notna()], right[right["k"].notna()]
+    out = l_ok.merge(r_ok, on="k", how="inner" if how == "inner" else "left",
+                     suffixes=("", "_r"))
+    if how == "left":
+        out = pd.concat([out, left[left["k"].isna()]
+                        .reindex(columns=out.columns)], ignore_index=True)
+    return out
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_hash_join_broadcast(ray_session, how):
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.joins import hash_join_broadcast
+    from gojsonschema_ray.util import collect_rows
+
+    left, right = _join_frames()
+    out = hash_join_broadcast(rd.from_pandas(left).repartition(3),
+                              rd.from_pandas(right), on="k", how=how)
+    got = pd.DataFrame(collect_rows(out)).sort_values(["v", "v_r"]) \
+        .reset_index(drop=True)
+    exp = _sql_merge(left, right, how).sort_values(["v", "v_r"]) \
+        .reset_index(drop=True)[got.columns]
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+def test_hash_join_shuffle(ray_session, how):
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.joins import hash_join_shuffle
+    from gojsonschema_ray.util import collect_rows
+
+    left, right = _join_frames()
+    out = hash_join_shuffle(rd.from_pandas(left).repartition(3),
+                            rd.from_pandas(right).repartition(2),
+                            on="k", how=how, n_parts=4)
+    got = pd.DataFrame(collect_rows(out))
+    if how in ("semi", "anti"):
+        hit = left["k"].isin(right.loc[right["k"].notna(), "k"]) \
+            & left["k"].notna()
+        exp = left[hit] if how == "semi" else left[~hit]
+        assert sorted(got["v"]) == sorted(exp["v"])
+        return
+    got = got.sort_values(["v", "v_r"]).reset_index(drop=True)
+    exp = _sql_merge(left, right, how).sort_values(["v", "v_r"]) \
+        .reset_index(drop=True)[got.columns]
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_hash_join_shuffle_matches_duckdb_shape(ray_session):
+    """Fact ⋈ fact over real testdata: lineitem ⋈ orders on l_orderkey,
+    row count equals the SQL inner-join count (every lineitem has an
+    order, so count == lineitem rows)."""
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.joins import hash_join_shuffle
+
+    sf = "/root/testdata/sf0.001"
+    li = rd.read_parquet(f"{sf}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+    orders = rd.read_parquet(f"{sf}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"]) \
+        .map_batches(lambda t: t.rename_columns(["l_orderkey", "o_custkey"]),
+                     batch_format="pyarrow")
+    out = hash_join_shuffle(li, orders, on="l_orderkey", n_parts=4)
+    assert out.count() == li.count()
+
+
+def test_hash_join_shuffle_key_dtype_mismatch_raises(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.joins import hash_join_shuffle
+
+    left = rd.from_pandas(pd.DataFrame({"k": [1.0, 2.0], "lv": [1, 2]}))
+    right = rd.from_pandas(pd.DataFrame({"k": [1, 2], "rv": [3, 4]}))
+    with pytest.raises(TypeError, match="differs in type"):
+        hash_join_shuffle(left, right, on="k")
