@@ -642,6 +642,110 @@ def q_lineitem_price_bands(sf_dir: str) -> pd.DataFrame:
                          "n": pd.Series(list(acc.values()), dtype="int64")})
 
 
+def q_events_active_days(sf_dir: str) -> pd.DataFrame:
+    """Exact distinct activity days per user (stages/uniqueness.
+    grouped_nunique — per-batch (key, value) dedup combiner + one hash(key)
+    exchange of pair partials). Oracle: COUNT(DISTINCT CAST(ts AS DATE))."""
+    from gojsonschema_ray.stages.uniqueness import grouped_nunique
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def add_day(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "day": pc.strftime(t["ts"], "%Y-%m-%d")})
+
+    days = ds.map_batches(add_day, batch_format="pyarrow")
+    rows = collect_rows(grouped_nunique(days, "user_id", "day"))
+    df = pd.DataFrame({
+        "user_id": pd.Series([r["user_id"] for r in rows], dtype="int64"),
+        "n_days": pd.Series([r["n_distinct"] for r in rows], dtype="int64"),
+    })
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
+def q_events_lag_gap(sf_dir: str) -> pd.DataFrame:
+    """Per-user inter-event gap in seconds (stages/window.lag_by_key — one
+    hash(user) co-partition + vectorized groupby.shift; event_id breaks
+    timestamp ties). First event per user: null gap. Oracle: the exact
+    lag(epoch(ts)) window."""
+    from gojsonschema_ray.stages.window import lag_by_key
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def add_ts_s(t: pa.Table) -> pa.Table:
+        s = pc.divide(pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                              pa.int64()), 1_000_000.0)
+        return pa.table({"user_id": t["user_id"], "ts": t["ts"],
+                         "event_id": t["event_id"], "ts_s": s})
+
+    out = lag_by_key(ds.map_batches(add_ts_s, batch_format="pyarrow"),
+                     "user_id", "ts", "ts_s", order_columns=("event_id",))
+    rows = collect_rows(out)
+    gaps = [r["delta"] for r in rows]
+    df = pd.DataFrame({
+        "user_id": pd.Series([r["user_id"] for r in rows], dtype="int64"),
+        "event_id": pd.Series([r["event_id"] for r in rows], dtype="int64"),
+        "gap_s": pd.Series([float("nan") if g is None or g != g
+                            else round(g, 6) for g in gaps],
+                           dtype="float64"),
+    })
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
+def q_documents_stratified(sf_dir: str) -> pd.DataFrame:
+    """Deterministic stratified sample: 5 docs per language, membership a
+    pure function of doc_id (stages/sampling.stratified_sample — Knuth hash
+    order + grouped_top_k's one hash(group) exchange). Oracle: the same
+    hash formula in a row_number window."""
+    from gojsonschema_ray.stages.sampling import stratified_sample
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    rows = collect_rows(stratified_sample(ds, "lang", "doc_id", 5))
+    df = pd.DataFrame({
+        "doc_id": pd.Series([r["doc_id"] for r in rows], dtype="int64"),
+        "lang": [r["lang"] for r in rows],
+    })
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_documents_tfidf(sf_dir: str) -> pd.DataFrame:
+    """Per-document top-3 TF-IDF terms (functions/text.tfidf_top_terms —
+    batch-local tf, combiner df, hash(token) shuffle join, grouped top-k).
+    Oracle: the same smooth-idf formula over unnest tokenization."""
+    from gojsonschema_ray.functions.text import tfidf_top_terms
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=16)
+    rows = collect_rows(tfidf_top_terms(ds, "text", "doc_id", k=3))
+    df = pd.DataFrame({
+        "doc_id": pd.Series([r["doc_id"] for r in rows], dtype="int64"),
+        "token": [r["token"] for r in rows],
+        "tf": pd.Series([r["tf"] for r in rows], dtype="int64"),
+        "df": pd.Series([r["df"] for r in rows], dtype="int64"),
+        "score": pd.Series([round(r["score"], 6) for r in rows],
+                           dtype="float64"),
+    })
+    return df.sort_values(["doc_id", "token"]).reset_index(drop=True)
+
+
+def q_embedding_centroids(sf_dir: str) -> pd.DataFrame:
+    """Per-label mean embedding in long format (stages/similarity.
+    group_centroids — per-batch numpy partials, groups x dim driver merge).
+    Oracle: unnest/generate_subscripts positional average."""
+    from gojsonschema_ray.stages.similarity import group_centroids
+
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+    df = group_centroids(ds, "label", "embedding")
+    return pd.DataFrame({
+        "label": pd.Series(df["key"].to_numpy(), dtype="int64"),
+        "pos": pd.Series(df["pos"].to_numpy(), dtype="int64"),
+        "centroid": df["centroid"].round(6).astype("float64"),
+    }).sort_values(["label", "pos"]).reset_index(drop=True)
+
+
 def q_orders_customer_join(sf_dir: str) -> pd.DataFrame:
     """Broadcast equi-join: every order enriched with its customer's nation
     (stages/joins.hash_join_broadcast — customer is the dimension side,
@@ -1212,6 +1316,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_price_bands": q_lineitem_price_bands,
         "orders_customer_join": q_orders_customer_join,
         "lineitem_orders_join": q_lineitem_orders_join,
+        "documents_stratified": q_documents_stratified,
+        "documents_tfidf": q_documents_tfidf,
+        "embedding_centroids": q_embedding_centroids,
+        "events_active_days": q_events_active_days,
+        "events_lag_gap": q_events_lag_gap,
         "lineitem_hash_sample": q_lineitem_hash_sample,
         "documents_tokens": q_documents_tokens,
         "top_parts_by_price": q_top_parts_by_price,
@@ -1459,6 +1568,50 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(l_extendedprice), 2) AS sum_price "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "GROUP BY o_orderpriority"
+        ),
+        # COUNT(DISTINCT day) per user — exact, matches strftime bucketing
+        "events_active_days": (
+            "SELECT user_id, count(DISTINCT CAST(ts AS DATE)) AS n_days "
+            "FROM events GROUP BY user_id"
+        ),
+        # inter-event gap; epoch() yields double seconds (us-resolution),
+        # identical to the engine's int64-us / 1e6; event_id breaks ties
+        "events_lag_gap": (
+            "SELECT user_id, event_id, round(epoch(ts) - lag(epoch(ts)) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS gap_s "
+            "FROM events"
+        ),
+        # the engine's exact Knuth hash ordering in a row_number window
+        "documents_stratified": (
+            "SELECT doc_id, lang FROM documents QUALIFY row_number() OVER ("
+            "PARTITION BY lang "
+            "ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) <= 5"
+        ),
+        # identical tokenization contract as doc_freq_unigrams; smooth idf
+        # tf * (ln((1+N)/(1+df)) + 1); token breaks score ties (equal score
+        # implies equal (tf, df) so the order is total)
+        "documents_tfidf": (
+            "WITH toks AS (SELECT doc_id, unnest(string_split_regex("
+            "trim(lower(text), ' \t\n\r\x0b\x0c'), '\\s+')) AS token "
+            "FROM documents "
+            "WHERE text IS NOT NULL AND trim(text, ' \t\n\r\x0b\x0c') != ''"
+            "), tf AS (SELECT doc_id, token, count(*) AS tf "
+            "FROM toks GROUP BY 1, 2"
+            "), df AS (SELECT token, count(DISTINCT doc_id) AS df "
+            "FROM toks GROUP BY 1"
+            "), n AS (SELECT count(*) AS nn FROM documents) "
+            "SELECT doc_id, token, tf, df, "
+            "round(tf * (ln((1 + nn) / (1 + df)) + 1), 6) AS score "
+            "FROM tf JOIN df USING (token) CROSS JOIN n "
+            "QUALIFY row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY tf * (ln((1 + nn) / (1 + df)) + 1) DESC, token) <= 3"
+        ),
+        # positional average of the float32 vectors, cast to double first
+        "embedding_centroids": (
+            "SELECT label, pos, round(avg(val), 6) AS centroid FROM ("
+            "SELECT label, CAST(unnest(embedding) AS DOUBLE) AS val, "
+            "generate_subscripts(embedding, 1) AS pos FROM embeddings"
+            ") GROUP BY label, pos"
         ),
         # Knuth multiplicative hash threshold, exactly the engine's
         # stages/sampling.py formula: (k * 2654435761) mod 2^32 < 0.1 * 2^32

@@ -394,3 +394,67 @@ def explode_tokens(ds, text_column: str, id_column: str,
                          "token": flat})
 
     return ds.map_batches(expand, batch_format="pyarrow")
+
+
+def tfidf_top_terms(ds, text_column: str, id_column: str, *, k: int = 3,
+                    lowercase: bool = True, n_parts: int | None = None):
+    """Per-document top-k TF-IDF terms — the keyword-extraction pass of a
+    corpus pipeline, composed entirely from the engine's distributed
+    operators:
+
+    1. tf: per-batch explode + (doc, token) counts — NO exchange (a
+       document's text lives in one row, so its term counts complete
+       within the batch).
+    2. df: token_frequencies(distinct_per_doc=True) — combiner partials +
+       one coarse exchange.
+    3. tf ⋈ df on token via joins.hash_join_shuffle (one hash(token)
+       exchange per side — a broadcast would cap vocabulary size, and
+       web-corpus vocabularies don't fit).
+    4. score = tf * (ln((1+N)/(1+df)) + 1) (smooth idf), then
+       topk.grouped_top_k per document (score desc, token asc tiebreak —
+       equal scores come from equal (tf, df), so the order is total).
+
+    Tokenization is this module's SQL-reproducible contract (see
+    token_frequencies); N = ds row count (parquet metadata, no pass).
+    Returns a Dataset of (id, token, tf, df, score)."""
+    from ..stages.joins import hash_join_shuffle
+    from ..stages.topk import grouped_top_k
+
+    n_docs = ds.count()
+
+    def tf_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids: list = []
+        toks: list = []
+        for doc, text in zip(df[id_column], df[text_column]):
+            if not text:
+                continue
+            t = text.strip()
+            if not t:
+                continue
+            tt = _WS.split(t.lower() if lowercase else t)
+            ids.extend([doc] * len(tt))
+            toks.extend(tt)
+        out = pd.DataFrame({id_column: ids, "token": toks}) \
+            .groupby([id_column, "token"], sort=False).size() \
+            .reset_index(name="tf")
+        out["tf"] = out["tf"].astype("int64")
+        return out
+
+    tf_ds = ds.map_batches(tf_partial, batch_format="pandas")
+    df_ds = token_frequencies(ds, text_column, n=1, min_count=1,
+                              lowercase=lowercase, distinct_per_doc=True,
+                              n_parts=n_parts) \
+        .map_batches(lambda t: t.rename_columns(["token", "df"]),
+                     batch_format="pyarrow")
+    joined = hash_join_shuffle(tf_ds, df_ds, on="token",
+                               left_columns=[id_column, "tf"],
+                               right_columns=["df"], n_parts=n_parts)
+
+    def score(sdf: pd.DataFrame) -> pd.DataFrame:
+        idf = np.log((1.0 + n_docs) / (1.0 + sdf["df"].to_numpy())) + 1.0
+        return sdf.assign(score=sdf["tf"].to_numpy() * idf)
+
+    scored = joined.map_batches(score, batch_format="pandas")
+    return grouped_top_k(scored, id_column,
+                         [("score", "descending"), ("token", "ascending")],
+                         k, n_parts=n_parts)

@@ -55,26 +55,65 @@ def decode_raw_s16le(blob: bytes, sr: int) -> tuple[np.ndarray, int]:
 
 
 _HANNING_CACHE: dict[int, np.ndarray] = {}
+_PAD_CACHE: dict[int, np.ndarray] = {}
+_SCRATCH: dict[tuple, tuple] = {}
+_IDX_CACHE: dict[int, np.ndarray] = {}
 
 
 def _hanning(n: int) -> np.ndarray:
     w = _HANNING_CACHE.get(n)
     if w is None:
-        w = np.hanning(n).astype(np.float64)
+        w = np.hanning(n).astype(np.float32)
         _HANNING_CACHE[n] = w
     return w
+
+
+def _pad_buf(nfft: int) -> np.ndarray:
+    b = _PAD_CACHE.get(nfft)
+    if b is None:
+        b = np.zeros(nfft, np.float32)
+        _PAD_CACHE[nfft] = b
+    return b
+
+
+def _idx(n: int) -> np.ndarray:
+    i = _IDX_CACHE.get(n)
+    if i is None:
+        i = np.arange(n, dtype=np.float32)
+        _IDX_CACHE[n] = i
+    return i
+
+
+def _scratch(m: int, n: int) -> tuple:
+    # per-worker reusable (W, S, C) float32 buffers — this VM's first-touch
+    # page faults make fresh temporaries expensive (BASELINE.md note 7), and
+    # the sin/cos basis is the bandwidth hot spot of the audio pass
+    key = (m, n)
+    s = _SCRATCH.get(key)
+    if s is None:
+        s = (np.empty((m, n), np.float32), np.empty((m, n), np.float32),
+             np.empty((m, n), np.float32))
+        if len(_SCRATCH) < 64:
+            _SCRATCH[key] = s
+    return s
 
 
 def _peak_frequency(xf: np.ndarray, sr: int) -> float:
     """FFT-peak frequency of a (mean-removed float) signal: 4x zero-padded
     Hann spectrum argmax + parabolic interpolation on the mainlobe — the
-    same estimator best_fit_sine_snr seeds its least-squares fit with."""
+    same estimator best_fit_sine_snr seeds its least-squares fit with.
+
+    float32 throughout (half the FFT bandwidth of float64): magnitude
+    argmax + a 3-point parabola need nowhere near float64 precision."""
     n = len(xf)
     nfft = 1 << max(12, int(np.ceil(np.log2(4 * n))))
-    spec = np.abs(np.fft.rfft(xf * _hanning(n), n=nfft))
+    buf = _pad_buf(nfft)
+    np.multiply(xf, _hanning(n), out=buf[:n])
+    buf[n:] = 0
+    spec = np.abs(np.fft.rfft(buf))
     k = int(np.argmax(spec[1:])) + 1
     if 1 <= k < len(spec) - 1:
-        a, b, c = spec[k - 1], spec[k], spec[k + 1]
+        a, b, c = (float(spec[k - 1]), float(spec[k]), float(spec[k + 1]))
         denom = a - 2 * b + c
         delta = 0.5 * (a - c) / denom if denom != 0 else 0.0
         delta = float(np.clip(delta, -0.5, 0.5))
@@ -97,35 +136,44 @@ def best_fit_sine_snr(x: np.ndarray, sr: int) -> float:
     n = len(x)
     if n < 16:
         return -np.inf
-    xf = x.astype(np.float64)
-    xf = xf - xf.mean()
+    # float32 signal/basis with float64 solve: the sin/cos basis is the
+    # memory-bandwidth hot spot of the whole audio pass and float32 halves
+    # it. Precision floor: float32 phase error ~eps*|w| caps measurable SNR
+    # near ~67 dB — far above the 30 dB threshold, far below the scores of
+    # corrupted payloads, so verdicts are unchanged.
+    xf = x.astype(np.float32)
+    xf -= np.float32(x.mean(dtype=np.float64))
     nfft = 1 << max(12, int(np.ceil(np.log2(4 * n))))
     freq = _peak_frequency(xf, sr)
-    t = np.arange(n) / sr
     pad_res = sr / nfft
 
     def snr_batch(freqs: np.ndarray) -> np.ndarray:
         """Closed-form least-squares sine fit per candidate frequency:
         basis [sin, cos, 1], 3x3 normal equations solved in a stack —
-        O(n) per candidate, no SVD."""
-        w = 2 * np.pi * freqs[:, None] * t[None, :]
-        S = np.sin(w)
-        C = np.cos(w)
+        O(n) per candidate, no SVD; all (m, n) work in reused float32
+        scratch buffers, in place."""
         m = len(freqs)
+        W, S, C = _scratch(m, n)
+        np.multiply((2 * np.pi / sr * freqs).astype(np.float32)[:, None],
+                    _idx(n)[None, :], out=W)
+        np.sin(W, out=S)
+        np.cos(W, out=C)
         G = np.empty((m, 3, 3))
-        G[:, 0, 0] = (S * S).sum(1)
-        G[:, 0, 1] = G[:, 1, 0] = (S * C).sum(1)
+        G[:, 0, 0] = np.einsum("ij,ij->i", S, S)
+        G[:, 0, 1] = G[:, 1, 0] = np.einsum("ij,ij->i", S, C)
         G[:, 0, 2] = G[:, 2, 0] = S.sum(1)
-        G[:, 1, 1] = (C * C).sum(1)
+        G[:, 1, 1] = np.einsum("ij,ij->i", C, C)
         G[:, 1, 2] = G[:, 2, 1] = C.sum(1)
         G[:, 2, 2] = n
-        b = np.stack([S @ xf, C @ xf, np.full(m, xf.sum())], axis=1)
+        b = np.stack([S @ xf, C @ xf,
+                      np.full(m, xf.sum(dtype=np.float64))], axis=1) \
+            .astype(np.float64)
         try:
             coef = np.linalg.solve(G, b[..., None])[..., 0]
         except np.linalg.LinAlgError:
             coef = np.stack([np.linalg.lstsq(G[i], b[i], rcond=None)[0]
                              for i in range(m)])
-        energy = float(xf @ xf)
+        energy = float(np.einsum("i,i->", xf, xf, dtype=np.float64))
         fit_energy = (coef * b).sum(1)
         noise = np.maximum(energy - fit_energy, 0.0)
         with np.errstate(divide="ignore"):

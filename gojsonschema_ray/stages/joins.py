@@ -535,7 +535,9 @@ def hash_join_shuffle(left, right, *, on: str, how: str = "inner",
 
 def _as_arrow_type(t):
     """Schema type → arrow DataType (Ray schemas carry numpy dtypes for
-    pandas blocks)."""
+    pandas blocks; their `object` dtype is how pandas stores strings)."""
     if isinstance(t, pa.DataType):
         return t
+    if np.dtype(t) == np.dtype("object"):
+        return pa.string()
     return pa.from_numpy_dtype(t)

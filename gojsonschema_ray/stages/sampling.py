@@ -89,3 +89,29 @@ def hash_split(ds, column: str, fractions: list[float], *, salt: int = 0):
             lambda t, lo=lo, hi=hi: _band_filter(t, column, lo, hi, salt),
             batch_format="pyarrow"))
     return outs
+
+
+def stratified_sample(ds, group_column: str, key_column: str,
+                      n_per_group: int, *, salt: int = 0,
+                      n_parts: int | None = None):
+    """Deterministic n-per-group sample: each group keeps the `n_per_group`
+    rows whose keys hash LOWEST — per-group membership is a pure function of
+    the key (same guarantees as hash_sample: run-, order- and
+    partitioning-independent, SQL-replicable), unlike a per-group RNG draw.
+
+    Composition: one per-batch pass appends the Knuth hash, then
+    topk.grouped_top_k does per-batch local heads + ONE hash(group)
+    exchange of <= groups-per-batch x n rows. The key breaks hash ties so
+    the ordering is total. Returns the input columns + `sample_h`."""
+    from .topk import grouped_top_k
+
+    def add_h(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t[key_column].to_numpy(zero_copy_only=False))
+        h = hash_bucket_u32(keys, salt).astype(np.int64)
+        return t.append_column("sample_h", pa.array(h))
+
+    with_h = ds.map_batches(add_h, batch_format="pyarrow")
+    return grouped_top_k(with_h, group_column,
+                         [("sample_h", "ascending"),
+                          (key_column, "ascending")],
+                         n_per_group, n_parts=n_parts)

@@ -17,6 +17,7 @@ import heapq
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..util import collect_rows, list_column_to_matrix
 
@@ -186,3 +187,70 @@ class IVFIndex:
             batch_format="pyarrow",
         )
         return ann_brute_force(filtered, embedding_column, id_column, qn, k)
+
+
+def group_centroids(ds, key_column: str, embedding_column: str):
+    """Per-group mean embedding in LONG format: (key, pos, centroid) rows,
+    pos 1-based — the class-prototype / cluster-refresh step of an
+    embedding pipeline (and the M-step of k-means over a label column).
+
+    Scale shape: per-batch numpy partials (key -> count + float64 sum
+    vector; one reshape + np.add.at per batch, no per-row Python), merged on
+    the driver — partial traffic is #groups x dim per BATCH, never the
+    embeddings. Partitioning assumption (documented): #groups x dim fits the
+    driver (label/cluster cardinality, not corpus size). Nulls and
+    zero-length embeddings are skipped."""
+    def _accumulate(keys, mat, out_keys, out_ns, out_sums):
+        uk, inv = np.unique(keys, return_inverse=True)
+        sums = np.zeros((len(uk), mat.shape[1]))
+        np.add.at(sums, inv, mat)
+        ns = np.bincount(inv, minlength=len(uk))
+        out_keys.extend(uk.tolist())
+        out_ns.extend(ns.tolist())
+        out_sums.extend(s.tolist() for s in sums)
+
+    def partial(t: pa.Table) -> pa.Table:
+        emb = t[embedding_column]
+        emb = emb.combine_chunks() if isinstance(emb, pa.ChunkedArray) else emb
+        keys = np.asarray(t[key_column].to_numpy(zero_copy_only=False))
+        out_keys: list = []
+        out_ns: list = []
+        out_sums: list = []
+        if hasattr(emb, "offsets"):  # list<float> (parquet) — may be ragged
+            lengths = np.diff(emb.offsets.to_numpy(zero_copy_only=False))
+            valid = ~np.asarray(
+                pc.is_null(emb).to_numpy(zero_copy_only=False))
+            dims = np.unique(lengths[valid]) if valid.any() \
+                else np.array([], int)
+            flat = emb.flatten().to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            starts = emb.offsets.to_numpy(zero_copy_only=False)[:-1]
+            for d in dims[dims > 0]:
+                rows = valid & (lengths == d)
+                idx = (starts[rows, None] + np.arange(d)[None, :]).ravel()
+                _accumulate(keys[rows], flat[idx].reshape(-1, int(d)),
+                            out_keys, out_ns, out_sums)
+        else:  # Ray tensor extension (fixed-shape, e.g. from_pandas)
+            mat = np.asarray(emb.to_numpy(zero_copy_only=False),
+                             dtype=np.float64)
+            if mat.size:
+                _accumulate(keys, mat.reshape(len(keys), -1),
+                            out_keys, out_ns, out_sums)
+        return pa.table({
+            "k": pa.array(out_keys),
+            "n": pa.array(out_ns, pa.int64()),
+            "s": pa.array(out_sums, pa.list_(pa.float64())),
+        })
+
+    acc: dict = {}
+    for r in collect_rows(ds.map_batches(partial, batch_format="pyarrow")):
+        key, d = r["k"], len(r["s"])
+        slot = acc.setdefault((key, d), [0, np.zeros(d)])
+        slot[0] += r["n"]
+        slot[1] += np.asarray(r["s"])
+    rows = []
+    for (key, d), (n, s) in sorted(acc.items()):
+        c = s / n
+        rows.extend({"key": key, "pos": p + 1, "centroid": c[p]}
+                    for p in range(d))
+    return pd.DataFrame(rows, columns=["key", "pos", "centroid"])

@@ -130,3 +130,42 @@ def top_hot_keys(ds, key: str, sample_frac: float = 0.01, top_k: int = 16,
     # a key's sampled share IS its estimated true share (uniform sampling)
     return {r[key] for r in rows
             if r["sum(cnt)"] / n_sample >= min_share and r[key] is not None}
+
+
+def grouped_nunique(ds, key_column: str, value_column: str,
+                    n_parts: int | None = None):
+    """EXACT per-key distinct-value counts — COUNT(DISTINCT value) GROUP BY
+    key, the cardinality profile of a feature column (distinct active days
+    per user, distinct sources per document, ...).
+
+    Combiner-first, same scale shape as key uniqueness: each batch collapses
+    to its distinct (key, value) pairs (duplicate-heavy batches shrink
+    before anything moves), ONE hash(key) coarse-partition exchange of the
+    pair partials, then a per-partition pandas dedup + size. The exchange
+    moves at most one row per distinct (key, value) pair per batch — never
+    input rows. Null values are ignored (SQL COUNT(DISTINCT) semantics);
+    null keys are kept as their own group (use a filter upstream if not
+    wanted). Returns a Dataset of (key, n_distinct)."""
+    import pandas as pd
+
+    from .dedup import _next_pow2, _shuffle_parts
+    from .sketches import hash_arrow_array
+
+    P = _next_pow2(n_parts or _shuffle_parts())
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[key_column, value_column]]
+        d = d[d[value_column].notna()].drop_duplicates()
+        h = hash_arrow_array(d[key_column])
+        return d.assign(part=(h % np.uint64(P)).astype("int32"))
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates([key_column, value_column])
+        g = d.groupby(key_column, sort=False, dropna=False).size() \
+            .reset_index(name="n_distinct")
+        g["n_distinct"] = g["n_distinct"].astype("int64")
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    parts = partials.repartition(P).materialize()
+    return parts.groupby("part").map_groups(per_part, batch_format="pandas")

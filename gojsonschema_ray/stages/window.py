@@ -219,3 +219,40 @@ def rolling_by_key(ds, key_column: str, ts_column: str, value_column: str,
     parts = ds.map_batches(project, batch_format="pyarrow") \
         .repartition(P).materialize()
     return parts.groupby("part").map_groups(per_part, batch_format="pandas")
+
+
+def lag_by_key(ds, key_column: str, ts_column: str, value_column: str,
+               order_columns: tuple = (), n_parts: int | None = None):
+    """Per-key previous value and delta — SQL `v - lag(v) OVER (PARTITION BY
+    key ORDER BY ts[, tiebreaks])`; the inter-event-gap / rate-of-change
+    signal of an event stream. First row of each key gets null prev/delta.
+
+    Same scale shape as rolling_by_key: ONE hash(key) co-partition exchange
+    (documented assumption: rows-per-key bounds one partition), then a
+    vectorized per-partition sort + groupby.shift. Returns key, ordering
+    columns, value, `prev` and `delta`."""
+    from .dedup import _next_pow2, _shuffle_parts
+    from .sketches import hash_arrow_array
+
+    P = _next_pow2(n_parts or _shuffle_parts())
+    order = [ts_column, *order_columns]
+
+    def project(t: pa.Table) -> pa.Table:
+        cols = {c: t[c] for c in dict.fromkeys(
+            [key_column, *order, value_column])}
+        part = (hash_arrow_array(t[key_column]) % np.uint64(P)).astype(np.int32)
+        cols["part"] = pa.array(part)
+        return pa.table(cols)
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_column, *order], kind="stable")
+        prev = df.groupby(key_column, sort=False, dropna=False)[value_column] \
+            .shift(1)
+        out = df.drop(columns=["part"]).copy()
+        out["prev"] = prev
+        out["delta"] = df[value_column] - prev
+        return out
+
+    parts = ds.map_batches(project, batch_format="pyarrow") \
+        .repartition(P).materialize()
+    return parts.groupby("part").map_groups(per_part, batch_format="pandas")

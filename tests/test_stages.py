@@ -863,3 +863,146 @@ def test_hash_join_shuffle_key_dtype_mismatch_raises(ray_session):
     right = rd.from_pandas(pd.DataFrame({"k": [1, 2], "rv": [3, 4]}))
     with pytest.raises(TypeError, match="differs in type"):
         hash_join_shuffle(left, right, on="k")
+
+
+def test_stratified_sample_deterministic(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.sampling import (
+        hash_bucket_u32,
+        stratified_sample,
+    )
+    from gojsonschema_ray.util import collect_rows
+
+    df = pd.DataFrame({"g": np.repeat(["a", "b", "c"], 50),
+                       "id": np.arange(150, dtype=np.int64)})
+    ds = rd.from_pandas(df).repartition(5)
+    rows = collect_rows(stratified_sample(ds, "g", "id", 4))
+    got = {(r["g"], r["id"]) for r in rows}
+    # closed-form expectation: 4 smallest hashes per group
+    h = hash_bucket_u32(df["id"].to_numpy())
+    exp = set()
+    for g in "abc":
+        sub = df[df["g"] == g].assign(h=h[df["g"] == g])
+        exp |= {(g, i) for i in
+                sub.sort_values(["h", "id"]).head(4)["id"]}
+    assert got == exp
+    # determinism across a different partitioning
+    rows2 = collect_rows(stratified_sample(ds.repartition(2), "g", "id", 4))
+    assert {(r["g"], r["id"]) for r in rows2} == exp
+
+
+def test_group_centroids(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.similarity import group_centroids
+
+    rng = np.random.default_rng(3)
+    emb = rng.normal(size=(60, 4)).astype(np.float32)
+    labels = rng.integers(0, 3, 60)
+    df = pd.DataFrame({"label": labels, "embedding": list(emb)})
+    out = group_centroids(rd.from_pandas(df).repartition(4),
+                          "label", "embedding")
+    for lab in range(3):
+        exp = emb[labels == lab].astype(np.float64).mean(axis=0)
+        got = out[out["key"] == lab].sort_values("pos")["centroid"].to_numpy()
+        np.testing.assert_allclose(got, exp, rtol=1e-12)
+
+
+def test_group_centroids_nulls_and_ragged(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.similarity import group_centroids
+
+    df = pd.DataFrame({
+        "label": [1, 1, 1, 2],
+        "embedding": [[1.0, 3.0], None, [5.0, 7.0], [2.0, 4.0, 6.0]],
+    })
+    out = group_centroids(rd.from_pandas(df), "label", "embedding")
+    g1 = out[out["key"] == 1].sort_values("pos")["centroid"].tolist()
+    assert g1 == [3.0, 5.0]
+    g2 = out[out["key"] == 2].sort_values("pos")["centroid"].tolist()
+    assert g2 == [2.0, 4.0, 6.0]
+
+
+def test_tfidf_top_terms_golden(ray_session):
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.functions.text import tfidf_top_terms
+    from gojsonschema_ray.util import collect_rows
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["apple apple banana", "banana cherry", "apple cherry date"],
+    })
+    rows = collect_rows(tfidf_top_terms(
+        rd.from_pandas(docs).repartition(3), "text", "doc_id", k=2))
+    got = {(r["doc_id"], r["token"]): (r["tf"], r["df"], r["score"])
+           for r in rows}
+
+    def score(tf, df):
+        return tf * (math.log(4 / (1 + df)) + 1)
+
+    # exact per-doc top-2 with (score desc, token asc):
+    # doc3 scores: apple 1.288, cherry 1.288, date 1.693 -> date, apple
+    exp = {
+        (1, "apple"): (2, 2, score(2, 2)),
+        (1, "banana"): (1, 2, score(1, 2)),
+        (2, "banana"): (1, 2, score(1, 2)),
+        (2, "cherry"): (1, 2, score(1, 2)),
+        (3, "date"): (1, 1, score(1, 1)),
+        (3, "apple"): (1, 2, score(1, 2)),
+    }
+    assert set(got) == set(exp)
+    for key, (tf, df_, s) in exp.items():
+        gtf, gdf, gs = got[key]
+        assert (gtf, gdf) == (tf, df_)
+        assert abs(gs - s) < 1e-12
+
+
+def test_grouped_nunique(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.uniqueness import grouped_nunique
+    from gojsonschema_ray.util import collect_rows
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"k": rng.integers(0, 10, 400),
+                       "v": rng.integers(0, 7, 400).astype("float64")})
+    df.loc[::17, "v"] = np.nan  # nulls ignored
+    rows = collect_rows(grouped_nunique(
+        rd.from_pandas(df).repartition(6), "k", "v"))
+    got = {r["k"]: r["n_distinct"] for r in rows}
+    exp = df.dropna(subset=["v"]).groupby("k")["v"].nunique().to_dict()
+    assert got == exp
+
+
+def test_lag_by_key(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.window import lag_by_key
+    from gojsonschema_ray.util import collect_rows
+
+    df = pd.DataFrame({
+        "u": [1, 1, 1, 2, 2],
+        "ts": pd.to_datetime([10, 25, 40, 7, 7], unit="s"),
+        "eid": [0, 1, 2, 3, 4],
+        "v": [1.0, 4.0, 9.0, 2.0, 5.0],
+    })
+    rows = collect_rows(lag_by_key(
+        rd.from_pandas(df).repartition(3), "u", "ts", "v",
+        order_columns=("eid",)))
+    got = {r["eid"]: (r["prev"], r["delta"]) for r in rows}
+    assert got[0][0] is None or got[0][0] != got[0][0]  # NaN/None first row
+    assert got[1] == (1.0, 3.0) and got[2] == (4.0, 5.0)
+    # equal timestamps: eid breaks the tie deterministically
+    assert got[4] == (2.0, 3.0)
+    assert got[3][1] is None or got[3][1] != got[3][1]
