@@ -805,6 +805,53 @@ def q_lineitem_orders_join(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def q_orders_customer_outer(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER shuffle join: a 1-in-64 slice of orders ⋈ customer on
+    custkey — customers whose orders fall outside the slice survive as
+    right-only rows (null o_orderkey), proving the outer path of
+    stages/joins.hash_join_shuffle (the unsliced join would match every
+    customer — datagen draws custkeys uniformly at 10 orders/customer).
+    The join output is reduced to presence-class counts with per-batch
+    partials, so only 4-column partial rows reach the driver."""
+    from gojsonschema_ray.stages.joins import hash_join_shuffle
+    from gojsonschema_ray.util import collect_rows
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]) \
+        .map_batches(
+            lambda t: t.filter(
+                pc.equal(pc.bit_wise_and(t["o_orderkey"], 63), 0))
+            .rename_columns(["o_orderkey", "custkey"]),
+            batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]) \
+        .map_batches(
+            lambda t: t.rename_columns(["custkey", "c_acctbal"])
+                       .append_column("c_flag",
+                                      pa.array(np.ones(t.num_rows, np.int64))),
+            batch_format="pyarrow")
+    joined = hash_join_shuffle(orders, cust, on="custkey", how="full",
+                               left_columns=["o_orderkey"],
+                               right_columns=["c_acctbal", "c_flag"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cust_only = df["o_orderkey"].isna()
+        return pd.DataFrame([{
+            "n_rows": len(df),
+            "n_cust_only": int(cust_only.sum()),
+            "n_order_only": int(df["c_flag"].isna().sum()),
+            "bal_cust_only": float(df.loc[cust_only, "c_acctbal"].sum()),
+        }])
+
+    acc = [0, 0, 0, 0.0]
+    for r in collect_rows(joined.map_batches(partial, batch_format="pandas")):
+        acc[0] += r["n_rows"]; acc[1] += r["n_cust_only"]
+        acc[2] += r["n_order_only"]; acc[3] += r["bal_cust_only"]
+    return pd.DataFrame([{
+        "n_rows": acc[0], "n_cust_only": acc[1], "n_order_only": acc[2],
+        "bal_cust_only": round(acc[3], 2)}]).astype(
+        {"n_rows": "int64", "n_cust_only": "int64", "n_order_only": "int64",
+         "bal_cust_only": "float64"})
+
+
 def q_top_parts_by_price(sf_dir: str):
     """Streaming global top-k: per-block top-k partials + driver merge of
     blocks×k rows (stages/topk.py) — no all-to-all sort. The p_partkey
@@ -1316,6 +1363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_price_bands": q_lineitem_price_bands,
         "orders_customer_join": q_orders_customer_join,
         "lineitem_orders_join": q_lineitem_orders_join,
+        "orders_customer_outer": q_orders_customer_outer,
         "documents_stratified": q_documents_stratified,
         "documents_tfidf": q_documents_tfidf,
         "embedding_centroids": q_embedding_centroids,
@@ -1561,6 +1609,18 @@ def oracle_sql() -> dict[str, str]:
         "orders_customer_join": (
             "SELECT o_orderkey, o_custkey, c_nationkey "
             "FROM orders JOIN customer ON o_custkey = c_custkey"
+        ),
+        # FULL OUTER join over a 1-in-64 orders slice: customers with no
+        # order in the slice are the right-only rows; FK integrity
+        # guarantees no order-only rows
+        "orders_customer_outer": (
+            "SELECT count(*) AS n_rows, "
+            "count(*) FILTER (WHERE o.o_orderkey IS NULL) AS n_cust_only, "
+            "count(*) FILTER (WHERE c.c_custkey IS NULL) AS n_order_only, "
+            "round(coalesce(sum(c.c_acctbal) "
+            "FILTER (WHERE o.o_orderkey IS NULL), 0), 2) AS bal_cust_only "
+            "FROM (SELECT * FROM orders WHERE o_orderkey % 64 = 0) o "
+            "FULL OUTER JOIN customer c ON o.o_custkey = c.c_custkey"
         ),
         # fact-fact join + aggregate on the joined side's column
         "lineitem_orders_join": (

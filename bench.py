@@ -106,7 +106,10 @@ def bench_clips_validate(num_cpus: int, n: int = CLIPS_N,
     path = _ensure_clips(n, cap_ms)
     t0 = time.time()
     ds = rd.read_parquet(path, columns=AUDIO_COLUMNS)
-    key_ds = rd.read_parquet(path, columns=["clip_id"])  # pruned key scan
+    # pruned key scan in ~#CPUs consolidated blocks: per-task overhead on a
+    # trivial-compute scan dominates at one-block-per-file granularity
+    key_ds = rd.read_parquet(path, columns=["clip_id"],
+                             override_num_blocks=num_cpus)
     viol = validate_clips(ds, with_audio=True, with_uniqueness=True,
                           audio_concurrency=num_cpus,
                           audio_batch_size=None,  # native blocks (task path)
@@ -217,6 +220,85 @@ def run_scaling_worker(num_cpus: int) -> dict:
 SCALING_PAIRS = int(os.environ.get("GRAFT_SCALING_PAIRS", "3"))
 
 
+def _control_worker(dur_s: float, q):
+    """One control process: loop the SNR kernel over pre-decoded clips.
+
+    No Ray, no reads, cache-resident working set — measures what THIS HOST
+    delivers for perfectly-parallel compute at a given process count. The
+    pipeline's scaling efficiency is bounded above by this number."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from gojsonschema_ray.stages.audio import (best_fit_sine_snr, decode_raw_s16le,
+                                               decode_wav)
+
+    f = sorted(glob.glob(os.path.join(
+        _clips_cache(SCALING_CLIPS_N, SCALING_CAP_MS), "*.parquet")))[0]
+    t = pq.read_table(f)
+    dec = {"wav": lambda b, s: decode_wav(b), "pcm_s16le": decode_raw_s16le}
+    pcms = []
+    for b, s, c in zip(t["bytes"].to_pylist()[:2000],
+                       t["sr_hz"].to_pylist()[:2000],
+                       t["codec"].to_pylist()[:2000]):
+        try:
+            pcm, _ = dec[c](b, s)
+            if len(pcm) >= 16:
+                pcms.append((pcm, int(s)))
+        except Exception:  # noqa: BLE001 — control skips undecodable rows
+            pass
+    for p, s in pcms[:200]:  # warm numpy pools / caches
+        best_fit_sine_snr(p, s)
+    n = 0
+    t0 = time.time()
+    while time.time() - t0 < dur_s:
+        for p, s in pcms:
+            best_fit_sine_snr(p, s)
+        n += len(pcms)
+    q.put(n / (time.time() - t0))
+
+
+def run_scaling_control(dur_s: float = 12.0) -> dict:
+    """HOST-CEILING CONTROL for the scaling criterion: the audio SNR kernel
+    (82% of the headline pipeline's per-clip cost) run in K plain worker
+    processes — no Ray, no I/O, no shuffles — at N and 4N processes, twice
+    each, interleaved. The pairwise efficiency of this control is the maximum
+    any engine could measure on this box; compare the pipeline's --scaling
+    median against it to separate engine overhead from host contention."""
+    import multiprocessing as mp
+
+    _init_ray(32)
+    _ensure_clips(SCALING_CLIPS_N, SCALING_CAP_MS)
+    import ray
+
+    ray.shutdown()
+
+    def level(k: int) -> float:
+        q = mp.Queue()
+        ps = [mp.Process(target=_control_worker, args=(dur_s, q))
+              for _ in range(k)]
+        for p in ps:
+            p.start()
+        rate = sum(q.get() for _ in ps)
+        for p in ps:
+            p.join()
+        return rate
+
+    lo, hi = SCALING_CPUS_LOW, SCALING_CPUS_HIGH
+    pairs = []
+    for _ in range(2):
+        r_lo, r_hi = level(lo), level(hi)
+        pairs.append({"rate_low": round(r_lo, 1), "rate_high": round(r_hi, 1),
+                      "eff": round((r_hi / r_lo) / (hi / lo), 3)})
+    return {
+        "metric": f"HOST CONTROL kernel-only efficiency {lo}->{hi} procs",
+        "value": max(p["eff"] for p in pairs),
+        "unit": "efficiency",
+        "pairs": pairs,
+        "note": "upper bound: no Ray, no I/O — pure per-process SNR kernel",
+    }
+
+
 def run_scaling() -> dict:
     """Interleaved (N, 4N) pairs in fresh processes on the same cached input
     (the sandbox proxy for N- vs 4N-node clusters, per driver instruction).
@@ -296,9 +378,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scaling-worker", type=int, default=None)
+    ap.add_argument("--scaling-control", action="store_true")
     args, _ = ap.parse_known_args()
     if args.scaling_worker is not None:
         print(json.dumps(run_scaling_worker(args.scaling_worker)))
+    elif args.scaling_control:
+        print(json.dumps(run_scaling_control()))
     elif args.scaling:
         print(json.dumps(run_scaling()))
     else:

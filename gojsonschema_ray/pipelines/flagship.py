@@ -251,8 +251,16 @@ def run_flagship(input_dir: str, out_dir: str, *,
             ds_all = read_fragments(input_dir, files, columns=["clip_id"],
                                     fragment_reader=fragment_reader)
         else:
+            # consolidate the key scan into ~#CPUs blocks: a trivial-compute
+            # pruned read at one-block-per-fragment granularity pays more in
+            # per-task overhead than in work (measured 4x on 98 files)
+            import ray
+
+            ncpus = int(ray.cluster_resources().get("CPU", 8)) \
+                if ray.is_initialized() else 8
             ds_all = read_table(input_dir if lance_mode else files,
-                                columns=["clip_id"])
+                                columns=["clip_id"],
+                                override_num_blocks=ncpus)
         uviol = uniqueness_violations(ds_all, "clip_id")
         udir = os.path.join(out_dir, "violations", "__global__")
         _clear_dir(udir)

@@ -448,21 +448,23 @@ def hash_join_shuffle(left, right, *, on: str, how: str = "inner",
     """Equi-join of two LARGE sides: each side projected + tagged in one
     map_batches pass, co-partitioned on hash(key) % P in ONE exchange per
     side (the union shares a single repartition), then a vectorized pandas
-    merge per partition. `how` = "inner" | "left" | "semi" | "anti"
-    (semi/anti return left rows with a match / with no match — deduplicated
-    probe side, no fan-out).
+    merge per partition. `how` = "inner" | "left" | "right" | "full" |
+    "semi" | "anti" (semi/anti return left rows with a match / with no
+    match — deduplicated probe side, no fan-out).
 
     Partitioning assumption (documented): one key's rows fit a partition —
     keys, not the corpus, bound the cell. Null keys never match; for
-    how="left"/"anti" null-key left rows are preserved/returned. Output
-    columns: `left_columns` + right `right_columns` (suffixed `_r` on
-    collision). The key must share a name on both sides (rename upstream)."""
+    how="left"/"full"/"anti" null-key left rows are preserved/returned and
+    for how="right"/"full" null-key right rows are preserved (SQL OUTER
+    semantics). Output columns: `left_columns` + right `right_columns`
+    (suffixed `_r` on collision). The key must share a name on both sides
+    (rename upstream)."""
     import pandas as pd
 
     from .dedup import _next_pow2, _shuffle_parts
     from .sketches import hash_arrow_array
 
-    if how not in ("inner", "left", "semi", "anti"):
+    if how not in ("inner", "left", "right", "full", "semi", "anti"):
         raise ValueError(f"hash_join_shuffle: how={how!r}")
     P = _next_pow2(n_parts or _shuffle_parts())
     lcols = left_columns or [c for c in left.schema().names if c != on]
@@ -520,11 +522,18 @@ def hash_join_shuffle(left, right, *, on: str, how: str = "inner",
             keys = set(rt.loc[rt[on].notna(), on].to_numpy())
             hit = ldf[on].isin(keys) & ok
             return ldf[hit] if how == "semi" else ldf[~hit]
-        rdf = rt.loc[rt[on].notna(), [on, *rcols_out]]
-        out = ldf[ok].merge(rdf, on=on, how="inner" if how == "inner" else "left")
-        if how == "left" and (~ok).any():
+        r_ok = rt[on].notna()
+        rdf = rt.loc[r_ok, [on, *rcols_out]]
+        pd_how = {"inner": "inner", "left": "left",
+                  "right": "right", "full": "outer"}[how]
+        out = ldf[ok].merge(rdf, on=on, how=pd_how)
+        if how in ("left", "full") and (~ok).any():
             out = pd.concat([out, ldf[~ok].reindex(columns=out.columns)],
                             ignore_index=True)
+        if how in ("right", "full") and (~r_ok).any():
+            out = pd.concat(
+                [out, rt.loc[~r_ok, [on, *rcols_out]]
+                 .reindex(columns=out.columns)], ignore_index=True)
         return out
 
     u = left.map_batches(left_rows, batch_format="pyarrow").union(

@@ -783,11 +783,17 @@ def _sql_merge(left, right, how):
     import pandas as pd
 
     l_ok, r_ok = left[left["k"].notna()], right[right["k"].notna()]
-    out = l_ok.merge(r_ok, on="k", how="inner" if how == "inner" else "left",
-                     suffixes=("", "_r"))
-    if how == "left":
+    pd_how = {"inner": "inner", "left": "left",
+              "right": "right", "full": "outer"}[how]
+    out = l_ok.merge(r_ok, on="k", how=pd_how, suffixes=("", "_r"))
+    if how in ("left", "full"):
         out = pd.concat([out, left[left["k"].isna()]
                         .reindex(columns=out.columns)], ignore_index=True)
+    if how in ("right", "full"):
+        nk = right[right["k"].isna()].rename(
+            columns={"rv": "rv", "v": "v_r"})
+        out = pd.concat([out, nk.reindex(columns=out.columns)],
+                        ignore_index=True)
     return out
 
 
@@ -809,7 +815,8 @@ def test_hash_join_broadcast(ray_session, how):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
-@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+@pytest.mark.parametrize("how", ["inner", "left", "right", "full",
+                                 "semi", "anti"])
 def test_hash_join_shuffle(ray_session, how):
     import pandas as pd
     import ray.data as rd
