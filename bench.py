@@ -53,7 +53,7 @@ CLIPS_CAP_MS = 20
 # (actor ramp-up, shuffle barriers, driver glue), so the scaling run uses
 # more clips and a longer audio cap than the per-round throughput bench.
 SCALING_CLIPS_N = int(os.environ.get("GRAFT_SCALING_CLIPS_N", "800000"))
-SCALING_CAP_MS = 50
+SCALING_CAP_MS = int(os.environ.get("GRAFT_SCALING_CAP_MS", "50"))
 # N and 4N parallelism levels (driver instruction allows any N vs 4N pair).
 # 4 vs 16 keeps the high end clear of this box's memory-bandwidth knee at
 # ~32 busy FFT workers, so the measurement reflects the engine's scaling,

@@ -54,6 +54,77 @@ def decode_raw_s16le(blob: bytes, sr: int) -> tuple[np.ndarray, int]:
     return np.frombuffer(blob, dtype="<i2"), sr
 
 
+def _i16_view(b: np.ndarray, off: int, nbytes: int) -> np.ndarray:
+    """int16 view over a uint8 slice, copying only when the slice start is
+    odd-aligned (Arrow binary offsets are arbitrary)."""
+    v = b[off:off + nbytes]
+    if v.__array_interface__["data"][0] % 2 == 0:
+        return v.view("<i2")
+    return np.frombuffer(v.tobytes(), "<i2")
+
+
+def _u32(b: np.ndarray, off: int) -> int:
+    return int(b[off]) | int(b[off + 1]) << 8 | int(b[off + 2]) << 16 \
+        | int(b[off + 3]) << 24
+
+
+def wav_payload_view(b: np.ndarray) -> tuple[np.ndarray, int]:
+    """Zero-copy RIFF/WAVE parse over a uint8 view → (int16 PCM view, sr).
+
+    Mirrors the stdlib-`wave` semantics decode_wav relied on (same branch →
+    same violation keyword downstream): malformed/truncated headers and
+    non-mono/non-16-bit formats raise ValueError (→ `decode`); a truncated
+    data chunk returns the surviving whole samples (→ `pcm_length`) but an
+    odd surviving byte count raises (→ `decode`, as np.frombuffer did)."""
+    if len(b) < 12 or b[:4].tobytes() != b"RIFF" \
+            or b[8:12].tobytes() != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos = 12
+    sr = None
+    while pos + 8 <= len(b):
+        tag = b[pos:pos + 4].tobytes()
+        size = _u32(b, pos + 4)
+        body = pos + 8
+        if tag == b"fmt ":
+            if size < 16 or body + 16 > len(b):
+                raise ValueError("bad fmt chunk")
+            ch = int(b[body + 2]) | int(b[body + 3]) << 8
+            bits = int(b[body + 14]) | int(b[body + 15]) << 8
+            if ch != 1 or bits != 16:
+                raise ValueError("expected mono s16")
+            sr = _u32(b, body + 4)
+        elif tag == b"data":
+            if sr is None:
+                raise ValueError("data chunk before fmt")
+            avail = min(size, len(b) - body)
+            if avail % 2:
+                raise ValueError("odd byte count in data chunk")
+            return _i16_view(b, body, avail), sr
+        pos = body + size + (size & 1)
+    raise ValueError("no data chunk")
+
+
+def binary_column_views(col) -> tuple | None:
+    """(offsets, flat uint8 data, is_null) for an Arrow binary column —
+    the zero-copy alternative to `to_pylist()` (which materializes every
+    payload as a Python bytes object; at audio widths that copy dominates
+    the worker's memory traffic). Returns None when the column isn't a
+    plain (large_)binary array — callers fall back to the bytes path."""
+    import pyarrow as _pa
+
+    arr = col.combine_chunks() if hasattr(col, "num_chunks") else col
+    if not (_pa.types.is_binary(arr.type) or _pa.types.is_large_binary(arr.type)):
+        return None
+    bufs = arr.buffers()
+    odt = np.int64 if _pa.types.is_large_binary(arr.type) else np.int32
+    offs = np.frombuffer(bufs[1], odt, count=len(arr) + 1,
+                         offset=arr.offset * np.dtype(odt).itemsize)
+    data = np.frombuffer(bufs[2], np.uint8) if bufs[2] is not None \
+        else np.empty(0, np.uint8)
+    isnull = arr.is_null().to_numpy(zero_copy_only=False)
+    return offs, data, isnull
+
+
 _HANNING_CACHE: dict[int, np.ndarray] = {}
 _PAD_CACHE: dict[int, np.ndarray] = {}
 _SCRATCH: dict[tuple, tuple] = {}
@@ -189,6 +260,111 @@ def best_fit_sine_snr(x: np.ndarray, sr: int) -> float:
     return float(snr_batch(np.unique(np.array(cands))).max())
 
 
+_XBUF: dict[tuple, np.ndarray] = {}
+
+
+def _xbuf(k: int, n: int) -> np.ndarray:
+    b = _XBUF.get((k, n))
+    if b is None:
+        b = np.empty((k, n), np.float32)
+        if len(_XBUF) < 64:
+            _XBUF[(k, n)] = b
+    return b
+
+
+def best_fit_sine_snr_batch(pcms: list, srs: list, chunk: int = 512
+                            ) -> np.ndarray:
+    """Vectorized `best_fit_sine_snr` across MANY clips: same math, same
+    candidate set — the per-clip padded-FFT peak estimate stays per clip
+    (its temporaries are small and live in the reused _pad_buf), while the
+    closed-form [sin, cos, 1] least-squares fit runs as ONE stacked pass
+    per (length, sample-rate) group instead of ~20 numpy calls per clip.
+
+    EVERY multi-megabyte buffer here is cached and reused (_xbuf/_scratch):
+    inside Ray workers, fresh numpy temporaries above glibc's mmap
+    threshold are re-faulted on every batch, and this VM's first-touch page
+    faults are pathological (BASELINE.md note 7) — a naive fully-batched
+    variant with a fresh (k, nfft) FFT workspace ran 10x SLOWER under
+    32-way Ray concurrency than per-clip code, despite being 1.7x faster
+    single-process.
+
+    Entries shorter than 16 samples (or None/zero-rate) return -inf,
+    matching the scalar kernel's guard. Results agree with the scalar
+    kernel to float32 rounding (different summation order only) — verdicts
+    at the 30 dB threshold are unchanged; tests/test_stages.py asserts
+    parity."""
+    out = np.full(len(pcms), -np.inf)
+    groups: dict[tuple, list] = {}
+    for i, (p, s) in enumerate(zip(pcms, srs)):
+        if p is not None and len(p) >= 16 and s:
+            groups.setdefault((len(p), int(s)), []).append(i)
+    for (n, sr), idxs in groups.items():
+        for c0 in range(0, len(idxs), chunk):
+            ii = idxs[c0:c0 + chunk]
+            k = len(ii)
+            X = _xbuf(chunk, n)[:k]
+            for j, i in enumerate(ii):
+                X[j] = pcms[i]
+            X -= X.mean(axis=1, dtype=np.float64)[:, None].astype(np.float32)
+            out[np.asarray(ii)] = _snr_group(X, sr, n, chunk)
+    return out
+
+
+def _snr_group(X: np.ndarray, sr: int, n: int, scratch_k: int) -> np.ndarray:
+    """SNR for a (k, n) stack of mean-removed float32 clips sharing one
+    sample rate: per-clip FFT peak (reused pad buffer), then batched
+    closed-form fits at the estimate ±0.3·pad_res and, where the estimate
+    is near-integral, the rounded frequency — identical candidates to the
+    scalar kernel, max over candidates."""
+    k = X.shape[0]
+    nfft = 1 << max(12, int(np.ceil(np.log2(4 * n))))
+    pad_res = sr / nfft
+    freq = np.empty(k)
+    for j in range(k):
+        freq[j] = _peak_frequency(X[j], sr)
+
+    r = np.round(freq)
+    use_r = np.abs(freq - r) < 2 * pad_res  # 4th candidate gate (scalar parity)
+    cands = np.stack([freq - 0.3 * pad_res, freq, freq + 0.3 * pad_res, r],
+                     axis=1)  # (k, 4)
+
+    idx = _idx(n)
+    energy = np.einsum("ij,ij->i", X, X, dtype=np.float64)
+    Xsum = X.sum(axis=1, dtype=np.float64)
+    best = np.full(k, -np.inf)
+    # scratch keyed on the FULL chunk size so tail chunks reuse it too
+    W, S, C = (b[:k] for b in _scratch(scratch_k, n))
+    for j in range(cands.shape[1]):
+        np.multiply((2 * np.pi / sr * cands[:, j]).astype(np.float32)[:, None],
+                    idx[None, :], out=W)
+        np.sin(W, out=S)
+        np.cos(W, out=C)
+        G = np.empty((k, 3, 3))
+        G[:, 0, 0] = np.einsum("ij,ij->i", S, S)
+        G[:, 0, 1] = G[:, 1, 0] = np.einsum("ij,ij->i", S, C)
+        G[:, 0, 2] = G[:, 2, 0] = S.sum(1)
+        G[:, 1, 1] = np.einsum("ij,ij->i", C, C)
+        G[:, 1, 2] = G[:, 2, 1] = C.sum(1)
+        G[:, 2, 2] = n
+        bv = np.stack([np.einsum("ij,ij->i", S, X),
+                       np.einsum("ij,ij->i", C, X),
+                       Xsum], axis=1).astype(np.float64)
+        try:
+            coef = np.linalg.solve(G, bv[..., None])[..., 0]
+        except np.linalg.LinAlgError:
+            coef = np.stack([np.linalg.lstsq(G[i], bv[i], rcond=None)[0]
+                             for i in range(k)])
+        fit = (coef * bv).sum(1)
+        noise = np.maximum(energy - fit, 0.0)
+        with np.errstate(divide="ignore"):
+            snr_j = 10 * np.log10(np.maximum(fit, 1e-30)
+                                  / np.maximum(noise, 1e-30))
+        if j == 3:
+            snr_j = np.where(use_r, snr_j, -np.inf)
+        best = np.maximum(best, snr_j)
+    return best
+
+
 def reference_transcript(i: int) -> str | None:
     from ..datagen import row_meta
 
@@ -208,51 +384,108 @@ class AudioInvariantChecker:
             "pcm_s16le": decode_raw_s16le,
         }
 
-    def _check_row(self, clip_id, blob, sr, dur_ms, codec, transcript, out):
-        dec = self.decoders.get(codec)
-        if dec is None:
-            out.append((clip_id, "decode", "(root).bytes",
-                        "decodable codec", str(codec)))
-            return
-        try:
-            pcm, file_sr = dec(blob, sr)
-        except Exception as e:  # noqa: BLE001 — any decode failure is a violation
-            out.append((clip_id, "decode", "(root).bytes",
-                        f"{codec} decodes", type(e).__name__))
-            return
+    def _length_checked(self, clip_id, pcm, sr, dur_ms, out):
         expected_n = int(sr * min(dur_ms, self.audio_cap_ms) / 1000) \
             if dur_ms is not None and sr is not None else None
         if expected_n is not None and len(pcm) != expected_n:
             out.append((clip_id, "pcm_length", "(root).bytes",
                         f"{expected_n} samples", f"{len(pcm)} samples"))
-            return
-        if len(pcm) >= 16:
-            snr = best_fit_sine_snr(pcm, int(sr))
-            if snr < self.snr_db:
-                out.append((clip_id, "snr", "(root).bytes",
-                            f">= {self.snr_db} dB", f"{snr:.1f} dB"))
-        if self.check_transcript and isinstance(clip_id, str) \
-                and clip_id.startswith("clip-") and clip_id[5:].isdigit():
-            ref = reference_transcript(int(clip_id[5:]))
-            if ref is not None and transcript != ref:
-                out.append((clip_id, "transcript", "(root).transcript",
-                            "reference transcript", "" if transcript is None
-                            else transcript[:64]))
+            return None
+        return pcm
+
+    def _decode_row(self, clip_id, blob, sr, dur_ms, codec, out):
+        """Decode + structural checks for one row (bytes path). Returns the
+        PCM array when the row should proceed to the (batched) SNR check,
+        else None after appending the decode/pcm_length violation."""
+        dec = self.decoders.get(codec)
+        if dec is None:
+            out.append((clip_id, "decode", "(root).bytes",
+                        "decodable codec", str(codec)))
+            return None
+        try:
+            pcm, file_sr = dec(blob, sr)
+        except Exception as e:  # noqa: BLE001 — any decode failure is a violation
+            out.append((clip_id, "decode", "(root).bytes",
+                        f"{codec} decodes", type(e).__name__))
+            return None
+        return self._length_checked(clip_id, pcm, sr, dur_ms, out)
+
+    def _decode_view(self, clip_id, seg, sr, dur_ms, codec, out):
+        """Zero-copy decode of one row's uint8 view — same branch →
+        violation mapping as _decode_row, without materializing a Python
+        bytes object per blob (to_pylist on the audio column was the
+        dominant per-worker copy). Codecs beyond the two built-ins fall
+        back to the registered bytes decoder on a one-row copy."""
+        if codec not in self.decoders:
+            out.append((clip_id, "decode", "(root).bytes",
+                        "decodable codec", str(codec)))
+            return None
+        try:
+            if codec == "wav":
+                pcm, _sr = wav_payload_view(seg)
+            elif codec == "pcm_s16le":
+                if len(seg) % 2:
+                    raise ValueError("odd byte count for s16le payload")
+                pcm = _i16_view(seg, 0, len(seg))
+            else:
+                pcm, _sr = self.decoders[codec](seg.tobytes(), sr)
+        except Exception as e:  # noqa: BLE001 — any decode failure is a violation
+            out.append((clip_id, "decode", "(root).bytes",
+                        f"{codec} decodes", type(e).__name__))
+            return None
+        return self._length_checked(clip_id, pcm, sr, dur_ms, out)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["clip_id"].to_pylist()
-        blobs = batch["bytes"].to_pylist()
         srs = batch["sr_hz"].to_pylist()
         durs = batch["dur_ms"].to_pylist()
         codecs = batch["codec"].to_pylist()
         txts = batch["transcript"].to_pylist() if "transcript" in batch.column_names \
             else [None] * batch.num_rows
+        # zero-copy views over the audio column when it's a plain binary
+        # array (the usual case); bytes fallback otherwise
+        views = binary_column_views(batch["bytes"])
+        blobs = batch["bytes"].to_pylist() if views is None else None
         out: list[tuple] = []
-        for row in zip(ids, blobs, srs, durs, codecs, txts):
-            if row[1] is None:
-                out.append((row[0], "required", "(root).bytes", "required bytes", ""))
+        n = batch.num_rows
+        # phase 1: decode + structural checks + transcript equality; collect
+        # decodable PCM for the batched SNR kernel (82% of per-clip cost —
+        # one vectorized pass over the whole batch instead of ~30 numpy
+        # calls per clip)
+        pcms: list = [None] * n
+        snr_srs: list = [None] * n
+        for i, (clip_id, sr, dur_ms, codec, transcript) in enumerate(
+                zip(ids, srs, durs, codecs, txts)):
+            if (views[2][i] if views is not None else blobs[i] is None):
+                out.append((clip_id, "required", "(root).bytes",
+                            "required bytes", ""))
                 continue
-            self._check_row(*row, out)
+            if views is not None:
+                seg = views[1][int(views[0][i]):int(views[0][i + 1])]
+                pcm = self._decode_view(clip_id, seg, sr, dur_ms, codec, out)
+            else:
+                pcm = self._decode_row(clip_id, blobs[i], sr, dur_ms, codec,
+                                       out)
+            if pcm is None:
+                continue
+            pcms[i] = pcm
+            snr_srs[i] = sr
+            if self.check_transcript and isinstance(clip_id, str) \
+                    and clip_id.startswith("clip-") and clip_id[5:].isdigit():
+                ref = reference_transcript(int(clip_id[5:]))
+                if ref is not None and transcript != ref:
+                    out.append((clip_id, "transcript", "(root).transcript",
+                                "reference transcript",
+                                "" if transcript is None else transcript[:64]))
+        # phase 2: batched SNR over every decodable clip (rows under 16
+        # samples come back -inf and are skipped, matching the scalar guard)
+        if any(p is not None for p in pcms):
+            snrs = best_fit_sine_snr_batch(pcms, snr_srs)
+            for i in range(n):
+                if pcms[i] is not None and len(pcms[i]) >= 16 \
+                        and snrs[i] < self.snr_db:
+                    out.append((ids[i], "snr", "(root).bytes",
+                                f">= {self.snr_db} dB", f"{snrs[i]:.1f} dB"))
         from .validate import VIOLATION_SCHEMA
 
         if not out:

@@ -75,6 +75,38 @@ def test_snr_catches_corrupted_pcm():
     assert best_fit_sine_snr(rng_free_noise, sr) < 30
 
 
+def test_snr_batch_matches_scalar():
+    """The batched SNR kernel agrees with the scalar one clip-by-clip:
+    identical verdicts at the 30 dB threshold and tight dB agreement below
+    the clamped near-zero-noise regime (where both kernels' log10 of a
+    1e-30-clamped residual is numerically meaningless but hugely positive)."""
+    from gojsonschema_ray.stages.audio import (best_fit_sine_snr,
+                                               best_fit_sine_snr_batch)
+
+    rng = np.random.default_rng(7)
+    pcms, srs = [], []
+    for sr in (8000, 16000, 44100):
+        t = np.arange(int(sr * 0.05)) / sr
+        for f0, noise in ((250, 0.0), (997.3, 0.01), (60, 0.3), (4000, 1.0)):
+            x = 0.4 * np.sin(2 * np.pi * f0 * t) + noise * rng.standard_normal(len(t))
+            pcms.append((x * 20000).clip(-32768, 32767).astype(np.int16))
+            srs.append(sr)
+    pcms.append(None)          # undecodable slot
+    srs.append(16000)
+    pcms.append(np.zeros(8, np.int16))  # under the 16-sample guard
+    srs.append(16000)
+
+    batch = best_fit_sine_snr_batch(pcms, srs)
+    for i, (p, s) in enumerate(zip(pcms, srs)):
+        if p is None or len(p) < 16:
+            assert batch[i] == -np.inf
+            continue
+        scalar = best_fit_sine_snr(p, s)
+        assert (scalar >= 30) == (batch[i] >= 30)
+        if min(scalar, batch[i]) < 60:  # below the clamp regime
+            assert abs(scalar - batch[i]) < 0.5
+
+
 def test_tdigest_quantiles():
     d = TDigest()
     vals = np.arange(100_000, dtype=np.float64)
