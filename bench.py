@@ -220,18 +220,22 @@ def run_scaling_worker(num_cpus: int) -> dict:
 SCALING_PAIRS = int(os.environ.get("GRAFT_SCALING_PAIRS", "3"))
 
 
-def _control_worker(dur_s: float, q):
+def _control_worker(dur_s: float, kernel: str, q):
     """One control process: loop the SNR kernel over pre-decoded clips.
 
     No Ray, no reads, cache-resident working set — measures what THIS HOST
     delivers for perfectly-parallel compute at a given process count. The
-    pipeline's scaling efficiency is bounded above by this number."""
+    pipeline's scaling efficiency is bounded above by this number. `kernel`
+    picks the scalar per-clip kernel or the batched one the pipeline ships —
+    the ceiling is KERNEL-DEPENDENT on this box (faster kernels demand more
+    from the shared socket and scale worse), so the control must match."""
     import glob
 
     import pyarrow.parquet as pq
 
-    from gojsonschema_ray.stages.audio import (best_fit_sine_snr, decode_raw_s16le,
-                                               decode_wav)
+    from gojsonschema_ray.stages.audio import (best_fit_sine_snr,
+                                               best_fit_sine_snr_batch,
+                                               decode_raw_s16le, decode_wav)
 
     f = sorted(glob.glob(os.path.join(
         _clips_cache(SCALING_CLIPS_N, SCALING_CAP_MS), "*.parquet")))[0]
@@ -249,22 +253,30 @@ def _control_worker(dur_s: float, q):
             pass
     for p, s in pcms[:200]:  # warm numpy pools / caches
         best_fit_sine_snr(p, s)
+    xs = [p for p, _ in pcms]
+    ss = [s for _, s in pcms]
+    best_fit_sine_snr_batch(xs[:500], ss[:500])
     n = 0
     t0 = time.time()
     while time.time() - t0 < dur_s:
-        for p, s in pcms:
-            best_fit_sine_snr(p, s)
+        if kernel == "batched":
+            best_fit_sine_snr_batch(xs, ss)
+        else:
+            for p, s in pcms:
+                best_fit_sine_snr(p, s)
         n += len(pcms)
     q.put(n / (time.time() - t0))
 
 
 def run_scaling_control(dur_s: float = 12.0) -> dict:
     """HOST-CEILING CONTROL for the scaling criterion: the audio SNR kernel
-    (82% of the headline pipeline's per-clip cost) run in K plain worker
-    processes — no Ray, no I/O, no shuffles — at N and 4N processes, twice
-    each, interleaved. The pairwise efficiency of this control is the maximum
-    any engine could measure on this box; compare the pipeline's --scaling
-    median against it to separate engine overhead from host contention."""
+    (the dominant per-clip cost of the headline pipeline) run in K plain
+    worker processes — no Ray, no I/O, no shuffles — at N and 4N processes,
+    interleaved, for BOTH kernel variants. The pairwise efficiency of this
+    control is the maximum any engine could measure on this box for that
+    per-clip workload; compare the pipeline's --scaling median against the
+    BATCHED row (the kernel the pipeline ships) to separate engine overhead
+    from host contention."""
     import multiprocessing as mp
 
     _init_ray(32)
@@ -273,9 +285,9 @@ def run_scaling_control(dur_s: float = 12.0) -> dict:
 
     ray.shutdown()
 
-    def level(k: int) -> float:
+    def level(k: int, kernel: str) -> float:
         q = mp.Queue()
-        ps = [mp.Process(target=_control_worker, args=(dur_s, q))
+        ps = [mp.Process(target=_control_worker, args=(dur_s, kernel, q))
               for _ in range(k)]
         for p in ps:
             p.start()
@@ -285,17 +297,21 @@ def run_scaling_control(dur_s: float = 12.0) -> dict:
         return rate
 
     lo, hi = SCALING_CPUS_LOW, SCALING_CPUS_HIGH
-    pairs = []
-    for _ in range(2):
-        r_lo, r_hi = level(lo), level(hi)
-        pairs.append({"rate_low": round(r_lo, 1), "rate_high": round(r_hi, 1),
-                      "eff": round((r_hi / r_lo) / (hi / lo), 3)})
+    out = {}
+    for kernel in ("batched", "scalar"):
+        pairs = []
+        for _ in range(2):
+            r_lo, r_hi = level(lo, kernel), level(hi, kernel)
+            pairs.append({"rate_low": round(r_lo, 1),
+                          "rate_high": round(r_hi, 1),
+                          "eff": round((r_hi / r_lo) / (hi / lo), 3)})
+        out[kernel] = {"value": max(p["eff"] for p in pairs), "pairs": pairs}
     return {
         "metric": f"HOST CONTROL kernel-only efficiency {lo}->{hi} procs",
-        "value": max(p["eff"] for p in pairs),
         "unit": "efficiency",
-        "pairs": pairs,
-        "note": "upper bound: no Ray, no I/O — pure per-process SNR kernel",
+        "kernels": out,
+        "note": "upper bound per kernel: no Ray, no I/O — pure per-process "
+                "SNR kernels (batched = the one the pipeline ships)",
     }
 
 
