@@ -852,6 +852,32 @@ def q_orders_customer_outer(sf_dir: str) -> pd.DataFrame:
          "bal_cust_only": "float64"})
 
 
+def q_orders_infer(sf_dir: str) -> pd.DataFrame:
+    """Schema INFERENCE (stages/infer.py): profile four orders columns into
+    observed type / nullability / bounds / capped enum — the combiner-first
+    partial pass (one fixed-width row per column per block, no shuffle)
+    whose merged output also builds the compilable ruleset infer_ruleset
+    returns. Emitted as one row per column so the oracle hash-verifies
+    every profile field."""
+    from gojsonschema_ray.stages.infer import profile_columns
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    ds = _read(sf_dir, "orders", cols)
+    prof = profile_columns(ds, cols, enum_max=16)
+    return pd.DataFrame({
+        "column": [p["column"] for p in prof],
+        "jtype": [p["jtype"] for p in prof],
+        "required": pd.Series([p["n_null"] == 0 for p in prof], dtype="bool"),
+        "min_num": pd.Series([p["min_num"] for p in prof], dtype="float64"),
+        "max_num": pd.Series([p["max_num"] for p in prof], dtype="float64"),
+        "min_len": pd.Series([p["min_len"] for p in prof], dtype="float64"),
+        "max_len": pd.Series([p["max_len"] for p in prof], dtype="float64"),
+        "enum_vals": pd.Series(
+            [",".join(p["enum_vals"]) if p["enum_vals"] else None
+             for p in prof], dtype="object"),
+    })
+
+
 def q_top_parts_by_price(sf_dir: str):
     """Streaming global top-k: per-block top-k partials + driver merge of
     blocks×k rows (stages/topk.py) — no all-to-all sort. The p_partkey
@@ -1364,6 +1390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_customer_join": q_orders_customer_join,
         "lineitem_orders_join": q_lineitem_orders_join,
         "orders_customer_outer": q_orders_customer_outer,
+        "orders_infer": q_orders_infer,
         "documents_stratified": q_documents_stratified,
         "documents_tfidf": q_documents_tfidf,
         "embedding_centroids": q_embedding_centroids,
@@ -1621,6 +1648,36 @@ def oracle_sql() -> dict[str, str]:
             "FILTER (WHERE o.o_orderkey IS NULL), 0), 2) AS bal_cust_only "
             "FROM (SELECT * FROM orders WHERE o_orderkey % 64 = 0) o "
             "FULL OUTER JOIN customer c ON o.o_custkey = c.c_custkey"
+        ),
+        # schema inference profile: one row per column; enum only when the
+        # distinct set stays under the 16-value cap
+        "orders_infer": (
+            "WITH p AS (SELECT * FROM orders) "
+            "SELECT 'o_orderkey' AS column, 'integer' AS jtype, "
+            "count(*) FILTER (WHERE o_orderkey IS NULL) = 0 AS required, "
+            "CAST(min(o_orderkey) AS DOUBLE) AS min_num, "
+            "CAST(max(o_orderkey) AS DOUBLE) AS max_num, "
+            "CAST(NULL AS DOUBLE) AS min_len, CAST(NULL AS DOUBLE) AS max_len, "
+            "CASE WHEN count(DISTINCT o_orderkey) <= 16 THEN "
+            "array_to_string(list_sort(list(DISTINCT CAST(o_orderkey AS "
+            "VARCHAR))), ',') END AS enum_vals FROM p "
+            "UNION ALL SELECT 'o_orderstatus', 'string', "
+            "count(*) FILTER (WHERE o_orderstatus IS NULL) = 0, "
+            "NULL, NULL, CAST(min(length(o_orderstatus)) AS DOUBLE), "
+            "CAST(max(length(o_orderstatus)) AS DOUBLE), "
+            "CASE WHEN count(DISTINCT o_orderstatus) <= 16 THEN "
+            "array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') "
+            "END FROM p "
+            "UNION ALL SELECT 'o_totalprice', 'number', "
+            "count(*) FILTER (WHERE o_totalprice IS NULL) = 0, "
+            "min(o_totalprice), max(o_totalprice), NULL, NULL, NULL FROM p "
+            "UNION ALL SELECT 'o_orderpriority', 'string', "
+            "count(*) FILTER (WHERE o_orderpriority IS NULL) = 0, "
+            "NULL, NULL, CAST(min(length(o_orderpriority)) AS DOUBLE), "
+            "CAST(max(length(o_orderpriority)) AS DOUBLE), "
+            "CASE WHEN count(DISTINCT o_orderpriority) <= 16 THEN "
+            "array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') "
+            "END FROM p"
         ),
         # fact-fact join + aggregate on the joined side's column
         "lineitem_orders_join": (

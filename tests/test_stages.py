@@ -904,6 +904,53 @@ def test_hash_join_shuffle_key_dtype_mismatch_raises(ray_session):
         hash_join_shuffle(left, right, on="k")
 
 
+def test_infer_roundtrip_zero_violations(ray_session):
+    """infer → compile → validate over the profiled table yields zero
+    violations by construction (stages/infer.py docstring contract)."""
+    import ray.data as rd
+
+    from gojsonschema_ray.schema import compile_schema
+    from gojsonschema_ray.stages.infer import infer_ruleset
+    from gojsonschema_ray.stages.validate import TableValidator
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    ds = rd.read_parquet("/root/testdata/sf0.001/orders.parquet", columns=cols)
+    rs = infer_ruleset(ds, cols)
+    assert rs["required"] == cols
+    assert rs["properties"]["o_orderstatus"]["enum"]
+    tv = TableValidator(compile_schema(rs), key_column="o_orderkey",
+                        mode="violations")
+    assert ds.map_batches(tv, batch_format="pyarrow").count() == 0
+
+
+def test_infer_profile_caps_and_nulls(ray_session):
+    """Enum capping and nullability: a high-cardinality column loses its
+    enum even when every BLOCK is under the cap (merge-side overflow), and
+    a column with any null drops out of `required`."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.infer import infer_ruleset, profile_columns
+
+    df = pd.DataFrame({
+        "k": range(100),
+        "cat": [f"c{i % 3}" for i in range(100)],
+        "wide": [f"w{i}" for i in range(100)],  # 100 distinct > enum_max
+        "maybe": [None if i == 7 else float(i) for i in range(100)],
+    })
+    ds = rd.from_pandas(df).repartition(8)  # every block under the cap
+    prof = {p["column"]: p for p in profile_columns(ds, enum_max=16)}
+    assert prof["cat"]["enum_vals"] == ["c0", "c1", "c2"]
+    assert prof["wide"]["enum_vals"] is None
+    assert prof["maybe"]["n_null"] == 1
+    rs = infer_ruleset(ds, enum_max=16)
+    assert "maybe" not in rs["required"]
+    assert "enum" not in rs["properties"]["wide"]
+    assert rs["properties"]["maybe"]["minimum"] == 0.0
+    assert rs["properties"]["k"] == {"type": "integer", "minimum": 0,
+                                     "maximum": 99}
+
+
 def test_stratified_sample_deterministic(ray_session):
     import pandas as pd
     import ray.data as rd
