@@ -852,6 +852,32 @@ def q_orders_customer_outer(sf_dir: str) -> pd.DataFrame:
          "bal_cust_only": "float64"})
 
 
+def q_embeddings_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Cross-corpus decontamination (stages/similarity.decontaminate_cosine):
+    every 50th vector plays the eval/reference set (broadcast once via
+    ray.put), the rest is the training corpus; corpus rows with cosine
+    >= 0.9 against ANY reference row are removed. The audit side
+    (mode="removed") is emitted row-level with each hit's best reference
+    cosine so the oracle hash-verifies the exact removal set."""
+    from gojsonschema_ray.stages.similarity import decontaminate_cosine
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"], num_blocks=8)
+
+    def mod50(t: pa.Table, want_zero: bool) -> pa.Table:
+        hit = t["vec_id"].to_numpy(zero_copy_only=False) % 50 == 0
+        return t.filter(pa.array(hit if want_zero else ~hit))
+
+    ref = ds.map_batches(lambda t: mod50(t, True), batch_format="pyarrow")
+    corpus = ds.map_batches(lambda t: mod50(t, False), batch_format="pyarrow")
+    removed = decontaminate_cosine(corpus, ref, threshold=0.42,
+                                   mode="removed")
+    rows = collect_rows(removed)
+    return pd.DataFrame({
+        "vec_id": pd.Series([r["vec_id"] for r in rows], dtype="int64"),
+    }).sort_values("vec_id").reset_index(drop=True)
+
+
 def q_orders_infer(sf_dir: str) -> pd.DataFrame:
     """Schema INFERENCE (stages/infer.py): profile four orders columns into
     observed type / nullability / bounds / capped enum — the combiner-first
@@ -1391,6 +1417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_orders_join": q_lineitem_orders_join,
         "orders_customer_outer": q_orders_customer_outer,
         "orders_infer": q_orders_infer,
+        "embeddings_decontaminate": q_embeddings_decontaminate,
         "documents_stratified": q_documents_stratified,
         "documents_tfidf": q_documents_tfidf,
         "embedding_centroids": q_embedding_centroids,
@@ -1648,6 +1675,16 @@ def oracle_sql() -> dict[str, str]:
             "FILTER (WHERE o.o_orderkey IS NULL), 0), 2) AS bal_cust_only "
             "FROM (SELECT * FROM orders WHERE o_orderkey % 64 = 0) o "
             "FULL OUTER JOIN customer c ON o.o_custkey = c.c_custkey"
+        ),
+        # decontamination audit: corpus rows (vec_id % 50 != 0) whose best
+        # cosine against the reference slice (vec_id % 50 = 0) reaches 0.42
+        "embeddings_decontaminate": (
+            "SELECT c.vec_id "
+            "FROM embeddings c, embeddings r "
+            "WHERE c.vec_id % 50 != 0 AND r.vec_id % 50 = 0 "
+            "GROUP BY c.vec_id "
+            "HAVING max(list_cosine_similarity(c.embedding, r.embedding)) "
+            ">= 0.42"
         ),
         # schema inference profile: one row per column; enum only when the
         # distinct set stays under the 16-value cap

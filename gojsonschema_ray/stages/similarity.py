@@ -104,6 +104,72 @@ def ann_brute_force(ds, embedding_column: str, id_column: str,
     return pd.DataFrame(rows)
 
 
+class _DecontaminateStage:
+    """map_batches payload: drop (or keep only) rows whose cosine vs ANY
+    broadcast reference row reaches the threshold."""
+
+    def __init__(self, ref, embedding_column: str, threshold: float,
+                 mode: str):
+        self.ref = ref
+        self.embedding_column = embedding_column
+        self.threshold = threshold
+        self.mode = mode
+        self._r = None
+
+    def _reference(self) -> np.ndarray:
+        if self._r is None:
+            import ray
+
+            r = self.ref
+            self._r = ray.get(r) if hasattr(r, "hex") else r
+        return self._r
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch if self.mode == "keep" \
+                else batch.append_column("top_cos",
+                                         pa.array([], pa.float64()))
+        R = self._reference()  # (r, d) normalized
+        emb = _normalize(list_column_to_matrix(batch[self.embedding_column]))
+        top = (emb @ R.T).max(axis=1)
+        hit = top >= self.threshold
+        if self.mode == "keep":
+            return batch.filter(pa.array(~hit))
+        return batch.filter(pa.array(hit)) \
+            .append_column("top_cos", pa.array(top[hit], pa.float64()))
+
+
+def decontaminate_cosine(corpus, reference, *, embedding_column: str = "embedding",
+                         threshold: float = 0.95, mode: str = "keep"):
+    """Cross-corpus DECONTAMINATION: remove corpus rows near-identical (by
+    cosine) to any row of a reference set — the "drop training documents
+    that match the eval set" staple of LLM data pipelines, here over the
+    embedding column.
+
+    The reference is the SMALL side: collected once, L2-normalized,
+    `ray.put`-broadcast; every corpus batch does ONE numpy matmul against
+    it and filters locally — no shuffle, the corpus streams. Partitioning
+    assumption (documented): the reference matrix fits the object store
+    (eval sets are thousands-to-millions of rows; for a reference too big
+    to broadcast, fall back to the LSH-bucketed embedding_near_duplicates
+    path). `mode="keep"` returns the clean corpus; `mode="removed"`
+    returns the contaminated rows with their best reference cosine
+    (`top_cos`) for audit."""
+    import ray
+
+    if mode not in ("keep", "removed"):
+        raise ValueError(f"decontaminate_cosine: mode={mode!r}")
+    if isinstance(reference, np.ndarray):
+        R = np.asarray(reference, dtype=np.float64)
+    else:
+        rt = reference.to_pandas()
+        R = np.stack(rt[embedding_column].to_numpy()).astype(np.float64)
+    ref = ray.put(_normalize(R))
+    return corpus.map_batches(
+        _DecontaminateStage(ref, embedding_column, threshold, mode),
+        batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # IVF
 # ---------------------------------------------------------------------------

@@ -904,6 +904,34 @@ def test_hash_join_shuffle_key_dtype_mismatch_raises(ray_session):
         hash_join_shuffle(left, right, on="k")
 
 
+def test_decontaminate_cosine_injected(ray_session):
+    """Eval-set decontamination at a realistic threshold (0.95): corpus
+    copies of reference vectors (plus tiny noise) are removed, diffuse
+    rows survive, and mode="removed" carries the audit cosine."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.similarity import decontaminate_cosine
+    from gojsonschema_ray.util import collect_rows
+
+    rng = np.random.default_rng(11)
+    ref = rng.standard_normal((20, 16))
+    clean = rng.standard_normal((100, 16))
+    dirty = ref[[3, 7, 12]] + 0.01 * rng.standard_normal((3, 16))
+    corpus = pd.DataFrame({
+        "vec_id": range(103),
+        "embedding": [list(v) for v in np.vstack([clean, dirty])],
+    })
+    ds = rd.from_pandas(corpus).repartition(4)
+    kept = decontaminate_cosine(ds, ref, threshold=0.95, mode="keep")
+    kept_ids = sorted(r["vec_id"] for r in collect_rows(kept))
+    assert kept_ids == list(range(100))  # the 3 injected copies are gone
+    removed = collect_rows(decontaminate_cosine(ds, ref, threshold=0.95,
+                                                mode="removed"))
+    assert sorted(r["vec_id"] for r in removed) == [100, 101, 102]
+    assert all(r["top_cos"] >= 0.95 for r in removed)
+
+
 def test_infer_roundtrip_zero_violations(ray_session):
     """infer → compile → validate over the profiled table yields zero
     violations by construction (stages/infer.py docstring contract)."""
