@@ -42,8 +42,8 @@ PARTIAL_SCHEMA = pa.schema([
 
 def _jtype(t: pa.DataType) -> tuple[str | None, str | None]:
     """Arrow type → (JSON-schema type, format) per the engine's data model
-    (SURVEY.md §1.2: integers ⊂ numbers, timestamps ride as date-time
-    strings, binary columns are opaque)."""
+    (SURVEY.md §1.2: integers ⊂ numbers; timestamps and binary columns are
+    opaque scalars — profiled for nullability only)."""
     if pa.types.is_boolean(t):
         return "boolean", None
     if pa.types.is_integer(t):
@@ -51,7 +51,11 @@ def _jtype(t: pa.DataType) -> tuple[str | None, str | None]:
     if pa.types.is_floating(t) or pa.types.is_decimal(t):
         return "number", None
     if pa.types.is_timestamp(t) or pa.types.is_date(t):
-        return "string", "date-time"
+        # the vectorized engine treats temporal columns as OPAQUE scalars
+        # (stages/validate.py:94) — they match no JSON type, so the
+        # inferred rule must not constrain one (profile still records
+        # nullability for `required`)
+        return None, "date-time"
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         return "string", None
     if pa.types.is_list(t) or pa.types.is_large_list(t) \

@@ -941,11 +941,13 @@ def test_infer_roundtrip_zero_violations(ray_session):
     from gojsonschema_ray.stages.infer import infer_ruleset
     from gojsonschema_ray.stages.validate import TableValidator
 
-    cols = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority",
+            "o_orderdate"]  # timestamp: opaque scalar, profiled nullability-only
     ds = rd.read_parquet("/root/testdata/sf0.001/orders.parquet", columns=cols)
     rs = infer_ruleset(ds, cols)
     assert rs["required"] == cols
     assert rs["properties"]["o_orderstatus"]["enum"]
+    assert "type" not in rs["properties"]["o_orderdate"]
     tv = TableValidator(compile_schema(rs), key_column="o_orderkey",
                         mode="violations")
     assert ds.map_batches(tv, batch_format="pyarrow").count() == 0
