@@ -568,16 +568,29 @@ class AudioFeatureStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["clip_id"].to_pylist()
-        blobs = batch["bytes"].to_pylist()
         srs = batch["sr_hz"].to_pylist()
         codecs = batch["codec"].to_pylist()
+        views = binary_column_views(batch["bytes"])
+        blobs = batch["bytes"].to_pylist() if views is None else None
         rows = []
-        for cid, blob, sr, codec in zip(ids, blobs, srs, codecs):
+        for i, (cid, sr, codec) in enumerate(zip(ids, srs, codecs)):
             dec = self.decoders.get(codec)
+            null = views[2][i] if views is not None else blobs[i] is None
             feat = None
-            if dec is not None and blob is not None:
+            if dec is not None and not null:
                 try:
-                    pcm, file_sr = dec(blob, sr)
+                    if views is not None:
+                        seg = views[1][int(views[0][i]):int(views[0][i + 1])]
+                        if codec == "wav":
+                            pcm, file_sr = wav_payload_view(seg)
+                        elif codec == "pcm_s16le":
+                            if len(seg) % 2:
+                                raise ValueError("odd byte count")
+                            pcm, file_sr = _i16_view(seg, 0, len(seg)), sr
+                        else:
+                            pcm, file_sr = dec(seg.tobytes(), sr)
+                    else:
+                        pcm, file_sr = dec(blobs[i], sr)
                     feat = pcm_features(pcm, int(file_sr or sr))
                 except Exception:  # noqa: BLE001 — any decode failure → row
                     feat = None
