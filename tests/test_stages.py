@@ -75,6 +75,51 @@ def test_snr_catches_corrupted_pcm():
     assert best_fit_sine_snr(rng_free_noise, sr) < 30
 
 
+def test_wav_payload_view_edges():
+    """Zero-copy RIFF parser edge cases mirror the stdlib-wave semantics the
+    checker's violation branches rely on: stereo/8-bit → ValueError
+    (decode), truncated data → short view (pcm_length path), odd surviving
+    byte → ValueError, garbage header → ValueError; odd payload offsets
+    still produce correct samples (alignment fallback)."""
+    import io
+    import wave
+
+    from gojsonschema_ray.stages.audio import wav_payload_view
+
+    def make_wav(pcm: np.ndarray, sr=16000, ch=1, width=2) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(ch)
+            w.setsampwidth(width)
+            w.setframerate(sr)
+            w.writeframes(pcm.tobytes())
+        return buf.getvalue()
+
+    pcm = (np.arange(100, dtype=np.int16) - 50)
+    blob = make_wav(pcm)
+    got, sr = wav_payload_view(np.frombuffer(blob, np.uint8))
+    assert sr == 16000 and np.array_equal(got, pcm)
+
+    # odd start offset inside a larger buffer → copy fallback, same values
+    padded = b"\x00" + blob
+    got2, _ = wav_payload_view(np.frombuffer(padded, np.uint8)[1:])
+    assert np.array_equal(got2, pcm)
+
+    with pytest.raises(ValueError):  # stereo
+        wav_payload_view(np.frombuffer(make_wav(pcm, ch=2), np.uint8))
+    with pytest.raises(ValueError):  # 8-bit
+        wav_payload_view(np.frombuffer(
+            make_wav(pcm.astype(np.uint8), width=1), np.uint8))
+    with pytest.raises(ValueError):  # garbage header
+        wav_payload_view(np.frombuffer(b"nonsense" * 10, np.uint8))
+    # truncated data chunk: even survivor → short view; odd → raises
+    even_cut = np.frombuffer(blob[:44 + 10], np.uint8)
+    got3, _ = wav_payload_view(even_cut)
+    assert np.array_equal(got3, pcm[:5])
+    with pytest.raises(ValueError):
+        wav_payload_view(np.frombuffer(blob[:44 + 9], np.uint8))
+
+
 def test_snr_batch_matches_scalar():
     """The batched SNR kernel agrees with the scalar one clip-by-clip:
     identical verdicts at the 30 dB threshold and tight dB agreement below
