@@ -1203,12 +1203,25 @@ def q_ivf_top5(sf_dir: str) -> pd.DataFrame:
     from gojsonschema_ray.stages.similarity import IVFIndex
     from gojsonschema_ray.util import collect_rows
 
+    import shutil
+    import tempfile
+
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     hits = collect_rows(ds.map_batches(
         lambda t: t.filter(pc.equal(t["vec_id"], 0)), batch_format="pyarrow"))
     q0 = np.asarray(hits[0]["embedding"], dtype=np.float64)[None, :]
     idx = IVFIndex.train(ds, "embedding", n_centroids=16, iters=5)
-    df = idx.search(ds, "embedding", "vec_id", q0, k=5, nprobe=16)
+    # persisted-lists path (VERDICT r3 #2): assignment materialized ONCE as
+    # ivf_list-partitioned parquet; search reads only probed partitions
+    # (= all 16 here, so the DuckDB top-5 oracle stays a hard check; the
+    # reads-a-subset property is asserted in tests/test_functions.py)
+    out_dir = tempfile.mkdtemp(prefix="ivf_lists_", dir="/tmp")
+    try:
+        idx.build_lists(ds, "embedding", out_dir)
+        df = idx.search_built(out_dir, "embedding", "vec_id", q0,
+                              k=5, nprobe=16)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
     df["cosine"] = df["cosine"].round(6)
     return df[["vec_id", "cosine"]].reset_index(drop=True)
 

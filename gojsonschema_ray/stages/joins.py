@@ -70,12 +70,15 @@ class _AsofProbe:
         if self.by is None:
             groups = {None: np.arange(n)}
         else:
-            keys = batch[self.by].to_pylist()
-            groups = {}
-            for i, k in enumerate(keys):
-                groups.setdefault(k, []).append(i)
-            groups = {k: np.asarray(v) for k, v in groups.items()}
+            import pandas as pd
+
+            # C-level key->positions grouping (the asof_join_bucketed
+            # trick) instead of a per-row Python loop on the streaming side
+            groups = pd.DataFrame({"k": batch[self.by].to_pandas()}) \
+                .groupby("k", sort=False, dropna=False).indices
         for k, idx in groups.items():
+            if isinstance(k, float) and np.isnan(k):
+                k = None  # pandas groups null keys under nan; right packs None
             side = right.get(k)
             if side is None:
                 continue
@@ -379,15 +382,14 @@ def asof_join_bucketed(left, right, *, left_on: str, right_on: str,
 # ---------------------------------------------------------------------------
 # general equi-joins (broadcast small-side / co-partitioned shuffle)
 # ---------------------------------------------------------------------------
-def _drop_null_keys_pd(df, on: str):
-    return df[df[on].notna()]
-
-
 class _BroadcastJoinProbe:
-    """map_batches payload: per-batch vectorized pandas merge against the
-    broadcast right side. SQL NULL semantics: null keys never match (pandas
-    merge would equate NaN keys, so null-key rows are split off and, for a
-    left join, re-appended unmatched)."""
+    """map_batches payload: Arrow-native probe against the broadcast right
+    side. Only the KEY column round-trips through pandas (for the C-level
+    merge that yields left/right row indices); every payload column — left
+    and right — is assembled with zero-copy-ish `Table.take`, so wide
+    untouched columns are never converted. SQL NULL semantics: null keys
+    never match (null-key left rows re-appended unmatched for how="left",
+    with typed-null right columns)."""
 
     def __init__(self, right_ref, on: str, how: str):
         self.right_ref = right_ref
@@ -406,15 +408,24 @@ class _BroadcastJoinProbe:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pandas as pd
 
-        right = self._right()
-        df = batch.to_pandas()
-        ok = df[self.on].notna()
-        matched = df[ok].merge(right, on=self.on, how=self.how,
-                               suffixes=("", "_r"))
+        r_keys, r_tbl = self._right()  # key frame (on, __ri) / value columns
+        kdf = pd.DataFrame({self.on: batch[self.on].to_pandas(),
+                            "__li": np.arange(batch.num_rows, dtype=np.int64)})
+        ok = kdf[self.on].notna()
+        m = kdf[ok].merge(r_keys, on=self.on, how=self.how)
+        li = m["__li"].to_numpy(np.int64)
+        ri = m["__ri"].to_numpy(np.float64)  # NaN = unmatched (left join)
         if self.how == "left" and (~ok).any():
-            nulls = df[~ok].reindex(columns=matched.columns)
-            matched = pd.concat([matched, nulls], ignore_index=True)
-        return pa.Table.from_pandas(matched, preserve_index=False)
+            li = np.concatenate([li, kdf.loc[~ok, "__li"].to_numpy(np.int64)])
+            ri = np.concatenate([ri, np.full((~ok).sum(), np.nan)])
+        left_part = batch.take(pa.array(li, pa.int64()))
+        miss = np.isnan(ri)
+        ri_arr = pa.array(np.where(miss, 0, ri).astype(np.int64), mask=miss)
+        right_part = r_tbl.take(ri_arr)  # null index -> typed-null row
+        cols = {name: left_part[name] for name in left_part.column_names}
+        for name in right_part.column_names:
+            cols[name] = right_part[name]
+        return pa.table(cols)
 
 
 def hash_join_broadcast(left, right, *, on: str, how: str = "inner",
@@ -432,11 +443,16 @@ def hash_join_broadcast(left, right, *, on: str, how: str = "inner",
     if how not in ("inner", "left"):
         raise ValueError(f"hash_join_broadcast: how={how!r}")
     rt = collect_table(right)
-    rdf = rt.to_pandas()
     if right_columns is not None:
-        rdf = rdf[[on, *right_columns]]
-    rdf = _drop_null_keys_pd(rdf, on)
-    ref = ray.put(rdf)
+        rt = rt.select([on, *right_columns])
+    rt = rt.filter(pc.is_valid(rt[on]))
+    l_names = set(left.schema().names)
+    val_names = [c for c in rt.column_names if c != on]
+    r_tbl = rt.select(val_names).rename_columns(
+        [f"{c}_r" if c in l_names else c for c in val_names])
+    r_keys = rt.select([on]).to_pandas()
+    r_keys["__ri"] = np.arange(rt.num_rows, dtype=np.int64)
+    ref = ray.put((r_keys, r_tbl))
     return left.map_batches(_BroadcastJoinProbe(ref, on, how),
                             batch_format="pyarrow")
 
@@ -444,7 +460,9 @@ def hash_join_broadcast(left, right, *, on: str, how: str = "inner",
 def hash_join_shuffle(left, right, *, on: str, how: str = "inner",
                       left_columns: list[str] | None = None,
                       right_columns: list[str] | None = None,
-                      n_parts: int | None = None):
+                      n_parts: int | None = None,
+                      salt_buckets: int = 8,
+                      hot_keys: set | None = None):
     """Equi-join of two LARGE sides: each side projected + tagged in one
     map_batches pass, co-partitioned on hash(key) % P in ONE exchange per
     side (the union shares a single repartition), then a vectorized pandas
@@ -452,21 +470,39 @@ def hash_join_shuffle(left, right, *, on: str, how: str = "inner",
     "semi" | "anti" (semi/anti return left rows with a match / with no
     match — deduplicated probe side, no fan-out).
 
-    Partitioning assumption (documented): one key's rows fit a partition —
-    keys, not the corpus, bound the cell. Null keys never match; for
-    how="left"/"full"/"anti" null-key left rows are preserved/returned and
-    for how="right"/"full" null-key right rows are preserved (SQL OUTER
-    semantics). Output columns: `left_columns` + right `right_columns`
-    (suffixed `_r` on collision). The key must share a name on both sides
-    (rename upstream)."""
+    Skew: for how in ("inner","left","semi","anti") the left (probe) side
+    is sampled for hot keys (`uniqueness.top_hot_keys`, or pass `hot_keys`
+    explicitly; `hot_keys=set()` disables). Hot-key probe rows spread over
+    `salt_buckets` sub-partitions and the matching build rows are
+    REPLICATED into each — the classic salted join, so a sentinel/
+    boilerplate FK at 30% of the fact table no longer pins one partition.
+    how="right"/"full" stay unsalted (a replicated build row that goes
+    unmatched in one sub-bucket would emit spurious OUTER rows; documented
+    limitation — pre-filter sentinel keys upstream for skewed full joins).
+
+    Partitioning assumption (documented): one NON-HOT key's rows fit a
+    partition — keys, not the corpus, bound the cell. Null keys never
+    match; for how="left"/"full"/"anti" null-key left rows are
+    preserved/returned and for how="right"/"full" null-key right rows are
+    preserved (SQL OUTER semantics). Output columns: `left_columns` +
+    right `right_columns` (suffixed `_r` on collision). The key must share
+    a name on both sides (rename upstream)."""
     import pandas as pd
 
     from .dedup import _next_pow2, _shuffle_parts
     from .sketches import hash_arrow_array
+    from .uniqueness import top_hot_keys
 
     if how not in ("inner", "left", "right", "full", "semi", "anti"):
         raise ValueError(f"hash_join_shuffle: how={how!r}")
     P = _next_pow2(n_parts or _shuffle_parts())
+    S = np.uint64(max(1, salt_buckets))
+    _GOLD = np.uint64(0x9E3779B97F4A7C15)
+    if how in ("inner", "left", "semi", "anti"):
+        hot = top_hot_keys(left, on) if hot_keys is None else set(hot_keys)
+    else:
+        hot = set()
+    hot.discard(None)  # null keys never match — no need to salt them
     lcols = left_columns or [c for c in left.schema().names if c != on]
     rcols = right_columns or [c for c in right.schema().names if c != on]
     if how in ("semi", "anti"):
@@ -489,13 +525,38 @@ def hash_join_shuffle(left, right, *, on: str, how: str = "inner",
             f"hash_join_shuffle: key {on!r} differs in type across sides "
             f"(left={l_key_type}, right={r_key_type}) — cast one side first")
 
+    hot_arr = pa.array(list(hot), type=l_key_type) if hot else None
+
+    def _hot_mask(key_col) -> np.ndarray | None:
+        if hot_arr is None:
+            return None
+        m = pc.fill_null(pc.is_in(key_col, value_set=hot_arr), False) \
+            .to_numpy(zero_copy_only=False)
+        return m if m.any() else None
+
+    def _parts(key_col, salt: np.ndarray | None) -> pa.Array:
+        h = hash_arrow_array(key_col)
+        if salt is not None:
+            h = h ^ (salt * _GOLD)
+        return pa.array((h % np.uint64(P)).astype(np.int32))
+
     # both union branches emit IDENTICAL column order/types:
-    # part, kind, key, lcols..., rcols_out...
+    # part, kind, _salt, key, lcols..., rcols_out...
+    # _salt joins the merge key: two salt sub-buckets of one hot key can
+    # collide mod P, and merging on the key alone would then match a left
+    # row against SEVERAL replicas of the same build row (duplicates)
     def left_rows(t: pa.Table) -> pa.Table:
-        part = (hash_arrow_array(t[on]) % np.uint64(P)).astype(np.int32)
         n = t.num_rows
-        cols = {"part": pa.array(part),
-                "kind": pa.array(np.zeros(n, np.int8)), on: t[on]}
+        hotm = _hot_mask(t[on])
+        salt = None
+        if hotm is not None:  # spread hot probe rows over S sub-buckets
+            salt = np.where(hotm, np.arange(n, dtype=np.uint64) % S,
+                            np.uint64(0))
+        cols = {"part": _parts(t[on], salt),
+                "kind": pa.array(np.zeros(n, np.int8)),
+                "_salt": pa.array(np.zeros(n, np.int8) if salt is None
+                                  else salt.astype(np.int8)),
+                on: t[on]}
         for c in lcols:
             cols[c] = t[c]
         for name in rcols_out:
@@ -503,38 +564,59 @@ def hash_join_shuffle(left, right, *, on: str, how: str = "inner",
         return pa.table(cols)
 
     def right_rows(t: pa.Table) -> pa.Table:
-        part = (hash_arrow_array(t[on]) % np.uint64(P)).astype(np.int32)
         n = t.num_rows
-        cols = {"part": pa.array(part),
-                "kind": pa.array(np.ones(n, np.int8)), on: t[on]}
+        cols = {"part": _parts(t[on], None),
+                "kind": pa.array(np.ones(n, np.int8)),
+                "_salt": pa.array(np.zeros(n, np.int8)), on: t[on]}
         for c in lcols:
             cols[c] = pa.nulls(n, _as_arrow_type(l_types[c]))
         for c, name in zip(rcols, rcols_out):
             cols[name] = t[c]
-        return pa.table(cols)
+        base = pa.table(cols)
+        hotm = _hot_mask(t[on])
+        if hotm is None or int(S) <= 1:
+            return base
+        # replicate hot build rows into every salt sub-bucket (salt 0 is
+        # the base copy: h ^ 0*GOLD == h)
+        hot_rows = base.filter(pa.array(hotm))
+        part_i = base.schema.get_field_index("part")
+        salt_i = base.schema.get_field_index("_salt")
+        reps = [base]
+        for s in range(1, int(S)):
+            salt = np.full(hot_rows.num_rows, s, dtype=np.uint64)
+            rep = hot_rows.set_column(
+                part_i, "part", _parts(hot_rows[on], salt))
+            rep = rep.set_column(salt_i, "_salt",
+                                 pa.array(salt.astype(np.int8)))
+            reps.append(rep)
+        return pa.concat_tables(reps)
+
+    jk = [on, "_salt"]
 
     def per_part(df: pd.DataFrame) -> pd.DataFrame:
         lt = df[df["kind"] == 0]
         rt = df[df["kind"] == 1]
-        ldf = lt[[on, *lcols]]
+        ldf = lt[[*jk, *lcols]]
         ok = ldf[on].notna()
         if how in ("semi", "anti"):
-            keys = set(rt.loc[rt[on].notna(), on].to_numpy())
-            hit = ldf[on].isin(keys) & ok
-            return ldf[hit] if how == "semi" else ldf[~hit]
+            rkeys = rt.loc[rt[on].notna(), jk].drop_duplicates()
+            m = ldf[jk].merge(rkeys.assign(_hit=1), on=jk, how="left")
+            hit = m["_hit"].notna().to_numpy() & ok.to_numpy()
+            out = ldf[hit] if how == "semi" else ldf[~hit]
+            return out.drop(columns=["_salt"])
         r_ok = rt[on].notna()
-        rdf = rt.loc[r_ok, [on, *rcols_out]]
+        rdf = rt.loc[r_ok, [*jk, *rcols_out]]
         pd_how = {"inner": "inner", "left": "left",
                   "right": "right", "full": "outer"}[how]
-        out = ldf[ok].merge(rdf, on=on, how=pd_how)
+        out = ldf[ok].merge(rdf, on=jk, how=pd_how)
         if how in ("left", "full") and (~ok).any():
             out = pd.concat([out, ldf[~ok].reindex(columns=out.columns)],
                             ignore_index=True)
         if how in ("right", "full") and (~r_ok).any():
             out = pd.concat(
-                [out, rt.loc[~r_ok, [on, *rcols_out]]
+                [out, rt.loc[~r_ok, [*jk, *rcols_out]]
                  .reindex(columns=out.columns)], ignore_index=True)
-        return out
+        return out.drop(columns=["_salt"])
 
     u = left.map_batches(left_rows, batch_format="pyarrow").union(
         right.map_batches(right_rows, batch_format="pyarrow")) \

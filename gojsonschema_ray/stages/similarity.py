@@ -12,8 +12,6 @@
 
 from __future__ import annotations
 
-import heapq
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -87,21 +85,25 @@ def ann_brute_force(ds, embedding_column: str, id_column: str,
                             id_column=id_column, queries_ref=ref, k=k),
         batch_format="pyarrow",
     )
-    # merge block-local top-k on the driver: nq heaps of size k
-    heaps: dict[int, list] = {}
+    # merge block-local top-k on the driver: ONE vectorized pass (concat
+    # the blocks x k partials, sort, head(k) per query) — no per-candidate
+    # Python loop, so the merge stays flat as block counts grow 100x
+    qs_l, ids_l, ss_l = [], [], []
     for b in partials.iter_batches(batch_format="pyarrow"):
-        for qi, vid, s in zip(b["query"].to_pylist(), b[id_column].to_pylist(),
-                              b["cosine"].to_pylist()):
-            h = heaps.setdefault(qi, [])
-            if len(h) < k:
-                heapq.heappush(h, (s, vid))
-            elif s > h[0][0]:
-                heapq.heapreplace(h, (s, vid))
-    rows = []
-    for qi in sorted(heaps):
-        for s, vid in sorted(heaps[qi], reverse=True):
-            rows.append({"query": qi, id_column: vid, "cosine": s})
-    return pd.DataFrame(rows)
+        if b.num_rows == 0:
+            continue
+        qs_l.append(b["query"].to_numpy(zero_copy_only=False))
+        ids_l.append(b[id_column].to_numpy(zero_copy_only=False))
+        ss_l.append(b["cosine"].to_numpy(zero_copy_only=False))
+    if not qs_l:
+        return pd.DataFrame(columns=["query", id_column, "cosine"])
+    df = pd.DataFrame({"query": np.concatenate(qs_l),
+                       id_column: np.concatenate(ids_l),
+                       "cosine": np.concatenate(ss_l)})
+    # ties broken by larger id, matching the previous (score, id) heap order
+    df = df.sort_values(["query", "cosine", id_column],
+                        ascending=[True, False, False], kind="stable")
+    return df.groupby("query", sort=True).head(k).reset_index(drop=True)
 
 
 class _DecontaminateStage:
@@ -235,19 +237,56 @@ class IVFIndex:
 
         return assign
 
-    def search(self, ds, embedding_column: str, id_column: str,
-               queries: np.ndarray, k: int = 10, nprobe: int = 4) -> pd.DataFrame:
-        """Probe only batches' rows belonging to the nprobe nearest lists."""
+    def probed_lists(self, queries: np.ndarray, nprobe: int) -> np.ndarray:
+        """Distinct inverted-list ids the query set probes (union over
+        queries of each query's `nprobe` nearest centroids)."""
+        qn = _normalize(np.asarray(queries, dtype=np.float64))
+        probe = np.argsort(-(qn @ self.centroids.T), axis=1)[:, :nprobe]
+        return np.unique(probe)
+
+    def build_lists(self, ds, embedding_column: str, out_dir: str) -> str:
+        """Materialize the inverted-list assignment ONCE: Parquet
+        partitioned by `ivf_list` (hive layout, one directory per list).
+
+        This is the scale half of the index that `search()` alone lacks
+        (it re-assigns the corpus per call, pruning compute but not I/O):
+        build once, then `search_built()` opens ONLY the probed lists'
+        files — at 100 TB a 4-of-64-list probe reads ~6% of the bytes.
+        Pairs with save()/load() of the centroids for
+        compile-once-search-many across jobs."""
+        assigned = ds.map_batches(self.assign_stage(embedding_column),
+                                  batch_format="pyarrow")
+        assigned.write_parquet(out_dir, partition_cols=["ivf_list"])
+        return out_dir
+
+    def search_built(self, out_dir: str, embedding_column: str,
+                     id_column: str, queries: np.ndarray, k: int = 10,
+                     nprobe: int = 4) -> pd.DataFrame:
+        """Top-k over a `build_lists()` directory, reading ONLY the probed
+        partitions (partition pruning at the read — I/O, not just compute)."""
+        import os
+
         import ray
 
         qn = _normalize(np.asarray(queries, dtype=np.float64))
-        probe = np.argsort(-(qn @ self.centroids.T), axis=1)[:, :nprobe]
-        wanted = np.unique(probe)
-        wanted_set = pa.array(wanted.astype(np.int32))
+        wanted = self.probed_lists(qn, nprobe)
+        paths = [os.path.join(out_dir, f"ivf_list={int(l)}") for l in wanted]
+        paths = [p for p in paths if os.path.isdir(p)]  # empty lists: no dir
+        if not paths:
+            return pd.DataFrame(columns=["query", id_column, "cosine"])
+        ds = ray.data.read_parquet(paths, columns=[id_column, embedding_column])
+        return ann_brute_force(ds, embedding_column, id_column, qn, k)
+
+    def search(self, ds, embedding_column: str, id_column: str,
+               queries: np.ndarray, k: int = 10, nprobe: int = 4) -> pd.DataFrame:
+        """One-shot probe over an in-memory/lazy Dataset: assigns, filters
+        to the nprobe nearest lists, brute-forces the survivors. Prunes
+        COMPUTE only — every input block is still read; for repeated
+        searches over stored data use build_lists() + search_built()."""
+        wanted_set = pa.array(self.probed_lists(queries, nprobe).astype(np.int32))
+        qn = _normalize(np.asarray(queries, dtype=np.float64))
         assigned = ds.map_batches(self.assign_stage(embedding_column),
                                   batch_format="pyarrow")
-        import pyarrow.compute as pc
-
         filtered = assigned.map_batches(
             lambda t: t.filter(pc.is_in(t["ivf_list"], value_set=wanted_set)),
             batch_format="pyarrow",

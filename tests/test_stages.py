@@ -937,6 +937,54 @@ def test_hash_join_shuffle_matches_duckdb_shape(ray_session):
     assert out.count() == li.count()
 
 
+@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+def test_hash_join_shuffle_hot_key_salting(ray_session, how):
+    """Skewed fact-fact join (one key = 30% of left rows): salting keeps
+    every partition's share bounded while the result stays exactly the SQL
+    merge (salt sub-buckets colliding mod P must not duplicate matches)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.joins import hash_join_shuffle
+    from gojsonschema_ray.stages.sketches import hash_arrow_array
+    from gojsonschema_ray.util import collect_rows
+
+    n = 3000
+    rng = np.random.default_rng(11)
+    keys = rng.integers(0, 500, size=n).astype(np.int64)
+    keys[rng.choice(n, size=n // 3, replace=False)] = 999  # the hot FK
+    left = pd.DataFrame({"k": keys, "v": np.arange(n)})
+    # keys 400-499 intentionally absent so left/anti produce rows
+    right = pd.DataFrame({"k": np.arange(400).tolist() + [999],
+                          "rv": np.arange(401) * 10})
+    out = hash_join_shuffle(rd.from_pandas(left).repartition(6),
+                            rd.from_pandas(right).repartition(2),
+                            on="k", how=how, n_parts=8,
+                            hot_keys={999}, salt_buckets=8)
+    got = pd.DataFrame(collect_rows(out))
+    if how in ("semi", "anti"):
+        hit = left["k"].isin(right["k"])
+        exp = left[hit] if how == "semi" else left[~hit]
+        assert sorted(got["v"]) == sorted(exp["v"])
+    else:
+        exp = left.merge(right, on="k", how=how)
+        got = got.sort_values(["v"]).reset_index(drop=True)
+        exp = exp.sort_values(["v"]).reset_index(drop=True)[got.columns]
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    # partition balance: the salted left side spreads the hot key — no
+    # partition holds more than ~2x the fair share (unsalted, the hot
+    # partition would hold >30% + its fair share)
+    P, S = 8, 8
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+    h = hash_arrow_array(pa.array(keys))
+    salt = np.where(keys == 999, np.arange(n, dtype=np.uint64) % np.uint64(S),
+                    np.uint64(0))
+    parts = ((h ^ (salt * GOLD)) % np.uint64(P)).astype(int)
+    share = np.bincount(parts, minlength=P) / n
+    assert share.max() <= 2.0 / P + 0.02, share
+
+
 def test_hash_join_shuffle_key_dtype_mismatch_raises(ray_session):
     import pandas as pd
     import ray.data as rd

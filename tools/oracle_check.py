@@ -2,7 +2,8 @@
 and compare row-sets against its oracle_sql() DuckDB result at sf0.01
 (sorted columns, normalized values — mirrors the driver's hash compare).
 
-Usage: python tools/oracle_check.py  [from the repo root]
+Usage: python tools/oracle_check.py [query-name ...]   [from the repo root]
+(no args = check every queries() entry)
 """
 import os, sys, json, hashlib
 import duckdb, pandas as pd, numpy as np
@@ -47,6 +48,8 @@ def canon(df):
 
 qs = M.queries()
 sqls = M.oracle_sql()
+if len(sys.argv) > 1:
+    qs = {n: f for n, f in qs.items() if n in sys.argv[1:]}
 fails = []
 for name, fn in qs.items():
     try:
