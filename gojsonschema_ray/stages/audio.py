@@ -88,6 +88,9 @@ def wav_payload_view(b: np.ndarray) -> tuple[np.ndarray, int]:
         if tag == b"fmt ":
             if size < 16 or body + 16 > len(b):
                 raise ValueError("bad fmt chunk")
+            fmt_tag = int(b[body]) | int(b[body + 1]) << 8
+            if fmt_tag != 1:  # stdlib wave (3.11) rejects every non-PCM tag
+                raise ValueError("expected PCM format tag")
             ch = int(b[body + 2]) | int(b[body + 3]) << 8
             bits = int(b[body + 14]) | int(b[body + 15]) << 8
             if ch != 1 or bits != 16:
@@ -482,8 +485,11 @@ class AudioInvariantChecker:
         if any(p is not None for p in pcms):
             snrs = best_fit_sine_snr_batch(pcms, snr_srs)
             for i in range(n):
-                if pcms[i] is not None and len(pcms[i]) >= 16 \
-                        and snrs[i] < self.snr_db:
+                # null/zero sr rows can't be SNR-fit (the batch kernel
+                # returns -inf for them) — don't misreport that as a
+                # spurious 'snr' violation; sr_hz schema checks own it
+                if pcms[i] is not None and snr_srs[i] \
+                        and len(pcms[i]) >= 16 and snrs[i] < self.snr_db:
                     out.append((ids[i], "snr", "(root).bytes",
                                 f">= {self.snr_db} dB", f"{snrs[i]:.1f} dB"))
         from .validate import VIOLATION_SCHEMA

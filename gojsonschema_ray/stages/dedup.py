@@ -420,7 +420,11 @@ def unique_pairs(pairs_ds, n_parts: int | None = None):
     partitions, ONE repartition exchange, vectorized pandas drop_duplicates
     per partition (~1 s for the same input). Extra columns (jaccard, hamming,
     cosine) are carried through — duplicate rows of one pair carry identical
-    values, so keeping the first is exact."""
+    values, so keeping the first is exact. The one exception is the `capped`
+    audit flag, which CAN differ across bands (a pair seen in both a capped
+    star-fallback bucket and an uncapped bucket): it's resolved as
+    any(capped) by keeping the capped row first, so coverage detection is
+    deterministic."""
     P = _next_pow2(n_parts or _shuffle_parts())
 
     def add_part(t: pa.Table) -> pa.Table:
@@ -428,6 +432,10 @@ def unique_pairs(pairs_ds, n_parts: int | None = None):
         return t.append_column("part", pa.array(part))
 
     def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        if "capped" in df.columns:
+            # any(capped) per pair: stable sort floats capped=True rows to
+            # the front; other carried columns are identical per pair
+            df = df.sort_values("capped", ascending=False, kind="stable")
         return df.drop_duplicates(subset=["id_a", "id_b"]) \
             .drop(columns=["part"])
 
@@ -1144,3 +1152,55 @@ def near_dup_clusters(pairs_ds, id_a: str = "id_a", id_b: str = "id_b", *,
         })
 
     return grouped.map_batches(finalize, batch_format="pyarrow")
+
+
+class _DropSetFilter:
+    """map_batches payload: anti-filter on a ray.put-broadcast id set."""
+
+    def __init__(self, drop_ref, id_column: str):
+        self.drop_ref = drop_ref
+        self.id_column = id_column
+        self._d = None
+
+    def _drops(self):
+        if self._d is None:
+            import ray
+
+            h = self.drop_ref
+            self._d = ray.get(h) if hasattr(h, "hex") else h
+        return self._d
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        drops = self._drops()
+        if drops is None or len(drops) == 0:
+            return batch
+        hit = pc.fill_null(
+            pc.is_in(batch[self.id_column], value_set=drops), False)
+        return batch.filter(pc.invert(hit))
+
+
+def keep_one_per_cluster(corpus, labels_ds, id_column: str):
+    """End-to-end corpus dedup: keep ONE row per near-dup cluster (the
+    component-min id from `near_dup_clusters`) plus every unclustered row —
+    "dedup the corpus", not just label it.
+
+    Scale shape: the drop set (clustered NON-min ids) is duplicate-count
+    sized — near-duplicates are sparse in a real corpus — so it is
+    collected once, `ray.put`-broadcast, and anti-filtered per batch; the
+    corpus itself STREAMS, no shuffle, composable with column pruning at
+    the read. Partitioning assumption (documented): #duplicates fits the
+    object store; for a pathological corpus that is mostly duplicates,
+    hash-join the labels instead (stages/joins.hash_join_shuffle
+    how="anti")."""
+    import ray
+
+    from ..util import collect_table
+
+    drops_t = collect_table(labels_ds.map_batches(
+        lambda t: t.select(["doc_id"]).filter(
+            pc.not_equal(t["doc_id"], t["cluster_id"])),
+        batch_format="pyarrow"))
+    drop_arr = drops_t["doc_id"].combine_chunks() if drops_t.num_rows else None
+    ref = ray.put(drop_arr)
+    return corpus.map_batches(_DropSetFilter(ref, id_column),
+                              batch_format="pyarrow")

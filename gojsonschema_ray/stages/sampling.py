@@ -37,20 +37,41 @@ MOD = np.uint64(1) << np.uint64(32)
 def hash_bucket_u32(keys: np.ndarray, salt: int = 0) -> np.ndarray:
     """(key + salt) * 2654435761 mod 2^32 as uint64 — the membership hash.
 
-    Keys must be non-negative integers (ids). `salt` decorrelates
-    independent samples over the same key column."""
-    k = keys.astype(np.uint64, copy=False) + np.uint64(salt)
+    Keys must be non-negative integers (ids); NaN (a nullable int column
+    arrives as float64+NaN), non-integral or negative keys raise instead of
+    silently diverging from the documented SQL replica
+    ``(k*2654435761)%4294967296`` — mask nulls BEFORE hashing (as
+    `_band_filter` does). `salt` decorrelates independent samples over the
+    same key column."""
+    k = np.asarray(keys)
+    if k.dtype.kind == "f":
+        if np.isnan(k).any():
+            raise ValueError(
+                "hash_bucket_u32: NaN keys (nulls?) — mask them first")
+        if (k != np.floor(k)).any():
+            raise ValueError(
+                "hash_bucket_u32: non-integer keys break the SQL replica")
+    if k.dtype.kind != "u" and k.size and int(k.min()) < 0:
+        raise ValueError(
+            "hash_bucket_u32: negative keys break the SQL replica "
+            "((k*2654435761)%4294967296) — offset or cast upstream")
+    k = k.astype(np.uint64, copy=False) + np.uint64(salt)
     return (k * KNUTH) & (MOD - np.uint64(1))
 
 
 def _band_filter(batch: pa.Table, column: str, lo: int, hi: int,
                  salt: int) -> pa.Table:
     col = batch[column]
-    keys = np.asarray(col.to_numpy(zero_copy_only=False))
+    has_nulls = (col.null_count if hasattr(col, "null_count") else 0) > 0
+    if has_nulls:  # fill BEFORE hashing: NaN->uint64 is undefined
+        nulls = np.asarray(pc.is_null(col).to_numpy(zero_copy_only=False))
+        keys = np.asarray(pc.fill_null(col, 0).to_numpy(zero_copy_only=False))
+    else:
+        keys = np.asarray(col.to_numpy(zero_copy_only=False))
     h = hash_bucket_u32(keys, salt)
     mask = (h >= np.uint64(lo)) & (h < np.uint64(hi))
-    if col.null_count if hasattr(col, "null_count") else 0:
-        mask &= ~np.asarray(pc.is_null(col).to_numpy(zero_copy_only=False))
+    if has_nulls:
+        mask &= ~nulls
     return batch.filter(pa.array(mask))
 
 

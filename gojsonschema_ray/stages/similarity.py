@@ -270,8 +270,11 @@ class IVFIndex:
 
         qn = _normalize(np.asarray(queries, dtype=np.float64))
         wanted = self.probed_lists(qn, nprobe)
-        paths = [os.path.join(out_dir, f"ivf_list={int(l)}") for l in wanted]
-        paths = [p for p in paths if os.path.isdir(p)]  # empty lists: no dir
+        dirs = [os.path.join(out_dir, f"ivf_list={int(l)}") for l in wanted]
+        # expand to files: read_parquet takes ONE dir or a list of FILES
+        paths = [os.path.join(d, f)
+                 for d in dirs if os.path.isdir(d)  # empty lists: no dir
+                 for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
         if not paths:
             return pd.DataFrame(columns=["query", id_column, "cosine"])
         ds = ray.data.read_parquet(paths, columns=[id_column, embedding_column])
@@ -327,7 +330,10 @@ def group_centroids(ds, key_column: str, embedding_column: str):
                 pc.is_null(emb).to_numpy(zero_copy_only=False))
             dims = np.unique(lengths[valid]) if valid.any() \
                 else np.array([], int)
-            flat = emb.flatten().to_numpy(zero_copy_only=False) \
+            # .values (raw child), NOT .flatten(): flatten compacts away
+            # null slots' extents so raw-offset indices would misalign on
+            # non-canonical ListArrays; values shares the offsets' space
+            flat = emb.values.to_numpy(zero_copy_only=False) \
                 .astype(np.float64)
             starts = emb.offsets.to_numpy(zero_copy_only=False)[:-1]
             for d in dims[dims > 0]:

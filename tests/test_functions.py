@@ -266,6 +266,46 @@ def test_ivf_search(emb_ds):
     assert df.iloc[0]["vec_id"] == 10
 
 
+def test_ivf_built_lists_prune_io(emb_ds, tmp_path):
+    """build_lists + search_built: the persisted-assignment path reads ONLY
+    the probed partitions — rows scanned < corpus (I/O pruning, not just
+    compute pruning), and nprobe=all-lists reproduces brute force exactly."""
+    import os
+
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.similarity import IVFIndex, ann_brute_force
+
+    rows = emb_ds.take_all()
+    q = np.array([rows[10]["embedding"]])
+    idx = IVFIndex.train(emb_ds, "embedding", n_centroids=8, iters=5)
+    out_dir = str(tmp_path / "ivf_lists")
+    idx.build_lists(emb_ds, "embedding", out_dir)
+
+    # one hive directory per non-empty list
+    parts = [d for d in os.listdir(out_dir) if d.startswith("ivf_list=")]
+    assert len(parts) >= 2
+
+    # probed subset covers strictly fewer rows than the corpus
+    wanted = idx.probed_lists(q, nprobe=2)
+    probed_files = [os.path.join(out_dir, f"ivf_list={int(l)}", f)
+                    for l in wanted
+                    if os.path.isdir(os.path.join(out_dir, f"ivf_list={int(l)}"))
+                    for f in os.listdir(os.path.join(out_dir, f"ivf_list={int(l)}"))
+                    if f.endswith(".parquet")]
+    rows_scanned = rd.read_parquet(probed_files).count()
+    assert 0 < rows_scanned < emb_ds.count()
+
+    # pruned search still finds the exact neighbor (query is a corpus row)
+    df = idx.search_built(out_dir, "embedding", "vec_id", q, k=3, nprobe=2)
+    assert df.iloc[0]["vec_id"] == 10
+
+    # all-lists probe == brute force (hash-level agreement on ids)
+    full = idx.search_built(out_dir, "embedding", "vec_id", q, k=5, nprobe=8)
+    bf = ann_brute_force(emb_ds, "embedding", "vec_id", q, k=5)
+    assert full["vec_id"].tolist() == bf["vec_id"].tolist()
+
+
 def test_multimodal_plumbing(ray_session):
     import ray.data as rd
 
@@ -642,6 +682,63 @@ def test_embedding_degenerate_bucket_capped(ray_session):
     assert got == {(0, i) for i in range(1, n)}
     assert all(p["capped"] for p in pairs)
     assert all(abs(p["cosine"] - 1.0) < 1e-9 for p in pairs)
+
+
+def test_unique_pairs_capped_resolves_any(ray_session):
+    """A pair seen in both a capped and an uncapped bucket keeps
+    capped=True deterministically (any-aggregation, not keep-first)."""
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.dedup import unique_pairs
+    from gojsonschema_ray.util import collect_rows
+
+    tab = pa.table({"id_a": [1, 1, 1, 2], "id_b": [2, 2, 2, 3],
+                    "jaccard": [0.9, 0.9, 0.9, 0.8],
+                    "capped": [False, True, False, False]})
+    out = collect_rows(unique_pairs(rd.from_arrow(tab).repartition(3)))
+    d = {(r["id_a"], r["id_b"]): r for r in out}
+    assert len(d) == 2
+    assert d[(1, 2)]["capped"] is True and d[(1, 2)]["jaccard"] == 0.9
+    assert d[(2, 3)]["capped"] is False
+
+
+def test_group_centroids_noncanonical_list(ray_session):
+    """ListArrays whose null slots keep non-empty value extents (legal
+    Arrow): positions come from the raw offsets buffer, so the data must be
+    read from .values (same coordinate space), not flatten()."""
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.similarity import group_centroids
+
+    values = pa.array([1.0, 2.0, 9.0, 9.0, 3.0, 4.0], pa.float64())
+    offsets = pa.array([0, 2, 4, 6], pa.int32())
+    emb = pa.ListArray.from_arrays(offsets, values,
+                                   mask=pa.array([False, True, False]))
+    assert emb.is_null()[1].as_py()  # null slot retains the [9,9] extent
+    tab = pa.table({"k": ["a", "a", "a"], "embedding": emb})
+    df = group_centroids(rd.from_arrow(tab), "k", "embedding")
+    got = df.sort_values("pos")["centroid"].tolist()
+    assert got == [2.0, 3.0]  # mean of [1,2] and [3,4]; [9,9] excluded
+
+
+def test_hash_bucket_u32_fails_loudly(ray_session):
+    """Signed/NaN/fractional keys raise (the SQL-replica contract fails
+    loudly instead of silently diverging); nullable int columns hash with
+    nulls masked BEFORE the cast."""
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.sampling import hash_bucket_u32, hash_sample
+    from gojsonschema_ray.util import collect_rows
+
+    with pytest.raises(ValueError, match="NaN"):
+        hash_bucket_u32(np.array([1.0, np.nan]))
+    with pytest.raises(ValueError, match="negative"):
+        hash_bucket_u32(np.array([3, -1]))
+    with pytest.raises(ValueError, match="non-integer"):
+        hash_bucket_u32(np.array([1.5]))
+    tab = pa.table({"k": pa.array([1, None, 2], pa.int64())})
+    out = collect_rows(hash_sample(rd.from_arrow(tab), "k", 1.0))
+    assert sorted(r["k"] for r in out) == [1, 2]
 
 
 def test_hash_sample_and_split(ray_session):

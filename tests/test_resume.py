@@ -33,6 +33,78 @@ def _spawn(repo, inp, out):
     )
 
 
+# flagship over the FAKE Lance seam (fragment-id partitions, injected
+# readers) — the Lance-deployment shape of SCRIPT above
+LANCE_SCRIPT = r"""
+import os, sys
+sys.path.insert(0, {repo!r})
+import ray
+ray.init(address="local", num_cpus=4, include_dashboard=False,
+         logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+import ray.data as rd
+from types import SimpleNamespace
+from gojsonschema_ray.sources import io
+
+class FakeLanceDataset:
+    def __init__(self, path):
+        self.path = path
+    def get_fragments(self):
+        n = len(os.listdir(os.path.join(self.path, "data")))
+        return [SimpleNamespace(fragment_id=i) for i in range(n)]
+
+io.HAVE_LANCE = True
+io.lance = SimpleNamespace(dataset=FakeLanceDataset)
+_real_read_table = io.read_table
+def _rt(path, columns=None, **kw):
+    if io.is_lance_path(str(path)):
+        return rd.read_parquet(os.path.join(path, "data"), columns=columns)
+    return _real_read_table(path, columns, **kw)
+io.read_table = _rt
+
+def reader(path, fid, columns):
+    import pyarrow.parquet as pq
+    return pq.read_table(
+        os.path.join(path, "data", f"frag-{{fid}}.parquet"), columns=columns)
+def counter(path, fid):
+    import pyarrow.parquet as pq
+    return pq.read_metadata(
+        os.path.join(path, "data", f"frag-{{fid}}.parquet")).num_rows
+
+from gojsonschema_ray.pipelines.flagship import run_flagship
+s = run_flagship({root!r}, {out!r}, files_per_partition=1,
+                 audio_concurrency=2, audio_cap_ms=20,
+                 fragment_reader=reader, fragment_counter=counter)
+print("SUMMARY " + __import__("json").dumps(s))
+ray.shutdown()
+"""
+
+
+def _spawn_lance(repo, root, out):
+    return subprocess.Popen(
+        [sys.executable, "-c",
+         LANCE_SCRIPT.format(repo=repo, root=root, out=out)],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        env={**os.environ, "PYTHONPATH": repo},
+    )
+
+
+def _wait_for_commits(manifest, proc, n, deadline_s=180):
+    """Block until the manifest holds >= n committed lines (or proc dies)."""
+    deadline = time.time() + deadline_s
+    while time.time() < deadline:
+        if os.path.exists(manifest):
+            lines = [ln for ln in open(manifest).read().splitlines()
+                     if ln.strip()]
+            if len(lines) >= n:
+                return lines
+        if proc.poll() is not None:
+            break
+        time.sleep(0.1)
+    return None
+
+
 def test_kill_resume(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     inp = str(tmp_path / "clips")
@@ -116,3 +188,92 @@ def test_cli_gen_and_validate(tmp_path):
     summary = json.loads(r2.stdout.strip().splitlines()[-1])
     assert summary["rows"] == 1500 and summary["partitions"] >= 1
     assert os.path.exists(os.path.join(out, "manifest.jsonl"))
+
+
+def _commit_worker(path, wid, n):
+    """Concurrent-writer child: its own Manifest handle, n commits."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from gojsonschema_ray.state.manifest import Manifest
+
+    m = Manifest(path)
+    for i in range(n):
+        m.commit(f"p{wid}-{i}", [f"fragment:{wid}:{i}"], rows=1, violations=0)
+
+
+def test_manifest_concurrent_commits(tmp_path):
+    """Several processes appending to ONE manifest concurrently (the
+    multi-writer shape of a distributed run): O_APPEND line writes must not
+    tear or interleave — every line parses, every commit survives."""
+    import multiprocessing as mp
+
+    path = str(tmp_path / "manifest.jsonl")
+    ctx = mp.get_context("spawn")  # no inherited Ray state
+    procs = [ctx.Process(target=_commit_worker, args=(path, w, 50))
+             for w in range(6)]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(120)
+        assert p.exitcode == 0
+    lines = [ln for ln in open(path).read().splitlines() if ln.strip()]
+    assert len(lines) == 6 * 50
+    recs = [json.loads(ln) for ln in lines]  # raises on any torn line
+    assert len({r["partition"] for r in recs}) == 6 * 50
+
+    from gojsonschema_ray.state.manifest import Manifest
+
+    assert len(Manifest(path).committed) == 6 * 50
+
+
+def test_lance_multi_kill_resume(tmp_path):
+    """Fragment-partitioned flagship over the fake-Lance seam survives TWO
+    successive SIGKILLs: each resume keeps the committed prefix
+    byte-identical (no recomputation) and the final summary equals an
+    uninterrupted run's."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    from gojsonschema_ray.datagen import write_clips_parquet
+
+    root = str(tmp_path / "clips.lance")
+    staging = str(tmp_path / "staging")
+    write_clips_parquet(staging, 2000, audio_cap_ms=20, rows_per_file=500)
+    os.makedirs(os.path.join(root, "data"))
+    os.makedirs(os.path.join(root, "_versions"))
+    shards = sorted(f for f in os.listdir(staging) if f.endswith(".parquet"))
+    for i, f in enumerate(shards):
+        os.rename(os.path.join(staging, f),
+                  os.path.join(root, "data", f"frag-{i}.parquet"))
+    out = str(tmp_path / "out")
+    manifest = os.path.join(out, "manifest.jsonl")
+
+    # run 1: SIGKILL after the FIRST fragment partition commits
+    p = _spawn_lance(repo, root, out)
+    lines1 = _wait_for_commits(manifest, p, 1)
+    assert lines1 is not None, "no partition committed before timeout"
+    p.send_signal(signal.SIGKILL)
+    p.wait()
+    after1 = [ln for ln in open(manifest).read().splitlines() if ln.strip()]
+
+    # run 2 (first resume): SIGKILL again after at least one MORE commit
+    p2 = _spawn_lance(repo, root, out)
+    lines2 = _wait_for_commits(manifest, p2, len(after1) + 1)
+    assert lines2 is not None, "resume made no progress before timeout"
+    p2.send_signal(signal.SIGKILL)
+    p2.wait()
+    after2 = [ln for ln in open(manifest).read().splitlines() if ln.strip()]
+    assert after2[:len(after1)] == after1  # committed prefix untouched
+
+    # run 3 (second resume): completes; prefix still byte-identical
+    p3 = _spawn_lance(repo, root, out)
+    out3, _ = p3.communicate(timeout=300)
+    assert p3.returncode == 0, out3
+    summary = json.loads([ln for ln in out3.splitlines()
+                          if ln.startswith("SUMMARY ")][0][len("SUMMARY "):])
+    assert summary["rows"] == 2000
+    assert summary["partitions"] == 5  # 4 fragment partitions + __global__
+    final = [ln for ln in open(manifest).read().splitlines() if ln.strip()]
+    assert final[:len(after2)] == after2
+    frag_lines = [json.loads(ln) for ln in final
+                  if json.loads(ln)["partition"] != "__global__"]
+    committed_frags = sorted(f for ln in frag_lines for f in ln["fragments"])
+    assert committed_frags == [f"fragment:{i}" for i in range(4)]

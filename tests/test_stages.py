@@ -64,6 +64,37 @@ def test_audio_checker_golden(clips):
     assert intact not in snr_keys
 
 
+def test_audio_checker_null_sr_no_spurious_snr():
+    """A decodable clip whose sr_hz is null can't be SNR-fit (the batched
+    kernel returns -inf for it) — it must NOT emit an 'snr' violation; a
+    control row with the same noisy payload and a real sr still does."""
+    import io
+    import wave
+
+    rng_free_noise = ((np.arange(8000) * 2654435761 % 65536) - 32768) \
+        .astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(rng_free_noise.tobytes())
+    blob = buf.getvalue()
+    tab = pa.table({
+        "clip_id": ["clip-nullsr", "clip-realsr"],
+        "bytes": pa.array([blob, blob], pa.binary()),
+        "sr_hz": pa.array([None, 16000], pa.int32()),
+        "dur_ms": pa.array([None, None], pa.int32()),
+        "codec": ["wav", "wav"],
+        "transcript": ["", ""],
+    })
+    viol = AudioInvariantChecker(audio_cap_ms=4000)(tab)
+    snr_keys = {k for k, w in zip(viol["key"].to_pylist(),
+                                  viol["keyword"].to_pylist()) if w == "snr"}
+    assert "clip-nullsr" not in snr_keys
+    assert "clip-realsr" in snr_keys
+
+
 def test_snr_catches_corrupted_pcm():
     from gojsonschema_ray.stages.audio import best_fit_sine_snr
 
@@ -112,6 +143,15 @@ def test_wav_payload_view_edges():
             make_wav(pcm.astype(np.uint8), width=1), np.uint8))
     with pytest.raises(ValueError):  # garbage header
         wav_payload_view(np.frombuffer(b"nonsense" * 10, np.uint8))
+    # non-PCM wFormatTag (e.g. WAVE_FORMAT_EXTENSIBLE 0xFFFE): stdlib wave
+    # rejects it, so the zero-copy path must too — same violation keyword
+    # on both decode paths
+    nonpcm = bytearray(blob)
+    nonpcm[20:22] = (0xFFFE).to_bytes(2, "little")
+    with pytest.raises(ValueError):
+        wav_payload_view(np.frombuffer(bytes(nonpcm), np.uint8))
+    with pytest.raises(Exception):  # parity: stdlib wave rejects it as well
+        wave.open(io.BytesIO(bytes(nonpcm)), "rb")
     # truncated data chunk: even survivor → short view; odd → raises
     even_cut = np.frombuffer(blob[:44 + 10], np.uint8)
     got3, _ = wav_payload_view(even_cut)
@@ -702,6 +742,47 @@ def test_near_dup_clusters_chain_across_partitions(ray_session):
     expect = {i: 0 for i in range(20)}
     expect.update({100: 100, 101: 100})
     assert got == expect
+
+
+def test_keep_one_per_cluster(ray_session):
+    """End-to-end corpus dedup: survivors = component-min of each cluster
+    plus every unclustered row; payload columns ride through untouched."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.dedup import (
+        keep_one_per_cluster, near_dup_clusters,
+    )
+    from gojsonschema_ray.util import collect_rows
+
+    pairs = pd.DataFrame({"id_a": [1, 2, 10], "id_b": [2, 3, 11]})
+    labels = near_dup_clusters(rd.from_pandas(pairs), n_parts=4)
+    corpus = pd.DataFrame({"doc_id": list(range(15)),
+                           "payload": [f"p{i}" for i in range(15)]})
+    out = collect_rows(keep_one_per_cluster(
+        rd.from_pandas(corpus).repartition(4), labels, "doc_id"))
+    got = {r["doc_id"]: r["payload"] for r in out}
+    # clusters {1,2,3}->1 and {10,11}->10: drop 2,3,11; keep the rest
+    assert set(got) == set(range(15)) - {2, 3, 11}
+    assert got[1] == "p1" and got[10] == "p10"
+
+
+def test_keep_one_per_cluster_no_dups(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.dedup import (
+        keep_one_per_cluster, near_dup_clusters,
+    )
+    from gojsonschema_ray.util import collect_rows
+
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                          "id_b": pd.Series([], dtype="int64")})
+    labels = near_dup_clusters(rd.from_pandas(empty))
+    corpus = pd.DataFrame({"doc_id": [5, 6], "x": ["a", "b"]})
+    out = collect_rows(keep_one_per_cluster(rd.from_pandas(corpus),
+                                            labels, "doc_id"))
+    assert sorted(r["doc_id"] for r in out) == [5, 6]
 
 
 def test_near_dup_clusters_empty(ray_session):
