@@ -1106,6 +1106,36 @@ def q_minhash_clusters(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_documents_packed(sf_dir: str) -> pd.DataFrame:
+    """Sequence packing (stages/packing.py): distributed prefix scan of
+    whitespace token counts in doc_id order, pack_id = offset // 2048 —
+    the concatenate-and-chunk step that builds fixed-length LLM training
+    sequences. Oracle: SUM() OVER (ORDER BY doc_id ... EXCLUDE CURRENT ROW)
+    with the engine's SQL-parity tokenizer."""
+    from gojsonschema_ray.functions.text import token_count
+    from gojsonschema_ray.stages.packing import pack_sequences
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=8)
+
+    def toks(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_tok": df["text"].map(token_count).astype("int64"),
+        })
+
+    t = ds.map_batches(toks, batch_format="pandas")
+    packed = pack_sequences(t, order_column="doc_id", weight_column="n_tok",
+                            capacity=2048, bucket_width=256)
+    rows = collect_rows(packed)
+    df = pd.DataFrame({
+        "doc_id": pd.Series([r["doc_id"] for r in rows], dtype="int64"),
+        "off": pd.Series([r["offset"] for r in rows], dtype="int64"),
+        "pack_id": pd.Series([r["pack_id"] for r in rows], dtype="int64"),
+    })
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_minhash_dedup_corpus(sf_dir: str) -> pd.DataFrame:
     """The end-to-end "dedup the corpus" story: MinHash+LSH verified pairs
     → connected components → keep_one_per_cluster anti-filter (component-min
@@ -1465,7 +1495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": q_embedding_centroids,
         "events_active_days": q_events_active_days,
         "events_lag_gap": q_events_lag_gap,
-        "lineitem_hash_sample": q_lineitem_hash_sample,
+        "documents_packed": q_documents_packed,
         "documents_tokens": q_documents_tokens,
         "dedup_exact_text": q_dedup_exact_text,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1492,6 +1522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_region_fk": q_nation_region_fk,      # sibling: embeddings_fk
         "events_rolling_avg": q_events_rolling_avg,  # sibling: events_lag_gap
         "top_parts_by_price": q_top_parts_by_price,  # sibling: top2_per_user
+        "lineitem_hash_sample": q_lineitem_hash_sample,  # sibling: stratified
         # ---- rows-only checks (SimHash needs hash-identical tokenized
         # signatures, drift uses t-digest-derived bin edges, flagship and
         # audio features decode audio — none SQL-expressible)
@@ -1863,6 +1894,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, CAST(sum(CASE WHEN trim(text) = '' THEN 0 ELSE "
             "len(string_split_regex(trim(text), '\\s+')) END) "
             "AS BIGINT) AS total_tokens FROM documents GROUP BY lang"
+        ),
+        # exclusive running sum in doc_id order, chunked at capacity 2048
+        "documents_packed": (
+            "WITH t AS (SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 "
+            "ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) "
+            "AS n_tok FROM documents), "
+            "o AS (SELECT doc_id, COALESCE(SUM(n_tok) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off "
+            "FROM t) "
+            "SELECT doc_id, CAST(off AS BIGINT) AS off, "
+            "CAST(off // 2048 AS BIGINT) AS pack_id FROM o"
         ),
         "ann_top5": (
             "SELECT e.vec_id, round(list_cosine_similarity("

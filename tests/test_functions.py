@@ -684,6 +684,57 @@ def test_embedding_degenerate_bucket_capped(ray_session):
     assert all(abs(p["cosine"] - 1.0) < 1e-9 for p in pairs)
 
 
+def test_pack_sequences_matches_serial_scan(ray_session):
+    """Distributed prefix scan == the serial ground truth on shuffled
+    blocks: offsets are exclusive prefix sums in id order and pack_id
+    chunks them at capacity, regardless of block/partition layout."""
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.packing import pack_sequences
+    from gojsonschema_ray.util import collect_rows
+
+    rng = np.random.default_rng(5)
+    n = 5000
+    ids = rng.permutation(n).astype(np.int64)  # scrambled input order
+    w = rng.integers(0, 300, size=n).astype(np.int64)
+    tab = pa.table({"doc_id": ids, "n_tok": w,
+                    "payload": [f"p{i}" for i in ids]})
+    ds = rd.from_arrow(tab).repartition(16)
+    out = collect_rows(pack_sequences(
+        ds, order_column="doc_id", weight_column="n_tok", capacity=1000,
+        bucket_width=137, keep_columns=["payload"]))
+    assert len(out) == n
+    got = {r["doc_id"]: r for r in out}
+    # serial ground truth
+    order = np.argsort(ids, kind="stable")
+    w_sorted = w[order]
+    offs = np.concatenate([[0], np.cumsum(w_sorted)[:-1]])
+    for pos, i in enumerate(order):
+        r = got[int(ids[i])]
+        assert r["offset"] == offs[pos]
+        assert r["pack_id"] == offs[pos] // 1000
+        assert r["payload"] == f"p{ids[i]}"
+
+
+def test_pack_sequences_rejects_bad_keys(ray_session):
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.packing import pack_sequences
+    from gojsonschema_ray.util import collect_rows
+
+    dup = pa.table({"doc_id": [1, 1, 2], "n_tok": [5, 5, 5]})
+    with pytest.raises(Exception, match="duplicate|total"):
+        collect_rows(pack_sequences(rd.from_arrow(dup),
+                                    order_column="doc_id",
+                                    weight_column="n_tok", capacity=10))
+    nulls = pa.table({"doc_id": pa.array([1, None], pa.int64()),
+                      "n_tok": [5, 5]})
+    with pytest.raises(Exception, match="null"):
+        collect_rows(pack_sequences(rd.from_arrow(nulls),
+                                    order_column="doc_id",
+                                    weight_column="n_tok", capacity=10))
+
+
 def test_unique_pairs_capped_resolves_any(ray_session):
     """A pair seen in both a capped and an uncapped bucket keeps
     capped=True deterministically (any-aggregation, not keep-first)."""
