@@ -1106,6 +1106,31 @@ def q_minhash_clusters(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_documents_decontaminate_ngrams(sf_dir: str) -> pd.DataFrame:
+    """N-gram decontamination (GPT-3 recipe, stages/similarity.py): docs
+    0-9 play the eval set, the rest the training corpus; a corpus doc is
+    contaminated when it shares any char 20-gram with the eval set, with
+    the DISTINCT shared-gram count as audit. Oracle: unnest-substr shingle
+    join + count(DISTINCT gram)."""
+    from gojsonschema_ray.stages.similarity import decontaminate_ngrams
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=8)
+    ref = ds.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], 10)), batch_format="pyarrow")
+    corpus = ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["doc_id"], 10)),
+        batch_format="pyarrow")
+    removed = decontaminate_ngrams(corpus, ref, text_column="text",
+                                   id_column="doc_id", k=20, mode="removed")
+    rows = collect_rows(removed)
+    df = pd.DataFrame({
+        "doc_id": pd.Series([r["doc_id"] for r in rows], dtype="int64"),
+        "n_hits": pd.Series([r["n_hits"] for r in rows], dtype="int64"),
+    })
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_documents_packed(sf_dir: str) -> pd.DataFrame:
     """Sequence packing (stages/packing.py): distributed prefix scan of
     whitespace token counts in doc_id order, pack_id = offset // 2048 —
@@ -1499,7 +1524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_tokens": q_documents_tokens,
         "dedup_exact_text": q_dedup_exact_text,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "dup_nchars_groups": q_dup_nchars_groups,
+        "documents_decontaminate_ngrams": q_documents_decontaminate_ngrams,
         "token_counts_by_lang": q_token_counts_by_lang,
         "ann_top5": q_ann_top5,
         "events_props_json": q_events_props_json,
@@ -1523,6 +1548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_avg": q_events_rolling_avg,  # sibling: events_lag_gap
         "top_parts_by_price": q_top_parts_by_price,  # sibling: top2_per_user
         "lineitem_hash_sample": q_lineitem_hash_sample,  # sibling: stratified
+        "dup_nchars_groups": q_dup_nchars_groups,  # sibling: dedup_exact_text
         # ---- rows-only checks (SimHash needs hash-identical tokenized
         # signatures, drift uses t-digest-derived bin edges, flagship and
         # audio features decode audio — none SQL-expressible)
@@ -1894,6 +1920,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, CAST(sum(CASE WHEN trim(text) = '' THEN 0 ELSE "
             "len(string_split_regex(trim(text), '\\s+')) END) "
             "AS BIGINT) AS total_tokens FROM documents GROUP BY lang"
+        ),
+        # char-20-gram shingle join vs the doc_id<10 eval set
+        "documents_decontaminate_ngrams": (
+            "WITH ref AS (SELECT DISTINCT "
+            "unnest(list_transform(generate_series(1, length(text) - 19), "
+            "i -> substr(text, i, 20))) AS g FROM documents WHERE doc_id < 10"
+            "), cg AS (SELECT doc_id, "
+            "unnest(list_transform(generate_series(1, length(text) - 19), "
+            "i -> substr(text, i, 20))) AS g FROM documents WHERE doc_id >= 10) "
+            "SELECT cg.doc_id, CAST(count(DISTINCT cg.g) AS BIGINT) AS n_hits "
+            "FROM cg JOIN ref USING (g) GROUP BY cg.doc_id"
         ),
         # exclusive running sum in doc_id order, chunked at capacity 2048
         "documents_packed": (

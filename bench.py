@@ -135,7 +135,8 @@ def bench_queries(sf_dir: str, passes: int = 3) -> dict:
              "events_window", "events_daily_window", "events_asof_rate",
              "events_asof_bucketed", "top_parts_by_price", "nation_region_fk",
              "ngram_jaccard_pairs", "lineitem_price_bands",
-             "customer_formats", "documents_pii"]
+             "customer_formats", "documents_pii",
+             "documents_packed", "documents_decontaminate_ngrams"]
     qs = M.queries()
     out: dict[str, float] = {}
     for _ in range(passes):

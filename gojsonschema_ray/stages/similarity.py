@@ -172,6 +172,108 @@ def decontaminate_cosine(corpus, reference, *, embedding_column: str = "embeddin
         batch_format="pyarrow")
 
 
+class _NgramDecontaminateStage:
+    """map_batches payload: per-batch char-k-gram overlap vs the broadcast
+    reference gram-hash set. All grams of the batch hash in ONE pass
+    (the minhash signature-stage pattern), membership is one np.isin, and
+    per-doc DISTINCT-hit counts come from a lexsort — no per-doc Python in
+    the hot path."""
+
+    def __init__(self, ref, text_column: str, id_column: str, k: int,
+                 mode: str):
+        self.ref = ref
+        self.text_column = text_column
+        self.id_column = id_column
+        self.k = k
+        self.mode = mode
+        self._r = None
+
+    def _ref_hashes(self) -> np.ndarray:
+        if self._r is None:
+            import ray
+
+            r = self.ref
+            self._r = ray.get(r) if hasattr(r, "hex") else r
+        return self._r
+
+    def _hit_counts(self, texts: list) -> np.ndarray:
+        from .dedup import _hash_strings
+
+        k = self.k
+        grams: list[str] = []
+        seg = np.zeros(len(texts) + 1, dtype=np.int64)
+        for i, t in enumerate(texts):
+            t = t or ""
+            if len(t) >= k:
+                grams.extend(t[j:j + k] for j in range(len(t) - k + 1))
+            seg[i + 1] = len(grams)
+        hits = np.zeros(len(texts), dtype=np.int64)
+        if not grams:
+            return hits
+        h = _hash_strings(grams)
+        doc = np.repeat(np.arange(len(texts)), np.diff(seg))
+        m = np.isin(h, self._ref_hashes())
+        if not m.any():
+            return hits
+        d, hh = doc[m], h[m]
+        order = np.lexsort((hh, d))
+        d, hh = d[order], hh[order]
+        first = np.ones(len(d), dtype=bool)
+        first[1:] = (d[1:] != d[:-1]) | (hh[1:] != hh[:-1])
+        np.add.at(hits, d[first], 1)  # distinct ref-grams hit per doc
+        return hits
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 and self.mode == "removed":
+            return pa.table({self.id_column: batch[self.id_column],
+                             "n_hits": pa.array([], pa.int64())})
+        hits = self._hit_counts(batch[self.text_column].to_pylist())
+        if self.mode == "keep":
+            return batch.filter(pa.array(hits == 0))
+        sel = hits > 0
+        return pa.table({
+            self.id_column: batch[self.id_column].filter(pa.array(sel)),
+            "n_hits": pa.array(hits[sel]),
+        })
+
+
+def decontaminate_ngrams(corpus, reference, *, text_column: str = "text",
+                         id_column: str = "doc_id", k: int = 13,
+                         mode: str = "keep"):
+    """N-GRAM decontamination — the GPT-3/PaLM recipe: drop corpus
+    documents sharing any character k-gram with the eval/reference set
+    (the exact-substring dual of `decontaminate_cosine`; k=13 is the
+    published default).
+
+    The reference is the SMALL side: its distinct gram hashes are computed
+    once, sorted, `ray.put`-broadcast; every corpus batch hashes its grams
+    in one vectorized pass and np.isin's them — no shuffle, the corpus
+    streams. `mode="keep"` returns the clean corpus; `mode="removed"`
+    returns (id, n_hits = DISTINCT reference grams found) for audit.
+    Partitioning assumption (documented): the reference gram-hash set fits
+    the object store (8 bytes x ~chars of eval text). Membership is via
+    64-bit gram hashes — cross-set collision odds ~|ref|x|corpus| / 2^64,
+    negligible (and re-verifiable by substring search on the removed set)."""
+    from .dedup import shingles
+
+    import ray
+
+    if mode not in ("keep", "removed"):
+        raise ValueError(f"decontaminate_ngrams: mode={mode!r}")
+    if isinstance(reference, (list, tuple)):
+        texts = list(reference)
+    else:
+        texts = [r[text_column] for r in collect_rows(
+            reference.select_columns([text_column]))]
+    parts = [shingles(t, k) for t in texts if t]
+    ref_hashes = np.unique(np.concatenate(parts)) if parts \
+        else np.zeros(0, np.uint64)
+    ref = ray.put(ref_hashes)
+    return corpus.map_batches(
+        _NgramDecontaminateStage(ref, text_column, id_column, k, mode),
+        batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # IVF
 # ---------------------------------------------------------------------------

@@ -684,6 +684,43 @@ def test_embedding_degenerate_bucket_capped(ray_session):
     assert all(abs(p["cosine"] - 1.0) < 1e-9 for p in pairs)
 
 
+def test_decontaminate_ngrams_injected(ray_session):
+    """Corpus docs embedding a verbatim >=k-char span of a reference doc
+    are flagged (with the exact DISTINCT-gram hit count); clean docs
+    survive; mode='keep' returns the complement."""
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.similarity import decontaminate_ngrams
+    from gojsonschema_ray.util import collect_rows
+
+    ref = ["the quick brown fox jumps over the lazy dog tonight"]
+    corpus = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "intro text then the quick brown fox jumps over trailing words",
+            "completely unrelated content with no overlap at all here",
+            "xx brown fox jumps over the lazy yy",
+        ],
+    })
+    ds = rd.from_arrow(corpus).repartition(2)
+    removed = collect_rows(decontaminate_ngrams(
+        ds, ref, k=13, mode="removed"))
+    got = {r["doc_id"]: r["n_hits"] for r in removed}
+    assert set(got) == {1, 3}
+
+    # exact hit counts: distinct shared 13-grams computed serially
+    def grams(t, k=13):
+        return {t[i:i + k] for i in range(len(t) - k + 1)}
+    rg = grams(ref[0])
+    for did, text in zip(corpus["doc_id"].to_pylist(),
+                         corpus["text"].to_pylist()):
+        expect = len(grams(text) & rg)
+        assert got.get(did, 0) == expect
+
+    kept = collect_rows(decontaminate_ngrams(ds, ref, k=13, mode="keep"))
+    assert [r["doc_id"] for r in kept] == [2]
+
+
 def test_pack_sequences_matches_serial_scan(ray_session):
     """Distributed prefix scan == the serial ground truth on shuffled
     blocks: offsets are exclusive prefix sums in id order and pack_id
