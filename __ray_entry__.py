@@ -971,16 +971,19 @@ def q_dup_nchars_groups(sf_dir: str):
 def q_token_counts_by_lang(sf_dir: str) -> pd.DataFrame:
     """Pre-aggregate per batch; the group domain is tiny (a handful of
     languages), so partials merge on the driver — no keyed shuffle at all."""
-    from gojsonschema_ray.functions.text import token_count
+    from gojsonschema_ray.functions.text import token_count_batch
     from gojsonschema_ray.util import collect_rows
 
     ds = _read(sf_dir, "documents", ["lang", "text"])
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["toks"] = batch["text"].map(token_count)
-        return batch.groupby("lang", as_index=False)["toks"].sum()
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = token_count_batch(batch["text"])
+        df = pd.DataFrame({"lang": batch["lang"].to_pandas(), "toks": toks})
+        return pa.Table.from_pandas(
+            df.groupby("lang", as_index=False)["toks"].sum(),
+            preserve_index=False)
 
-    rows = collect_rows(ds.map_batches(partial, batch_format="pandas"))
+    rows = collect_rows(ds.map_batches(partial, batch_format="pyarrow"))
     acc: dict[str, int] = {}
     for r in rows:
         acc[r["lang"]] = acc.get(r["lang"], 0) + int(r["toks"])
@@ -1137,19 +1140,17 @@ def q_documents_packed(sf_dir: str) -> pd.DataFrame:
     the concatenate-and-chunk step that builds fixed-length LLM training
     sequences. Oracle: SUM() OVER (ORDER BY doc_id ... EXCLUDE CURRENT ROW)
     with the engine's SQL-parity tokenizer."""
-    from gojsonschema_ray.functions.text import token_count
+    from gojsonschema_ray.functions.text import token_count_batch
     from gojsonschema_ray.stages.packing import pack_sequences
     from gojsonschema_ray.util import collect_rows
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=8)
 
-    def toks(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "doc_id": df["doc_id"],
-            "n_tok": df["text"].map(token_count).astype("int64"),
-        })
+    def toks(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_tok": pa.array(token_count_batch(t["text"]))})
 
-    t = ds.map_batches(toks, batch_format="pandas")
+    t = ds.map_batches(toks, batch_format="pyarrow")
     packed = pack_sequences(t, order_column="doc_id", weight_column="n_tok",
                             capacity=2048, bucket_width=256)
     rows = collect_rows(packed)

@@ -39,6 +39,21 @@ def token_count(text: str | None) -> int:
     return len(_WS.split(t)) if t else 0
 
 
+def token_count_batch(col) -> "np.ndarray":
+    """Vectorized `token_count` over an Arrow string column (int64 per
+    row): trim, count `\\s+` runs with the RE2 kernel, +1 for non-empty.
+    Parity caveat (the engine's documented tokenizer contract): RE2's
+    `\\s` is ASCII-only while Python's is Unicode — identical on
+    ASCII-whitespace corpora (asserted against the scalar in tests)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    trimmed = pc.utf8_trim_whitespace(col)
+    n = pc.add(pc.count_substring_regex(trimmed, r"\s+"), 1)
+    n = pc.if_else(pc.equal(pc.utf8_length(trimmed), 0), 0, n)
+    return np.asarray(pc.fill_null(n, 0).to_numpy(zero_copy_only=False),
+                      dtype=np.int64)
+
+
 def bpe_token_count(text: str | None) -> int:
     return len(BPE_RE.findall(text)) if text else 0
 

@@ -21,6 +21,21 @@ def test_token_count():
     assert bpe_token_count("hello, world42!") == 5  # hello , world 42 !
 
 
+def test_token_count_batch_matches_scalar():
+    """Vectorized RE2 kernel == scalar token_count over the ASCII-whitespace
+    contract, incl. empties, nulls, tabs/newlines, and leading/trailing runs."""
+    from gojsonschema_ray.functions.text import token_count_batch
+
+    texts = ["a b  c", "", None, "  x  ", "one\ttwo\nthree", " \t ",
+             "word", "a  \n  b", "trailing space ", "\tleading"]
+    col = pa.array(texts, pa.string())
+    got = token_count_batch(col).tolist()
+    assert got == [token_count(t) for t in texts]
+    # chunked input path
+    ch = pa.chunked_array([texts[:4], texts[4:]], pa.string())
+    assert token_count_batch(ch).tolist() == got
+
+
 def test_lang_id():
     assert lang_id("the cat and the dog in the house") == "en"
     assert lang_id("der hund ist nicht in der stadt und das haus") == "de"
