@@ -1162,6 +1162,38 @@ def q_documents_packed(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_documents_packs(sf_dir: str) -> pd.DataFrame:
+    """Packing end-to-end: pack_sequences + materialize_packs — each pack
+    row is its documents' texts joined in doc_id order (the actual
+    fixed-capacity training-sequence artifact). Oracle: the same windowed
+    prefix sum + string_agg(... ORDER BY doc_id)."""
+    from gojsonschema_ray.functions.text import token_count_batch
+    from gojsonschema_ray.stages.packing import (
+        materialize_packs,
+        pack_sequences,
+    )
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=8)
+
+    def toks(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "text": t["text"],
+                         "n_tok": pa.array(token_count_batch(t["text"]))})
+
+    packed = pack_sequences(ds.map_batches(toks, batch_format="pyarrow"),
+                            order_column="doc_id", weight_column="n_tok",
+                            capacity=2048, bucket_width=256,
+                            keep_columns=["text"])
+    rows = collect_rows(materialize_packs(packed, order_column="doc_id",
+                                          text_column="text"))
+    df = pd.DataFrame({
+        "pack_id": pd.Series([r["pack_id"] for r in rows], dtype="int64"),
+        "n_docs": pd.Series([r["n_docs"] for r in rows], dtype="int64"),
+        "text": pd.Series([r["text"] for r in rows], dtype="object"),
+    })
+    return df.sort_values("pack_id").reset_index(drop=True)
+
+
 def q_minhash_dedup_corpus(sf_dir: str) -> pd.DataFrame:
     """The end-to-end "dedup the corpus" story: MinHash+LSH verified pairs
     → connected components → keep_one_per_cluster anti-filter (component-min
@@ -1500,7 +1532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_unique_users": q_events_unique_users,
         "lineitem_stats": q_lineitem_stats,
         "customers_without_events": q_customers_without_events,
-        "embeddings_fk": q_embeddings_fk,
+        "documents_packs": q_documents_packs,
         "vocab_bigrams": q_vocab_bigrams,
         "heavy_users": q_heavy_users,
         "events_hopping_window": q_events_hopping_window,
@@ -1550,6 +1582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts_by_price": q_top_parts_by_price,  # sibling: top2_per_user
         "lineitem_hash_sample": q_lineitem_hash_sample,  # sibling: stratified
         "dup_nchars_groups": q_dup_nchars_groups,  # sibling: dedup_exact_text
+        "embeddings_fk": q_embeddings_fk,  # sibling: customers_without_events
         # ---- rows-only checks (SimHash needs hash-identical tokenized
         # signatures, drift uses t-digest-derived bin edges, flagship and
         # audio features decode audio — none SQL-expressible)
@@ -1932,6 +1965,19 @@ def oracle_sql() -> dict[str, str]:
             "i -> substr(text, i, 20))) AS g FROM documents WHERE doc_id >= 10) "
             "SELECT cg.doc_id, CAST(count(DISTINCT cg.g) AS BIGINT) AS n_hits "
             "FROM cg JOIN ref USING (g) GROUP BY cg.doc_id"
+        ),
+        # packing end-to-end: prefix sum -> pack assignment -> ordered concat
+        "documents_packs": (
+            "WITH t AS (SELECT doc_id, text, CAST(CASE WHEN trim(text) = '' "
+            "THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END "
+            "AS BIGINT) AS n_tok FROM documents), "
+            "o AS (SELECT doc_id, text, COALESCE(SUM(n_tok) OVER (ORDER BY "
+            "doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS off FROM t) "
+            "SELECT CAST(off // 2048 AS BIGINT) AS pack_id, "
+            "CAST(count(*) AS BIGINT) AS n_docs, "
+            "string_agg(text, ' ' ORDER BY doc_id) AS text "
+            "FROM o GROUP BY 1"
         ),
         # exclusive running sum in doc_id order, chunked at capacity 2048
         "documents_packed": (

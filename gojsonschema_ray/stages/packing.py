@@ -128,6 +128,45 @@ def running_offsets(ds, *, order_column: str, weight_column: str,
     return parts.groupby("part").map_groups(per_part, batch_format="pandas")
 
 
+def materialize_packs(packed_ds, *, order_column: str, text_column: str,
+                      pack_column: str = "pack_id", sep: str = " ",
+                      n_parts: int | None = None):
+    """Concatenate each pack's documents (in scan order) into ONE training
+    sequence row — the final step of sequence packing. Input is
+    `pack_sequences(..., keep_columns=[text_column])` output; returns a
+    Dataset of (pack_id, n_docs, text).
+
+    Scale shape: ONE hash(pack_id) coarse-partition exchange, then a
+    per-partition vectorized sort + groupby-join. Partitioning assumptions
+    (documented): one pack's docs fit a partition (bounded by the packing
+    capacity), boundary documents belong to the pack their FIRST token
+    falls in (spill-forward chunking keeps this single-membership)."""
+    import ray  # noqa: F401 — parity with sibling operators' lazy import
+
+    from .dedup import _next_pow2, _shuffle_parts
+
+    P = _next_pow2(n_parts or _shuffle_parts())
+
+    def add_part(t: pa.Table) -> pa.Table:
+        pk = np.asarray(t[pack_column].to_numpy(zero_copy_only=False)) \
+            .astype(np.uint64)
+        part = ((pk * _GOLD) % np.uint64(P)).astype(np.int32)
+        return t.append_column("part", pa.array(part))
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([pack_column, order_column], kind="stable")
+        g = df.groupby(pack_column, sort=False)
+        return pd.DataFrame({
+            pack_column: np.asarray(list(g.groups)),
+            "n_docs": g.size().to_numpy().astype(np.int64),
+            "text": g[text_column].agg(sep.join).to_numpy(),
+        })
+
+    parts = packed_ds.map_batches(add_part, batch_format="pyarrow") \
+        .repartition(P).materialize()
+    return parts.groupby("part").map_groups(per_part, batch_format="pandas")
+
+
 def pack_sequences(ds, *, order_column: str, weight_column: str,
                    capacity: int, bucket_width: int = 4096,
                    n_parts: int | None = None,

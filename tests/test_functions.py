@@ -768,6 +768,43 @@ def test_pack_sequences_matches_serial_scan(ray_session):
         assert r["payload"] == f"p{ids[i]}"
 
 
+def test_materialize_packs(ray_session):
+    """Pack + concatenate == the serial chunking of the corpus: every pack
+    row holds its docs' texts joined in id order."""
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.packing import (
+        materialize_packs, pack_sequences,
+    )
+    from gojsonschema_ray.util import collect_rows
+
+    rng = np.random.default_rng(6)
+    n = 400
+    ids = rng.permutation(n).astype(np.int64)
+    w = rng.integers(1, 60, size=n).astype(np.int64)
+    texts = {int(i): f"doc{i}x" * 2 for i in ids}
+    tab = pa.table({"doc_id": ids, "n_tok": w,
+                    "text": [texts[int(i)] for i in ids]})
+    packed = pack_sequences(rd.from_arrow(tab).repartition(8),
+                            order_column="doc_id", weight_column="n_tok",
+                            capacity=200, bucket_width=64,
+                            keep_columns=["text"])
+    out = collect_rows(materialize_packs(packed, order_column="doc_id",
+                                         text_column="text"))
+    got = {r["pack_id"]: r for r in out}
+    # serial ground truth
+    order = np.argsort(ids, kind="stable")
+    offs = np.concatenate([[0], np.cumsum(w[order])[:-1]])
+    expect: dict = {}
+    for pos, i in enumerate(order):
+        pid = int(offs[pos] // 200)
+        expect.setdefault(pid, []).append(texts[int(ids[i])])
+    assert set(got) == set(expect)
+    for pid, docs in expect.items():
+        assert got[pid]["n_docs"] == len(docs)
+        assert got[pid]["text"] == " ".join(docs)
+
+
 def test_pack_sequences_rejects_bad_keys(ray_session):
     import ray.data as rd
 
