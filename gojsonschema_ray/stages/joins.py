@@ -62,6 +62,8 @@ class _AsofProbe:
         return self._r
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
         right = self._right()  # {key: (ts_sorted, {col: values})}
         ts = _ts_us(batch[self.left_on])
         n = batch.num_rows
@@ -70,15 +72,16 @@ class _AsofProbe:
         if self.by is None:
             groups = {None: np.arange(n)}
         else:
-            import pandas as pd
-
             # C-level key->positions grouping (the asof_join_bucketed
             # trick) instead of a per-row Python loop on the streaming side
             groups = pd.DataFrame({"k": batch[self.by].to_pandas()}) \
                 .groupby("k", sort=False, dropna=False).indices
         for k, idx in groups.items():
-            if isinstance(k, float) and np.isnan(k):
-                k = None  # pandas groups null keys under nan; right packs None
+            try:  # pandas groups null keys under nan/NaT; right packs None
+                if k is not None and pd.isna(k):
+                    k = None
+            except (TypeError, ValueError):  # non-scalar keys: leave as-is
+                pass
             side = right.get(k)
             if side is None:
                 continue
@@ -462,7 +465,7 @@ def hash_join_shuffle(left, right, *, on: str, how: str = "inner",
                       right_columns: list[str] | None = None,
                       n_parts: int | None = None,
                       salt_buckets: int = 8,
-                      hot_keys: set | None = None):
+                      hot_keys: set | str | None = None):
     """Equi-join of two LARGE sides: each side projected + tagged in one
     map_batches pass, co-partitioned on hash(key) % P in ONE exchange per
     side (the union shares a single repartition), then a vectorized pandas
@@ -470,12 +473,14 @@ def hash_join_shuffle(left, right, *, on: str, how: str = "inner",
     "semi" | "anti" (semi/anti return left rows with a match / with no
     match — deduplicated probe side, no fan-out).
 
-    Skew: for how in ("inner","left","semi","anti") the left (probe) side
-    is sampled for hot keys (`uniqueness.top_hot_keys`, or pass `hot_keys`
-    explicitly; `hot_keys=set()` disables). Hot-key probe rows spread over
+    Skew: pass `hot_keys` (a set of known-hot probe keys) or
+    `hot_keys="auto"` (samples the left side via `uniqueness.top_hot_keys`
+    — NOTE: the sample is an extra execution of the left pipeline, so
+    "auto" is opt-in, not the default). Hot-key probe rows spread over
     `salt_buckets` sub-partitions and the matching build rows are
     REPLICATED into each — the classic salted join, so a sentinel/
     boilerplate FK at 30% of the fact table no longer pins one partition.
+    Salting applies to how in ("inner","left","semi","anti");
     how="right"/"full" stay unsalted (a replicated build row that goes
     unmatched in one sub-bucket would emit spurious OUTER rows; documented
     limitation — pre-filter sentinel keys upstream for skewed full joins).
@@ -498,13 +503,18 @@ def hash_join_shuffle(left, right, *, on: str, how: str = "inner",
     P = _next_pow2(n_parts or _shuffle_parts())
     S = np.uint64(max(1, salt_buckets))
     _GOLD = np.uint64(0x9E3779B97F4A7C15)
-    if how in ("inner", "left", "semi", "anti"):
-        hot = top_hot_keys(left, on) if hot_keys is None else set(hot_keys)
+    if how in ("inner", "left", "semi", "anti") and hot_keys is not None:
+        hot = top_hot_keys(left, on) if hot_keys == "auto" else set(hot_keys)
     else:
         hot = set()
     hot.discard(None)  # null keys never match — no need to salt them
     lcols = left_columns or [c for c in left.schema().names if c != on]
     rcols = right_columns or [c for c in right.schema().names if c != on]
+    reserved = {"part", "kind", "_salt"} & {on, *lcols, *rcols}
+    if reserved:  # synthetic exchange columns — a silent overwrite would
+        raise ValueError(  # corrupt partition routing / the merge key
+            f"hash_join_shuffle: column names {sorted(reserved)} are "
+            "reserved by the exchange — rename or project them out")
     if how in ("semi", "anti"):
         rcols = []
     rcols_out = [f"{c}_r" if c in lcols else c for c in rcols]

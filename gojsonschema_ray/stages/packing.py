@@ -156,10 +156,17 @@ def materialize_packs(packed_ds, *, order_column: str, text_column: str,
     def per_part(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([pack_column, order_column], kind="stable")
         g = df.groupby(pack_column, sort=False)
+        sizes = g.size()
+        # SQL string_agg semantics: null texts are SKIPPED in the concat
+        # (not joined as empty strings) but still count toward n_docs;
+        # an all-null pack concatenates to null
+        texts = df.dropna(subset=[text_column]) \
+            .groupby(pack_column, sort=False)[text_column].agg(sep.join) \
+            .reindex(sizes.index)
         return pd.DataFrame({
-            pack_column: np.asarray(list(g.groups)),
-            "n_docs": g.size().to_numpy().astype(np.int64),
-            "text": g[text_column].agg(sep.join).to_numpy(),
+            pack_column: np.asarray(sizes.index),
+            "n_docs": sizes.to_numpy().astype(np.int64),
+            "text": texts.to_numpy(),
         })
 
     parts = packed_ds.map_batches(add_part, batch_format="pyarrow") \

@@ -123,10 +123,15 @@ def stratified_sample(ds, group_column: str, key_column: str,
     Composition: one per-batch pass appends the Knuth hash, then
     topk.grouped_top_k does per-batch local heads + ONE hash(group)
     exchange of <= groups-per-batch x n rows. The key breaks hash ties so
-    the ordering is total. Returns the input columns + `sample_h`."""
+    the ordering is total. Null keys are dropped (same as hash_sample:
+    membership of an unknown key is undefined). Returns the input columns
+    + `sample_h`."""
     from .topk import grouped_top_k
 
     def add_h(t: pa.Table) -> pa.Table:
+        col = t[key_column]
+        if (col.null_count if hasattr(col, "null_count") else 0) > 0:
+            t = t.filter(pc.is_valid(col))  # before hashing: NaN->u64 raises
         keys = np.asarray(t[key_column].to_numpy(zero_copy_only=False))
         h = hash_bucket_u32(keys, salt).astype(np.int64)
         return t.append_column("sample_h", pa.array(h))

@@ -196,31 +196,48 @@ class _NgramDecontaminateStage:
             self._r = ray.get(r) if hasattr(r, "hex") else r
         return self._r
 
+    #: grams per flush — bounds the transient Python-string buffer (a whole
+    #: batch's k-grams at once would be ~k x batch-chars of fresh objects;
+    #: this VM's first-touch faults on large temporaries are pathological).
+    #: Flushes happen on DOC boundaries so per-doc distinct-hit counting
+    #: stays exact; a single doc longer than the budget gets its own flush.
+    GRAM_SLICE = 1 << 17
+
     def _hit_counts(self, texts: list) -> np.ndarray:
         from .dedup import _hash_strings
 
         k = self.k
+        ref = self._ref_hashes()
+        hits = np.zeros(len(texts), dtype=np.int64)
         grams: list[str] = []
-        seg = np.zeros(len(texts) + 1, dtype=np.int64)
+        counts: list[tuple[int, int]] = []  # (doc index, gram count)
+
+        def flush():
+            if not grams:
+                return
+            h = _hash_strings(grams)
+            m = np.isin(h, ref)
+            if m.any():
+                doc = np.repeat(np.array([i for i, _ in counts]),
+                                np.array([n for _, n in counts]))
+                d, hh = doc[m], h[m]
+                order = np.lexsort((hh, d))
+                d, hh = d[order], hh[order]
+                first = np.ones(len(d), dtype=bool)
+                first[1:] = (d[1:] != d[:-1]) | (hh[1:] != hh[:-1])
+                np.add.at(hits, d[first], 1)  # distinct ref-grams per doc
+            grams.clear()
+            counts.clear()
+
         for i, t in enumerate(texts):
             t = t or ""
             if len(t) >= k:
-                grams.extend(t[j:j + k] for j in range(len(t) - k + 1))
-            seg[i + 1] = len(grams)
-        hits = np.zeros(len(texts), dtype=np.int64)
-        if not grams:
-            return hits
-        h = _hash_strings(grams)
-        doc = np.repeat(np.arange(len(texts)), np.diff(seg))
-        m = np.isin(h, self._ref_hashes())
-        if not m.any():
-            return hits
-        d, hh = doc[m], h[m]
-        order = np.lexsort((hh, d))
-        d, hh = d[order], hh[order]
-        first = np.ones(len(d), dtype=bool)
-        first[1:] = (d[1:] != d[:-1]) | (hh[1:] != hh[:-1])
-        np.add.at(hits, d[first], 1)  # distinct ref-grams hit per doc
+                n_g = len(t) - k + 1
+                grams.extend(t[j:j + k] for j in range(n_g))
+                counts.append((i, n_g))
+            if len(grams) >= self.GRAM_SLICE:
+                flush()
+        flush()
         return hits
 
     def __call__(self, batch: pa.Table) -> pa.Table:

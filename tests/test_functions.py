@@ -805,6 +805,60 @@ def test_materialize_packs(ray_session):
         assert got[pid]["text"] == " ".join(docs)
 
 
+def test_materialize_packs_null_text_skipped(ray_session):
+    """string_agg semantics: null texts are skipped in the concat (no
+    double separator) but still count toward n_docs."""
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.packing import materialize_packs
+    from gojsonschema_ray.util import collect_rows
+
+    tab = pa.table({"doc_id": [1, 2, 3, 4], "pack_id": [0, 0, 0, 1],
+                    "text": pa.array(["a", None, "c", None], pa.string())})
+    out = {r["pack_id"]: r for r in collect_rows(
+        materialize_packs(rd.from_arrow(tab), order_column="doc_id",
+                          text_column="text"))}
+    assert out[0]["n_docs"] == 3 and out[0]["text"] == "a c"
+    assert out[1]["n_docs"] == 1 and out[1]["text"] is None  # all-null pack
+
+
+def test_stratified_sample_null_keys_dropped(ray_session):
+    """Nullable key columns no longer trip the NaN-hash guard: null-key
+    rows are dropped before hashing, non-null sampling is unchanged."""
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.sampling import stratified_sample
+    from gojsonschema_ray.util import collect_rows
+
+    tab = pa.table({"g": ["a"] * 5 + ["b"] * 5,
+                    "k": pa.array([1, 2, None, 4, 5, 6, None, 8, 9, 10],
+                                  pa.int64())})
+    out = collect_rows(stratified_sample(rd.from_arrow(tab), "g", "k", 2))
+    assert len(out) == 4
+    assert all(r["k"] is not None for r in out)
+
+
+def test_decontaminate_ngrams_chunked_flush(ray_session, monkeypatch):
+    """Distinct-hit counts are exact across gram-buffer flushes (docs are
+    never split across a flush, so duplicate grams can't double-count)."""
+    import ray.data as rd
+
+    from gojsonschema_ray.stages import similarity as sim
+    from gojsonschema_ray.util import collect_rows
+
+    monkeypatch.setattr(sim._NgramDecontaminateStage, "GRAM_SLICE", 8)
+    ref = ["abcdefghijklmnop"]
+    # doc 1 contains the same ref 13-gram TWICE -> still one distinct hit
+    corpus = pa.table({
+        "doc_id": [1, 2],
+        "text": ["xx abcdefghijklm yy abcdefghijklm zz", "nothing shared"],
+    })
+    removed = collect_rows(sim.decontaminate_ngrams(
+        rd.from_arrow(corpus), ref, k=13, mode="removed"))
+    got = {r["doc_id"]: r["n_hits"] for r in removed}
+    assert got == {1: 1}
+
+
 def test_pack_sequences_rejects_bad_keys(ray_session):
     import ray.data as rd
 

@@ -1066,6 +1066,68 @@ def test_hash_join_shuffle_hot_key_salting(ray_session, how):
     assert share.max() <= 2.0 / P + 0.02, share
 
 
+def test_asof_broadcast_null_timestamp_keys(ray_session):
+    """Null `by` keys on a TIMESTAMP key column: pandas groups them under
+    NaT (not float nan) — they must still match the right side's None pack,
+    exactly like the pre-vectorization per-row path did."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.joins import asof_join_broadcast
+    from gojsonschema_ray.util import collect_rows
+
+    ts = pd.to_datetime(["2024-01-01 00:10", "2024-01-01 00:20"])
+    key = pd.to_datetime([pd.NaT, "2024-01-01"])
+    left = pd.DataFrame({"t": ts, "k": key, "v": [1, 2]})
+    right = pd.DataFrame({
+        "t": pd.to_datetime(["2024-01-01 00:00", "2024-01-01 00:05"]),
+        "k": pd.to_datetime([pd.NaT, "2024-01-01"]),
+        "price": [10.0, 20.0],
+    })
+    out = collect_rows(asof_join_broadcast(
+        rd.from_pandas(left), rd.from_pandas(right),
+        left_on="t", right_on="t", by="k", value_columns=["price"]))
+    by_v = {r["v"]: r for r in out}
+    assert by_v[1]["asof_matched"] and by_v[1]["r_price"] == 10.0  # NaT key
+    assert by_v[2]["asof_matched"] and by_v[2]["r_price"] == 20.0
+
+
+def test_hash_join_shuffle_reserved_names_raise(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.joins import hash_join_shuffle
+
+    left = rd.from_pandas(pd.DataFrame({"k": [1], "_salt": [0]}))
+    right = rd.from_pandas(pd.DataFrame({"k": [1], "rv": [2]}))
+    with pytest.raises(ValueError, match="reserved"):
+        hash_join_shuffle(left, right, on="k")
+
+
+def test_hash_join_shuffle_auto_hot_detection(ray_session):
+    """hot_keys='auto' samples the probe side and still joins exactly;
+    the default (None) performs no sampling pass."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.joins import hash_join_shuffle
+    from gojsonschema_ray.util import collect_rows
+
+    n = 2000
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 200, size=n).astype(np.int64)
+    keys[rng.choice(n, size=n // 3, replace=False)] = 777
+    left = pd.DataFrame({"k": keys, "v": np.arange(n)})
+    right = pd.DataFrame({"k": np.arange(200).tolist() + [777],
+                          "rv": np.arange(201)})
+    out = hash_join_shuffle(rd.from_pandas(left).repartition(4),
+                            rd.from_pandas(right), on="k", how="inner",
+                            n_parts=8, hot_keys="auto")
+    got = pd.DataFrame(collect_rows(out)).sort_values("v").reset_index(drop=True)
+    exp = left.merge(right, on="k").sort_values("v").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=False)
+
+
 def test_hash_join_shuffle_key_dtype_mismatch_raises(ray_session):
     import pandas as pd
     import ray.data as rd
