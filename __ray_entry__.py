@@ -1276,6 +1276,50 @@ def q_documents_tokens(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["doc_id", "seq"]).reset_index(drop=True)
 
 
+def q_documents_repetition(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition metrics (functions/text.repetition_stats):
+    per-doc token counts, distinct counts, duplicate-token and top-token
+    mass fractions — pure per-batch Arrow+numpy kernel, no shuffle. The
+    fractions are single IEEE divisions of small ints, so the DuckDB
+    oracle reproduces them bit-exactly."""
+    from gojsonschema_ray.functions.text import repetition_stats
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    rows = collect_rows(repetition_stats(ds, "text", "doc_id"))
+    df = pd.DataFrame({
+        "doc_id": pd.Series([r["doc_id"] for r in rows], dtype="int64"),
+        "n_tokens": pd.Series([r["n_tokens"] for r in rows], dtype="int64"),
+        "n_distinct": pd.Series([r["n_distinct"] for r in rows],
+                                dtype="int64"),
+        "dup_token_frac": pd.Series([r["dup_token_frac"] for r in rows],
+                                    dtype="float64"),
+        "top_token_frac": pd.Series([r["top_token_frac"] for r in rows],
+                                    dtype="float64"),
+    })
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_documents_logprob(sf_dir: str) -> pd.DataFrame:
+    """Corpus-unigram fluency score (functions/text.unigram_logprob):
+    vocabulary built via the token_frequencies combiner exchange, broadcast
+    once as sorted (hash, logp) arrays, then a streaming searchsorted
+    lookup per batch. avg_logp rounded to 6 decimals (ln/summation-order
+    ulps are not oracle-stable at full precision)."""
+    from gojsonschema_ray.functions.text import unigram_logprob
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    rows = collect_rows(unigram_logprob(ds, "text", "doc_id"))
+    df = pd.DataFrame({
+        "doc_id": pd.Series([r["doc_id"] for r in rows], dtype="int64"),
+        "n_tokens": pd.Series([r["n_tokens"] for r in rows], dtype="int64"),
+        "avg_logp": pd.Series([r["avg_logp"] for r in rows],
+                              dtype="float64"),
+    })
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_simhash_near_dups(sf_dir: str) -> pd.DataFrame:
     from gojsonschema_ray.stages.dedup import simhash_near_duplicates
     from gojsonschema_ray.util import collect_rows
@@ -1539,7 +1583,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": q_events_sessions,
         "orders_quantiles": q_orders_quantiles,
         "events_top2_per_user": q_events_top2_per_user,
-        "events_asof_rate": q_events_asof_rate,
         "events_asof_bucketed": q_events_asof_bucketed,
         "dedup_rows_salted": q_dedup_rows_salted,
         "lineitem_price_bands": q_lineitem_price_bands,
@@ -1553,12 +1596,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": q_embedding_centroids,
         "events_active_days": q_events_active_days,
         "events_lag_gap": q_events_lag_gap,
-        "documents_packed": q_documents_packed,
         "documents_tokens": q_documents_tokens,
         "dedup_exact_text": q_dedup_exact_text,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "documents_decontaminate_ngrams": q_documents_decontaminate_ngrams,
         "token_counts_by_lang": q_token_counts_by_lang,
+        "documents_repetition": q_documents_repetition,
+        "documents_logprob": q_documents_logprob,
         "ann_top5": q_ann_top5,
         "events_props_json": q_events_props_json,
         "quality_by_source": q_quality_by_source,
@@ -1573,6 +1617,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- position 51+: redundant-oracle siblings (oracle_check.py
         # still verifies them; each operator has an in-window oracle above)
         "events_window": q_events_window,            # sibling: hopping window
+        "events_asof_rate": q_events_asof_rate,      # sibling: asof_bucketed
+        "documents_packed": q_documents_packed,      # sibling: documents_packs
         "events_daily_window": q_events_daily_window,  # sibling: hopping
         "events_asof_by_user": q_events_asof_by_user,  # sibling: asof_rate
         "doc_freq_unigrams": q_doc_freq_unigrams,    # sibling: vocab_bigrams
@@ -1954,6 +2000,36 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, CAST(sum(CASE WHEN trim(text) = '' THEN 0 ELSE "
             "len(string_split_regex(trim(text), '\\s+')) END) "
             "AS BIGINT) AS total_tokens FROM documents GROUP BY lang"
+        ),
+        # fractions are single IEEE divisions of small ints — bit-exact
+        # in both engines, no rounding contract needed
+        "documents_repetition": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok "
+            "FROM documents WHERE text IS NOT NULL AND trim(text) != ''), "
+            "per AS (SELECT doc_id, tok, count(*) AS c FROM toks "
+            "GROUP BY doc_id, tok) "
+            "SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, "
+            "CAST(count(*) AS BIGINT) AS n_distinct, "
+            "1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) "
+            "AS dup_token_frac, "
+            "CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) "
+            "AS top_token_frac "
+            "FROM per GROUP BY doc_id ORDER BY doc_id"
+        ),
+        # avg_logp rounded to 6 decimals on both sides (ln + summation
+        # order differ at ulp scale between numpy and DuckDB)
+        "documents_logprob": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok "
+            "FROM documents WHERE text IS NOT NULL AND trim(text) != ''), "
+            "vocab AS (SELECT tok, CAST(count(*) AS DOUBLE) AS c "
+            "FROM toks GROUP BY tok), "
+            "tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM vocab) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+            "round(avg(ln(v.c / tot.t)), 6) AS avg_logp "
+            "FROM toks JOIN vocab v USING (tok), tot "
+            "GROUP BY doc_id ORDER BY doc_id"
         ),
         # char-20-gram shingle join vs the doc_id<10 eval set
         "documents_decontaminate_ngrams": (

@@ -473,3 +473,168 @@ def tfidf_top_terms(ds, text_column: str, id_column: str, *, k: int = 3,
     return grouped_top_k(scored, id_column,
                          [("score", "descending"), ("token", "ascending")],
                          k, n_parts=n_parts)
+
+
+def repetition_stats(ds, text_column: str, id_column: str, *,
+                     lowercase: bool = True):
+    """Per-document repetition metrics — the Gopher-style repetition filters
+    of a web-corpus quality pipeline (Rae et al. 2021 §A1.1 use
+    duplicate-line/-paragraph fractions; these documents are single-line, so
+    the token-level equivalents apply):
+
+      n_tokens         total tokens
+      n_distinct       distinct tokens
+      dup_token_frac   1 - n_distinct / n_tokens  (mass of repeated tokens)
+      top_token_frac   count(mode token) / n_tokens
+
+    Tokenization = the module contract (``\\s+`` split of trimmed text,
+    optional lowercase). Docs with zero tokens are dropped (no defined
+    fractions). The fractions are emitted UNROUNDED: both are single IEEE
+    divisions of small int64 counts, bit-identical in numpy and DuckDB, so
+    the oracle reproduces them exactly without a rounding contract.
+
+    Scale shape: pure per-batch kernel — split_pattern_regex (RE2) +
+    dictionary_encode + one np.unique over (doc, code) pairs per batch; no
+    shuffle, no per-row Python. Trivially parallel at 100 TB."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        col = batch[text_column]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        txt = pc.utf8_trim_whitespace(pc.cast(col, pa.string()))
+        if lowercase:
+            txt = pc.utf8_lower(txt)
+        lists = pc.split_pattern_regex(txt, r"\s+")
+        lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) \
+            else lists
+        offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lengths = np.diff(offsets)
+        valid = ~np.asarray(pc.is_null(lists).to_numpy(zero_copy_only=False))
+        # empty trimmed text splits to [''] — treat as 0 tokens (contract)
+        empty = np.asarray(
+            pc.equal(pc.utf8_length(txt), 0).fill_null(True)
+            .to_numpy(zero_copy_only=False))
+        lengths = np.where(valid & ~empty, lengths, 0)
+        keep = lengths > 0
+        if not keep.any():
+            return pa.table({id_column: batch[id_column].slice(0, 0),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "n_distinct": pa.array([], pa.int64()),
+                             "dup_token_frac": pa.array([], pa.float64()),
+                             "top_token_frac": pa.array([], pa.float64())})
+        # Token-level keep mask over the RAW values buffer: dropped rows
+        # (null / empty) may still own extents there (the ['']-token of an
+        # empty split, or a non-canonical null extent) — mask their tokens
+        # out instead of assuming zero-length.
+        kept_rows = np.flatnonzero(keep)
+        raw_lengths = np.diff(offsets)
+        tok_keep = np.repeat(keep, raw_lengths)
+        codes_all = lists.values.dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = codes_all[tok_keep]
+        doc_idx = np.repeat(kept_rows, lengths[kept_rows])
+        n_codes = int(codes_all.max()) + 1 if len(codes_all) else 1
+        key = doc_idx * n_codes + codes
+        uk, counts = np.unique(key, return_counts=True)
+        pair_doc = uk // n_codes
+        seg_starts = np.r_[0, 1 + np.flatnonzero(pair_doc[1:] != pair_doc[:-1])]
+        n_distinct = np.diff(np.r_[seg_starts, len(pair_doc)]).astype(np.int64)
+        top = np.maximum.reduceat(counts, seg_starts).astype(np.int64)
+        ntok = lengths[kept_rows].astype(np.int64)
+        ids = batch[id_column].combine_chunks() \
+            if isinstance(batch[id_column], pa.ChunkedArray) else batch[id_column]
+        return pa.table({
+            id_column: ids.take(pa.array(kept_rows)),
+            "n_tokens": pa.array(ntok),
+            "n_distinct": pa.array(n_distinct),
+            "dup_token_frac": pa.array(1.0 - n_distinct / ntok),
+            "top_token_frac": pa.array(top / ntok),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def unigram_logprob(ds, text_column: str, id_column: str, *,
+                    lowercase: bool = True, min_count: int = 1,
+                    n_parts: int | None = None):
+    """Per-document mean unigram log-probability — the KenLM-style fluency /
+    quality score of a corpus pipeline (CCNet, Wenzek et al. 2020, filters
+    on LM perplexity; with no LM in the container the corpus's own unigram
+    model is the scorer): avg_logp = mean over tokens of ln(count(token) /
+    total_tokens), lower = more surprising/junk.
+
+    Two phases, the broadcast-small-side pattern:
+      1. corpus unigram counts via token_frequencies (per-batch combiner
+         partials, ONE coarse hash exchange — vocab-sized result). At web
+         scale pass min_count>1 so the broadcast table stays bounded;
+         dropped tail tokens score as OOV with the floor ln(1/total).
+      2. ray.put the vocabulary as (sorted token-hash uint64[], logp
+         float64[]) — two zero-copy numpy arrays, shipped ONCE, read by
+         every task — then a streaming map_batches scores each doc:
+         split (RE2) -> hash (the engine's one partitioning hash) ->
+         np.searchsorted lookup -> per-doc mean via bincount. No Python
+         per row/token; the corpus is never materialized.
+
+    Tokenization = the module contract (``\\s+`` split of trimmed text).
+    Zero-token docs are dropped. Returns a Dataset of
+    (id, n_tokens, avg_logp); avg_logp is rounded to 6 decimals — ln()
+    differs across libm implementations at ulp scale, so full precision is
+    not oracle-reproducible (the engine's own determinism is unaffected).
+    """
+    import ray
+
+    from ..stages.sketches import hash_arrow_array
+    from ..util import collect_rows
+
+    freq_rows = collect_rows(token_frequencies(
+        ds, text_column, n=1, min_count=min_count, lowercase=lowercase,
+        n_parts=n_parts))
+    toks = pd.Series([r["gram"] for r in freq_rows], dtype="object")
+    cnts = np.array([r["n"] for r in freq_rows], dtype=np.float64)
+    total = float(cnts.sum())
+    h = hash_arrow_array(toks)
+    order = np.argsort(h)
+    vocab_ref = ray.put((h[order], np.log(cnts[order] / total)))
+    oov_logp = float(np.log(1.0 / total)) if total else 0.0
+
+    def score(batch: pa.Table) -> pa.Table:
+        vh, vlogp = ray.get(vocab_ref)
+        col = batch[text_column]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        txt = pc.utf8_trim_whitespace(pc.cast(col, pa.string()))
+        if lowercase:
+            txt = pc.utf8_lower(txt)
+        lists = pc.split_pattern_regex(txt, r"\s+")
+        lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) \
+            else lists
+        offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        raw_lengths = np.diff(offsets)
+        valid = ~np.asarray(pc.is_null(lists).to_numpy(zero_copy_only=False))
+        empty = np.asarray(
+            pc.equal(pc.utf8_length(txt), 0).fill_null(True)
+            .to_numpy(zero_copy_only=False))
+        keep = valid & ~empty & (raw_lengths > 0)
+        kept_rows = np.flatnonzero(keep)
+        ids = batch[id_column].combine_chunks() \
+            if isinstance(batch[id_column], pa.ChunkedArray) \
+            else batch[id_column]
+        if not len(kept_rows):
+            return pa.table({id_column: ids.slice(0, 0),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "avg_logp": pa.array([], pa.float64())})
+        tok_keep = np.repeat(keep, raw_lengths)
+        th = hash_arrow_array(lists.values)[tok_keep]
+        if len(vh):
+            pos = np.minimum(np.searchsorted(vh, th), len(vh) - 1)
+            logp = np.where(vh[pos] == th, vlogp[pos], oov_logp)
+        else:  # vocab emptied by min_count — every token scores OOV
+            logp = np.full(len(th), oov_logp)
+        ntok = raw_lengths[kept_rows]
+        local = np.repeat(np.arange(len(kept_rows)), ntok)
+        sums = np.bincount(local, weights=logp, minlength=len(kept_rows))
+        return pa.table({
+            id_column: ids.take(pa.array(kept_rows)),
+            "n_tokens": pa.array(ntok.astype(np.int64)),
+            "avg_logp": pa.array(np.round(sums / ntok, 6)),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -985,3 +985,64 @@ def test_explode_tokens(ray_session):
         (4, 1, "x"), (4, 2, ""), (4, 3, "y"),  # double space -> empty token
         (5, 1, "solo"),
     ]
+
+
+def test_repetition_stats(ray_session):
+    """Closed-form repetition metrics; null/empty/whitespace docs dropped,
+    case folding on by default."""
+    import ray.data as rd
+
+    from gojsonschema_ray.functions.text import repetition_stats
+    from gojsonschema_ray.util import collect_rows
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": ["a a b", "The the THE", None, "", "   ", "x y z"],
+    }))
+    rows = {r["doc_id"]: r for r in collect_rows(
+        repetition_stats(ds, "text", "doc_id"))}
+    assert set(rows) == {1, 2, 6}
+    assert rows[1]["n_tokens"] == 3 and rows[1]["n_distinct"] == 2
+    assert rows[1]["dup_token_frac"] == 1.0 - 2 / 3
+    assert rows[1]["top_token_frac"] == 2 / 3
+    assert rows[2]["n_tokens"] == 3 and rows[2]["n_distinct"] == 1
+    assert rows[2]["dup_token_frac"] == 1.0 - 1 / 3
+    assert rows[2]["top_token_frac"] == 1.0
+    assert rows[6]["n_distinct"] == 3 and rows[6]["dup_token_frac"] == 0.0
+    assert rows[6]["top_token_frac"] == 1 / 3
+    # case folding off: "The the THE" has 3 distinct tokens
+    raw = {r["doc_id"]: r for r in collect_rows(
+        repetition_stats(ds, "text", "doc_id", lowercase=False))}
+    assert raw[2]["n_distinct"] == 3 and raw[2]["dup_token_frac"] == 0.0
+
+
+def test_unigram_logprob(ray_session):
+    """Hand-computed corpus unigram scores; OOV floor under min_count;
+    empty-vocab guard."""
+    import ray.data as rd
+
+    from gojsonschema_ray.functions.text import unigram_logprob
+    from gojsonschema_ray.util import collect_rows
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a a b", "a c", None, "  "],
+    }))
+    # counts: a=3, b=1, c=1, total=5
+    rows = {r["doc_id"]: r for r in collect_rows(
+        unigram_logprob(ds, "text", "doc_id"))}
+    assert set(rows) == {1, 2}
+    assert rows[1]["n_tokens"] == 3
+    assert rows[1]["avg_logp"] == round(
+        (2 * np.log(3 / 5) + np.log(1 / 5)) / 3, 6)
+    assert rows[2]["avg_logp"] == round(
+        (np.log(3 / 5) + np.log(1 / 5)) / 2, 6)
+    # min_count=2 drops b and c: vocab={a:3}, total=3, OOV floor ln(1/3)
+    rows2 = {r["doc_id"]: r for r in collect_rows(
+        unigram_logprob(ds, "text", "doc_id", min_count=2))}
+    assert rows2[1]["avg_logp"] == round(np.log(1 / 3) / 3, 6)
+    assert rows2[2]["avg_logp"] == round(np.log(1 / 3) / 2, 6)
+    # min_count huge -> empty vocab; guard path returns the 0.0 floor
+    rows3 = {r["doc_id"]: r for r in collect_rows(
+        unigram_logprob(ds, "text", "doc_id", min_count=100))}
+    assert rows3[1]["avg_logp"] == 0.0 and rows3[2]["avg_logp"] == 0.0
