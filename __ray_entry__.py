@@ -1320,6 +1320,35 @@ def q_documents_logprob(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_documents_gopher(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style quality filter (functions/text.gopher_filter): per-doc
+    keep/drop verdicts with fixed-order failure reasons, composing token
+    count, mean word length, repetition fractions, and stopword rules in
+    ONE per-batch tokenization pass — the end-to-end corpus-curation
+    verdict of a web-scale pipeline. All metrics are single IEEE divisions
+    so the oracle matches bit-exactly."""
+    from gojsonschema_ray.functions.text import gopher_filter
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    rows = collect_rows(gopher_filter(ds, "text", "doc_id"))
+    df = pd.DataFrame({
+        "doc_id": pd.Series([r["doc_id"] for r in rows], dtype="int64"),
+        "n_tokens": pd.Series([r["n_tokens"] for r in rows], dtype="int64"),
+        "mean_word_len": pd.Series([r["mean_word_len"] for r in rows],
+                                   dtype="float64"),
+        "dup_token_frac": pd.Series([r["dup_token_frac"] for r in rows],
+                                    dtype="float64"),
+        "top_token_frac": pd.Series([r["top_token_frac"] for r in rows],
+                                    dtype="float64"),
+        "stop_hits": pd.Series([r["stop_hits"] for r in rows],
+                               dtype="int64"),
+        "keep": pd.Series([r["keep"] for r in rows], dtype="int64"),
+        "reasons": pd.Series([r["reasons"] for r in rows], dtype="object"),
+    })
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_simhash_near_dups(sf_dir: str) -> pd.DataFrame:
     from gojsonschema_ray.stages.dedup import simhash_near_duplicates
     from gojsonschema_ray.util import collect_rows
@@ -1616,6 +1645,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drift_events_fixed": q_drift_events_fixed,
         # ---- position 51+: redundant-oracle siblings (oracle_check.py
         # still verifies them; each operator has an in-window oracle above)
+        "documents_gopher": q_documents_gopher,      # composition of
+        # in-window-verified signals (repetition, quality, token counts)
         "events_window": q_events_window,            # sibling: hopping window
         "events_asof_rate": q_events_asof_rate,      # sibling: asof_bucketed
         "documents_packed": q_documents_packed,      # sibling: documents_packs
@@ -2016,6 +2047,51 @@ def oracle_sql() -> dict[str, str]:
             "CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) "
             "AS top_token_frac "
             "FROM per GROUP BY doc_id ORDER BY doc_id"
+        ),
+        # verdict thresholds are the gopher_filter defaults; concat_ws
+        # skips the NULL CASE arms, reproducing the fixed reason order
+        "documents_gopher": (
+            "WITH base AS (SELECT doc_id, "
+            "CASE WHEN text IS NULL OR trim(text) = '' THEN 0 "
+            "ELSE len(string_split_regex(trim(text), '\\s+')) END "
+            "AS n_tokens, "
+            "length(regexp_replace(coalesce(text, ''), '[^A-Za-z]', '', "
+            "'g')) AS n_alpha FROM documents), "
+            "toks AS (SELECT doc_id, "
+            "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok "
+            "FROM documents WHERE text IS NOT NULL AND trim(text) != ''), "
+            "per AS (SELECT doc_id, tok, count(*) AS c FROM toks "
+            "GROUP BY doc_id, tok), "
+            "rep AS (SELECT doc_id, count(*) AS n_distinct, max(c) AS topc, "
+            "coalesce(sum(c) FILTER (WHERE tok IN ('the','a','and','of',"
+            "'to','in','is','it','that','for')), 0) AS stop_hits "
+            "FROM per GROUP BY doc_id), "
+            "m AS (SELECT b.doc_id, b.n_tokens, "
+            "CAST(b.n_alpha AS DOUBLE) / greatest(b.n_tokens, 1) "
+            "AS mean_word_len, "
+            "CASE WHEN b.n_tokens > 0 THEN 1.0 - "
+            "CAST(r.n_distinct AS DOUBLE) / b.n_tokens ELSE 0.0 END "
+            "AS dup_token_frac, "
+            "CASE WHEN b.n_tokens > 0 THEN "
+            "CAST(r.topc AS DOUBLE) / b.n_tokens ELSE 0.0 END "
+            "AS top_token_frac, "
+            "CAST(coalesce(r.stop_hits, 0) AS BIGINT) AS stop_hits "
+            "FROM base b LEFT JOIN rep r USING (doc_id)) "
+            "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
+            "mean_word_len, dup_token_frac, top_token_frac, stop_hits, "
+            "CAST(CASE WHEN n_tokens >= 50 AND n_tokens <= 100000 "
+            "AND mean_word_len >= 3.0 AND mean_word_len <= 10.0 "
+            "AND dup_token_frac <= 0.6 AND top_token_frac <= 0.2 "
+            "AND stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep, "
+            "concat_ws(',', "
+            "CASE WHEN n_tokens < 50 THEN 'min_tokens' END, "
+            "CASE WHEN n_tokens > 100000 THEN 'max_tokens' END, "
+            "CASE WHEN mean_word_len < 3.0 OR mean_word_len > 10.0 "
+            "THEN 'mean_word_len' END, "
+            "CASE WHEN dup_token_frac > 0.6 THEN 'dup_tokens' END, "
+            "CASE WHEN top_token_frac > 0.2 THEN 'top_token' END, "
+            "CASE WHEN stop_hits < 2 THEN 'stopwords' END) AS reasons "
+            "FROM m ORDER BY doc_id"
         ),
         # avg_logp rounded to 6 decimals on both sides (ln + summation
         # order differ at ulp scale between numpy and DuckDB)

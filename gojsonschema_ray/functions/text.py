@@ -638,3 +638,74 @@ def unigram_logprob(ds, text_column: str, id_column: str, *,
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def gopher_filter(ds, text_column: str, id_column: str, *,
+                  min_tokens: int = 50, max_tokens: int = 100_000,
+                  min_mean_word_len: float = 3.0,
+                  max_mean_word_len: float = 10.0,
+                  max_dup_token_frac: float = 0.6,
+                  max_top_token_frac: float = 0.2,
+                  min_stop_hits: int = 2):
+    """Gopher-style corpus quality filter (Rae et al. 2021 §A1.1): one
+    per-batch verdict row per document with the rule metrics, a keep flag,
+    and the comma-joined names of every failed rule (fixed order:
+    min_tokens, max_tokens, mean_word_len, dup_tokens, top_token,
+    stopwords). The duplicate-line rules of the paper map to token-level
+    fractions here (single-line documents); the stop-word rule counts hits
+    of the engine's English profile over ALL tokens.
+
+    Every metric is a single IEEE division of small ints, so a SQL oracle
+    reproduces verdicts bit-exactly. Scale shape: pure per-batch kernel
+    sharing ONE tokenization pass (_TokenStructure) across all signals —
+    no shuffle, no per-row Python (reasons build with one vectorized
+    np.where pass per rule). Returns a Dataset of
+    (id, n_tokens, mean_word_len, dup_token_frac, top_token_frac,
+    stop_hits, keep 0/1, reasons)."""
+
+    def verdicts(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df[text_column]
+        ts = _TokenStructure(texts)
+        n = ts.lens
+        n_alpha = texts.fillna("").str.count(r"[A-Za-z]").to_numpy()
+        safe = np.maximum(n, 1)
+        mean_wl = n_alpha / safe
+        stop_hits = ts.hit_counts(STOPWORDS["en"])
+        codes, uniq = pd.factorize(ts.low)
+        ncodes = max(len(uniq), 1)
+        key = ts.doc_idx * ncodes + codes.astype(np.int64)
+        uk, cnt = np.unique(key, return_counts=True)
+        pair_doc = (uk // ncodes).astype(np.int64)
+        n_distinct = np.bincount(pair_doc, minlength=ts.n_docs)
+        top = np.zeros(ts.n_docs, dtype=np.int64)
+        np.maximum.at(top, pair_doc, cnt)
+        dup = np.where(n > 0, 1.0 - n_distinct / safe, 0.0)
+        topf = np.where(n > 0, top / safe, 0.0)
+        rules = [
+            ("min_tokens", n < min_tokens),
+            ("max_tokens", n > max_tokens),
+            ("mean_word_len", (mean_wl < min_mean_word_len)
+             | (mean_wl > max_mean_word_len)),
+            ("dup_tokens", dup > max_dup_token_frac),
+            ("top_token", topf > max_top_token_frac),
+            ("stopwords", stop_hits < min_stop_hits),
+        ]
+        reasons = np.full(ts.n_docs, "", dtype=object)
+        fail = np.zeros(ts.n_docs, dtype=bool)
+        for name, mask in rules:
+            reasons = np.where(
+                mask, np.where(reasons == "", name, reasons + "," + name),
+                reasons)
+            fail |= mask
+        return pd.DataFrame({
+            id_column: df[id_column].to_numpy(),
+            "n_tokens": n,
+            "mean_word_len": mean_wl,
+            "dup_token_frac": dup,
+            "top_token_frac": topf,
+            "stop_hits": stop_hits,
+            "keep": (~fail).astype(np.int64),
+            "reasons": reasons,
+        })
+
+    return ds.map_batches(verdicts, batch_format="pandas")

@@ -1046,3 +1046,36 @@ def test_unigram_logprob(ray_session):
     rows3 = {r["doc_id"]: r for r in collect_rows(
         unigram_logprob(ds, "text", "doc_id", min_count=100))}
     assert rows3[1]["avg_logp"] == 0.0 and rows3[2]["avg_logp"] == 0.0
+
+
+def test_gopher_filter(ray_session):
+    """Closed-form verdicts with tight thresholds: every rule fires on at
+    least one doc, reasons join in fixed order, zero-token docs fail
+    cleanly."""
+    import ray.data as rd
+
+    from gojsonschema_ray.functions.text import gopher_filter
+    from gojsonschema_ray.util import collect_rows
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["the cat sat", "a a a a", "x y",
+                 "one two three four five six", None],
+    }))
+    rows = {r["doc_id"]: r for r in collect_rows(gopher_filter(
+        ds, "text", "doc_id", min_tokens=3, max_tokens=5,
+        min_mean_word_len=1.0, max_mean_word_len=10.0,
+        max_dup_token_frac=0.5, max_top_token_frac=0.5,
+        min_stop_hits=1))}
+    assert rows[1]["keep"] == 1 and rows[1]["reasons"] == ""
+    assert rows[1]["n_tokens"] == 3 and rows[1]["stop_hits"] == 1
+    assert rows[1]["top_token_frac"] == 1 / 3
+    assert rows[2]["keep"] == 0
+    assert rows[2]["reasons"] == "dup_tokens,top_token"
+    assert rows[2]["dup_token_frac"] == 0.75
+    assert rows[3]["reasons"] == "min_tokens,stopwords"
+    assert rows[4]["reasons"] == "max_tokens,stopwords"
+    # null text: 0 tokens -> min_tokens + mean_word_len (0 < 1) + stopwords
+    assert rows[5]["n_tokens"] == 0
+    assert rows[5]["reasons"] == "min_tokens,mean_word_len,stopwords"
+    assert rows[5]["dup_token_frac"] == 0.0 and rows[5]["keep"] == 0
