@@ -12,6 +12,7 @@ tokens) — chosen to be exactly reproducible in SQL for the DuckDB oracle
 
 from __future__ import annotations
 
+import functools
 import re
 
 import numpy as np
@@ -475,6 +476,63 @@ def tfidf_top_terms(ds, text_column: str, id_column: str, *, k: int = 3,
                          k, n_parts=n_parts)
 
 
+def _repetition_kernel(batch: pa.Table, text_column: str, id_column: str,
+                       lowercase: bool) -> pa.Table:
+    """Per-batch kernel of ``repetition_stats`` (module-level so tests can
+    property-check it directly against a scalar reference, no Ray)."""
+    col = batch[text_column]
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    txt = pc.utf8_trim_whitespace(pc.cast(col, pa.string()))
+    if lowercase:
+        txt = pc.utf8_lower(txt)
+    lists = pc.split_pattern_regex(txt, r"\s+")
+    lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) \
+        else lists
+    offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lengths = np.diff(offsets)
+    valid = ~np.asarray(pc.is_null(lists).to_numpy(zero_copy_only=False))
+    # empty trimmed text splits to [''] — treat as 0 tokens (contract)
+    empty = np.asarray(
+        pc.equal(pc.utf8_length(txt), 0).fill_null(True)
+        .to_numpy(zero_copy_only=False))
+    lengths = np.where(valid & ~empty, lengths, 0)
+    keep = lengths > 0
+    if not keep.any():
+        return pa.table({id_column: batch[id_column].slice(0, 0),
+                         "n_tokens": pa.array([], pa.int64()),
+                         "n_distinct": pa.array([], pa.int64()),
+                         "dup_token_frac": pa.array([], pa.float64()),
+                         "top_token_frac": pa.array([], pa.float64())})
+    # Token-level keep mask over the RAW values buffer: dropped rows
+    # (null / empty) may still own extents there (the ['']-token of an
+    # empty split, or a non-canonical null extent) — mask their tokens
+    # out instead of assuming zero-length.
+    kept_rows = np.flatnonzero(keep)
+    raw_lengths = np.diff(offsets)
+    tok_keep = np.repeat(keep, raw_lengths)
+    codes_all = lists.values.dictionary_encode().indices \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    codes = codes_all[tok_keep]
+    doc_idx = np.repeat(kept_rows, lengths[kept_rows])
+    n_codes = int(codes_all.max()) + 1 if len(codes_all) else 1
+    key = doc_idx * n_codes + codes
+    uk, counts = np.unique(key, return_counts=True)
+    pair_doc = uk // n_codes
+    seg_starts = np.r_[0, 1 + np.flatnonzero(pair_doc[1:] != pair_doc[:-1])]
+    n_distinct = np.diff(np.r_[seg_starts, len(pair_doc)]).astype(np.int64)
+    top = np.maximum.reduceat(counts, seg_starts).astype(np.int64)
+    ntok = lengths[kept_rows].astype(np.int64)
+    ids = batch[id_column].combine_chunks() \
+        if isinstance(batch[id_column], pa.ChunkedArray) else batch[id_column]
+    return pa.table({
+        id_column: ids.take(pa.array(kept_rows)),
+        "n_tokens": pa.array(ntok),
+        "n_distinct": pa.array(n_distinct),
+        "dup_token_frac": pa.array(1.0 - n_distinct / ntok),
+        "top_token_frac": pa.array(top / ntok),
+    })
+
+
 def repetition_stats(ds, text_column: str, id_column: str, *,
                      lowercase: bool = True):
     """Per-document repetition metrics — the Gopher-style repetition filters
@@ -493,64 +551,14 @@ def repetition_stats(ds, text_column: str, id_column: str, *,
     divisions of small int64 counts, bit-identical in numpy and DuckDB, so
     the oracle reproduces them exactly without a rounding contract.
 
-    Scale shape: pure per-batch kernel — split_pattern_regex (RE2) +
-    dictionary_encode + one np.unique over (doc, code) pairs per batch; no
-    shuffle, no per-row Python. Trivially parallel at 100 TB."""
-
-    def stats(batch: pa.Table) -> pa.Table:
-        col = batch[text_column]
-        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        txt = pc.utf8_trim_whitespace(pc.cast(col, pa.string()))
-        if lowercase:
-            txt = pc.utf8_lower(txt)
-        lists = pc.split_pattern_regex(txt, r"\s+")
-        lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) \
-            else lists
-        offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        lengths = np.diff(offsets)
-        valid = ~np.asarray(pc.is_null(lists).to_numpy(zero_copy_only=False))
-        # empty trimmed text splits to [''] — treat as 0 tokens (contract)
-        empty = np.asarray(
-            pc.equal(pc.utf8_length(txt), 0).fill_null(True)
-            .to_numpy(zero_copy_only=False))
-        lengths = np.where(valid & ~empty, lengths, 0)
-        keep = lengths > 0
-        if not keep.any():
-            return pa.table({id_column: batch[id_column].slice(0, 0),
-                             "n_tokens": pa.array([], pa.int64()),
-                             "n_distinct": pa.array([], pa.int64()),
-                             "dup_token_frac": pa.array([], pa.float64()),
-                             "top_token_frac": pa.array([], pa.float64())})
-        # Token-level keep mask over the RAW values buffer: dropped rows
-        # (null / empty) may still own extents there (the ['']-token of an
-        # empty split, or a non-canonical null extent) — mask their tokens
-        # out instead of assuming zero-length.
-        kept_rows = np.flatnonzero(keep)
-        raw_lengths = np.diff(offsets)
-        tok_keep = np.repeat(keep, raw_lengths)
-        codes_all = lists.values.dictionary_encode().indices \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        codes = codes_all[tok_keep]
-        doc_idx = np.repeat(kept_rows, lengths[kept_rows])
-        n_codes = int(codes_all.max()) + 1 if len(codes_all) else 1
-        key = doc_idx * n_codes + codes
-        uk, counts = np.unique(key, return_counts=True)
-        pair_doc = uk // n_codes
-        seg_starts = np.r_[0, 1 + np.flatnonzero(pair_doc[1:] != pair_doc[:-1])]
-        n_distinct = np.diff(np.r_[seg_starts, len(pair_doc)]).astype(np.int64)
-        top = np.maximum.reduceat(counts, seg_starts).astype(np.int64)
-        ntok = lengths[kept_rows].astype(np.int64)
-        ids = batch[id_column].combine_chunks() \
-            if isinstance(batch[id_column], pa.ChunkedArray) else batch[id_column]
-        return pa.table({
-            id_column: ids.take(pa.array(kept_rows)),
-            "n_tokens": pa.array(ntok),
-            "n_distinct": pa.array(n_distinct),
-            "dup_token_frac": pa.array(1.0 - n_distinct / ntok),
-            "top_token_frac": pa.array(top / ntok),
-        })
-
-    return ds.map_batches(stats, batch_format="pyarrow")
+    Scale shape: pure per-batch kernel (``_repetition_kernel``) —
+    split_pattern_regex (RE2) + dictionary_encode + one np.unique over
+    (doc, code) pairs per batch; no shuffle, no per-row Python. Trivially
+    parallel at 100 TB."""
+    return ds.map_batches(
+        functools.partial(_repetition_kernel, text_column=text_column,
+                          id_column=id_column, lowercase=lowercase),
+        batch_format="pyarrow")
 
 
 def unigram_logprob(ds, text_column: str, id_column: str, *,
@@ -640,6 +648,58 @@ def unigram_logprob(ds, text_column: str, id_column: str, *,
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def _gopher_kernel(df: pd.DataFrame, text_column: str, id_column: str,
+                   min_tokens: int, max_tokens: int,
+                   min_mean_word_len: float, max_mean_word_len: float,
+                   max_dup_token_frac: float, max_top_token_frac: float,
+                   min_stop_hits: int) -> pd.DataFrame:
+    """Per-batch kernel of ``gopher_filter`` (module-level so tests can
+    property-check it directly against a scalar reference, no Ray)."""
+    texts = df[text_column]
+    ts = _TokenStructure(texts)
+    n = ts.lens
+    n_alpha = texts.fillna("").str.count(r"[A-Za-z]").to_numpy()
+    safe = np.maximum(n, 1)
+    mean_wl = n_alpha / safe
+    stop_hits = ts.hit_counts(STOPWORDS["en"])
+    codes, uniq = pd.factorize(ts.low)
+    ncodes = max(len(uniq), 1)
+    key = ts.doc_idx * ncodes + codes.astype(np.int64)
+    uk, cnt = np.unique(key, return_counts=True)
+    pair_doc = (uk // ncodes).astype(np.int64)
+    n_distinct = np.bincount(pair_doc, minlength=ts.n_docs)
+    top = np.zeros(ts.n_docs, dtype=np.int64)
+    np.maximum.at(top, pair_doc, cnt)
+    dup = np.where(n > 0, 1.0 - n_distinct / safe, 0.0)
+    topf = np.where(n > 0, top / safe, 0.0)
+    rules = [
+        ("min_tokens", n < min_tokens),
+        ("max_tokens", n > max_tokens),
+        ("mean_word_len", (mean_wl < min_mean_word_len)
+         | (mean_wl > max_mean_word_len)),
+        ("dup_tokens", dup > max_dup_token_frac),
+        ("top_token", topf > max_top_token_frac),
+        ("stopwords", stop_hits < min_stop_hits),
+    ]
+    reasons = np.full(ts.n_docs, "", dtype=object)
+    fail = np.zeros(ts.n_docs, dtype=bool)
+    for name, mask in rules:
+        reasons = np.where(
+            mask, np.where(reasons == "", name, reasons + "," + name),
+            reasons)
+        fail |= mask
+    return pd.DataFrame({
+        id_column: df[id_column].to_numpy(),
+        "n_tokens": n,
+        "mean_word_len": mean_wl,
+        "dup_token_frac": dup,
+        "top_token_frac": topf,
+        "stop_hits": stop_hits,
+        "keep": (~fail).astype(np.int64),
+        "reasons": reasons,
+    })
+
+
 def gopher_filter(ds, text_column: str, id_column: str, *,
                   min_tokens: int = 50, max_tokens: int = 100_000,
                   min_mean_word_len: float = 3.0,
@@ -662,50 +722,13 @@ def gopher_filter(ds, text_column: str, id_column: str, *,
     np.where pass per rule). Returns a Dataset of
     (id, n_tokens, mean_word_len, dup_token_frac, top_token_frac,
     stop_hits, keep 0/1, reasons)."""
-
-    def verdicts(df: pd.DataFrame) -> pd.DataFrame:
-        texts = df[text_column]
-        ts = _TokenStructure(texts)
-        n = ts.lens
-        n_alpha = texts.fillna("").str.count(r"[A-Za-z]").to_numpy()
-        safe = np.maximum(n, 1)
-        mean_wl = n_alpha / safe
-        stop_hits = ts.hit_counts(STOPWORDS["en"])
-        codes, uniq = pd.factorize(ts.low)
-        ncodes = max(len(uniq), 1)
-        key = ts.doc_idx * ncodes + codes.astype(np.int64)
-        uk, cnt = np.unique(key, return_counts=True)
-        pair_doc = (uk // ncodes).astype(np.int64)
-        n_distinct = np.bincount(pair_doc, minlength=ts.n_docs)
-        top = np.zeros(ts.n_docs, dtype=np.int64)
-        np.maximum.at(top, pair_doc, cnt)
-        dup = np.where(n > 0, 1.0 - n_distinct / safe, 0.0)
-        topf = np.where(n > 0, top / safe, 0.0)
-        rules = [
-            ("min_tokens", n < min_tokens),
-            ("max_tokens", n > max_tokens),
-            ("mean_word_len", (mean_wl < min_mean_word_len)
-             | (mean_wl > max_mean_word_len)),
-            ("dup_tokens", dup > max_dup_token_frac),
-            ("top_token", topf > max_top_token_frac),
-            ("stopwords", stop_hits < min_stop_hits),
-        ]
-        reasons = np.full(ts.n_docs, "", dtype=object)
-        fail = np.zeros(ts.n_docs, dtype=bool)
-        for name, mask in rules:
-            reasons = np.where(
-                mask, np.where(reasons == "", name, reasons + "," + name),
-                reasons)
-            fail |= mask
-        return pd.DataFrame({
-            id_column: df[id_column].to_numpy(),
-            "n_tokens": n,
-            "mean_word_len": mean_wl,
-            "dup_token_frac": dup,
-            "top_token_frac": topf,
-            "stop_hits": stop_hits,
-            "keep": (~fail).astype(np.int64),
-            "reasons": reasons,
-        })
-
-    return ds.map_batches(verdicts, batch_format="pandas")
+    return ds.map_batches(
+        functools.partial(
+            _gopher_kernel, text_column=text_column, id_column=id_column,
+            min_tokens=min_tokens, max_tokens=max_tokens,
+            min_mean_word_len=min_mean_word_len,
+            max_mean_word_len=max_mean_word_len,
+            max_dup_token_frac=max_dup_token_frac,
+            max_top_token_frac=max_top_token_frac,
+            min_stop_hits=min_stop_hits),
+        batch_format="pandas")

@@ -377,3 +377,106 @@ def test_fingerprint_batch_matches_scalar(texts):
     batch = rolling_fingerprint_batch(_pd.Series(texts, dtype="object"))
     scalar = np.array([rolling_fingerprint(t) for t in texts])
     assert len(batch) == len(scalar) and (batch == scalar).all(), texts
+
+
+# text strategy shared by the corpus-quality kernels: ASCII words + the
+# whitespace the tokenizer contract covers, plus None/empty/space-only rows
+_doc_text = st.one_of(
+    st.none(),
+    st.text(alphabet="ab xy\t", max_size=30),
+)
+
+
+def _scalar_repetition(texts, lowercase=True):
+    """Slow per-row reference for _repetition_kernel."""
+    out = []
+    for i, t in enumerate(texts):
+        if t is None:
+            continue
+        s = t.strip()
+        if lowercase:
+            s = s.lower()
+        toks = s.split() if s else []
+        if not toks:
+            continue
+        from collections import Counter
+        c = Counter(toks)
+        n = len(toks)
+        out.append((i, n, len(c), 1.0 - len(c) / n, max(c.values()) / n))
+    return out
+
+
+@settings(max_examples=60, deadline=None)
+@given(texts=st.lists(_doc_text, min_size=0, max_size=12),
+       lowercase=st.booleans())
+def test_repetition_kernel_matches_scalar(texts, lowercase):
+    from gojsonschema_ray.functions.text import _repetition_kernel
+
+    batch = pa.table({"i": list(range(len(texts))),
+                      "t": pa.array(texts, pa.string())})
+    got = _repetition_kernel(batch, "t", "i", lowercase).to_pylist()
+    want = _scalar_repetition(texts, lowercase)
+    assert [(r["i"], r["n_tokens"], r["n_distinct"], r["dup_token_frac"],
+             r["top_token_frac"]) for r in got] == want
+
+
+def _scalar_gopher(texts, ids, **th):
+    """Slow per-row reference for _gopher_kernel verdicts."""
+    from collections import Counter
+    out = []
+    for i, t in zip(ids, texts):
+        s = (t or "").strip()
+        toks = s.split()
+        low = [x.lower() for x in toks]
+        n = len(toks)
+        c = Counter(low)
+        n_alpha = sum(ch.isascii() and ch.isalpha() for ch in (t or ""))
+        safe = max(n, 1)
+        mean_wl = n_alpha / safe
+        dup = 1.0 - len(c) / safe if n else 0.0
+        topf = max(c.values()) / safe if n else 0.0
+        stop = sum(v for k, v in c.items()
+                   if k in {"the", "a", "and", "of", "to", "in", "is",
+                            "it", "that", "for"})
+        reasons = []
+        if n < th["min_tokens"]:
+            reasons.append("min_tokens")
+        if n > th["max_tokens"]:
+            reasons.append("max_tokens")
+        if mean_wl < th["min_mean_word_len"] or \
+                mean_wl > th["max_mean_word_len"]:
+            reasons.append("mean_word_len")
+        if dup > th["max_dup_token_frac"]:
+            reasons.append("dup_tokens")
+        if topf > th["max_top_token_frac"]:
+            reasons.append("top_token")
+        if stop < th["min_stop_hits"]:
+            reasons.append("stopwords")
+        out.append((i, n, mean_wl, dup, topf, stop,
+                    int(not reasons), ",".join(reasons)))
+    return out
+
+
+@settings(max_examples=60, deadline=None)
+@given(texts=st.lists(st.one_of(_doc_text,
+                                st.text(alphabet="the a of x\t", max_size=40)),
+                      min_size=1, max_size=12),
+       min_tokens=st.integers(min_value=0, max_value=6),
+       max_dup=st.sampled_from([0.0, 0.25, 0.5, 1.0]),
+       min_stop=st.integers(min_value=0, max_value=3))
+def test_gopher_kernel_matches_scalar(texts, min_tokens, max_dup, min_stop):
+    import pandas as pd
+
+    from gojsonschema_ray.functions.text import _gopher_kernel
+
+    th = dict(min_tokens=min_tokens, max_tokens=8,
+              min_mean_word_len=0.5, max_mean_word_len=4.0,
+              max_dup_token_frac=max_dup, max_top_token_frac=0.5,
+              min_stop_hits=min_stop)
+    ids = list(range(len(texts)))
+    df = pd.DataFrame({"i": ids, "t": pd.array(texts, dtype="object")})
+    got = _gopher_kernel(df, "t", "i", **th)
+    want = _scalar_gopher(texts, ids, **th)
+    assert list(zip(got["i"], got["n_tokens"], got["mean_word_len"],
+                    got["dup_token_frac"], got["top_token_frac"],
+                    got["stop_hits"], got["keep"], got["reasons"])) == want
