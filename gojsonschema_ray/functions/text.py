@@ -281,42 +281,68 @@ def token_frequencies(ds, text_column: str, min_count: int = 1, n: int = 1,
 
     Tokenization = the engine's SQL-reproducible contract (``\\s+`` split of
     trimmed text — ASCII whitespace; exotic Unicode spaces are outside the
-    contract since RE2/DuckDB ``\\s`` is ASCII-only); n-grams join `n`
-    consecutive tokens with single spaces. Scale shape: per-batch explode +
-    partial counts (the combiner bounds the exchange by
-    distinct-grams-per-batch, not token count), then the SAME exchange as
-    key-uniqueness (uniqueness.aggregate_key_counts). Returns a Dataset of
-    (gram, n)."""
+    contract since RE2/DuckDB ``\\s`` is ASCII-only). The split runs on the
+    SAME Arrow RE2 kernel as `unigram_logprob`'s scoring pass, so both
+    phases of that operator tokenize identically on any input; n-grams join
+    `n` consecutive tokens with single spaces via one
+    `binary_join_element_wise` over shifted views of the flat token array.
+    Scale shape: per-batch explode + partial counts (the combiner bounds
+    the exchange by distinct-grams-per-batch, not token count), then the
+    SAME exchange as key-uniqueness (uniqueness.aggregate_key_counts).
+    Returns a Dataset of (gram, n)."""
     from ..stages.dedup import _next_pow2, _shuffle_parts
     from ..stages.sketches import hash_arrow_array
     from ..stages.uniqueness import aggregate_key_counts
 
     P = _next_pow2(n_parts or _shuffle_parts())
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        grams: list[str] = []
-        for text in df[text_column]:
-            if not text:
-                continue
-            t = text.strip()
-            if not t:
-                continue
-            toks = _WS.split(t.lower() if lowercase else t)
-            if n == 1:
-                doc_grams = toks
+    def partial(t: pa.Table) -> pa.Table:
+        col = t[text_column]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        txt = pc.utf8_trim_whitespace(pc.cast(col, pa.string()))
+        if lowercase:
+            txt = pc.utf8_lower(txt)
+        lists = pc.split_pattern_regex(txt, r"\s+")
+        lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) \
+            else lists
+        lens = np.diff(lists.offsets.to_numpy(zero_copy_only=False)
+                       .astype(np.int64))
+        doc_ok = ~np.asarray(pc.is_null(lists).to_numpy(zero_copy_only=False))
+        doc_ok &= np.asarray(pc.greater(pc.utf8_length(txt), 0)
+                             .fill_null(False).to_numpy(zero_copy_only=False))
+        vals = lists.values  # flat tokens, incl. dropped docs' — masked below
+        did = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        tok_ok = np.repeat(doc_ok, lens)
+        if n == 1:
+            keep = tok_ok
+            grams = vals.filter(pa.array(keep))
+        else:
+            L = len(vals) - n + 1
+            if L <= 0:
+                keep = np.zeros(0, dtype=bool)
+            else:  # gram at i spans tokens i..i+n-1 of ONE kept doc
+                keep = tok_ok[:L] & (did[:L] == did[n - 1:])
+            if not keep.any():
+                grams = pa.array([], pa.string())
             else:
-                doc_grams = [" ".join(toks[i:i + n])
-                             for i in range(len(toks) - n + 1)]
-            if distinct_per_doc:
-                doc_grams = list(dict.fromkeys(doc_grams))
-            grams.extend(doc_grams)
-        s = pd.Series(grams, dtype="object").value_counts()
-        out = pd.DataFrame({"gram": s.index,
-                            "cnt": s.to_numpy().astype("int64")})
-        h = hash_arrow_array(out["gram"])
-        return out.assign(part=(h % np.uint64(P)).astype("int32"))
+                parts_ = [vals.slice(j, L) for j in range(n)]
+                grams = pc.binary_join_element_wise(*parts_, " ") \
+                    .filter(pa.array(keep))
+        gdid = did[:len(keep)][keep] if len(keep) else did[:0]
+        if distinct_per_doc and len(grams):
+            dd = pd.DataFrame({"d": gdid, "g": grams.to_pandas()}) \
+                .drop_duplicates()
+            grams = pa.array(dd["g"], pa.string())
+        vc = pc.value_counts(grams)
+        gram_col = vc.field(0)
+        h = hash_arrow_array(gram_col)
+        return pa.table({
+            "gram": gram_col,
+            "cnt": pc.cast(vc.field(1), pa.int64()),
+            "part": pa.array((h % np.uint64(P)).astype(np.int32)),
+        })
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pyarrow")
     return aggregate_key_counts(partials, "gram", min_count=min_count)
 
 

@@ -49,6 +49,65 @@ def _hash_strings(values) -> np.ndarray:
     return pd.util.hash_array(np.asarray(values, dtype=object)).astype(np.uint64)
 
 
+# -- byte-free char-k-gram hashing ------------------------------------------
+# Character k-grams used to be built as one Python string object per position
+# (grams.extend(t[j:j+k] ...)) — the interpreter-bound step of the two most
+# expensive text pipelines (minhash signatures, n-gram decontamination).
+# gram_hashes_batch replaces that with a zero-object pipeline: the batch's
+# text is concatenated ONCE, decoded to a uint32 codepoint array (UTF-32, so
+# gram boundaries match Python/SQL CHARACTER semantics, not UTF-8 bytes),
+# polynomial-hashed with k vectorized passes, finalized with a splitmix64
+# mixer, and windows crossing document boundaries are masked out.
+
+_GRAM_BASE = np.uint64(0x100000001B3)  # FNV-1a 64-bit prime as poly base
+_SM_1 = np.uint64(0xBF58476D1CE4E5B9)  # splitmix64 finalizer constants
+_SM_2 = np.uint64(0x94D049BB133111EB)
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized in-place over a uint64 array."""
+    h ^= h >> np.uint64(30)
+    h *= _SM_1
+    h ^= h >> np.uint64(27)
+    h *= _SM_2
+    h ^= h >> np.uint64(31)
+    return h
+
+
+def gram_hashes_batch(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Char-k-gram hashes for a whole batch with NO per-gram Python objects.
+
+    Returns ``(hashes, seg)``: ``hashes[seg[i]:seg[i+1]]`` are texts[i]'s
+    per-position gram hashes in position order (duplicates kept — callers
+    np.unique when they need sets). None/short texts contribute zero grams.
+
+    Peak temporaries are ~24 bytes per batch character (uint64 codepoints +
+    hashes + doc-id repeat), ~40× smaller than the Python-string gram list
+    this replaces; Ray's block sizing bounds batch characters."""
+    n = len(texts)
+    lens = np.fromiter(((len(t) if t else 0) for t in texts),
+                       dtype=np.int64, count=n)
+    seg = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.maximum(lens - k + 1, 0), out=seg[1:])
+    total = int(lens.sum())
+    if seg[-1] == 0:
+        return np.zeros(0, dtype=np.uint64), seg
+    full = "".join(t or "" for t in texts)
+    cp = np.frombuffer(full.encode("utf-32-le"), dtype=np.uint32) \
+        .astype(np.uint64)
+    n_pos = total - k + 1
+    h = np.zeros(n_pos, dtype=np.uint64)
+    for j in range(k):
+        h *= _GRAM_BASE
+        h += cp[j:j + n_pos]
+    h = _mix64(h)
+    # a window starting at p stays within one doc iff chars p and p+k-1
+    # belong to the same doc
+    did = np.repeat(np.arange(n, dtype=np.int64), lens)
+    valid = did[:n_pos] == did[k - 1:]
+    return np.ascontiguousarray(h[valid]), seg
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -176,11 +235,11 @@ def dedup_exact_rows(ds, column: str, id_column: str, n_parts: int | None = None
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 def shingles(text: str, k: int = 5) -> np.ndarray:
-    """Character k-gram shingle hash set (uint64)."""
+    """Character k-gram shingle hash set (uint64, sorted unique)."""
     if not text or len(text) < k:
         return np.zeros(0, dtype=np.uint64)
-    grams = [text[i:i + k] for i in range(len(text) - k + 1)]
-    return np.unique(_hash_strings(grams))
+    h, _ = gram_hashes_batch([text], k)
+    return np.unique(h)
 
 
 class MinHasher:
@@ -238,20 +297,12 @@ class MinHashLSHStage:
 
     def signatures(self, texts: list) -> np.ndarray:
         """(n_docs, num_perm) uint64 signature matrix for a list of texts."""
-        k = self.shingle_k
-        grams: list[str] = []
-        seg = np.zeros(len(texts) + 1, dtype=np.int64)
-        for i, text in enumerate(texts):
-            t = text or ""
-            if len(t) >= k:
-                grams.extend(t[j:j + k] for j in range(len(t) - k + 1))
-            seg[i + 1] = len(grams)
+        h, seg = gram_hashes_batch(texts, self.shingle_k)
         n = len(texts)
         P = self.hasher.num_perm
         sigs = np.full((n, P), np.iinfo(np.uint64).max, dtype=np.uint64)
-        if not grams:
+        if len(h) == 0:
             return sigs
-        h = _hash_strings(grams)
         nonempty = np.diff(seg) > 0
         doc_idx = np.nonzero(nonempty)[0]
         starts_ne = seg[:-1][nonempty]

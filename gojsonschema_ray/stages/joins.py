@@ -28,11 +28,15 @@ columns before joining.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..util import collect_table
+
+_LOG = logging.getLogger(__name__)
 
 
 def _ts_us(col) -> np.ndarray:
@@ -484,6 +488,7 @@ def hash_join_shuffle(left, right, *, on: str, how: str = "inner",
     how="right"/"full" stay unsalted (a replicated build row that goes
     unmatched in one sub-bucket would emit spurious OUTER rows; documented
     limitation — pre-filter sentinel keys upstream for skewed full joins).
+    Passing hot_keys with right/full logs a loud warning and runs unsalted.
 
     Partitioning assumption (documented): one NON-HOT key's rows fit a
     partition — keys, not the corpus, bound the cell. Null keys never
@@ -500,6 +505,18 @@ def hash_join_shuffle(left, right, *, on: str, how: str = "inner",
 
     if how not in ("inner", "left", "right", "full", "semi", "anti"):
         raise ValueError(f"hash_join_shuffle: how={how!r}")
+    if not 1 <= salt_buckets <= 127:
+        # _salt is stored int8 and joins the merge key: >127 would wrap
+        # negative / alias two distinct salts onto one merge-key value —
+        # exactly the duplicate-match bug the column exists to prevent
+        raise ValueError(
+            f"hash_join_shuffle: salt_buckets={salt_buckets} out of range "
+            "1..127 (int8 _salt merge-key storage)")
+    if isinstance(hot_keys, str) and hot_keys != "auto":
+        # set('999') would silently become {'9'} — no error, no salting
+        raise ValueError(
+            f"hash_join_shuffle: hot_keys={hot_keys!r} — pass 'auto' or a "
+            "set of key values")
     P = _next_pow2(n_parts or _shuffle_parts())
     S = np.uint64(max(1, salt_buckets))
     _GOLD = np.uint64(0x9E3779B97F4A7C15)
@@ -507,6 +524,13 @@ def hash_join_shuffle(left, right, *, on: str, how: str = "inner",
         hot = top_hot_keys(left, on) if hot_keys == "auto" else set(hot_keys)
     else:
         hot = set()
+        if hot_keys is not None:
+            _LOG.warning(
+                "hash_join_shuffle: hot_keys is IGNORED for how=%r — "
+                "right/full outer joins run unsalted (a replicated build "
+                "row unmatched in one sub-bucket would emit spurious OUTER "
+                "rows); pre-filter or pre-aggregate the hot keys upstream "
+                "for skewed right/full joins", how)
     hot.discard(None)  # null keys never match — no need to salt them
     lcols = left_columns or [c for c in left.schema().names if c != on]
     rcols = right_columns or [c for c in right.schema().names if c != on]

@@ -72,6 +72,12 @@ def running_offsets(ds, *, order_column: str, weight_column: str,
 
     P = _next_pow2(n_parts or _shuffle_parts())
     keep = keep_columns or []
+    reserved = {"part", "_w", "_b", "offset", "weight"} \
+        & {order_column, weight_column, *keep}
+    if reserved:  # synthetic exchange/output columns — a silent overwrite
+        raise ValueError(  # would corrupt partition routing or the offsets
+            f"running_offsets: column names {sorted(reserved)} are reserved "
+            "by the exchange — rename or project them out")
 
     # ---- pass 1: per-bucket weight totals (per-batch combiner) ----------
     def bucket_sums(t: pa.Table) -> pa.Table:

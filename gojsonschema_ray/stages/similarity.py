@@ -174,8 +174,9 @@ def decontaminate_cosine(corpus, reference, *, embedding_column: str = "embeddin
 
 class _NgramDecontaminateStage:
     """map_batches payload: per-batch char-k-gram overlap vs the broadcast
-    reference gram-hash set. All grams of the batch hash in ONE pass
-    (the minhash signature-stage pattern), membership is one np.isin, and
+    reference gram-hash set. All grams of the batch hash in ONE vectorized
+    pass (`dedup.gram_hashes_batch` — zero Python objects per gram),
+    membership is a searchsorted probe into the sorted reference array, and
     per-doc DISTINCT-hit counts come from a lexsort — no per-doc Python in
     the hot path."""
 
@@ -196,48 +197,26 @@ class _NgramDecontaminateStage:
             self._r = ray.get(r) if hasattr(r, "hex") else r
         return self._r
 
-    #: grams per flush — bounds the transient Python-string buffer (a whole
-    #: batch's k-grams at once would be ~k x batch-chars of fresh objects;
-    #: this VM's first-touch faults on large temporaries are pathological).
-    #: Flushes happen on DOC boundaries so per-doc distinct-hit counting
-    #: stays exact; a single doc longer than the budget gets its own flush.
-    GRAM_SLICE = 1 << 17
-
     def _hit_counts(self, texts: list) -> np.ndarray:
-        from .dedup import _hash_strings
+        from .dedup import gram_hashes_batch
 
-        k = self.k
-        ref = self._ref_hashes()
+        ref = self._ref_hashes()  # sorted unique uint64 (np.unique output)
         hits = np.zeros(len(texts), dtype=np.int64)
-        grams: list[str] = []
-        counts: list[tuple[int, int]] = []  # (doc index, gram count)
-
-        def flush():
-            if not grams:
-                return
-            h = _hash_strings(grams)
-            m = np.isin(h, ref)
-            if m.any():
-                doc = np.repeat(np.array([i for i, _ in counts]),
-                                np.array([n for _, n in counts]))
-                d, hh = doc[m], h[m]
-                order = np.lexsort((hh, d))
-                d, hh = d[order], hh[order]
-                first = np.ones(len(d), dtype=bool)
-                first[1:] = (d[1:] != d[:-1]) | (hh[1:] != hh[:-1])
-                np.add.at(hits, d[first], 1)  # distinct ref-grams per doc
-            grams.clear()
-            counts.clear()
-
-        for i, t in enumerate(texts):
-            t = t or ""
-            if len(t) >= k:
-                n_g = len(t) - k + 1
-                grams.extend(t[j:j + k] for j in range(n_g))
-                counts.append((i, n_g))
-            if len(grams) >= self.GRAM_SLICE:
-                flush()
-        flush()
+        h, seg = gram_hashes_batch(texts, self.k)
+        if len(h) == 0 or len(ref) == 0:
+            return hits
+        # membership probe into the sorted reference — no sort of h needed
+        idx = np.searchsorted(ref, h)
+        m = ref[np.minimum(idx, len(ref) - 1)] == h
+        if not m.any():
+            return hits
+        doc = np.repeat(np.arange(len(texts), dtype=np.int64), np.diff(seg))
+        d, hh = doc[m], h[m]
+        order = np.lexsort((hh, d))
+        d, hh = d[order], hh[order]
+        first = np.ones(len(d), dtype=bool)
+        first[1:] = (d[1:] != d[:-1]) | (hh[1:] != hh[:-1])
+        np.add.at(hits, d[first], 1)  # distinct ref-grams per doc
         return hits
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -65,6 +65,61 @@ def test_shingles_and_jaccard():
     assert 0.3 < j < 0.9
 
 
+def _gram_hashes_scalar(text: str, k: int) -> list:
+    """Pure-Python reference of gram_hashes_batch's polynomial+splitmix64
+    hash — per-position char-k-gram hashes (codepoint semantics)."""
+    mask = (1 << 64) - 1
+    base, sm1, sm2 = 0x100000001B3, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    out = []
+    t = text or ""
+    for i in range(max(0, len(t) - k + 1)):
+        h = 0
+        for c in t[i:i + k]:
+            h = (h * base + ord(c)) & mask
+        h ^= h >> 30
+        h = (h * sm1) & mask
+        h ^= h >> 27
+        h = (h * sm2) & mask
+        h ^= h >> 31
+        out.append(h)
+    return out
+
+
+def test_gram_hashes_batch_matches_scalar():
+    """The zero-object vectorized gram hasher == the scalar reference, incl.
+    None/empty/short texts, doc-boundary masking, and non-ASCII (astral)
+    codepoints — grams are CHARACTER windows, matching SQL substr semantics."""
+    from gojsonschema_ray.stages.dedup import gram_hashes_batch
+
+    texts = ["the quick brown fox", "", None, "abcd", "abcde",
+             "héllo wörld ünïcode", "emoji 🎉🎊 pair", "aaaaaaa",
+             "日本語のテキストです", "x" * 300]
+    for k in (2, 5, 13, 20):
+        h, seg = gram_hashes_batch(texts, k)
+        assert seg[0] == 0 and seg[-1] == len(h)
+        for i, t in enumerate(texts):
+            want = _gram_hashes_scalar(t, k)
+            got = h[seg[i]:seg[i + 1]].tolist()
+            assert got == want, (i, k)
+
+
+def test_gram_hashes_batch_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gojsonschema_ray.stages.dedup import gram_hashes_batch
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(st.one_of(st.none(), st.text(max_size=40)), max_size=8),
+           st.integers(min_value=1, max_value=8))
+    def check(texts, k):
+        h, seg = gram_hashes_batch(texts, k)
+        for i, t in enumerate(texts):
+            assert h[seg[i]:seg[i + 1]].tolist() == _gram_hashes_scalar(t, k)
+
+    check()
+
+
 def test_simhash_locality():
     a = simhash64("the quick brown fox jumps over the lazy dog " * 5)
     b = simhash64("the quick brown fox jumps over the lazy dogs " * 5)
@@ -838,15 +893,14 @@ def test_stratified_sample_null_keys_dropped(ray_session):
     assert all(r["k"] is not None for r in out)
 
 
-def test_decontaminate_ngrams_chunked_flush(ray_session, monkeypatch):
-    """Distinct-hit counts are exact across gram-buffer flushes (docs are
-    never split across a flush, so duplicate grams can't double-count)."""
+def test_decontaminate_ngrams_distinct_hits(ray_session):
+    """A ref gram occurring TWICE in one doc counts as ONE distinct hit
+    (the lexsort dedup in _hit_counts), and unrelated docs score zero."""
     import ray.data as rd
 
     from gojsonschema_ray.stages import similarity as sim
     from gojsonschema_ray.util import collect_rows
 
-    monkeypatch.setattr(sim._NgramDecontaminateStage, "GRAM_SLICE", 8)
     ref = ["abcdefghijklmnop"]
     # doc 1 contains the same ref 13-gram TWICE -> still one distinct hit
     corpus = pa.table({
