@@ -1320,6 +1320,52 @@ def q_documents_logprob(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_documents_dup_lines(sf_dir: str) -> pd.DataFrame:
+    """CORPUS-WIDE duplicate-line fractions (functions/text.dup_line_stats,
+    broadcast strategy) — the cross-document half of Gopher's repetition
+    filtering (Rae et al. 2021 §A1.1; documents_repetition covers the
+    within-doc half). These documents are single-line, so the word
+    delimiter ' ' exercises the segment semantics; min_count=900 splits
+    this corpus's vocabulary (17 of 31 words qualify at sf0.01). Fractions
+    are single IEEE divisions of exact int64 counts — bit-exact vs SQL."""
+    from gojsonschema_ray.functions.text import dup_line_stats
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    rows = collect_rows(dup_line_stats(ds, "text", "doc_id",
+                                       delimiter=" ", min_count=900))
+    df = pd.DataFrame({
+        "doc_id": pd.Series([r["doc_id"] for r in rows], dtype="int64"),
+        "n_lines": pd.Series([r["n_lines"] for r in rows], dtype="int64"),
+        "n_dup_lines": pd.Series([r["n_dup_lines"] for r in rows],
+                                 dtype="int64"),
+        "dup_line_frac": pd.Series([r["dup_line_frac"] for r in rows],
+                                   dtype="float64"),
+        "dup_char_frac": pd.Series([r["dup_char_frac"] for r in rows],
+                                   dtype="float64"),
+    })
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_documents_drop_dup_lines(sf_dir: str) -> pd.DataFrame:
+    """Corpus-dedup FILTERING output (functions/text.drop_duplicate_lines):
+    every occurrence of a corpus-duplicated segment removed, survivors
+    rejoined in original order — the CCNet-style duplicate-paragraph
+    discard. Hash-checks the full reassembled text against a
+    string_agg-with-ordinality oracle."""
+    from gojsonschema_ray.functions.text import drop_duplicate_lines
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    rows = collect_rows(drop_duplicate_lines(ds, "text", "doc_id",
+                                             delimiter=" ", min_count=900))
+    df = pd.DataFrame({
+        "doc_id": pd.Series([r["doc_id"] for r in rows], dtype="int64"),
+        "text": pd.Series([r["text"] for r in rows], dtype="object"),
+    })
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_documents_gopher(sf_dir: str) -> pd.DataFrame:
     """Gopher-style quality filter (functions/text.gopher_filter): per-doc
     keep/drop verdicts with fixed-order failure reasons, composing token
@@ -1616,7 +1662,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_rows_salted": q_dedup_rows_salted,
         "lineitem_price_bands": q_lineitem_price_bands,
         "orders_customer_join": q_orders_customer_join,
-        "lineitem_orders_join": q_lineitem_orders_join,
         "orders_customer_outer": q_orders_customer_outer,
         "orders_infer": q_orders_infer,
         "embeddings_decontaminate": q_embeddings_decontaminate,
@@ -1626,7 +1671,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_active_days": q_events_active_days,
         "events_lag_gap": q_events_lag_gap,
         "documents_tokens": q_documents_tokens,
-        "dedup_exact_text": q_dedup_exact_text,
+        "documents_dup_lines": q_documents_dup_lines,
+        "documents_drop_dup_lines": q_documents_drop_dup_lines,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "documents_decontaminate_ngrams": q_documents_decontaminate_ngrams,
         "token_counts_by_lang": q_token_counts_by_lang,
@@ -1647,6 +1693,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # still verifies them; each operator has an in-window oracle above)
         "documents_gopher": q_documents_gopher,      # composition of
         # in-window-verified signals (repetition, quality, token counts)
+        "lineitem_orders_join": q_lineitem_orders_join,  # sibling:
+        # orders_customer_join (same hash_join_shuffle inner path)
+        "dedup_exact_text": q_dedup_exact_text,      # sibling: rows_salted
         "events_window": q_events_window,            # sibling: hopping window
         "events_asof_rate": q_events_asof_rate,      # sibling: asof_bucketed
         "documents_packed": q_documents_packed,      # sibling: documents_packs
@@ -2047,6 +2096,39 @@ def oracle_sql() -> dict[str, str]:
             "CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) "
             "AS top_token_frac "
             "FROM per GROUP BY doc_id ORDER BY doc_id"
+        ),
+        # segments = nonempty splits on the literal delimiter; a segment is
+        # duplicated when its corpus-wide count reaches min_count (900).
+        # Fractions are single IEEE divisions of exact ints — bit-exact.
+        "documents_dup_lines": (
+            "WITH seg AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+            "AS seg FROM documents WHERE text IS NOT NULL), "
+            "ne AS (SELECT doc_id, seg FROM seg WHERE seg != ''), "
+            "c AS (SELECT seg, count(*) AS n FROM ne GROUP BY seg) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines, "
+            "CAST(sum(CASE WHEN n >= 900 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_dup_lines, "
+            "CAST(sum(CASE WHEN n >= 900 THEN 1 ELSE 0 END) AS DOUBLE) "
+            "/ count(*) AS dup_line_frac, "
+            "CAST(sum(CASE WHEN n >= 900 THEN length(seg) ELSE 0 END) "
+            "AS DOUBLE) / sum(length(seg)) AS dup_char_frac "
+            "FROM ne JOIN c USING(seg) GROUP BY doc_id ORDER BY doc_id"
+        ),
+        # every occurrence of a duplicated segment is dropped; survivors
+        # string_agg back in original position order
+        "documents_drop_dup_lines": (
+            "WITH x AS (SELECT doc_id, string_split(text, ' ') AS arr "
+            "FROM documents WHERE text IS NOT NULL), "
+            "seg AS (SELECT doc_id, unnest(arr) AS seg, "
+            "generate_subscripts(arr, 1) AS i FROM x), "
+            "ne AS (SELECT * FROM seg WHERE seg != ''), "
+            "c AS (SELECT seg, count(*) AS n FROM ne GROUP BY seg), "
+            "kept AS (SELECT ne.doc_id, ne.seg, ne.i FROM ne "
+            "JOIN c USING(seg) WHERE c.n < 900) "
+            "SELECT d.doc_id, coalesce(string_agg(kept.seg, ' ' "
+            "ORDER BY kept.i), '') AS text "
+            "FROM documents d LEFT JOIN kept ON d.doc_id = kept.doc_id "
+            "GROUP BY d.doc_id ORDER BY d.doc_id"
         ),
         # verdict thresholds are the gopher_filter defaults; concat_ws
         # skips the NULL CASE arms, reproducing the fixed reason order

@@ -758,3 +758,317 @@ def gopher_filter(ds, text_column: str, id_column: str, *,
             max_top_token_frac=max_top_token_frac,
             min_stop_hits=min_stop_hits),
         batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide duplicate-line / -paragraph removal (Rae et al. 2021 §A1.1 —
+# the CROSS-document half of Gopher's repetition filtering; repetition_stats
+# above covers the within-document half)
+# ---------------------------------------------------------------------------
+def _explode_segments(batch: pa.Table, text_column: str, delimiter: str):
+    """Split a batch's text on a LITERAL delimiter and explode to flat
+    segments. Returns ``(flat, doc_idx, row_valid)``: `flat` = the nonempty
+    segments (Arrow string array), `doc_idx` = each segment's row index in
+    the batch (int64), `row_valid` = bool mask of rows with non-null text.
+    Empty segments (consecutive delimiters, leading/trailing) are dropped —
+    they carry no content and would otherwise all count as corpus-wide
+    duplicates of each other."""
+    col = batch[text_column]
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    txt = pc.cast(col, pa.string())
+    lists = pc.split_pattern(txt, delimiter)
+    lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) \
+        else lists
+    offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    raw_lengths = np.diff(offsets)
+    row_valid = ~np.asarray(pc.is_null(lists).to_numpy(zero_copy_only=False))
+    # mask the raw values buffer: null rows may still own extents there
+    seg_keep = np.repeat(row_valid, raw_lengths)
+    flat_all = lists.values
+    nonempty = np.asarray(pc.greater(pc.utf8_length(flat_all), 0)
+                          .fill_null(False).to_numpy(zero_copy_only=False))
+    seg_keep &= nonempty
+    did_all = np.repeat(np.arange(batch.num_rows, dtype=np.int64),
+                        raw_lengths)
+    flat = flat_all.filter(pa.array(seg_keep))
+    return flat, did_all[seg_keep], row_valid
+
+
+class _DupLineScoreStage:
+    """map_batches payload for dup_line_stats' broadcast path: per-batch
+    explode + hash + searchsorted membership probe into the ray.put dup-hash
+    array (shipped once, read per task) — the n-gram-decontamination
+    pattern. No per-row Python."""
+
+    def __init__(self, dup_ref, text_column: str, id_column: str,
+                 delimiter: str):
+        self.dup_ref = dup_ref
+        self.text_column = text_column
+        self.id_column = id_column
+        self.delimiter = delimiter
+        self._d = None
+
+    def _dup_hashes(self) -> np.ndarray:
+        if self._d is None:
+            import ray
+            r = self.dup_ref
+            self._d = ray.get(r) if hasattr(r, "hex") else r
+        return self._d
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.sketches import hash_arrow_array
+
+        dup = self._dup_hashes()  # sorted unique uint64
+        flat, did, _ = _explode_segments(batch, self.text_column,
+                                         self.delimiter)
+        ids = batch[self.id_column]
+        ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+        if not len(flat):
+            return pa.table({self.id_column: ids.slice(0, 0),
+                             "n_lines": pa.array([], pa.int64()),
+                             "n_dup_lines": pa.array([], pa.int64()),
+                             "dup_line_frac": pa.array([], pa.float64()),
+                             "dup_char_frac": pa.array([], pa.float64())})
+        h = hash_arrow_array(flat)
+        if len(dup):
+            pos = np.minimum(np.searchsorted(dup, h), len(dup) - 1)
+            is_dup = dup[pos] == h
+        else:
+            is_dup = np.zeros(len(h), dtype=bool)
+        chars = np.asarray(pc.utf8_length(flat).to_numpy(
+            zero_copy_only=False), dtype=np.int64)
+        n_rows = batch.num_rows
+        nl = np.bincount(did, minlength=n_rows)
+        nd = np.bincount(did[is_dup], minlength=n_rows)
+        nc = np.bincount(did, weights=chars, minlength=n_rows) \
+            .astype(np.int64)
+        ndc = np.bincount(did[is_dup], weights=chars[is_dup],
+                          minlength=n_rows).astype(np.int64)
+        kept = np.flatnonzero(nl > 0)  # docs with >=1 segment only
+        return pa.table({
+            self.id_column: ids.take(pa.array(kept)),
+            "n_lines": pa.array(nl[kept]),
+            "n_dup_lines": pa.array(nd[kept]),
+            "dup_line_frac": pa.array(nd[kept] / nl[kept]),
+            "dup_char_frac": pa.array(ndc[kept] / nc[kept]),
+        })
+
+
+def _dup_line_hash_counts(ds, text_column: str, delimiter: str,
+                          min_count: int, n_parts: int | None):
+    """(h, n) Dataset of segment-hash corpus counts with n >= min_count —
+    per-batch explode + value_counts partials, then the engine's ONE coarse
+    hash exchange (aggregate_key_counts)."""
+    from ..stages.dedup import _next_pow2, _shuffle_parts
+    from ..stages.sketches import hash_arrow_array
+    from ..stages.uniqueness import aggregate_key_counts
+
+    P = _next_pow2(n_parts or _shuffle_parts())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, _, _ = _explode_segments(batch, text_column, delimiter)
+        h = hash_arrow_array(flat) if len(flat) \
+            else np.zeros(0, dtype=np.uint64)
+        uh, cnt = np.unique(h, return_counts=True)
+        return pa.table({
+            "h": pa.array(uh),
+            "cnt": pa.array(cnt.astype(np.int64)),
+            "part": pa.array((uh % np.uint64(P)).astype(np.int32)),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return aggregate_key_counts(partials, "h", min_count=min_count)
+
+
+def dup_line_stats(ds, text_column: str, id_column: str, *,
+                   delimiter: str = "\n", min_count: int = 2,
+                   strategy: str = "broadcast", n_parts: int | None = None):
+    """Per-document CORPUS-WIDE duplicate-line fractions — the
+    cross-document half of Gopher's repetition filtering (Rae et al. 2021
+    §A1.1 dup-line / dup-line-char fractions; `repetition_stats` covers the
+    within-document token half). A "line" is a nonempty segment of `text`
+    split on the literal `delimiter` (``"\\n"`` for lines, ``"\\n\\n"`` for
+    paragraphs); a line is duplicated when its corpus-wide occurrence count
+    (across ALL documents, including its own repeats) reaches `min_count`.
+
+    Returns a Dataset of (id, n_lines, n_dup_lines, dup_line_frac,
+    dup_char_frac); docs with zero nonempty segments are dropped (no
+    defined fractions). Fractions are single IEEE divisions of exact int64
+    counts — bit-identical in numpy and DuckDB, no rounding contract.
+
+    Two scale shapes:
+      - strategy="broadcast" (default): segment-hash corpus counts via
+        per-batch combiner partials + ONE coarse hash exchange, then the
+        duplicated hashes (bounded by DISTINCT duplicated lines, not corpus
+        size) are ray.put ONCE as a sorted uint64 array and the corpus
+        streams through a searchsorted membership probe — the
+        n-gram-decontamination pattern. Assumption: the dup-hash set fits
+        the driver/worker heap (8 bytes per distinct duplicated line).
+      - strategy="shuffle": no broadcast-size assumption. Per-batch
+        (id, h, cnt, chars) partials exchange on hash(line) — every
+        occurrence of a line co-locates, so corpus counts are exact
+        in-partition — then per-doc partials exchange on hash(id) and sum.
+        Two coarse exchanges, both over collapsed partials.
+
+    Line identity is the engine's 64-bit partitioning hash (collisions
+    ~n²/2⁶⁴ — negligible; the oracle counts exact strings and stays
+    hash-green at test scale)."""
+    import ray
+
+    from ..stages.dedup import _next_pow2, _shuffle_parts
+    from ..stages.sketches import hash_arrow_array
+    from ..util import collect_table
+
+    if strategy == "broadcast":
+        counts = _dup_line_hash_counts(ds, text_column, delimiter,
+                                       min_count, n_parts)
+        dup_t = collect_table(counts)
+        dup = np.sort(np.asarray(dup_t["h"].to_numpy(zero_copy_only=False),
+                                 dtype=np.uint64))
+        dup_ref = ray.put(dup)
+        return ds.map_batches(
+            _DupLineScoreStage(dup_ref, text_column, id_column, delimiter),
+            batch_format="pyarrow")
+
+    if strategy != "shuffle":
+        raise ValueError(f"dup_line_stats: strategy={strategy!r} — "
+                         "pass 'broadcast' or 'shuffle'")
+
+    P = _next_pow2(n_parts or _shuffle_parts())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, did, _ = _explode_segments(batch, text_column, delimiter)
+        ids = batch[id_column]
+        ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+        h = hash_arrow_array(flat) if len(flat) \
+            else np.zeros(0, dtype=np.uint64)
+        chars = np.asarray(pc.utf8_length(flat).to_numpy(
+            zero_copy_only=False), dtype=np.int64) if len(flat) \
+            else np.zeros(0, dtype=np.int64)
+        # collapse per (row, h) — bounds the exchange by distinct lines
+        # per doc, and every occurrence of one line has one char length
+        df = pd.DataFrame({"_row": did, "h": h, "chars": chars})
+        g = df.groupby(["_row", "h"], sort=False, as_index=False) \
+            .agg(cnt=("h", "size"), chars=("chars", "first"))
+        out_ids = ids.take(pa.array(g["_row"].to_numpy(dtype=np.int64)))
+        return pa.table({
+            id_column: out_ids,
+            "h": pa.array(g["h"].to_numpy(dtype=np.uint64)),
+            "cnt": pa.array(g["cnt"].to_numpy(dtype=np.int64)),
+            "chars": pa.array(g["chars"].to_numpy(dtype=np.int64)),
+            "part": pa.array((g["h"].to_numpy(dtype=np.uint64)
+                              % np.uint64(P)).astype(np.int32)),
+        })
+
+    def per_hash_part(df: pd.DataFrame) -> pd.DataFrame:
+        # all occurrences of a hash co-locate here -> exact corpus counts
+        totals = df.groupby("h", sort=False)["cnt"].transform("sum")
+        dup = (totals >= min_count).to_numpy()
+        cnt = df["cnt"].to_numpy()
+        ch = df["chars"].to_numpy() * cnt
+        agg = pd.DataFrame({
+            id_column: df[id_column].to_numpy(),
+            "nl": cnt, "nd": np.where(dup, cnt, 0),
+            "nc": ch, "ndc": np.where(dup, ch, 0),
+        }).groupby(id_column, sort=False, as_index=False).sum()
+        dh = hash_arrow_array(agg[id_column])
+        agg["part"] = (dh % np.uint64(P)).astype(np.int32)
+        return agg
+
+    def per_doc_part(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby(id_column, sort=False, as_index=False) \
+            [["nl", "nd", "nc", "ndc"]].sum()
+        return pd.DataFrame({
+            id_column: agg[id_column],
+            "n_lines": agg["nl"].astype("int64"),
+            "n_dup_lines": agg["nd"].astype("int64"),
+            "dup_line_frac": agg["nd"].to_numpy() / agg["nl"].to_numpy(),
+            "dup_char_frac": agg["ndc"].to_numpy() / agg["nc"].to_numpy(),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow") \
+        .repartition(32).materialize()
+    doc_partials = partials.groupby("part").map_groups(
+        per_hash_part, batch_format="pandas")
+    doc_partials = doc_partials.repartition(32).materialize()
+    return doc_partials.groupby("part").map_groups(
+        per_doc_part, batch_format="pandas")
+
+
+class _DropDupLineStage:
+    """map_batches payload for drop_duplicate_lines: per-batch explode +
+    membership probe, then a fully vectorized reassembly — kept segments are
+    re-listed via offsets arithmetic and joined per row with ONE
+    pc.binary_join call. Null text stays null; a doc whose every segment is
+    dropped becomes the empty string."""
+
+    def __init__(self, dup_ref, text_column: str, id_column: str,
+                 delimiter: str):
+        self.dup_ref = dup_ref
+        self.text_column = text_column
+        self.id_column = id_column
+        self.delimiter = delimiter
+        self._d = None
+
+    def _dup_hashes(self) -> np.ndarray:
+        if self._d is None:
+            import ray
+            r = self.dup_ref
+            self._d = ray.get(r) if hasattr(r, "hex") else r
+        return self._d
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.sketches import hash_arrow_array
+
+        dup = self._dup_hashes()
+        flat, did, row_valid = _explode_segments(
+            batch, self.text_column, self.delimiter)
+        if len(flat) and len(dup):
+            h = hash_arrow_array(flat)
+            pos = np.minimum(np.searchsorted(dup, h), len(dup) - 1)
+            keep = dup[pos] != h
+        else:
+            keep = np.ones(len(flat), dtype=bool)
+        kept_vals = flat.filter(pa.array(keep))
+        n_rows = batch.num_rows
+        per_row = np.bincount(did[keep], minlength=n_rows)
+        offsets = np.zeros(n_rows + 1, dtype=np.int32)
+        np.cumsum(per_row, out=offsets[1:])
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                         kept_vals)
+        joined = pc.binary_join(lists, self.delimiter)
+        out_text = pc.if_else(pa.array(row_valid), joined,
+                              pa.scalar(None, pa.string()))
+        return pa.table({self.id_column: batch[self.id_column],
+                         "text": out_text})
+
+
+def drop_duplicate_lines(ds, text_column: str, id_column: str, *,
+                         delimiter: str = "\n", min_count: int = 2,
+                         n_parts: int | None = None):
+    """Remove corpus-wide duplicated lines from every document — the
+    filtering counterpart of `dup_line_stats` (CCNet, Wenzek et al. 2020,
+    discards duplicated paragraphs the same way). EVERY occurrence of a
+    line whose corpus count reaches `min_count` is dropped (keep-one-copy
+    would need a global order over 100 TB; all-copies is deterministic and
+    order-free); survivors rejoin with `delimiter` in original order, empty
+    segments collapse, null text stays null.
+
+    Returns a Dataset of (id, text). Scale shape: the broadcast pattern of
+    dup_line_stats — corpus counts via ONE coarse hash exchange, dup hashes
+    ray.put once (bounded by distinct duplicated lines), then one streaming
+    pass; reassembly is offsets arithmetic + one pc.binary_join per batch,
+    no per-row Python."""
+    import ray
+
+    from ..util import collect_table
+
+    counts = _dup_line_hash_counts(ds, text_column, delimiter,
+                                   min_count, n_parts)
+    dup_t = collect_table(counts)
+    dup = np.sort(np.asarray(dup_t["h"].to_numpy(zero_copy_only=False),
+                             dtype=np.uint64))
+    dup_ref = ray.put(dup)
+    return ds.map_batches(
+        _DropDupLineStage(dup_ref, text_column, id_column, delimiter),
+        batch_format="pyarrow")

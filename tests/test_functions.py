@@ -1133,3 +1133,100 @@ def test_gopher_filter(ray_session):
     assert rows[5]["n_tokens"] == 0
     assert rows[5]["reasons"] == "min_tokens,mean_word_len,stopwords"
     assert rows[5]["dup_token_frac"] == 0.0 and rows[5]["keep"] == 0
+
+
+def _dup_line_expected(texts, delimiter, min_count):
+    """Scalar reference for dup_line_stats: corpus counts of nonempty
+    segments, then per-doc fractions."""
+    from collections import Counter
+    corpus = Counter()
+    segs = []
+    for t in texts:
+        s = [x for x in (t or "").split(delimiter) if x]
+        segs.append(s)
+        corpus.update(s)
+    out = {}
+    for i, s in enumerate(segs):
+        if not s:
+            continue
+        nd = sum(1 for x in s if corpus[x] >= min_count)
+        ndc = sum(len(x) for x in s if corpus[x] >= min_count)
+        nc = sum(len(x) for x in s)
+        out[i] = (len(s), nd, nd / len(s), ndc / nc)
+    return out
+
+
+def test_dup_line_stats_matches_scalar(ray_session):
+    """Broadcast path == scalar reference on multi-line texts with nulls,
+    empty docs, blank lines, and within-doc repeats (which count toward the
+    corpus total)."""
+    import ray.data as rd
+
+    from gojsonschema_ray.functions.text import dup_line_stats
+    from gojsonschema_ray.util import collect_rows
+
+    texts = [
+        "alpha\nbeta\ngamma",          # beta dup'd with doc 1
+        "beta\nbeta\ndelta",           # within-doc repeat: beta count 3
+        "",                            # zero segments -> dropped
+        None,                          # null -> dropped
+        "\n\nalpha\n\n",               # blank lines ignored; alpha dup'd
+        "unique line only",
+    ]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    want = _dup_line_expected(texts, "\n", 2)
+    rows = collect_rows(dup_line_stats(
+        rd.from_arrow(t), "text", "doc_id", delimiter="\n", min_count=2))
+    got = {r["doc_id"]: (r["n_lines"], r["n_dup_lines"],
+                         r["dup_line_frac"], r["dup_char_frac"])
+           for r in rows}
+    assert got == want
+
+
+def test_dup_line_stats_shuffle_equals_broadcast(ray_session):
+    """The no-broadcast-assumption shuffle path returns identical rows."""
+    import ray.data as rd
+
+    from gojsonschema_ray.functions.text import dup_line_stats
+    from gojsonschema_ray.util import collect_rows
+
+    rng = np.random.default_rng(7)
+    lines = [f"line {i}" for i in range(30)]
+    texts = ["\n".join(rng.choice(lines, size=rng.integers(1, 12)))
+             for _ in range(200)]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    key = lambda r: r["doc_id"]
+    for mc in (2, 5):
+        a = sorted(collect_rows(dup_line_stats(
+            rd.from_arrow(t), "text", "doc_id", min_count=mc,
+            strategy="broadcast")), key=key)
+        b = sorted(collect_rows(dup_line_stats(
+            rd.from_arrow(t), "text", "doc_id", min_count=mc,
+            strategy="shuffle")), key=key)
+        assert a == b
+    with pytest.raises(ValueError, match="strategy"):
+        dup_line_stats(rd.from_arrow(t), "text", "doc_id", strategy="bogus")
+
+
+def test_drop_duplicate_lines(ray_session):
+    """Corpus-duplicated lines vanish from every doc (all copies), order is
+    preserved, blank segments collapse, null text stays null, a fully
+    duplicated doc becomes empty string."""
+    import ray.data as rd
+
+    from gojsonschema_ray.functions.text import drop_duplicate_lines
+    from gojsonschema_ray.util import collect_rows
+
+    texts = [
+        "keep me\nboilerplate\nalso keep",
+        "boilerplate\nunique two",
+        "boilerplate",                  # everything dropped -> ""
+        None,                           # stays null
+        "\n\nsolo\n\n",                 # blanks collapse
+    ]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    rows = collect_rows(drop_duplicate_lines(
+        rd.from_arrow(t), "text", "doc_id", delimiter="\n", min_count=2))
+    got = {r["doc_id"]: r["text"] for r in rows}
+    assert got == {0: "keep me\nalso keep", 1: "unique two", 2: "",
+                   3: None, 4: "solo"}
