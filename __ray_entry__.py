@@ -1347,6 +1347,31 @@ def q_documents_dup_lines(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_documents_ngram_repetition(sf_dir: str) -> pd.DataFrame:
+    """Within-doc n-gram repetition fractions
+    (functions/text.ngram_repetition_stats): the {2,3}-gram top-gram and
+    {2,5}-gram duplicated-gram character fractions of Gopher's §A1.1
+    filter family — pure per-batch kernel, no shuffle. All fractions are
+    single IEEE divisions of exact ints (bit-exact vs the LEAD-window SQL
+    oracle); the top-gram tie-break (count desc, chars desc, gram asc) is
+    part of the operator contract."""
+    from gojsonschema_ray.functions.text import ngram_repetition_stats
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    rows = collect_rows(ngram_repetition_stats(
+        ds, "text", "doc_id", top_ns=(2, 3), dup_ns=(2, 5)))
+    cols = ["top_2gram_char_frac", "top_3gram_char_frac",
+            "dup_2gram_char_frac", "dup_5gram_char_frac"]
+    df = pd.DataFrame({
+        "doc_id": pd.Series([r["doc_id"] for r in rows], dtype="int64"),
+        "n_tokens": pd.Series([r["n_tokens"] for r in rows], dtype="int64"),
+        **{c: pd.Series([r[c] for r in rows], dtype="float64")
+           for c in cols},
+    })
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_documents_drop_dup_lines(sf_dir: str) -> pd.DataFrame:
     """Corpus-dedup FILTERING output (functions/text.drop_duplicate_lines):
     every occurrence of a corpus-duplicated segment removed, survivors
@@ -1642,7 +1667,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_bounds": q_lineitem_bounds,
         "orders_enum": q_orders_enum,
         "documents_schema": q_documents_schema,
-        "part_rules": q_part_rules,
         "orders_conditional": q_orders_conditional,
         "embeddings_list_schema": q_embeddings_list_schema,
         "customer_combinators": q_customer_combinators,
@@ -1677,6 +1701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_decontaminate_ngrams": q_documents_decontaminate_ngrams,
         "token_counts_by_lang": q_token_counts_by_lang,
         "documents_repetition": q_documents_repetition,
+        "documents_ngram_repetition": q_documents_ngram_repetition,
         "documents_logprob": q_documents_logprob,
         "ann_top5": q_ann_top5,
         "events_props_json": q_events_props_json,
@@ -1695,6 +1720,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in-window-verified signals (repetition, quality, token counts)
         "lineitem_orders_join": q_lineitem_orders_join,  # sibling:
         # orders_customer_join (same hash_join_shuffle inner path)
+        "part_rules": q_part_rules,  # sibling: 8 in-window validation
+        # oracles cover the keyword families (plus corpus+property tests)
         "dedup_exact_text": q_dedup_exact_text,      # sibling: rows_salted
         "events_window": q_events_window,            # sibling: hopping window
         "events_asof_rate": q_events_asof_rate,      # sibling: asof_bucketed
@@ -2096,6 +2123,58 @@ def oracle_sql() -> dict[str, str]:
             "CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) "
             "AS top_token_frac "
             "FROM per GROUP BY doc_id ORDER BY doc_id"
+        ),
+        # n-grams via LEAD windows over ordinal tokens; gram chars =
+        # length(gram) - (n-1) separators; top-gram tie-break = count desc,
+        # chars desc, gram asc (the operator contract). Fractions are
+        # single IEEE divisions of exact ints — bit-exact.
+        "documents_ngram_repetition": (
+            "WITH toks AS (SELECT doc_id, unnest(arr) AS tok, "
+            "generate_subscripts(arr, 1) AS i FROM (SELECT doc_id, "
+            "string_split_regex(lower(trim(text)), '\\s+') AS arr "
+            "FROM documents WHERE text IS NOT NULL AND trim(text) != '')), "
+            "tot AS (SELECT doc_id, count(*) AS n_tokens, "
+            "sum(length(tok)) AS total FROM toks GROUP BY doc_id), "
+            "g2 AS (SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w "
+            "AS gram FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY i) "
+            "QUALIFY lead(tok, 1) OVER w IS NOT NULL), "
+            "g3 AS (SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w || "
+            "' ' || lead(tok, 2) OVER w AS gram FROM toks "
+            "WINDOW w AS (PARTITION BY doc_id ORDER BY i) "
+            "QUALIFY lead(tok, 2) OVER w IS NOT NULL), "
+            "g5 AS (SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w || "
+            "' ' || lead(tok, 2) OVER w || ' ' || lead(tok, 3) OVER w || "
+            "' ' || lead(tok, 4) OVER w AS gram FROM toks "
+            "WINDOW w AS (PARTITION BY doc_id ORDER BY i) "
+            "QUALIFY lead(tok, 4) OVER w IS NOT NULL), "
+            "t2 AS (SELECT doc_id, gram, count(*) AS c, "
+            "length(gram) - 1 AS ch FROM g2 GROUP BY doc_id, gram), "
+            "t3 AS (SELECT doc_id, gram, count(*) AS c, "
+            "length(gram) - 2 AS ch FROM g3 GROUP BY doc_id, gram), "
+            "t5 AS (SELECT doc_id, gram, count(*) AS c, "
+            "length(gram) - 4 AS ch FROM g5 GROUP BY doc_id, gram), "
+            "top2 AS (SELECT doc_id, c * ch AS prod FROM t2 QUALIFY "
+            "row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, "
+            "ch DESC, gram ASC) = 1), "
+            "top3 AS (SELECT doc_id, c * ch AS prod FROM t3 QUALIFY "
+            "row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, "
+            "ch DESC, gram ASC) = 1), "
+            "d2 AS (SELECT doc_id, sum(c * ch) AS dupch FROM t2 "
+            "WHERE c >= 2 GROUP BY doc_id), "
+            "d5 AS (SELECT doc_id, sum(c * ch) AS dupch FROM t5 "
+            "WHERE c >= 2 GROUP BY doc_id) "
+            "SELECT tot.doc_id, CAST(tot.n_tokens AS BIGINT) AS n_tokens, "
+            "CAST(coalesce(top2.prod, 0) AS DOUBLE) / tot.total "
+            "AS top_2gram_char_frac, "
+            "CAST(coalesce(top3.prod, 0) AS DOUBLE) / tot.total "
+            "AS top_3gram_char_frac, "
+            "CAST(coalesce(d2.dupch, 0) AS DOUBLE) / tot.total "
+            "AS dup_2gram_char_frac, "
+            "CAST(coalesce(d5.dupch, 0) AS DOUBLE) / tot.total "
+            "AS dup_5gram_char_frac "
+            "FROM tot LEFT JOIN top2 USING(doc_id) "
+            "LEFT JOIN top3 USING(doc_id) LEFT JOIN d2 USING(doc_id) "
+            "LEFT JOIN d5 USING(doc_id) ORDER BY tot.doc_id"
         ),
         # segments = nonempty splits on the literal delimiter; a segment is
         # duplicated when its corpus-wide count reaches min_count (900).

@@ -587,6 +587,139 @@ def repetition_stats(ds, text_column: str, id_column: str, *,
         batch_format="pyarrow")
 
 
+def _ngram_repetition_kernel(batch: pa.Table, text_column: str,
+                             id_column: str, top_ns: tuple, dup_ns: tuple,
+                             lowercase: bool) -> pa.Table:
+    """Per-batch kernel of ``ngram_repetition_stats`` (module-level so tests
+    can check it against a scalar reference, no Ray)."""
+    col = batch[text_column]
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    txt = pc.utf8_trim_whitespace(pc.cast(col, pa.string()))
+    if lowercase:
+        txt = pc.utf8_lower(txt)
+    lists = pc.split_pattern_regex(txt, r"\s+")
+    lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) \
+        else lists
+    offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    raw_lengths = np.diff(offsets)
+    valid = ~np.asarray(pc.is_null(lists).to_numpy(zero_copy_only=False))
+    empty = np.asarray(pc.equal(pc.utf8_length(txt), 0).fill_null(True)
+                       .to_numpy(zero_copy_only=False))
+    lens = np.where(valid & ~empty, raw_lengths, 0)
+    keep = lens > 0
+    kept_rows = np.flatnonzero(keep)
+    ids = batch[id_column].combine_chunks() \
+        if isinstance(batch[id_column], pa.ChunkedArray) else batch[id_column]
+    out_cols = {id_column: ids.take(pa.array(kept_rows)),
+                "n_tokens": pa.array(lens[kept_rows].astype(np.int64))}
+    names = [f"top_{n}gram_char_frac" for n in top_ns] + \
+            [f"dup_{n}gram_char_frac" for n in dup_ns]
+    if not keep.any():
+        for name in names:
+            out_cols[name] = pa.array([], pa.float64())
+        return pa.table(out_cols)
+    tok_keep = np.repeat(keep, raw_lengths)
+    vals = lists.values.filter(pa.array(tok_keep))
+    did = np.repeat(np.arange(batch.num_rows, dtype=np.int64),
+                    lens)  # doc index per KEPT token, row-major
+    tok_chars = np.asarray(pc.utf8_length(vals).to_numpy(
+        zero_copy_only=False), dtype=np.int64)
+    total_chars = np.bincount(did, weights=tok_chars,
+                              minlength=batch.num_rows).astype(np.int64)
+    n_docs_out = len(kept_rows)
+    # map original row index -> output position
+    out_pos = np.full(batch.num_rows, -1, dtype=np.int64)
+    out_pos[kept_rows] = np.arange(n_docs_out)
+
+    def gram_table(n: int):
+        """(doc_out_pos, gram string, char length) for every in-doc window
+        of n tokens — the token_frequencies shifted-slice construction."""
+        L = len(vals) - n + 1
+        if L <= 0:
+            return (np.zeros(0, dtype=np.int64),
+                    np.zeros(0, dtype=object), np.zeros(0, dtype=np.int64))
+        win_keep = did[:L] == did[n - 1:]
+        if not win_keep.any():
+            return (np.zeros(0, dtype=np.int64),
+                    np.zeros(0, dtype=object), np.zeros(0, dtype=np.int64))
+        parts_ = [vals.slice(j, L) for j in range(n)]
+        grams = pc.binary_join_element_wise(*parts_, " ") \
+            .filter(pa.array(win_keep))
+        # tokens never contain the separator, so gram chars (separators
+        # excluded) = len(gram) - (n-1)
+        gchars = np.asarray(pc.utf8_length(grams).to_numpy(
+            zero_copy_only=False), dtype=np.int64) - (n - 1)
+        gdoc = out_pos[did[:L][win_keep]]
+        return gdoc, grams.to_numpy(zero_copy_only=False), gchars
+
+    totals = total_chars[kept_rows]
+    for n in top_ns:
+        gdoc, grams, gchars = gram_table(n)
+        frac = np.zeros(n_docs_out, dtype=np.float64)
+        if len(gdoc):
+            g = pd.DataFrame({"d": gdoc, "g": grams, "ch": gchars}) \
+                .groupby(["d", "g"], sort=False, as_index=False) \
+                .agg(cnt=("ch", "size"), ch=("ch", "first"))
+            # most common n-gram; ties -> larger char length, then
+            # lexicographically smallest gram (SQL-reproducible order)
+            g = g.sort_values(["d", "cnt", "ch", "g"],
+                              ascending=[True, False, False, True])
+            topg = g.drop_duplicates("d", keep="first")
+            d = topg["d"].to_numpy(dtype=np.int64)
+            frac[d] = (topg["cnt"].to_numpy() * topg["ch"].to_numpy()
+                       ) / totals[d]
+        out_cols[f"top_{n}gram_char_frac"] = pa.array(frac)
+    for n in dup_ns:
+        gdoc, grams, gchars = gram_table(n)
+        frac = np.zeros(n_docs_out, dtype=np.float64)
+        if len(gdoc):
+            g = pd.DataFrame({"d": gdoc, "g": grams, "ch": gchars}) \
+                .groupby(["d", "g"], sort=False, as_index=False) \
+                .agg(cnt=("ch", "size"), ch=("ch", "first"))
+            g = g[g["cnt"] >= 2]
+            if len(g):
+                d = g["d"].to_numpy(dtype=np.int64)
+                dupch = np.bincount(
+                    d, weights=g["cnt"].to_numpy() * g["ch"].to_numpy(),
+                    minlength=n_docs_out)
+                frac = dupch / totals
+        out_cols[f"dup_{n}gram_char_frac"] = pa.array(frac)
+    return pa.table(out_cols)
+
+
+def ngram_repetition_stats(ds, text_column: str, id_column: str, *,
+                           top_ns: tuple = (2, 3, 4),
+                           dup_ns: tuple = (5, 6, 7, 8, 9, 10),
+                           lowercase: bool = True):
+    """Within-document n-gram repetition fractions — the rest of Gopher's
+    repetition filter family (Rae et al. 2021 §A1.1: "fraction of
+    characters in the most common {2,3,4}-gram" and "fraction of characters
+    in duplicated {5..10}-grams"; `repetition_stats` covers the unigram
+    rows, `dup_line_stats` the cross-document rows).
+
+    Contract (documented where the paper is ambiguous, chosen to be exactly
+    SQL-reproducible): tokens = the module's RE2 ``\\s+`` split of trimmed
+    (optionally lowered) text; an n-gram's characters = the codepoints of
+    its n tokens (separators excluded); the denominator = total token
+    codepoints of the doc; occurrences count independently (overlaps are
+    NOT collapsed to distinct character positions); the "most common"
+    n-gram breaks count ties by larger char length then lexicographically
+    smallest gram. Docs with zero tokens are dropped; docs shorter than n
+    tokens score 0.0 for that n. All fractions are single IEEE divisions
+    of exact int64 counts — bit-identical in numpy and DuckDB.
+
+    Scale shape: pure per-batch kernel — one RE2 tokenization, shifted
+    zero-copy slices + binary_join_element_wise per n (the
+    token_frequencies gram construction), C-level pandas groupbys; no
+    shuffle, no per-row Python. Trivially parallel at 100 TB."""
+    return ds.map_batches(
+        functools.partial(
+            _ngram_repetition_kernel, text_column=text_column,
+            id_column=id_column, top_ns=tuple(top_ns),
+            dup_ns=tuple(dup_ns), lowercase=lowercase),
+        batch_format="pyarrow")
+
+
 def unigram_logprob(ds, text_column: str, id_column: str, *,
                     lowercase: bool = True, min_count: int = 1,
                     n_parts: int | None = None):
@@ -674,28 +807,57 @@ def unigram_logprob(ds, text_column: str, id_column: str, *,
     return ds.map_batches(score, batch_format="pyarrow")
 
 
-def _gopher_kernel(df: pd.DataFrame, text_column: str, id_column: str,
+def _gopher_kernel(batch: pa.Table, text_column: str, id_column: str,
                    min_tokens: int, max_tokens: int,
                    min_mean_word_len: float, max_mean_word_len: float,
                    max_dup_token_frac: float, max_top_token_frac: float,
-                   min_stop_hits: int) -> pd.DataFrame:
+                   min_stop_hits: int) -> pa.Table:
     """Per-batch kernel of ``gopher_filter`` (module-level so tests can
-    property-check it directly against a scalar reference, no Ray)."""
-    texts = df[text_column]
-    ts = _TokenStructure(texts)
-    n = ts.lens
-    n_alpha = texts.fillna("").str.count(r"[A-Za-z]").to_numpy()
+    property-check it directly against a scalar reference, no Ray).
+
+    Arrow-native: ONE tokenization pass shared by every signal — the
+    `_repetition_kernel` split/dictionary_encode machinery on the SAME RE2
+    ``\\s+`` kernel as the module's other operators (no Arrow→pandas copy
+    of the text column, and no Unicode-vs-ASCII whitespace drift between
+    gopher verdicts and repetition/logprob scores)."""
+    col = batch[text_column]
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    raw = pc.cast(col, pa.string())
+    n_alpha = np.asarray(
+        pc.count_substring_regex(raw, "[A-Za-z]").fill_null(0)
+        .to_numpy(zero_copy_only=False), dtype=np.int64)
+    # lowercase BEFORE the split: lowering never introduces ASCII
+    # whitespace, so token boundaries match, and the flat token array is
+    # already the lowercased one every downstream signal reads
+    txt = pc.utf8_lower(pc.utf8_trim_whitespace(raw))
+    lists = pc.split_pattern_regex(txt, r"\s+")
+    lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) \
+        else lists
+    offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    raw_lengths = np.diff(offsets)
+    valid = ~np.asarray(pc.is_null(lists).to_numpy(zero_copy_only=False))
+    empty = np.asarray(pc.equal(pc.utf8_length(txt), 0).fill_null(True)
+                       .to_numpy(zero_copy_only=False))
+    n_docs = batch.num_rows
+    n = np.where(valid & ~empty, raw_lengths, 0)  # n_tokens (null/empty: 0)
+    tok_keep = np.repeat(valid & ~empty, raw_lengths)
+    vals = lists.values
+    codes = vals.dictionary_encode().indices \
+        .to_numpy(zero_copy_only=False).astype(np.int64)[tok_keep]
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), n)
+    stop_mask = np.asarray(
+        pc.is_in(vals, value_set=pa.array(sorted(STOPWORDS["en"])))
+        .to_numpy(zero_copy_only=False))[tok_keep]
+    stop_hits = np.bincount(doc_idx[stop_mask], minlength=n_docs) \
+        .astype(np.int64)
+    ncodes = int(codes.max()) + 1 if len(codes) else 1
+    uk, cnt = np.unique(doc_idx * ncodes + codes, return_counts=True)
+    pair_doc = uk // ncodes
+    n_distinct = np.bincount(pair_doc, minlength=n_docs)
+    top = np.zeros(n_docs, dtype=np.int64)
+    np.maximum.at(top, pair_doc, cnt)
     safe = np.maximum(n, 1)
     mean_wl = n_alpha / safe
-    stop_hits = ts.hit_counts(STOPWORDS["en"])
-    codes, uniq = pd.factorize(ts.low)
-    ncodes = max(len(uniq), 1)
-    key = ts.doc_idx * ncodes + codes.astype(np.int64)
-    uk, cnt = np.unique(key, return_counts=True)
-    pair_doc = (uk // ncodes).astype(np.int64)
-    n_distinct = np.bincount(pair_doc, minlength=ts.n_docs)
-    top = np.zeros(ts.n_docs, dtype=np.int64)
-    np.maximum.at(top, pair_doc, cnt)
     dup = np.where(n > 0, 1.0 - n_distinct / safe, 0.0)
     topf = np.where(n > 0, top / safe, 0.0)
     rules = [
@@ -707,22 +869,22 @@ def _gopher_kernel(df: pd.DataFrame, text_column: str, id_column: str,
         ("top_token", topf > max_top_token_frac),
         ("stopwords", stop_hits < min_stop_hits),
     ]
-    reasons = np.full(ts.n_docs, "", dtype=object)
-    fail = np.zeros(ts.n_docs, dtype=bool)
+    reasons = np.full(n_docs, "", dtype=object)
+    fail = np.zeros(n_docs, dtype=bool)
     for name, mask in rules:
         reasons = np.where(
             mask, np.where(reasons == "", name, reasons + "," + name),
             reasons)
         fail |= mask
-    return pd.DataFrame({
-        id_column: df[id_column].to_numpy(),
-        "n_tokens": n,
-        "mean_word_len": mean_wl,
-        "dup_token_frac": dup,
-        "top_token_frac": topf,
-        "stop_hits": stop_hits,
-        "keep": (~fail).astype(np.int64),
-        "reasons": reasons,
+    return pa.table({
+        id_column: batch[id_column],
+        "n_tokens": pa.array(n.astype(np.int64)),
+        "mean_word_len": pa.array(mean_wl),
+        "dup_token_frac": pa.array(dup),
+        "top_token_frac": pa.array(topf),
+        "stop_hits": pa.array(stop_hits),
+        "keep": pa.array((~fail).astype(np.int64)),
+        "reasons": pa.array(reasons.tolist(), pa.string()),
     })
 
 
@@ -742,8 +904,9 @@ def gopher_filter(ds, text_column: str, id_column: str, *,
     of the engine's English profile over ALL tokens.
 
     Every metric is a single IEEE division of small ints, so a SQL oracle
-    reproduces verdicts bit-exactly. Scale shape: pure per-batch kernel
-    sharing ONE tokenization pass (_TokenStructure) across all signals —
+    reproduces verdicts bit-exactly. Scale shape: pure per-batch
+    Arrow-native kernel sharing ONE RE2 tokenization pass across all
+    signals (zero-copy from the object store — no Arrow→pandas text copy);
     no shuffle, no per-row Python (reasons build with one vectorized
     np.where pass per rule). Returns a Dataset of
     (id, n_tokens, mean_word_len, dup_token_frac, top_token_frac,
@@ -757,7 +920,7 @@ def gopher_filter(ds, text_column: str, id_column: str, *,
             max_dup_token_frac=max_dup_token_frac,
             max_top_token_frac=max_top_token_frac,
             min_stop_hits=min_stop_hits),
-        batch_format="pandas")
+        batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -361,21 +361,31 @@ class IVFIndex:
                      id_column: str, queries: np.ndarray, k: int = 10,
                      nprobe: int = 4) -> pd.DataFrame:
         """Top-k over a `build_lists()` directory, reading ONLY the probed
-        partitions (partition pruning at the read — I/O, not just compute)."""
-        import os
+        partitions (partition pruning at the read — I/O, not just compute).
 
+        Listing goes through `pyarrow.fs.FileSystem.from_uri`, so `out_dir`
+        may be a local path OR an object-store URI (s3://bucket/prefix) —
+        the same filesystem handle is passed to read_parquet."""
         import ray
+        from pyarrow import fs as pafs
 
         qn = _normalize(np.asarray(queries, dtype=np.float64))
         wanted = self.probed_lists(qn, nprobe)
-        dirs = [os.path.join(out_dir, f"ivf_list={int(l)}") for l in wanted]
+        filesystem, base = pafs.FileSystem.from_uri(out_dir)
+        paths: list[str] = []
         # expand to files: read_parquet takes ONE dir or a list of FILES
-        paths = [os.path.join(d, f)
-                 for d in dirs if os.path.isdir(d)  # empty lists: no dir
-                 for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+        for l in wanted:
+            sel = pafs.FileSelector(f"{base}/ivf_list={int(l)}",
+                                    allow_not_found=True,  # empty list: no dir
+                                    recursive=True)
+            paths.extend(sorted(
+                i.path for i in filesystem.get_file_info(sel)
+                if i.type == pafs.FileType.File
+                and i.path.endswith(".parquet")))
         if not paths:
             return pd.DataFrame(columns=["query", id_column, "cosine"])
-        ds = ray.data.read_parquet(paths, columns=[id_column, embedding_column])
+        ds = ray.data.read_parquet(paths, filesystem=filesystem,
+                                   columns=[id_column, embedding_column])
         return ann_brute_force(ds, embedding_column, id_column, qn, k)
 
     def search(self, ds, embedding_column: str, id_column: str,

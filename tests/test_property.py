@@ -465,8 +465,6 @@ def _scalar_gopher(texts, ids, **th):
        max_dup=st.sampled_from([0.0, 0.25, 0.5, 1.0]),
        min_stop=st.integers(min_value=0, max_value=3))
 def test_gopher_kernel_matches_scalar(texts, min_tokens, max_dup, min_stop):
-    import pandas as pd
-
     from gojsonschema_ray.functions.text import _gopher_kernel
 
     th = dict(min_tokens=min_tokens, max_tokens=8,
@@ -474,9 +472,65 @@ def test_gopher_kernel_matches_scalar(texts, min_tokens, max_dup, min_stop):
               max_dup_token_frac=max_dup, max_top_token_frac=0.5,
               min_stop_hits=min_stop)
     ids = list(range(len(texts)))
-    df = pd.DataFrame({"i": ids, "t": pd.array(texts, dtype="object")})
-    got = _gopher_kernel(df, "t", "i", **th)
+    batch = pa.table({"i": ids, "t": pa.array(texts, pa.string())})
+    got = _gopher_kernel(batch, "t", "i", **th).to_pylist()
     want = _scalar_gopher(texts, ids, **th)
-    assert list(zip(got["i"], got["n_tokens"], got["mean_word_len"],
-                    got["dup_token_frac"], got["top_token_frac"],
-                    got["stop_hits"], got["keep"], got["reasons"])) == want
+    assert [(r["i"], r["n_tokens"], r["mean_word_len"],
+             r["dup_token_frac"], r["top_token_frac"],
+             r["stop_hits"], r["keep"], r["reasons"]) for r in got] == want
+
+
+def _scalar_ngram_repetition(texts, top_ns, dup_ns, lowercase=True):
+    """Slow per-row reference for _ngram_repetition_kernel: gram chars =
+    codepoints of its tokens; denominator = total token codepoints; ties on
+    the top gram -> larger chars, then lexicographically smallest gram."""
+    from collections import Counter
+    out = []
+    for i, t in enumerate(texts):
+        s = (t or "").strip()
+        if lowercase:
+            s = s.lower()
+        toks = s.split()
+        if not toks:
+            continue
+        total = sum(len(x) for x in toks)
+        row = {"i": i, "n_tokens": len(toks)}
+        for n in top_ns:
+            grams = [" ".join(toks[j:j + n])
+                     for j in range(len(toks) - n + 1)]
+            if grams:
+                c = Counter(grams)
+                best = sorted(c.items(),
+                              key=lambda kv: (-kv[1],
+                                              -(len(kv[0]) - (n - 1)),
+                                              kv[0]))[0]
+                row[f"top_{n}gram_char_frac"] = \
+                    best[1] * (len(best[0]) - (n - 1)) / total
+            else:
+                row[f"top_{n}gram_char_frac"] = 0.0
+        for n in dup_ns:
+            grams = [" ".join(toks[j:j + n])
+                     for j in range(len(toks) - n + 1)]
+            c = Counter(grams)
+            dupch = sum(v * (len(k) - (n - 1))
+                        for k, v in c.items() if v >= 2)
+            row[f"dup_{n}gram_char_frac"] = dupch / total
+        out.append(row)
+    return out
+
+
+@settings(max_examples=50, deadline=None)
+@given(texts=st.lists(st.one_of(
+    _doc_text, st.text(alphabet="ab ", max_size=60)), max_size=10),
+    lowercase=st.booleans())
+def test_ngram_repetition_kernel_matches_scalar(texts, lowercase):
+    from gojsonschema_ray.functions.text import _ngram_repetition_kernel
+
+    top_ns, dup_ns = (2, 3), (2, 5)
+    batch = pa.table({"i": list(range(len(texts))),
+                      "t": pa.array(texts, pa.string())})
+    got = _ngram_repetition_kernel(batch, "t", "i", top_ns, dup_ns,
+                                   lowercase).to_pylist()
+    want = _scalar_ngram_repetition(texts, top_ns, dup_ns, lowercase)
+    assert [{k: r[k] for k in w} for r, w in zip(got, want)] == want \
+        and len(got) == len(want)
