@@ -464,25 +464,45 @@ def tfidf_top_terms(ds, text_column: str, id_column: str, *, k: int = 3,
 
     n_docs = ds.count()
 
-    def tf_partial(df: pd.DataFrame) -> pd.DataFrame:
-        ids: list = []
-        toks: list = []
-        for doc, text in zip(df[id_column], df[text_column]):
-            if not text:
-                continue
-            t = text.strip()
-            if not t:
-                continue
-            tt = _WS.split(t.lower() if lowercase else t)
-            ids.extend([doc] * len(tt))
-            toks.extend(tt)
-        out = pd.DataFrame({id_column: ids, "token": toks}) \
-            .groupby([id_column, "token"], sort=False).size() \
-            .reset_index(name="tf")
-        out["tf"] = out["tf"].astype("int64")
-        return out
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        # Arrow-native (doc, token) counts on the SAME RE2 \s+ kernel as
+        # token_frequencies — one split, dictionary_encode, one np.unique;
+        # no per-row Python, no Unicode-vs-ASCII drift between tf and df.
+        col = batch[text_column]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        txt = pc.utf8_trim_whitespace(pc.cast(col, pa.string()))
+        if lowercase:
+            txt = pc.utf8_lower(txt)
+        lists = pc.split_pattern_regex(txt, r"\s+")
+        lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) \
+            else lists
+        lens = np.diff(lists.offsets.to_numpy(zero_copy_only=False)
+                       .astype(np.int64))
+        doc_ok = ~np.asarray(pc.is_null(lists).to_numpy(zero_copy_only=False))
+        doc_ok &= np.asarray(pc.greater(pc.utf8_length(txt), 0)
+                             .fill_null(False).to_numpy(zero_copy_only=False))
+        ids_col = batch[id_column]
+        ids_col = ids_col.combine_chunks() \
+            if isinstance(ids_col, pa.ChunkedArray) else ids_col
+        if not doc_ok.any():
+            return pa.table({id_column: ids_col.slice(0, 0),
+                             "token": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64())})
+        vals = lists.values.filter(pa.array(np.repeat(doc_ok, lens)))
+        did = np.repeat(np.arange(batch.num_rows, dtype=np.int64),
+                        np.where(doc_ok, lens, 0))
+        enc = vals.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ncodes = max(len(enc.dictionary), 1)
+        uk, cnt = np.unique(did * ncodes + codes, return_counts=True)
+        return pa.table({
+            id_column: ids_col.take(pa.array(uk // ncodes)),
+            "token": enc.dictionary.take(pa.array(uk % ncodes)),
+            "tf": pa.array(cnt.astype(np.int64)),
+        })
 
-    tf_ds = ds.map_batches(tf_partial, batch_format="pandas")
+    tf_ds = ds.map_batches(tf_partial, batch_format="pyarrow")
     df_ds = token_frequencies(ds, text_column, n=1, min_count=1,
                               lowercase=lowercase, distinct_per_doc=True,
                               n_parts=n_parts) \
