@@ -1104,6 +1104,40 @@ def test_hash_join_shuffle_reserved_names_raise(ray_session):
         hash_join_shuffle(left, right, on="k")
 
 
+def test_hash_join_shuffle_parameter_guards(ray_session):
+    """salt_buckets outside 1..127 (int8 _salt merge-key storage) and a
+    non-'auto' string hot_keys (set('999') would silently become {'9'})
+    both fail loudly before any exchange runs."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.joins import hash_join_shuffle
+
+    left = rd.from_pandas(pd.DataFrame({"k": [1], "lv": [1]}))
+    right = rd.from_pandas(pd.DataFrame({"k": [1], "rv": [2]}))
+    with pytest.raises(ValueError, match="salt_buckets"):
+        hash_join_shuffle(left, right, on="k", salt_buckets=128)
+    with pytest.raises(ValueError, match="salt_buckets"):
+        hash_join_shuffle(left, right, on="k", salt_buckets=0)
+    with pytest.raises(ValueError, match="hot_keys"):
+        hash_join_shuffle(left, right, on="k", hot_keys="999")
+
+
+def test_running_offsets_reserved_names_raise(ray_session):
+    """keep/order/weight columns named after the exchange's synthetic
+    columns would silently corrupt partition routing — loud error."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.packing import running_offsets
+
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [1, 2], "n": [3, 4], "offset": [0, 0]}))
+    with pytest.raises(ValueError, match="reserved"):
+        running_offsets(ds, order_column="doc_id", weight_column="n",
+                        keep_columns=["offset"])
+
+
 def test_hash_join_shuffle_auto_hot_detection(ray_session):
     """hot_keys='auto' samples the probe side and still joins exactly;
     the default (None) performs no sampling pass."""
