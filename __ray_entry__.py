@@ -1347,6 +1347,32 @@ def q_documents_dup_lines(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_documents_within_dup_lines(sf_dir: str) -> pd.DataFrame:
+    """WITHIN-document duplicate-line fractions
+    (functions/text.within_doc_dup_line_stats) — Gopher §A1.1's dup-line /
+    dup-line-char rows scoped to one document; pure per-batch kernel, no
+    shuffle. Word delimiter ' ' on these single-line documents, min_count=2
+    (a word repeated inside its own doc). Fractions are single IEEE
+    divisions of exact int64 counts — bit-exact vs SQL."""
+    from gojsonschema_ray.functions.text import within_doc_dup_line_stats
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    rows = collect_rows(within_doc_dup_line_stats(
+        ds, "text", "doc_id", delimiter=" ", min_count=2))
+    df = pd.DataFrame({
+        "doc_id": pd.Series([r["doc_id"] for r in rows], dtype="int64"),
+        "n_lines": pd.Series([r["n_lines"] for r in rows], dtype="int64"),
+        "n_dup_lines": pd.Series([r["n_dup_lines"] for r in rows],
+                                 dtype="int64"),
+        "dup_line_frac": pd.Series([r["dup_line_frac"] for r in rows],
+                                   dtype="float64"),
+        "dup_char_frac": pd.Series([r["dup_char_frac"] for r in rows],
+                                   dtype="float64"),
+    })
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_documents_ngram_repetition(sf_dir: str) -> pd.DataFrame:
     """Within-doc n-gram repetition fractions
     (functions/text.ngram_repetition_stats): the {2,3}-gram top-gram and
@@ -1697,7 +1723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_tokens": q_documents_tokens,
         "documents_dup_lines": q_documents_dup_lines,
         "documents_drop_dup_lines": q_documents_drop_dup_lines,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "documents_within_dup_lines": q_documents_within_dup_lines,
         "documents_decontaminate_ngrams": q_documents_decontaminate_ngrams,
         "token_counts_by_lang": q_token_counts_by_lang,
         "documents_repetition": q_documents_repetition,
@@ -1722,6 +1748,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # orders_customer_join (same hash_join_shuffle inner path)
         "part_rules": q_part_rules,  # sibling: 8 in-window validation
         # oracles cover the keyword families (plus corpus+property tests)
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,  # sibling:
+        # minhash_near_dups (in-window exact shingle-join Jaccard oracle
+        # exercises the same distributed gram/verify machinery)
         "dedup_exact_text": q_dedup_exact_text,      # sibling: rows_salted
         "events_window": q_events_window,            # sibling: hopping window
         "events_asof_rate": q_events_asof_rate,      # sibling: asof_bucketed
@@ -2192,6 +2221,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN n >= 900 THEN length(seg) ELSE 0 END) "
             "AS DOUBLE) / sum(length(seg)) AS dup_char_frac "
             "FROM ne JOIN c USING(seg) GROUP BY doc_id ORDER BY doc_id"
+        ),
+        # within-ONE-document counts (GROUP BY doc_id, seg); a segment is
+        # duplicated at count >= 2 and every occurrence counts. Fractions
+        # are single IEEE divisions of exact ints — bit-exact.
+        "documents_within_dup_lines": (
+            "WITH seg AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+            "AS seg FROM documents WHERE text IS NOT NULL), "
+            "ne AS (SELECT doc_id, seg FROM seg WHERE seg != ''), "
+            "c AS (SELECT doc_id, seg, count(*) AS n FROM ne "
+            "GROUP BY doc_id, seg) "
+            "SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_lines, "
+            "CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT) "
+            "AS n_dup_lines, "
+            "CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS DOUBLE) "
+            "/ sum(n) AS dup_line_frac, "
+            "CAST(sum(CASE WHEN n >= 2 THEN n * length(seg) ELSE 0 END) "
+            "AS DOUBLE) / sum(n * length(seg)) AS dup_char_frac "
+            "FROM c GROUP BY doc_id ORDER BY doc_id"
         ),
         # every occurrence of a duplicated segment is dropped; survivors
         # string_agg back in original position order

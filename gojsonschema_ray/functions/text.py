@@ -1037,6 +1037,72 @@ class _DupLineScoreStage:
         })
 
 
+def _within_doc_dup_line_kernel(batch: pa.Table, text_column: str,
+                                id_column: str, delimiter: str,
+                                min_count: int) -> pa.Table:
+    """Per-batch kernel of ``within_doc_dup_line_stats`` (module-level so
+    tests can check it against a scalar reference, no Ray). Exact strings
+    within the document — no hashing, no cross-batch state."""
+    flat, did, _ = _explode_segments(batch, text_column, delimiter)
+    ids = batch[id_column]
+    ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+    n_rows = batch.num_rows
+    if not len(flat):
+        return pa.table({id_column: ids.slice(0, 0),
+                         "n_lines": pa.array([], pa.int64()),
+                         "n_dup_lines": pa.array([], pa.int64()),
+                         "dup_line_frac": pa.array([], pa.float64()),
+                         "dup_char_frac": pa.array([], pa.float64())})
+    enc = flat.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    ncodes = max(len(enc.dictionary), 1)
+    _, inv, cnt = np.unique(did * ncodes + codes,
+                            return_inverse=True, return_counts=True)
+    is_dup = cnt[inv] >= min_count  # every occurrence of a repeated line
+    chars = np.asarray(pc.utf8_length(flat).to_numpy(
+        zero_copy_only=False), dtype=np.int64)
+    nl = np.bincount(did, minlength=n_rows)
+    nd = np.bincount(did[is_dup], minlength=n_rows)
+    nc = np.bincount(did, weights=chars, minlength=n_rows).astype(np.int64)
+    ndc = np.bincount(did[is_dup], weights=chars[is_dup],
+                      minlength=n_rows).astype(np.int64)
+    kept = np.flatnonzero(nl > 0)  # docs with >=1 segment only
+    return pa.table({
+        id_column: ids.take(pa.array(kept)),
+        "n_lines": pa.array(nl[kept]),
+        "n_dup_lines": pa.array(nd[kept]),
+        "dup_line_frac": pa.array(nd[kept] / nl[kept]),
+        "dup_char_frac": pa.array(ndc[kept] / nc[kept]),
+    })
+
+
+def within_doc_dup_line_stats(ds, text_column: str, id_column: str, *,
+                              delimiter: str = "\n", min_count: int = 2):
+    """Per-document WITHIN-document duplicate-line fractions — Gopher's
+    §A1.1 "duplicate line fraction" / "duplicate line character fraction"
+    rows scoped to a single document (Rae et al. 2021; `dup_line_stats`
+    is the cross-document variant, `repetition_stats` the token-level one).
+    A "line" is a nonempty segment of `text` split on the literal
+    `delimiter`; a line is duplicated when it occurs at least `min_count`
+    times IN THE SAME document, and then every occurrence counts.
+
+    Returns a Dataset of (id, n_lines, n_dup_lines, dup_line_frac,
+    dup_char_frac); docs with zero nonempty segments are dropped.
+    Fractions are single IEEE divisions of exact int64 counts —
+    bit-identical in numpy and DuckDB.
+
+    Scale shape: pure per-batch kernel (a document's text lives in one
+    row, so its line counts complete within the batch) — one Arrow split,
+    dictionary_encode, one np.unique; no shuffle, no per-row Python.
+    Trivially parallel at 100 TB."""
+    return ds.map_batches(
+        functools.partial(
+            _within_doc_dup_line_kernel, text_column=text_column,
+            id_column=id_column, delimiter=delimiter,
+            min_count=min_count),
+        batch_format="pyarrow")
+
+
 def _dup_line_hash_counts(ds, text_column: str, delimiter: str,
                           min_count: int, n_parts: int | None):
     """(h, n) Dataset of segment-hash corpus counts with n >= min_count —

@@ -534,3 +534,45 @@ def test_ngram_repetition_kernel_matches_scalar(texts, lowercase):
     want = _scalar_ngram_repetition(texts, top_ns, dup_ns, lowercase)
     assert [{k: r[k] for k in w} for r, w in zip(got, want)] == want \
         and len(got) == len(want)
+
+
+def _scalar_within_doc_dup_lines(texts, delimiter, min_count):
+    """Slow per-row reference for _within_doc_dup_line_kernel: nonempty
+    segments of the literal-delimiter split; a segment is duplicated when
+    its within-document count reaches min_count (every occurrence counts)."""
+    from collections import Counter
+    out = []
+    for i, t in enumerate(texts):
+        if t is None:
+            continue
+        segs = [s for s in t.split(delimiter) if s]
+        if not segs:
+            continue
+        c = Counter(segs)
+        dup = [s for s in segs if c[s] >= min_count]
+        out.append({
+            "i": i, "n_lines": len(segs), "n_dup_lines": len(dup),
+            "dup_line_frac": len(dup) / len(segs),
+            "dup_char_frac": sum(map(len, dup)) / sum(map(len, segs)),
+        })
+    return out
+
+
+@settings(max_examples=60, deadline=None)
+@given(texts=st.lists(st.one_of(
+    _doc_text, st.text(alphabet="ab\n", max_size=40)), max_size=10),
+    delimiter=st.sampled_from(["\n", " "]),
+    min_count=st.integers(min_value=2, max_value=3))
+def test_within_doc_dup_line_kernel_matches_scalar(texts, delimiter,
+                                                   min_count):
+    from gojsonschema_ray.functions.text import _within_doc_dup_line_kernel
+
+    batch = pa.table({"i": list(range(len(texts))),
+                      "t": pa.array(texts, pa.string())})
+    got = _within_doc_dup_line_kernel(batch, "t", "i", delimiter,
+                                      min_count).to_pylist()
+    want = _scalar_within_doc_dup_lines(texts, delimiter, min_count)
+    assert [(r["i"], r["n_lines"], r["n_dup_lines"], r["dup_line_frac"],
+             r["dup_char_frac"]) for r in got] == \
+        [(w["i"], w["n_lines"], w["n_dup_lines"], w["dup_line_frac"],
+          w["dup_char_frac"]) for w in want]
