@@ -478,17 +478,22 @@ def hash_join_shuffle(left, right, *, on: str, how: str = "inner",
     match — deduplicated probe side, no fan-out).
 
     Skew: pass `hot_keys` (a set of known-hot probe keys) or
-    `hot_keys="auto"` (samples the left side via `uniqueness.top_hot_keys`
-    — NOTE: the sample is an extra execution of the left pipeline, so
-    "auto" is opt-in, not the default). Hot-key probe rows spread over
+    `hot_keys="auto"` (samples the PROBE side via `uniqueness.top_hot_keys`
+    — NOTE: the sample is an extra execution of that pipeline, so "auto"
+    is opt-in, not the default). Hot-key probe rows spread over
     `salt_buckets` sub-partitions and the matching build rows are
     REPLICATED into each — the classic salted join, so a sentinel/
     boilerplate FK at 30% of the fact table no longer pins one partition.
-    Salting applies to how in ("inner","left","semi","anti");
-    how="right"/"full" stay unsalted (a replicated build row that goes
-    unmatched in one sub-bucket would emit spurious OUTER rows; documented
-    limitation — pre-filter sentinel keys upstream for skewed full joins).
-    Passing hot_keys with right/full logs a loud warning and runs unsalted.
+    The PROBE (salted, outer-preserved) side is `left` for
+    inner/left/semi/anti and `right` for how="right" — a preserved row
+    lands in exactly ONE sub-bucket and meets every replica of its
+    matching build rows there, so OUTER semantics stay exact under
+    salting. how="full" preserves BOTH sides, which one exchange cannot
+    salt (an unmatched build replica can't know its siblings' matches);
+    a salted full join instead composes as salted LEFT join ∪ NULL-left
+    anti complement — TWO exchanges per side (each input is read twice),
+    the documented cost of skew-proofing a full join. Pass hot_keys=None
+    (the default) to keep full on the single-exchange unsalted path.
 
     Partitioning assumption (documented): one NON-HOT key's rows fit a
     partition — keys, not the corpus, bound the cell. Null keys never
@@ -520,18 +525,6 @@ def hash_join_shuffle(left, right, *, on: str, how: str = "inner",
     P = _next_pow2(n_parts or _shuffle_parts())
     S = np.uint64(max(1, salt_buckets))
     _GOLD = np.uint64(0x9E3779B97F4A7C15)
-    if how in ("inner", "left", "semi", "anti") and hot_keys is not None:
-        hot = top_hot_keys(left, on) if hot_keys == "auto" else set(hot_keys)
-    else:
-        hot = set()
-        if hot_keys is not None:
-            _LOG.warning(
-                "hash_join_shuffle: hot_keys is IGNORED for how=%r — "
-                "right/full outer joins run unsalted (a replicated build "
-                "row unmatched in one sub-bucket would emit spurious OUTER "
-                "rows); pre-filter or pre-aggregate the hot keys upstream "
-                "for skewed right/full joins", how)
-    hot.discard(None)  # null keys never match — no need to salt them
     lcols = left_columns or [c for c in left.schema().names if c != on]
     rcols = right_columns or [c for c in right.schema().names if c != on]
     reserved = {"part", "kind", "_salt"} & {on, *lcols, *rcols}
@@ -559,6 +552,40 @@ def hash_join_shuffle(left, right, *, on: str, how: str = "inner",
             f"hash_join_shuffle: key {on!r} differs in type across sides "
             f"(left={l_key_type}, right={r_key_type}) — cast one side first")
 
+    if how == "full" and hot_keys is not None:
+        # salted FULL outer = salted LEFT join ∪ NULL-left anti complement
+        # (a full join preserves BOTH sides; one exchange cannot salt that
+        # — see docstring). Null-key right rows never match, so the anti
+        # pass returns them and they surface as NULL-left rows (SQL FULL
+        # OUTER semantics preserved).
+        lj = hash_join_shuffle(
+            left, right, on=on, how="left", left_columns=lcols,
+            right_columns=rcols, n_parts=n_parts,
+            salt_buckets=salt_buckets, hot_keys=hot_keys)
+        ar = hash_join_shuffle(
+            right, left, on=on, how="anti", left_columns=rcols,
+            right_columns=[], n_parts=n_parts,
+            salt_buckets=salt_buckets, hot_keys=hot_keys)
+
+        def _null_left(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame(index=df.index)
+            out[on] = df[on]
+            for c in lcols:
+                out[c] = np.nan
+            for c, name in zip(rcols, rcols_out):
+                out[name] = df[c]
+            return out
+
+        return lj.union(ar.map_batches(_null_left, batch_format="pandas"))
+
+    probe_is_left = how != "right"  # the salted, outer-preserved side
+    if hot_keys is not None:
+        probe = left if probe_is_left else right
+        hot = top_hot_keys(probe, on) if hot_keys == "auto" \
+            else set(hot_keys)
+    else:
+        hot = set()
+    hot.discard(None)  # null keys never match — no need to salt them
     hot_arr = pa.array(list(hot), type=l_key_type) if hot else None
 
     def _hot_mask(key_col) -> np.ndarray | None:
@@ -579,39 +606,20 @@ def hash_join_shuffle(left, right, *, on: str, how: str = "inner",
     # _salt joins the merge key: two salt sub-buckets of one hot key can
     # collide mod P, and merging on the key alone would then match a left
     # row against SEVERAL replicas of the same build row (duplicates)
-    def left_rows(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        hotm = _hot_mask(t[on])
-        salt = None
-        if hotm is not None:  # spread hot probe rows over S sub-buckets
-            salt = np.where(hotm, np.arange(n, dtype=np.uint64) % S,
-                            np.uint64(0))
-        cols = {"part": _parts(t[on], salt),
-                "kind": pa.array(np.zeros(n, np.int8)),
-                "_salt": pa.array(np.zeros(n, np.int8) if salt is None
-                                  else salt.astype(np.int8)),
-                on: t[on]}
-        for c in lcols:
-            cols[c] = t[c]
-        for name in rcols_out:
-            cols[name] = pa.nulls(n, r_type_map[name])
-        return pa.table(cols)
+    def _probe_salt(key_col, n: int) -> np.ndarray | None:
+        """Spread hot PROBE rows over S sub-buckets (non-hot: salt 0)."""
+        hotm = _hot_mask(key_col)
+        if hotm is None:
+            return None
+        return np.where(hotm, np.arange(n, dtype=np.uint64) % S,
+                        np.uint64(0))
 
-    def right_rows(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        cols = {"part": _parts(t[on], None),
-                "kind": pa.array(np.ones(n, np.int8)),
-                "_salt": pa.array(np.zeros(n, np.int8)), on: t[on]}
-        for c in lcols:
-            cols[c] = pa.nulls(n, _as_arrow_type(l_types[c]))
-        for c, name in zip(rcols, rcols_out):
-            cols[name] = t[c]
-        base = pa.table(cols)
-        hotm = _hot_mask(t[on])
+    def _replicate_hot(base: pa.Table) -> pa.Table:
+        """Replicate hot BUILD rows into every salt sub-bucket (salt 0 is
+        the base copy: h ^ 0*GOLD == h)."""
+        hotm = _hot_mask(base[on])
         if hotm is None or int(S) <= 1:
             return base
-        # replicate hot build rows into every salt sub-bucket (salt 0 is
-        # the base copy: h ^ 0*GOLD == h)
         hot_rows = base.filter(pa.array(hotm))
         part_i = base.schema.get_field_index("part")
         salt_i = base.schema.get_field_index("_salt")
@@ -624,6 +632,37 @@ def hash_join_shuffle(left, right, *, on: str, how: str = "inner",
                                  pa.array(salt.astype(np.int8)))
             reps.append(rep)
         return pa.concat_tables(reps)
+
+    def left_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        salt = _probe_salt(t[on], n) if probe_is_left else None
+        cols = {"part": _parts(t[on], salt),
+                "kind": pa.array(np.zeros(n, np.int8)),
+                "_salt": pa.array(np.zeros(n, np.int8) if salt is None
+                                  else salt.astype(np.int8)),
+                on: t[on]}
+        for c in lcols:
+            cols[c] = t[c]
+        for name in rcols_out:
+            cols[name] = pa.nulls(n, r_type_map[name])
+        base = pa.table(cols)
+        # how="right": left is the BUILD side — replicate its hot rows
+        return base if probe_is_left else _replicate_hot(base)
+
+    def right_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        salt = None if probe_is_left else _probe_salt(t[on], n)
+        cols = {"part": _parts(t[on], salt),
+                "kind": pa.array(np.ones(n, np.int8)),
+                "_salt": pa.array(np.zeros(n, np.int8) if salt is None
+                                  else salt.astype(np.int8)),
+                on: t[on]}
+        for c in lcols:
+            cols[c] = pa.nulls(n, _as_arrow_type(l_types[c]))
+        for c, name in zip(rcols, rcols_out):
+            cols[name] = t[c]
+        base = pa.table(cols)
+        return _replicate_hot(base) if probe_is_left else base
 
     jk = [on, "_salt"]
 

@@ -1018,6 +1018,88 @@ def test_hash_join_shuffle_matches_duckdb_shape(ray_session):
     assert out.count() == li.count()
 
 
+def test_hash_join_shuffle_right_outer_salting(ray_session):
+    """Skewed RIGHT outer join (one key = 30% of the preserved right
+    side): the right side is the salted probe — exact OUTER result (each
+    preserved row lives in ONE sub-bucket, meets every replicated left
+    row there) with every partition's share bounded."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.joins import hash_join_shuffle
+    from gojsonschema_ray.stages.sketches import hash_arrow_array
+    from gojsonschema_ray.util import collect_rows
+
+    n = 3000
+    rng = np.random.default_rng(17)
+    rkeys = rng.integers(0, 500, size=n).astype(np.int64)
+    rkeys[rng.choice(n, size=n // 3, replace=False)] = 999  # hot on RIGHT
+    right = pd.DataFrame({"k": rkeys, "rv": np.arange(n)})
+    # keys 400-499 absent on the left so unmatched right rows exist
+    left = pd.DataFrame({"k": np.arange(400).tolist() + [999, 999],
+                         "v": np.arange(402) * 10})
+    out = hash_join_shuffle(rd.from_pandas(left).repartition(2),
+                            rd.from_pandas(right).repartition(6),
+                            on="k", how="right", n_parts=8,
+                            hot_keys={999}, salt_buckets=8)
+    got = pd.DataFrame(collect_rows(out)).sort_values(
+        ["rv", "v"]).reset_index(drop=True)
+    exp = left.merge(right, on="k", how="right").sort_values(
+        ["rv", "v"]).reset_index(drop=True)[got.columns]
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    # partition balance of the salted (right) side
+    P, S = 8, 8
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+    h = hash_arrow_array(pa.array(rkeys))
+    salt = np.where(rkeys == 999,
+                    np.arange(n, dtype=np.uint64) % np.uint64(S),
+                    np.uint64(0))
+    parts = ((h ^ (salt * GOLD)) % np.uint64(P)).astype(int)
+    share = np.bincount(parts, minlength=P) / n
+    assert share.max() <= 2.0 / P + 0.02, share
+
+
+def test_hash_join_shuffle_full_outer_salting(ray_session):
+    """Skewed FULL outer join with hot_keys: composes as salted LEFT join
+    ∪ NULL-left anti complement — result equals the pandas full merge
+    exactly (matched pairs fan out, unmatched LEFT rows carry NULL right,
+    unmatched RIGHT rows surface once with NULL left, null keys on both
+    sides preserved unmatched)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.joins import hash_join_shuffle
+    from gojsonschema_ray.util import collect_rows
+
+    n = 2000
+    rng = np.random.default_rng(23)
+    keys = rng.integers(0, 300, size=n).astype(np.float64)
+    keys[rng.choice(n, size=n // 3, replace=False)] = 999.0  # hot on LEFT
+    keys[:5] = np.nan  # null keys never match, still preserved
+    left = pd.DataFrame({"k": keys, "v": np.arange(n)})
+    right = pd.DataFrame(  # 250-299 absent; 400s unmatched on the right
+        {"k": np.arange(250).astype(np.float64).tolist()
+         + [999.0, 400.0, 401.0, np.nan],
+         "rv": np.arange(254) * 10})
+    out = hash_join_shuffle(rd.from_pandas(left).repartition(5),
+                            rd.from_pandas(right).repartition(2),
+                            on="k", how="full", n_parts=8,
+                            hot_keys={999.0}, salt_buckets=8)
+    got = pd.DataFrame(collect_rows(out)).sort_values(
+        ["v", "rv"]).reset_index(drop=True)
+    # SQL FULL OUTER reference (pandas merge MATCHES NaN keys — SQL
+    # doesn't): merge the non-null subsets, append null-key rows unmatched
+    lok, rok = left["k"].notna(), right["k"].notna()
+    exp = pd.concat([
+        left[lok].merge(right[rok], on="k", how="outer"),
+        left[~lok].reindex(columns=["k", "v", "rv"]),
+        right[~rok].reindex(columns=["k", "v", "rv"]),
+    ], ignore_index=True).sort_values(
+        ["v", "rv"]).reset_index(drop=True)[got.columns]
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 @pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
 def test_hash_join_shuffle_hot_key_salting(ray_session, how):
     """Skewed fact-fact join (one key = 30% of left rows): salting keeps
