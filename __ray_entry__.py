@@ -1347,6 +1347,28 @@ def q_documents_dup_lines(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_documents_chunks(sf_dir: str) -> pd.DataFrame:
+    """Context-window chunking (functions/text.chunk_documents): split each
+    document into overlapping training windows of at most 8 tokens starting
+    every 5 (3-token overlap); the last chunk is the first whose end
+    reaches the doc. Pure per-batch kernel, no shuffle. Chunk text re-joins
+    tokens with single spaces (the tokenization contract), so string_agg
+    reproduces it bit-exactly."""
+    from gojsonschema_ray.functions.text import chunk_documents
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    rows = collect_rows(chunk_documents(ds, "text", "doc_id",
+                                        max_tokens=8, stride=5))
+    df = pd.DataFrame({
+        "doc_id": pd.Series([r["doc_id"] for r in rows], dtype="int64"),
+        "chunk_id": pd.Series([r["chunk_id"] for r in rows], dtype="int64"),
+        "n_tokens": pd.Series([r["n_tokens"] for r in rows], dtype="int64"),
+        "text": pd.Series([r["text"] for r in rows], dtype="object"),
+    })
+    return df.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+
 def q_documents_within_dup_lines(sf_dir: str) -> pd.DataFrame:
     """WITHIN-document duplicate-line fractions
     (functions/text.within_doc_dup_line_stats) — Gopher §A1.1's dup-line /
@@ -1722,8 +1744,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag_gap": q_events_lag_gap,
         "documents_tokens": q_documents_tokens,
         "documents_dup_lines": q_documents_dup_lines,
-        "documents_drop_dup_lines": q_documents_drop_dup_lines,
         "documents_within_dup_lines": q_documents_within_dup_lines,
+        "documents_chunks": q_documents_chunks,
         "documents_decontaminate_ngrams": q_documents_decontaminate_ngrams,
         "token_counts_by_lang": q_token_counts_by_lang,
         "documents_repetition": q_documents_repetition,
@@ -1748,6 +1770,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # orders_customer_join (same hash_join_shuffle inner path)
         "part_rules": q_part_rules,  # sibling: 8 in-window validation
         # oracles cover the keyword families (plus corpus+property tests)
+        "documents_drop_dup_lines": q_documents_drop_dup_lines,  # sibling:
+        # documents_dup_lines (same corpus-count exchange; the in-window
+        # entry verifies the counts, this one the filtered reconstruction)
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,  # sibling:
         # minhash_near_dups (in-window exact shingle-join Jaccard oracle
         # exercises the same distributed gram/verify machinery)
@@ -2221,6 +2246,28 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN n >= 900 THEN length(seg) ELSE 0 END) "
             "AS DOUBLE) / sum(length(seg)) AS dup_char_frac "
             "FROM ne JOIN c USING(seg) GROUP BY doc_id ORDER BY doc_id"
+        ),
+        # chunk c covers token positions [c*5, c*5+8); C = 1 +
+        # ceil(max(n-8,0)/5) (the last chunk is the first whose end reaches
+        # the doc); chunk text = its tokens joined by single spaces
+        "documents_chunks": (
+            "WITH base AS (SELECT doc_id, "
+            "string_split_regex(trim(text), '\\s+') AS arr FROM documents "
+            "WHERE text IS NOT NULL AND trim(text) != ''), "
+            "toks AS (SELECT doc_id, unnest(arr) AS tok, "
+            "generate_subscripts(arr, 1) AS i FROM base), "
+            "meta AS (SELECT doc_id, len(arr) AS n, "
+            "1 + (greatest(len(arr) - 8, 0) + 4) // 5 AS c FROM base), "
+            "chunks AS (SELECT doc_id, n, "
+            "unnest(generate_series(0, c - 1)) AS chunk_id FROM meta) "
+            "SELECT ch.doc_id, CAST(ch.chunk_id AS BIGINT) AS chunk_id, "
+            "CAST(least(8, ch.n - ch.chunk_id * 5) AS BIGINT) AS n_tokens, "
+            "string_agg(t.tok, ' ' ORDER BY t.i) AS text "
+            "FROM chunks ch JOIN toks t ON t.doc_id = ch.doc_id "
+            "AND t.i - 1 >= ch.chunk_id * 5 "
+            "AND t.i - 1 < ch.chunk_id * 5 + 8 "
+            "GROUP BY ch.doc_id, ch.chunk_id, ch.n "
+            "ORDER BY ch.doc_id, ch.chunk_id"
         ),
         # within-ONE-document counts (GROUP BY doc_id, seg); a segment is
         # duplicated at count >= 2 and every occurrence counts. Fractions

@@ -943,6 +943,99 @@ def gopher_filter(ds, text_column: str, id_column: str, *,
         batch_format="pyarrow")
 
 
+def _chunk_kernel(batch: pa.Table, text_column: str, id_column: str,
+                  max_tokens: int, stride: int,
+                  lowercase: bool) -> pa.Table:
+    """Per-batch kernel of ``chunk_documents`` (module-level so tests can
+    check it against a scalar reference, no Ray). Fully vectorized:
+    chunk-side index arithmetic (no per-token membership math), one Arrow
+    ``take`` of the flat token buffer, ``ListArray.from_arrays`` +
+    ``binary_join`` to materialize chunk texts."""
+    col = batch[text_column]
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    txt = pc.utf8_trim_whitespace(pc.cast(col, pa.string()))
+    if lowercase:
+        txt = pc.utf8_lower(txt)
+    lists = pc.split_pattern_regex(txt, r"\s+")
+    lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) \
+        else lists
+    raw_lengths = np.diff(lists.offsets.to_numpy(zero_copy_only=False)
+                          .astype(np.int64))
+    valid = ~np.asarray(pc.is_null(lists).to_numpy(zero_copy_only=False))
+    empty = np.asarray(pc.equal(pc.utf8_length(txt), 0).fill_null(True)
+                       .to_numpy(zero_copy_only=False))
+    lens = np.where(valid & ~empty, raw_lengths, 0)
+    kept_rows = np.flatnonzero(lens > 0)
+    ids = batch[id_column]
+    ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+    if not len(kept_rows):
+        return pa.table({id_column: ids.slice(0, 0),
+                         "chunk_id": pa.array([], pa.int64()),
+                         "n_tokens": pa.array([], pa.int64()),
+                         "text": pa.array([], pa.string())})
+    vals = lists.values.filter(pa.array(np.repeat(lens > 0, raw_lengths)))
+    n = lens[kept_rows]
+    # chunk starts at 0, stride, 2*stride, ...; the LAST chunk is the first
+    # whose end reaches the doc, so C = 1 + ceil(max(n - max_tokens, 0)/s)
+    C = 1 + (np.maximum(n - max_tokens, 0) + stride - 1) // stride
+    total_chunks = int(C.sum())
+    chunk_doc = np.repeat(np.arange(len(kept_rows), dtype=np.int64), C)
+    cumC = np.concatenate([[0], np.cumsum(C)])
+    chunk_id = np.arange(total_chunks, dtype=np.int64) \
+        - np.repeat(cumC[:-1], C)
+    cnt = np.minimum(max_tokens, n[chunk_doc] - chunk_id * stride)
+    doc_flat_start = np.concatenate([[0], np.cumsum(n)])[:-1]
+    starts = doc_flat_start[chunk_doc] + chunk_id * stride
+    cum_cnt = np.concatenate([[0], np.cumsum(cnt)])
+    take_idx = np.repeat(starts, cnt) \
+        + (np.arange(int(cnt.sum()), dtype=np.int64)
+           - np.repeat(cum_cnt[:-1], cnt))
+    chunk_lists = pa.ListArray.from_arrays(
+        pa.array(cum_cnt, type=pa.int32()),
+        vals.take(pa.array(take_idx)))
+    return pa.table({
+        id_column: ids.take(pa.array(kept_rows[chunk_doc])),
+        "chunk_id": pa.array(chunk_id),
+        "n_tokens": pa.array(cnt.astype(np.int64)),
+        "text": pc.binary_join(chunk_lists, " "),
+    })
+
+
+def chunk_documents(ds, text_column: str, id_column: str, *,
+                    max_tokens: int, stride: int | None = None,
+                    lowercase: bool = False):
+    """Split long documents into overlapping training windows — the
+    context-length chunking pass of an LLM data pipeline (each chunk at
+    most `max_tokens` tokens; consecutive chunks start `stride` tokens
+    apart, so `max_tokens - stride` tokens overlap; `stride=None` means
+    non-overlapping `stride = max_tokens`).
+
+    Contract (SQL-reproducible): tokens = the module's RE2 ``\\s+`` split
+    of trimmed text; chunk c covers token positions
+    ``[c*stride, c*stride + max_tokens)`` and the last chunk is the FIRST
+    whose end reaches the document (so every token lands in >=1 chunk and
+    no chunk is fully contained in its predecessor); chunk text re-joins
+    its tokens with single spaces (the tokenization contract collapses
+    whitespace runs). Docs with zero tokens are dropped. Returns a Dataset
+    of (id, chunk_id, n_tokens, text).
+
+    Scale shape: pure per-batch kernel — a document's text lives in one
+    row, so its chunks complete within the batch; one split, one flat
+    ``take``, one ``binary_join``; no shuffle, no per-row Python.
+    Trivially parallel at 100 TB."""
+    stride = max_tokens if stride is None else stride
+    if max_tokens < 1 or not 1 <= stride <= max_tokens:
+        raise ValueError(
+            f"chunk_documents: need max_tokens >= 1 and 1 <= stride <= "
+            f"max_tokens (got max_tokens={max_tokens}, stride={stride})")
+    return ds.map_batches(
+        functools.partial(
+            _chunk_kernel, text_column=text_column, id_column=id_column,
+            max_tokens=int(max_tokens), stride=int(stride),
+            lowercase=lowercase),
+        batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # corpus-wide duplicate-line / -paragraph removal (Rae et al. 2021 §A1.1 —
 # the CROSS-document half of Gopher's repetition filtering; repetition_stats

@@ -576,3 +576,44 @@ def test_within_doc_dup_line_kernel_matches_scalar(texts, delimiter,
              r["dup_char_frac"]) for r in got] == \
         [(w["i"], w["n_lines"], w["n_dup_lines"], w["dup_line_frac"],
           w["dup_char_frac"]) for w in want]
+
+
+def _scalar_chunks(texts, max_tokens, stride, lowercase=False):
+    """Slow per-row reference for _chunk_kernel: chunk c covers token
+    positions [c*stride, c*stride+max_tokens); the last chunk is the first
+    whose end reaches the doc; text re-joins tokens with single spaces."""
+    out = []
+    for i, t in enumerate(texts):
+        s = (t or "").strip()
+        if lowercase:
+            s = s.lower()
+        toks = s.split()
+        if not toks:
+            continue
+        c = 0
+        while True:
+            window = toks[c * stride:c * stride + max_tokens]
+            out.append({"i": i, "chunk_id": c, "n_tokens": len(window),
+                        "text": " ".join(window)})
+            if c * stride + max_tokens >= len(toks):
+                break
+            c += 1
+    return out
+
+
+@settings(max_examples=60, deadline=None)
+@given(texts=st.lists(_doc_text, max_size=8),
+       max_tokens=st.integers(min_value=1, max_value=6),
+       data=st.data())
+def test_chunk_kernel_matches_scalar(texts, max_tokens, data):
+    from gojsonschema_ray.functions.text import _chunk_kernel
+
+    stride = data.draw(st.integers(min_value=1, max_value=max_tokens))
+    batch = pa.table({"i": list(range(len(texts))),
+                      "t": pa.array(texts, pa.string())})
+    got = _chunk_kernel(batch, "t", "i", max_tokens, stride,
+                        False).to_pylist()
+    want = _scalar_chunks(texts, max_tokens, stride)
+    assert [(r["i"], r["chunk_id"], r["n_tokens"], r["text"])
+            for r in got] == \
+        [(w["i"], w["chunk_id"], w["n_tokens"], w["text"]) for w in want]
