@@ -1687,6 +1687,47 @@ def q_clips_audio_features(sf_dir: str) -> pd.DataFrame:
     }])
 
 
+def q_clips_audio_transform(sf_dir: str) -> pd.DataFrame:
+    """Audio standardization pass (stages/audio.AudioTransformStage:
+    decode → trim silence → resample to 16 kHz → peak-normalize to
+    −3 dBFS) over the deterministic synthetic clips table, aggregated.
+    Rows-only: audio transforms are not SQL-expressible; closed-form
+    kernel goldens (sine resample error bound, exact gain targets, exact
+    frame trims) live in tests/test_stages.py."""
+    from gojsonschema_ray import datagen
+    from gojsonschema_ray.stages.audio import AudioTransformStage
+    from gojsonschema_ray.util import collect_rows
+
+    n = 5_000
+    ds = datagen.clips_dataset(n, audio_cap_ms=30, override_num_blocks=8)
+    out = ds.map_batches(
+        AudioTransformStage,
+        fn_constructor_kwargs=dict(target_sr=16000, target_dbfs=-3.0,
+                                   trim_threshold_dbfs=-60.0),
+        batch_size=256, batch_format="pyarrow", concurrency=(1, 4))
+
+    def partial(t: pa.Table) -> pa.Table:
+        ok = pc.fill_null(t["decode_ok"], False)
+        tt = t.filter(ok)
+        return pa.table({
+            "n_ok": pa.array([tt.num_rows], pa.int64()),
+            "n_bad": pa.array([t.num_rows - tt.num_rows], pa.int64()),
+            "samples_out": pa.array(
+                [pc.sum(tt["n_samples_out"]).as_py() or 0], pa.int64()),
+            "n_16k": pa.array(
+                [pc.sum(pc.cast(pc.equal(tt["sr_hz"], 16000),
+                                pa.int64())).as_py() or 0], pa.int64()),
+        })
+
+    rows = collect_rows(out.map_batches(partial, batch_format="pyarrow"))
+    n_ok = sum(r["n_ok"] for r in rows)
+    return pd.DataFrame([{
+        "n_ok": int(n_ok), "n_bad": int(sum(r["n_bad"] for r in rows)),
+        "samples_out": int(sum(r["samples_out"] for r in rows)),
+        "all_16k": int(sum(r["n_16k"] for r in rows) == n_ok),
+    }])
+
+
 def entry() -> Any:
     """Flagship smoke on sf0.001: constraint validation over lineitem +
     documents + uniqueness on events, one violations summary Dataset."""
@@ -1794,6 +1835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # signatures, drift uses t-digest-derived bin edges, flagship and
         # audio features decode audio — none SQL-expressible)
         "clips_audio_features": q_clips_audio_features,
+        "clips_audio_transform": q_clips_audio_transform,
         "simhash_near_dups": q_simhash_near_dups,
         "drift_events": q_drift_events,
         "flagship_clips": q_flagship_clips,

@@ -609,3 +609,176 @@ class AudioFeatureStage:
             else:
                 rows.append({"clip_id": cid, "decode_ok": True, **feat})
         return pa.Table.from_pylist(rows, schema=FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# audio TRANSFORMS — resample / normalize / trim (pure numpy, no codecs)
+# ---------------------------------------------------------------------------
+def resample_linear(pcm: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Linear-interpolation resampler over int16 PCM (the dependency-free
+    baseline every audio pipeline needs for mixed-rate corpora; swap in a
+    polyphase/sinc kernel behind the same signature when scipy is
+    available). Output length = round(n * sr_out / sr_in); sample t of the
+    output reads input position t * sr_in / sr_out (np.interp — one
+    vectorized pass, no sample-level Python). Deterministic."""
+    if sr_in <= 0 or sr_out <= 0:
+        raise ValueError(f"resample_linear: bad rates {sr_in}->{sr_out}")
+    n = len(pcm)
+    if n == 0 or sr_in == sr_out:
+        return pcm
+    out_n = int(round(n * sr_out / sr_in))
+    if out_n == 0:
+        return pcm[:0]
+    pos = np.arange(out_n, dtype=np.float64) * (sr_in / sr_out)
+    y = np.interp(pos, np.arange(n, dtype=np.float64),
+                  pcm.astype(np.float64))
+    return np.clip(np.rint(y), -32768, 32767).astype(np.int16)
+
+
+def normalize_gain(pcm: np.ndarray, target_dbfs: float = -3.0,
+                   mode: str = "peak") -> tuple[np.ndarray, float]:
+    """Scale a clip so its peak (or RMS) sits at `target_dbfs` re. int16
+    full scale — loudness leveling before feature extraction / training.
+    Returns (pcm_out, gain_db). All-zero clips pass through at gain 0 dB;
+    samples clip at int16 bounds (RMS mode can exceed full scale)."""
+    if mode not in ("peak", "rms"):
+        raise ValueError(f"normalize_gain: mode={mode!r}")
+    xf = pcm.astype(np.float64)
+    if not len(xf):  # e.g. an all-silent clip trimmed to empty upstream
+        return pcm, 0.0
+    ref = float(np.max(np.abs(xf))) if mode == "peak" \
+        else float(np.sqrt(np.mean(xf * xf)))
+    if ref <= 0.0:
+        return pcm, 0.0
+    g = (_FS * 10.0 ** (target_dbfs / 20.0)) / ref
+    out = np.clip(np.rint(xf * g), -32768, 32767).astype(np.int16)
+    return out, float(20.0 * np.log10(g))
+
+
+def trim_silence(pcm: np.ndarray, sr: int, threshold_dbfs: float = -40.0,
+                 frame_ms: int = 10) -> tuple[np.ndarray, int, int]:
+    """Drop leading/trailing silence: frame the clip at `frame_ms`, keep
+    from the first to the last frame whose RMS reaches `threshold_dbfs`
+    re. int16 full scale. Returns (pcm_out, lead_frames, trail_frames)
+    in trimmed FRAME counts (ms = frames * frame_ms). An all-silent clip
+    trims to empty. Vectorized: one reshape + one per-frame RMS."""
+    n = len(pcm)
+    if n == 0:
+        return pcm, 0, 0
+    flen = max(1, int(sr * frame_ms / 1000))
+    nf = n // flen
+    if nf == 0:
+        nf, flen = 1, n
+    xf = pcm[:nf * flen].astype(np.float64).reshape(nf, flen)
+    rms = np.sqrt(np.mean(xf * xf, axis=1))
+    thresh = _FS * 10.0 ** (threshold_dbfs / 20.0)
+    loud = np.flatnonzero(rms >= thresh)
+    if not len(loud):
+        return pcm[:0], nf, 0
+    lead, last = int(loud[0]), int(loud[-1])
+    trail = nf - 1 - last
+    # keep the tail remainder (< one frame) when the last frame is loud
+    end = n if trail == 0 else (last + 1) * flen
+    return pcm[lead * flen:end], lead, trail
+
+
+TRANSFORM_SCHEMA = pa.schema([
+    ("clip_id", pa.string()),
+    ("decode_ok", pa.bool_()),
+    ("sr_hz", pa.int64()),
+    ("n_samples_in", pa.int64()),
+    ("n_samples_out", pa.int64()),
+    ("gain_db", pa.float64()),
+    ("lead_trim_ms", pa.int64()),
+    ("trail_trim_ms", pa.int64()),
+    ("codec", pa.string()),
+    ("bytes", pa.binary()),
+])
+
+
+class AudioTransformStage:
+    """Actor-pool map_batches payload: decode → trim silence → resample →
+    normalize gain, emitting pcm_s16le rows ready for the next stage (the
+    standardize-the-corpus pass of an audio training pipeline; ops are
+    applied in that fixed order and each is optional).
+
+    Same deployment shape as AudioFeatureStage: stateful decoder table in
+    __init__, zero-copy WAV/PCM views per batch, decode failures degrade
+    to decode_ok=False rows with null payload instead of a dead task.
+    Scale note: output bytes ~= input bytes * (target_sr / sr) — size
+    batch_size so decoded float64 temporaries (n * 8 bytes * batch) fit
+    the worker heap."""
+
+    def __init__(self, target_sr: int | None = None,
+                 target_dbfs: float | None = None, gain_mode: str = "peak",
+                 trim_threshold_dbfs: float | None = None,
+                 frame_ms: int = 10):
+        if target_sr is not None and target_sr <= 0:
+            raise ValueError(f"AudioTransformStage: target_sr={target_sr}")
+        self.target_sr = target_sr
+        self.target_dbfs = target_dbfs
+        self.gain_mode = gain_mode
+        self.trim_threshold_dbfs = trim_threshold_dbfs
+        self.frame_ms = frame_ms
+        self.decoders = {
+            "wav": lambda blob, sr: decode_wav(blob),
+            "pcm_s16le": decode_raw_s16le,
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["clip_id"].to_pylist()
+        srs = batch["sr_hz"].to_pylist()
+        codecs = batch["codec"].to_pylist()
+        views = binary_column_views(batch["bytes"])
+        blobs = batch["bytes"].to_pylist() if views is None else None
+        rows = []
+        for i, (cid, sr, codec) in enumerate(zip(ids, srs, codecs)):
+            dec = self.decoders.get(codec)
+            null = views[2][i] if views is not None else blobs[i] is None
+            pcm = file_sr = None
+            if dec is not None and not null and sr:
+                try:
+                    if views is not None:
+                        seg = views[1][int(views[0][i]):int(views[0][i + 1])]
+                        if codec == "wav":
+                            pcm, file_sr = wav_payload_view(seg)
+                        elif codec == "pcm_s16le":
+                            if len(seg) % 2:
+                                raise ValueError("odd byte count")
+                            pcm, file_sr = _i16_view(seg, 0, len(seg)), sr
+                        else:
+                            pcm, file_sr = dec(seg.tobytes(), sr)
+                    else:
+                        pcm, file_sr = dec(blobs[i], sr)
+                except Exception:  # noqa: BLE001 — degrade, don't die
+                    pcm = None
+            if pcm is None:
+                rows.append({"clip_id": cid, "decode_ok": False,
+                             "sr_hz": None, "n_samples_in": None,
+                             "n_samples_out": None, "gain_db": None,
+                             "lead_trim_ms": None, "trail_trim_ms": None,
+                             "codec": None, "bytes": None})
+                continue
+            cur_sr = int(file_sr or sr)
+            n_in = len(pcm)
+            lead = trail = 0
+            if self.trim_threshold_dbfs is not None:
+                pcm, lead, trail = trim_silence(
+                    pcm, cur_sr, self.trim_threshold_dbfs, self.frame_ms)
+            if self.target_sr is not None and cur_sr != self.target_sr:
+                pcm = resample_linear(pcm, cur_sr, self.target_sr)
+                cur_sr = self.target_sr
+            gain_db = 0.0
+            if self.target_dbfs is not None:
+                pcm, gain_db = normalize_gain(pcm, self.target_dbfs,
+                                              self.gain_mode)
+            rows.append({
+                "clip_id": cid, "decode_ok": True, "sr_hz": cur_sr,
+                "n_samples_in": n_in, "n_samples_out": len(pcm),
+                "gain_db": gain_db,
+                "lead_trim_ms": lead * self.frame_ms,
+                "trail_trim_ms": trail * self.frame_ms,
+                "codec": "pcm_s16le",
+                "bytes": np.ascontiguousarray(pcm).tobytes(),
+            })
+        return pa.Table.from_pylist(rows, schema=TRANSFORM_SCHEMA)

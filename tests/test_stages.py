@@ -920,6 +920,98 @@ def test_audio_feature_stage(ray_session):
     assert abs(np.mean(rms) - 20 * np.log10(0.5 / np.sqrt(2))) < 0.3
 
 
+def test_resample_linear_sine_closed_form():
+    """Upsampling a sine 8k->16k doubles the length and the result matches
+    the directly-sampled sine (linear interpolation error bound at this
+    frequency); downsampling back recovers ~the original. Identity rate
+    returns the input unchanged."""
+    from gojsonschema_ray.stages.audio import resample_linear
+
+    sr, f, n = 8000, 200.0, 800
+    t = np.arange(n) / sr
+    pcm = np.rint(0.5 * 32767 * np.sin(2 * np.pi * f * t)).astype(np.int16)
+    up = resample_linear(pcm, sr, 16000)
+    assert len(up) == 1600
+    want = 0.5 * 32767 * np.sin(2 * np.pi * f * np.arange(1600) / 16000)
+    # linear interp of a 200 Hz sine at 8 kHz: max error ~ (pi*f/sr)^2/2;
+    # the final sample maps past the last input (interp holds-last) — skip
+    assert np.max(np.abs(up[:-1].astype(np.float64) - want[:-1])) < \
+        0.5 * 32767 * (np.pi * f / sr) ** 2 * 0.6 + 1.0
+    assert resample_linear(pcm, sr, sr) is pcm
+    down = resample_linear(up, 16000, 8000)
+    assert len(down) == n
+    assert np.max(np.abs(down.astype(np.float64)
+                         - pcm.astype(np.float64))) < 60
+
+
+def test_normalize_gain_closed_form():
+    from gojsonschema_ray.stages.audio import normalize_gain
+
+    pcm = np.array([0, 8192, -16384, 4096], dtype=np.int16)
+    out, gain_db = normalize_gain(pcm, target_dbfs=-6.0, mode="peak")
+    target_peak = 32767.0 * 10 ** (-6.0 / 20.0)
+    assert abs(int(np.max(np.abs(out.astype(np.int64)))) - target_peak) < 1.5
+    assert abs(gain_db - 20 * np.log10(target_peak / 16384.0)) < 1e-9
+    # RMS mode hits the target RMS; silence passes through at 0 dB
+    out, gain_db = normalize_gain(pcm, target_dbfs=-12.0, mode="rms")
+    got_rms = float(np.sqrt(np.mean(out.astype(np.float64) ** 2)))
+    assert abs(20 * np.log10(got_rms / 32767.0) - (-12.0)) < 0.01
+    z = np.zeros(8, dtype=np.int16)
+    outz, g0 = normalize_gain(z, -3.0)
+    assert g0 == 0.0 and np.array_equal(outz, z)
+
+
+def test_trim_silence_closed_form():
+    from gojsonschema_ray.stages.audio import trim_silence
+
+    sr, frame_ms = 16000, 10
+    flen = sr * frame_ms // 1000  # 160
+    tone = np.rint(0.5 * 32767 * np.sin(
+        2 * np.pi * 440 * np.arange(5 * flen) / sr)).astype(np.int16)
+    pcm = np.concatenate([np.zeros(3 * flen, np.int16), tone,
+                          np.zeros(2 * flen, np.int16)])
+    out, lead, trail = trim_silence(pcm, sr, threshold_dbfs=-40.0,
+                                    frame_ms=frame_ms)
+    assert (lead, trail) == (3, 2)
+    assert np.array_equal(out, tone)
+    # all-silent clip trims to empty; loud-to-the-end keeps the remainder
+    out, lead, trail = trim_silence(np.zeros(1000, np.int16), sr)
+    assert len(out) == 0 and lead > 0
+    tail = np.concatenate([np.zeros(flen, np.int16), tone, tone[:50]])
+    out, lead, trail = trim_silence(tail, sr, frame_ms=frame_ms)
+    assert trail == 0 and len(out) == len(tone) + 50 and lead == 1
+
+
+def test_audio_transform_stage(ray_session):
+    """Decode -> trim -> resample -> normalize over the datagen clips:
+    output rows are pcm_s16le at the target rate, gains hit the target
+    peak, and the emitted bytes decode back to n_samples_out samples.
+    Undecodable rows degrade to decode_ok=False."""
+    from gojsonschema_ray import datagen
+    from gojsonschema_ray.stages.audio import AudioTransformStage
+    from gojsonschema_ray.util import collect_rows
+
+    n = 1000
+    ds = datagen.clips_dataset(n, audio_cap_ms=30, override_num_blocks=4)
+    rows = collect_rows(ds.map_batches(
+        AudioTransformStage,
+        fn_constructor_kwargs=dict(target_sr=16000, target_dbfs=-3.0,
+                                   trim_threshold_dbfs=-60.0),
+        batch_size=256, batch_format="pyarrow", concurrency=(1, 2)))
+    assert len(rows) == n
+    ok = [r for r in rows if r["decode_ok"]]
+    assert len(ok) >= n - 10 and len(ok) < n  # datagen injects bad rows
+    for r in ok[:50]:
+        assert r["codec"] == "pcm_s16le" and r["sr_hz"] == 16000
+        pcm = np.frombuffer(r["bytes"], dtype="<i2")
+        assert len(pcm) == r["n_samples_out"]
+        if r["n_samples_out"]:
+            peak_dbfs = 20 * np.log10(
+                max(float(np.max(np.abs(pcm.astype(np.int64)))), 1e-9)
+                / 32767.0)
+            assert abs(peak_dbfs - (-3.0)) < 0.1
+
+
 def _join_frames():
     import pandas as pd
 
