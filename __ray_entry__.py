@@ -1347,6 +1347,33 @@ def q_documents_dup_lines(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_documents_bm25(sf_dir: str) -> pd.DataFrame:
+    """Okapi BM25 retrieval scoring (functions/text.bm25_scores,
+    return_pairs form): per-(doc, query-term) contributions for the query
+    {filter, merge, scan} — corpus stats via one tiny combiner exchange
+    (|query|+1 rows per batch), idf/avgdl broadcast, the corpus streams.
+    The pair form is the hash-stable contract (a cross-term SUM's addend
+    order is engine-defined; SQL's isn't); each contribution is one
+    deterministic IEEE chain over exact ints, bit-equal in numpy and
+    DuckDB with the documented operator grouping."""
+    from gojsonschema_ray.functions.text import bm25_scores
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    rows = collect_rows(bm25_scores(ds, "text", "doc_id",
+                                    ["filter", "merge", "scan"],
+                                    return_pairs=True))
+    df = pd.DataFrame({
+        "doc_id": pd.Series([r["doc_id"] for r in rows], dtype="int64"),
+        "term": pd.Series([r["term"] for r in rows], dtype="object"),
+        "tf": pd.Series([r["tf"] for r in rows], dtype="int64"),
+        "dl": pd.Series([r["dl"] for r in rows], dtype="int64"),
+        "contribution": pd.Series([r["contribution"] for r in rows],
+                                  dtype="float64"),
+    })
+    return df.sort_values(["doc_id", "term"]).reset_index(drop=True)
+
+
 def q_documents_chunks(sf_dir: str) -> pd.DataFrame:
     """Context-window chunking (functions/text.chunk_documents): split each
     document into overlapping training windows of at most 8 tokens starting
@@ -1765,7 +1792,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_stats": q_lineitem_stats,
         "customers_without_events": q_customers_without_events,
         "documents_packs": q_documents_packs,
-        "vocab_bigrams": q_vocab_bigrams,
+        "documents_bm25": q_documents_bm25,
         "heavy_users": q_heavy_users,
         "events_hopping_window": q_events_hopping_window,
         "events_sessions": q_events_sessions,
@@ -1811,6 +1838,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # orders_customer_join (same hash_join_shuffle inner path)
         "part_rules": q_part_rules,  # sibling: 8 in-window validation
         # oracles cover the keyword families (plus corpus+property tests)
+        "vocab_bigrams": q_vocab_bigrams,  # sibling: its combiner +
+        # aggregate_key_counts exchange is in-window via documents_tfidf
+        # (df phase) and documents_dup_lines (same coarse exchange)
         "documents_drop_dup_lines": q_documents_drop_dup_lines,  # sibling:
         # documents_dup_lines (same corpus-count exchange; the in-window
         # entry verifies the counts, this one the filtered reconstruction)
@@ -2288,6 +2318,30 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN n >= 900 THEN length(seg) ELSE 0 END) "
             "AS DOUBLE) / sum(length(seg)) AS dup_char_frac "
             "FROM ne JOIN c USING(seg) GROUP BY doc_id ORDER BY doc_id"
+        ),
+        # BM25 per-(doc, term) contributions: N = docs with >=1 token,
+        # avgdl = total/N, idf = ln((N-df+0.5)/(df+0.5)+1.0) (Lucene
+        # non-negative form); grouping mirrors the engine exactly —
+        # (1.2 + 1.0) NOT the 2.2 literal (different nearest double)
+        "documents_bm25": (
+            "WITH base AS (SELECT doc_id, "
+            "string_split_regex(lower(trim(text)), '\\s+') AS arr "
+            "FROM documents WHERE text IS NOT NULL AND trim(text) != ''), "
+            "toks AS (SELECT doc_id, unnest(arr) AS tok FROM base), "
+            "meta AS (SELECT doc_id, len(arr) AS dl FROM base), "
+            "stats AS (SELECT count(*) AS n, sum(dl) AS total FROM meta), "
+            "tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM toks "
+            "WHERE tok IN ('filter', 'merge', 'scan') "
+            "GROUP BY doc_id, tok), "
+            "dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term) "
+            "SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf, "
+            "CAST(meta.dl AS BIGINT) AS dl, "
+            "ln((CAST(stats.n - dfq.df AS DOUBLE) + 0.5) / (dfq.df + 0.5) "
+            "+ 1.0) * (tf.tf * (1.2 + 1.0)) / (tf.tf + 1.2 * (1.0 - 0.75 "
+            "+ 0.75 * (meta.dl / (CAST(stats.total AS DOUBLE) / stats.n)))) "
+            "AS contribution "
+            "FROM tf JOIN meta USING(doc_id) CROSS JOIN stats "
+            "JOIN dfq USING(term) ORDER BY tf.doc_id, tf.term"
         ),
         # chunk c covers token positions [c*5, c*5+8); C = 1 +
         # ceil(max(n-8,0)/5) (the last chunk is the first whose end reaches

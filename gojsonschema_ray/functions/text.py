@@ -943,6 +943,171 @@ def gopher_filter(ds, text_column: str, id_column: str, *,
         batch_format="pyarrow")
 
 
+def bm25_scores(ds, text_column: str, id_column: str,
+                query_terms: list[str], *, k1: float = 1.2, b: float = 0.75,
+                lowercase: bool = True, return_pairs: bool = False):
+    """Okapi BM25 scores of every document against a query — the lexical
+    retrieval op beside the engine's dense ANN (`ann_brute_force`/IVF) and
+    TF-IDF keyword extraction. Two streaming passes:
+
+      1. corpus stats: per-batch combiner partials of (per-query-term
+         document frequency, N = docs with >=1 token, total token count)
+         — the exchange is |query| + 1 rows per BATCH, nothing keyed by
+         corpus size; the driver folds them and derives idf/avgdl once.
+      2. scoring: idf/avgdl broadcast into a per-batch kernel (searchsorted
+         term lookup, one np.unique per batch for (doc, term) tfs); docs
+         with >=1 hit emit their score — the corpus streams, no shuffle.
+
+    Contract (SQL-reproducible): tokens = the module's RE2 ``\\s+`` split
+    of trimmed (lowered) text; N counts docs with >=1 token; avgdl =
+    total_tokens / N (one IEEE division of exact ints); idf(t) =
+    ln((N - df + 0.5) / (df + 0.5) + 1.0) (the Lucene/ATIRE non-negative
+    form); per-term contribution = idf * (tf * (k1+1)) / (tf + k1 * (1 -
+    b + b * (dl / avgdl))) with exactly that operator grouping, so DuckDB
+    reproduces each contribution bit-exactly. `return_pairs=True` emits
+    the per-(doc, term) contribution rows (id, term, tf, dl,
+    contribution) instead of per-doc sums — the hash-stable form (a
+    cross-term SUM's addend order is engine-defined; SQL's isn't)."""
+    import ray
+
+    from ..util import collect_table
+
+    q = sorted(set(query_terms))
+    if not q:
+        raise ValueError("bm25_scores: empty query_terms")
+    q_arr = pa.array(q, pa.string())
+    q_np = np.array(q, dtype=object)
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        col = batch[text_column]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        txt = pc.utf8_trim_whitespace(pc.cast(col, pa.string()))
+        if lowercase:
+            txt = pc.utf8_lower(txt)
+        lists = pc.split_pattern_regex(txt, r"\s+")
+        lists = lists.combine_chunks() \
+            if isinstance(lists, pa.ChunkedArray) else lists
+        raw_lengths = np.diff(lists.offsets.to_numpy(zero_copy_only=False)
+                              .astype(np.int64))
+        valid = ~np.asarray(pc.is_null(lists)
+                            .to_numpy(zero_copy_only=False))
+        valid &= ~np.asarray(pc.equal(pc.utf8_length(txt), 0)
+                             .fill_null(True).to_numpy(zero_copy_only=False))
+        lens = np.where(valid, raw_lengths, 0)
+        vals = lists.values.filter(pa.array(np.repeat(valid, raw_lengths)))
+        did = np.repeat(np.arange(batch.num_rows, dtype=np.int64), lens)
+        hit = np.asarray(pc.is_in(vals, value_set=q_arr)
+                         .to_numpy(zero_copy_only=False))
+        tidx = np.searchsorted(q_np, np.asarray(
+            vals.filter(pa.array(hit)).to_numpy(zero_copy_only=False),
+            dtype=object)) if hit.any() else np.zeros(0, np.int64)
+        # df partial: distinct (doc, term) pairs
+        pairs = np.unique(did[hit] * len(q) + tidx)
+        df_part = np.bincount(pairs % len(q), minlength=len(q))
+        return pa.table({
+            "term": pa.array(q + [None], pa.string()),
+            "df": pa.array(np.concatenate([df_part, [0]]).astype(np.int64)),
+            "n_docs": pa.array([0] * len(q) + [int((lens > 0).sum())],
+                               pa.int64()),
+            "total_tokens": pa.array([0] * len(q) + [int(lens.sum())],
+                                     pa.int64()),
+        })
+
+    parts = collect_table(
+        ds.map_batches(stats_partial, batch_format="pyarrow")).to_pandas()
+    n_docs = int(parts["n_docs"].sum())
+    if n_docs == 0:
+        raise ValueError("bm25_scores: corpus has no tokenized documents")
+    avgdl = int(parts["total_tokens"].sum()) / n_docs
+    df_tot = parts.dropna(subset=["term"]).groupby("term")["df"].sum()
+    df_vec = df_tot.reindex(q).fillna(0).to_numpy(dtype=np.int64)
+    idf = np.log((n_docs - df_vec + 0.5) / (df_vec + 0.5) + 1.0)
+    state_ref = ray.put((idf, avgdl))
+
+    def score(batch: pa.Table) -> pa.Table:
+        st = ray.get(state_ref) if hasattr(state_ref, "hex") else state_ref
+        idf_v, adl = st
+        col = batch[text_column]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        txt = pc.utf8_trim_whitespace(pc.cast(col, pa.string()))
+        if lowercase:
+            txt = pc.utf8_lower(txt)
+        lists = pc.split_pattern_regex(txt, r"\s+")
+        lists = lists.combine_chunks() \
+            if isinstance(lists, pa.ChunkedArray) else lists
+        raw_lengths = np.diff(lists.offsets.to_numpy(zero_copy_only=False)
+                              .astype(np.int64))
+        valid = ~np.asarray(pc.is_null(lists)
+                            .to_numpy(zero_copy_only=False))
+        valid &= ~np.asarray(pc.equal(pc.utf8_length(txt), 0)
+                             .fill_null(True).to_numpy(zero_copy_only=False))
+        lens = np.where(valid, raw_lengths, 0)
+        vals = lists.values.filter(pa.array(np.repeat(valid, raw_lengths)))
+        did = np.repeat(np.arange(batch.num_rows, dtype=np.int64), lens)
+        hit = np.asarray(pc.is_in(vals, value_set=q_arr)
+                         .to_numpy(zero_copy_only=False))
+        ids = batch[id_column]
+        ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) \
+            else ids
+        empty_cols = (
+            {id_column: ids.slice(0, 0),
+             "term": pa.array([], pa.string()),
+             "tf": pa.array([], pa.int64()),
+             "dl": pa.array([], pa.int64()),
+             "contribution": pa.array([], pa.float64())}
+            if return_pairs else
+            {id_column: ids.slice(0, 0),
+             "score": pa.array([], pa.float64()),
+             "dl": pa.array([], pa.int64())})
+        if not hit.any():
+            return pa.table(empty_cols)
+        tidx = np.searchsorted(q_np, np.asarray(
+            vals.filter(pa.array(hit)).to_numpy(zero_copy_only=False),
+            dtype=object))
+        keys, tf = np.unique(did[hit] * len(q) + tidx, return_counts=True)
+        pdoc, pterm = keys // len(q), keys % len(q)
+        dl = lens[pdoc]
+        contrib = idf_v[pterm] * (tf * (k1 + 1.0)) \
+            / (tf + k1 * (1.0 - b + b * (dl / adl)))
+        if return_pairs:
+            return pa.table({
+                id_column: ids.take(pa.array(pdoc)),
+                "term": pa.array(q_np[pterm].tolist(), pa.string()),
+                "tf": pa.array(tf.astype(np.int64)),
+                "dl": pa.array(dl.astype(np.int64)),
+                "contribution": pa.array(contrib),
+            })
+        udoc = np.unique(pdoc)
+        pos = np.searchsorted(udoc, pdoc)
+        score_v = np.zeros(len(udoc))
+        np.add.at(score_v, pos, contrib)  # addend order: sorted (doc, term)
+        return pa.table({
+            id_column: ids.take(pa.array(udoc)),
+            "score": pa.array(score_v),
+            "dl": pa.array(lens[udoc].astype(np.int64)),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def bm25_top_docs(ds, text_column: str, id_column: str,
+                  query_terms: list[str], *, k: int = 10, k1: float = 1.2,
+                  b: float = 0.75, lowercase: bool = True) -> "pd.DataFrame":
+    """Top-k documents by BM25 — per-batch score partials from
+    `bm25_scores`, then ONE vectorized driver merge (concat + sort + head,
+    the `ann_brute_force` merge shape; ties break by id ascending)."""
+    from ..util import collect_table
+
+    scored = bm25_scores(ds, text_column, id_column, query_terms,
+                         k1=k1, b=b, lowercase=lowercase)
+    parts = collect_table(scored).to_pandas()
+    return parts.sort_values(
+        ["score", id_column], ascending=[False, True],
+        kind="stable").head(k).reset_index(drop=True)
+
+
 def _chunk_kernel(batch: pa.Table, text_column: str, id_column: str,
                   max_tokens: int, stride: int,
                   lowercase: bool) -> pa.Table:

@@ -1230,3 +1230,57 @@ def test_drop_duplicate_lines(ray_session):
     got = {r["doc_id"]: r["text"] for r in rows}
     assert got == {0: "keep me\nalso keep", 1: "unique two", 2: "",
                    3: None, 4: "solo"}
+
+
+def test_bm25_matches_reference(ray_session):
+    """BM25 scores/top-k against a from-scratch pandas reference (Lucene
+    idf form, exact operator grouping) on a small corpus with repeated
+    terms, varying doc lengths, a no-hit doc, and null/empty rows."""
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.functions.text import bm25_scores, bm25_top_docs
+    from gojsonschema_ray.util import collect_rows
+
+    texts = ["join join filter small", "merge", "row scan batch",
+             "filter filter filter", None, "  ", "join merge filter"]
+    df = pd.DataFrame({"doc_id": list(range(len(texts))), "text": texts})
+    ds = rd.from_pandas(df).repartition(3)
+    q = ["filter", "join", "merge"]
+    k1, b = 1.2, 0.75
+
+    toks = {i: (t or "").strip().lower().split()
+            for i, t in enumerate(texts)}
+    toks = {i: t for i, t in toks.items() if t}
+    N = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / N
+    want = {}
+    for i, t in toks.items():
+        s = 0.0
+        for term in q:
+            tf = t.count(term)
+            if not tf:
+                continue
+            dfreq = sum(term in tt for tt in toks.values())
+            idf = math.log((N - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+            s += idf * (tf * (k1 + 1.0)) \
+                / (tf + k1 * (1.0 - b + b * (len(t) / avgdl)))
+        if s:
+            want[i] = s
+    rows = collect_rows(bm25_scores(ds, "text", "doc_id", q, k1=k1, b=b))
+    got = {r["doc_id"]: r["score"] for r in rows}
+    assert got.keys() == want.keys()
+    for i in want:
+        assert abs(got[i] - want[i]) < 1e-12, (i, got[i], want[i])
+
+    top = bm25_top_docs(ds, "text", "doc_id", q, k=2, k1=k1, b=b)
+    exp_order = sorted(want, key=lambda i: (-want[i], i))[:2]
+    assert top["doc_id"].tolist() == exp_order
+
+    pairs = collect_rows(bm25_scores(ds, "text", "doc_id", q, k1=k1, b=b,
+                                     return_pairs=True))
+    assert sum(p["contribution"] for p in pairs
+               if p["doc_id"] == 0) == pytest.approx(want[0], abs=1e-12)
+    assert all(p["dl"] == len(toks[p["doc_id"]]) for p in pairs)
