@@ -136,7 +136,8 @@ def bench_queries(sf_dir: str, passes: int = 3) -> dict:
              "events_asof_bucketed", "top_parts_by_price", "nation_region_fk",
              "ngram_jaccard_pairs", "lineitem_price_bands",
              "customer_formats", "documents_pii",
-             "documents_packed", "documents_decontaminate_ngrams"]
+             "documents_packed", "documents_decontaminate_ngrams",
+             "documents_bm25", "documents_chunks", "documents_dup_lines"]
     qs = M.queries()
     out: dict[str, float] = {}
     for _ in range(passes):
