@@ -1347,6 +1347,60 @@ def q_documents_dup_lines(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_documents_dup_spans(sf_dir: str) -> pd.DataFrame:
+    """CORPUS-WIDE duplicated-substring stats (functions/text.dup_span_stats,
+    broadcast strategy) — the exact-substring dedup signal of Lee et al.
+    2022 (ExactSubstr): every char 30-window is hash-counted corpus-wide
+    via ONE coarse exchange, dup hashes broadcast once, the corpus streams
+    through a searchsorted probe + interval-union coverage. The oracle
+    counts exact substrings (substr over a range join); identity is the
+    engine's 64-bit gram hash — collision-free at any test scale.
+    Fractions are single IEEE divisions of exact int64 counts."""
+    from gojsonschema_ray.functions.text import dup_span_stats
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    rows = collect_rows(dup_span_stats(ds, "text", "doc_id",
+                                       k=30, min_count=2))
+    df = pd.DataFrame({
+        "doc_id": pd.Series([r["doc_id"] for r in rows], dtype="int64"),
+        "n_windows": pd.Series([r["n_windows"] for r in rows],
+                               dtype="int64"),
+        "n_dup_windows": pd.Series([r["n_dup_windows"] for r in rows],
+                                   dtype="int64"),
+        "dup_window_frac": pd.Series([r["dup_window_frac"] for r in rows],
+                                     dtype="float64"),
+        "covered_chars": pd.Series([r["covered_chars"] for r in rows],
+                                   dtype="int64"),
+        "covered_frac": pd.Series([r["covered_frac"] for r in rows],
+                                  dtype="float64"),
+    })
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_documents_drop_dup_spans(sf_dir: str) -> pd.DataFrame:
+    """ExactSubstr removal counts (functions/text.drop_duplicate_spans):
+    chars covered by any corpus-duplicated 30-window are cut from every
+    document; the query projects the removal accounting (the cleaned text
+    itself is engine output the SQL can't cheaply rebuild; counts pin the
+    same coverage arithmetic). Sibling of documents_dup_spans (same
+    exchange + broadcast; covered_chars == n_chars_removed there)."""
+    from gojsonschema_ray.functions.text import drop_duplicate_spans
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    rows = collect_rows(drop_duplicate_spans(ds, "text", "doc_id",
+                                             k=30, min_count=2))
+    df = pd.DataFrame({
+        "doc_id": pd.Series([r["doc_id"] for r in rows], dtype="int64"),
+        "n_chars_removed": pd.Series([r["n_chars_removed"] for r in rows],
+                                     dtype="int64"),
+        "n_chars_kept": pd.Series([r["n_chars_kept"] for r in rows],
+                                  dtype="int64"),
+    })
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_documents_bm25(sf_dir: str) -> pd.DataFrame:
     """Okapi BM25 retrieval scoring (functions/text.bm25_scores,
     return_pairs form): per-(doc, query-term) contributions for the query
@@ -1812,7 +1866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag_gap": q_events_lag_gap,
         "documents_tokens": q_documents_tokens,
         "documents_dup_lines": q_documents_dup_lines,
-        "documents_within_dup_lines": q_documents_within_dup_lines,
+        "documents_dup_spans": q_documents_dup_spans,
         "documents_chunks": q_documents_chunks,
         "documents_decontaminate_ngrams": q_documents_decontaminate_ngrams,
         "token_counts_by_lang": q_token_counts_by_lang,
@@ -1841,9 +1895,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_bigrams": q_vocab_bigrams,  # sibling: its combiner +
         # aggregate_key_counts exchange is in-window via documents_tfidf
         # (df phase) and documents_dup_lines (same coarse exchange)
+        "documents_within_dup_lines": q_documents_within_dup_lines,
+        # sibling: documents_dup_lines (same segment semantics, within-doc
+        # scope) and documents_repetition (in-window within-doc kernel)
         "documents_drop_dup_lines": q_documents_drop_dup_lines,  # sibling:
         # documents_dup_lines (same corpus-count exchange; the in-window
         # entry verifies the counts, this one the filtered reconstruction)
+        "documents_drop_dup_spans": q_documents_drop_dup_spans,  # sibling:
+        # documents_dup_spans (same exchange + broadcast; removal counts
+        # equal the in-window coverage column)
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,  # sibling:
         # minhash_near_dups (in-window exact shingle-join Jaccard oracle
         # exercises the same distributed gram/verify machinery)
@@ -2318,6 +2378,52 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN n >= 900 THEN length(seg) ELSE 0 END) "
             "AS DOUBLE) / sum(length(seg)) AS dup_char_frac "
             "FROM ne JOIN c USING(seg) GROUP BY doc_id ORDER BY doc_id"
+        ),
+        # every char 30-window, exact-substring corpus counts; coverage =
+        # DISTINCT char positions inside >=1 duplicated window. The range
+        # join bounds window starts (docs here are < 10k chars); fractions
+        # are single IEEE divisions of exact ints — bit-exact.
+        "documents_dup_spans": (
+            "WITH pos AS (SELECT doc_id, CAST(t.i AS BIGINT) AS i, "
+            "substr(text, CAST(t.i AS INTEGER), 30) AS g "
+            "FROM documents JOIN range(1, 10001) AS t(i) "
+            "ON t.i <= length(text) - 29 WHERE text IS NOT NULL), "
+            "c AS (SELECT g, count(*) AS n FROM pos GROUP BY g), "
+            "dup AS (SELECT doc_id, i FROM pos JOIN c USING(g) "
+            "WHERE n >= 2), "
+            "cov AS (SELECT doc_id, count(DISTINCT p.i + o.o) AS covered "
+            "FROM dup p CROSS JOIN range(0, 30) AS o(o) GROUP BY doc_id), "
+            "agg AS (SELECT doc_id, count(*) AS nw, "
+            "sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS ndw "
+            "FROM pos JOIN c USING(g) GROUP BY doc_id) "
+            "SELECT agg.doc_id, CAST(agg.nw AS BIGINT) AS n_windows, "
+            "CAST(agg.ndw AS BIGINT) AS n_dup_windows, "
+            "CAST(agg.ndw AS DOUBLE) / agg.nw AS dup_window_frac, "
+            "CAST(coalesce(cov.covered, 0) AS BIGINT) AS covered_chars, "
+            "CAST(coalesce(cov.covered, 0) AS DOUBLE) / length(d.text) "
+            "AS covered_frac "
+            "FROM agg LEFT JOIN cov USING(doc_id) "
+            "JOIN documents d USING(doc_id) ORDER BY agg.doc_id"
+        ),
+        # removal accounting of the ExactSubstr cut: removed = chars
+        # covered by >=1 duplicated 30-window, kept = length - removed;
+        # sub-30-char and null docs remove nothing
+        "documents_drop_dup_spans": (
+            "WITH pos AS (SELECT doc_id, CAST(t.i AS BIGINT) AS i, "
+            "substr(text, CAST(t.i AS INTEGER), 30) AS g "
+            "FROM documents JOIN range(1, 10001) AS t(i) "
+            "ON t.i <= length(text) - 29 WHERE text IS NOT NULL), "
+            "c AS (SELECT g, count(*) AS n FROM pos GROUP BY g), "
+            "dup AS (SELECT doc_id, i FROM pos JOIN c USING(g) "
+            "WHERE n >= 2), "
+            "cov AS (SELECT doc_id, count(DISTINCT p.i + o.o) AS covered "
+            "FROM dup p CROSS JOIN range(0, 30) AS o(o) GROUP BY doc_id) "
+            "SELECT d.doc_id, "
+            "CAST(coalesce(cov.covered, 0) AS BIGINT) AS n_chars_removed, "
+            "CAST(coalesce(length(d.text), 0) - coalesce(cov.covered, 0) "
+            "AS BIGINT) AS n_chars_kept "
+            "FROM documents d LEFT JOIN cov USING(doc_id) "
+            "ORDER BY d.doc_id"
         ),
         # BM25 per-(doc, term) contributions: N = docs with >=1 token,
         # avgdl = total/N, idf = ln((N-df+0.5)/(df+0.5)+1.0) (Lucene

@@ -1579,3 +1579,331 @@ def drop_duplicate_lines(ds, text_column: str, id_column: str, *,
     return ds.map_batches(
         _DropDupLineStage(dup_ref, text_column, id_column, delimiter),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# exact substring (char-k-window) duplication — Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better" (ExactSubstr).
+# The reference implementation builds a corpus suffix array; the engine
+# expresses the same semantics Ray-Data-first: every character k-window is
+# hashed in one vectorized pass (dedup.gram_hashes_batch — zero Python
+# objects per window), corpus-wide window counts come from the engine's ONE
+# coarse hash exchange, and duplicated-span coverage is interval arithmetic
+# over flattened event arrays. Window identity is the 64-bit gram hash
+# (collisions ~n²/2⁶⁴ — negligible; the SQL oracle counts exact substrings
+# and stays hash-green at test scale).
+# ---------------------------------------------------------------------------
+def _dup_window_hash_counts(ds, text_column: str, k: int,
+                            min_count: int, n_parts: int | None):
+    """(h, n) Dataset of char-k-window hash corpus counts with
+    n >= min_count — per-batch vectorized window hashing + np.unique
+    combiner partials, then ONE coarse hash exchange."""
+    from ..stages.dedup import _next_pow2, _shuffle_parts, gram_hashes_batch
+    from ..stages.uniqueness import aggregate_key_counts
+
+    P = _next_pow2(n_parts or _shuffle_parts())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h, _ = gram_hashes_batch(batch[text_column].to_pylist(), k)
+        uh, cnt = np.unique(h, return_counts=True)
+        return pa.table({
+            "h": pa.array(uh),
+            "cnt": pa.array(cnt.astype(np.int64)),
+            "part": pa.array((uh % np.uint64(P)).astype(np.int32)),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return aggregate_key_counts(partials, "h", min_count=min_count)
+
+
+def _span_coverage(lens: np.ndarray, doc: np.ndarray, rel: np.ndarray,
+                   k: int) -> np.ndarray:
+    """Chars of each doc covered by >=1 duplicated k-window. `lens` =
+    per-doc char lengths; (doc, rel) = duplicated window starts. One
+    flattened event array + cumsum across the whole batch — no per-doc
+    Python. Windows never cross docs (rel <= len-k), so spans stay inside
+    their doc's char range."""
+    n = len(lens)
+    covered = np.zeros(n, dtype=np.int64)
+    if len(doc) == 0:
+        return covered
+    char_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=char_off[1:])
+    total = int(char_off[-1])
+    ev = np.zeros(total + k + 1, dtype=np.int64)
+    starts = char_off[doc] + rel
+    np.add.at(ev, starts, 1)
+    np.add.at(ev, starts + k, -1)
+    cov = np.cumsum(ev[:total]) > 0
+    chardoc = np.repeat(np.arange(n, dtype=np.int64), lens)
+    np.add.at(covered, chardoc[cov], 1)
+    return covered
+
+
+class _DupSpanScoreStage:
+    """map_batches payload for dup_span_stats' broadcast path: per-batch
+    vectorized window hashing, searchsorted membership probe into the
+    ray.put dup-hash array, per-doc counts via bincount and covered-char
+    interval arithmetic — no per-row Python."""
+
+    def __init__(self, dup_ref, text_column: str, id_column: str, k: int):
+        self.dup_ref = dup_ref
+        self.text_column = text_column
+        self.id_column = id_column
+        self.k = k
+        self._d = None
+
+    def _dup_hashes(self) -> np.ndarray:
+        if self._d is None:
+            import ray
+            r = self.dup_ref
+            self._d = ray.get(r) if hasattr(r, "hex") else r
+        return self._d
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.dedup import gram_hashes_batch
+
+        k = self.k
+        ids = batch[self.id_column]
+        ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+        texts = batch[self.text_column].to_pylist()
+        n = len(texts)
+        lens = np.fromiter(((len(t) if t else 0) for t in texts),
+                           dtype=np.int64, count=n)
+        h, seg = gram_hashes_batch(texts, k)
+        nw = np.diff(seg)
+        dup = self._dup_hashes()  # sorted unique uint64
+        if len(h) and len(dup):
+            pos = np.minimum(np.searchsorted(dup, h), len(dup) - 1)
+            is_dup = dup[pos] == h
+        else:
+            is_dup = np.zeros(len(h), dtype=bool)
+        doc = np.repeat(np.arange(n, dtype=np.int64), nw)
+        ndw = np.bincount(doc[is_dup], minlength=n)
+        idxs = np.flatnonzero(is_dup)
+        d = doc[idxs]
+        covered = _span_coverage(lens, d, idxs - seg[d], k)
+        kept = np.flatnonzero(nw > 0)  # docs shorter than k have no windows
+        return pa.table({
+            self.id_column: ids.take(pa.array(kept)),
+            "n_windows": pa.array(nw[kept]),
+            "n_dup_windows": pa.array(ndw[kept]),
+            "dup_window_frac": pa.array(ndw[kept] / nw[kept]),
+            "covered_chars": pa.array(covered[kept]),
+            "covered_frac": pa.array(covered[kept] / lens[kept]),
+        })
+
+
+def dup_span_stats(ds, text_column: str, id_column: str, *, k: int = 30,
+                   min_count: int = 2, strategy: str = "broadcast",
+                   n_parts: int | None = None):
+    """Per-document CORPUS-WIDE duplicated-substring statistics — the
+    exact-substring dedup signal of Lee et al. 2022 (`dup_line_stats` is
+    the line-level variant; this one catches near-verbatim reuse that
+    crosses line boundaries or re-wraps). A doc's character k-windows are
+    duplicated when their corpus-wide occurrence count (all docs, own
+    repeats included) reaches `min_count`; `covered_chars` counts chars
+    inside >=1 duplicated window — the chars ExactSubstr would cut.
+
+    Returns (id, n_windows, n_dup_windows, dup_window_frac, covered_chars,
+    covered_frac); docs shorter than k chars are dropped (no windows).
+    Fractions are single IEEE divisions of exact int64 counts.
+
+    Two scale shapes:
+      - strategy="broadcast" (default): window-hash corpus counts via
+        per-batch combiner partials + ONE coarse hash exchange; duplicated
+        hashes (bounded by DISTINCT duplicated windows — i.e. by the
+        duplicated content, not corpus size) are ray.put ONCE sorted, and
+        the corpus streams through a searchsorted probe.
+      - strategy="shuffle": no broadcast-size assumption, at the honest
+        price ExactSubstr pays (its suffix array is an all-to-all sort of
+        every corpus position): window-LEVEL rows (id, rel, len) exchange
+        on hash(window) so corpus counts are exact in-partition, then
+        duplicated windows + per-doc count partials exchange on hash(id)
+        where coverage is computed. Both exchanges carry collapsed or
+        content-bounded rows only after the first."""
+    import ray
+
+    from ..stages.dedup import _next_pow2, _shuffle_parts, gram_hashes_batch
+    from ..stages.sketches import hash_arrow_array
+    from ..util import collect_table
+
+    if strategy == "broadcast":
+        counts = _dup_window_hash_counts(ds, text_column, k,
+                                         min_count, n_parts)
+        dup_t = collect_table(counts)
+        dup = np.sort(np.asarray(dup_t["h"].to_numpy(zero_copy_only=False),
+                                 dtype=np.uint64))
+        dup_ref = ray.put(dup)
+        return ds.map_batches(
+            _DupSpanScoreStage(dup_ref, text_column, id_column, k),
+            batch_format="pyarrow")
+
+    if strategy != "shuffle":
+        raise ValueError(f"dup_span_stats: strategy={strategy!r} — "
+                         "pass 'broadcast' or 'shuffle'")
+
+    P = _next_pow2(n_parts or _shuffle_parts())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_column]
+        ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+        texts = batch[text_column].to_pylist()
+        n = len(texts)
+        lens = np.fromiter(((len(t) if t else 0) for t in texts),
+                           dtype=np.int64, count=n)
+        h, seg = gram_hashes_batch(texts, k)
+        nw = np.diff(seg)
+        doc = np.repeat(np.arange(n, dtype=np.int64), nw)
+        rel = np.arange(len(h), dtype=np.int64) - seg[doc]
+        return pa.table({
+            id_column: ids.take(pa.array(doc)),
+            "h": pa.array(h),
+            "rel": pa.array(rel),
+            "len": pa.array(lens[doc]),
+            "part": pa.array((h % np.uint64(P)).astype(np.int32)),
+        })
+
+    def per_hash_part(df: pd.DataFrame) -> pd.DataFrame:
+        # all occurrences of a window hash co-locate -> exact corpus counts
+        totals = df.groupby("h", sort=False)["h"].transform("size")
+        dup = (totals >= min_count).to_numpy()
+        ids = df[id_column].to_numpy()
+        # duplicated windows keep their position for coverage ...
+        dup_rows = pd.DataFrame({
+            id_column: ids[dup],
+            "rel": df["rel"].to_numpy()[dup],
+            "nw": np.zeros(int(dup.sum()), dtype=np.int64),
+            "len": df["len"].to_numpy()[dup],
+        })
+        # ... and every doc emits one collapsed count partial (rel = -1)
+        cnt = pd.DataFrame({id_column: ids, "len": df["len"].to_numpy()}) \
+            .groupby(id_column, sort=False, as_index=False) \
+            .agg(nw=(id_column, "size"), len=("len", "first"))
+        cnt["rel"] = np.int64(-1)
+        out = pd.concat([dup_rows, cnt[[id_column, "rel", "nw", "len"]]],
+                        ignore_index=True)
+        dh = hash_arrow_array(out[id_column])
+        out["part"] = (dh % np.uint64(P)).astype(np.int32)
+        return out
+
+    def per_doc_part(df: pd.DataFrame) -> pd.DataFrame:
+        ids, inv = np.unique(df[id_column].to_numpy(), return_inverse=True)
+        n = len(ids)
+        rel = df["rel"].to_numpy()
+        is_win = rel >= 0
+        nw = np.bincount(inv, weights=df["nw"].to_numpy(),
+                         minlength=n).astype(np.int64)
+        ndw = np.bincount(inv[is_win], minlength=n)
+        lens = np.zeros(n, dtype=np.int64)
+        lens[inv] = df["len"].to_numpy()
+        covered = _span_coverage(lens, inv[is_win], rel[is_win], k)
+        return pd.DataFrame({
+            id_column: ids,
+            "n_windows": nw,
+            "n_dup_windows": ndw,
+            "dup_window_frac": ndw / nw,
+            "covered_chars": covered,
+            "covered_frac": covered / lens,
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow") \
+        .repartition(32).materialize()
+    doc_partials = partials.groupby("part").map_groups(
+        per_hash_part, batch_format="pandas")
+    doc_partials = doc_partials.repartition(32).materialize()
+    return doc_partials.groupby("part").map_groups(
+        per_doc_part, batch_format="pandas")
+
+
+class _DropDupSpanStage:
+    """map_batches payload for drop_duplicate_spans: membership probe +
+    interval-union coverage, then ONE utf-32 round-trip rebuilds every
+    cleaned text in the batch (per-doc work is a single string slice)."""
+
+    def __init__(self, dup_ref, text_column: str, id_column: str, k: int):
+        self.dup_ref = dup_ref
+        self.text_column = text_column
+        self.id_column = id_column
+        self.k = k
+        self._d = None
+
+    def _dup_hashes(self) -> np.ndarray:
+        if self._d is None:
+            import ray
+            r = self.dup_ref
+            self._d = ray.get(r) if hasattr(r, "hex") else r
+        return self._d
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.dedup import gram_hashes_batch
+
+        k = self.k
+        texts = batch[self.text_column].to_pylist()
+        n = len(texts)
+        lens = np.fromiter(((len(t) if t else 0) for t in texts),
+                           dtype=np.int64, count=n)
+        h, seg = gram_hashes_batch(texts, k)
+        nw = np.diff(seg)
+        dup = self._dup_hashes()
+        if len(h) and len(dup):
+            pos = np.minimum(np.searchsorted(dup, h), len(dup) - 1)
+            is_dup = dup[pos] == h
+        else:
+            is_dup = np.zeros(len(h), dtype=bool)
+        doc = np.repeat(np.arange(n, dtype=np.int64), nw)
+        idxs = np.flatnonzero(is_dup)
+        d = doc[idxs]
+        total = int(lens.sum())
+        char_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=char_off[1:])
+        ev = np.zeros(total + k + 1, dtype=np.int64)
+        starts = char_off[d] + (idxs - seg[d])
+        np.add.at(ev, starts, 1)
+        np.add.at(ev, starts + k, -1)
+        cut = np.cumsum(ev[:total]) > 0
+        keep = ~cut
+        full = "".join(t or "" for t in texts)
+        cp = np.frombuffer(full.encode("utf-32-le"), dtype=np.uint32)
+        kept_str = cp[keep].tobytes().decode("utf-32-le")
+        chardoc = np.repeat(np.arange(n, dtype=np.int64), lens)
+        kept_per_doc = np.bincount(chardoc[keep], minlength=n)
+        bounds = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(kept_per_doc, out=bounds[1:])
+        out = [None if t is None else kept_str[bounds[i]:bounds[i + 1]]
+               for i, t in enumerate(texts)]
+        removed = lens - kept_per_doc
+        return pa.table({
+            self.id_column: batch[self.id_column],
+            "text": pa.array(out, pa.string()),
+            "n_chars_removed": pa.array(removed),
+            "n_chars_kept": pa.array(kept_per_doc),
+        })
+
+
+def drop_duplicate_spans(ds, text_column: str, id_column: str, *,
+                         k: int = 30, min_count: int = 2,
+                         n_parts: int | None = None):
+    """Cut corpus-wide duplicated substrings out of every document — the
+    ExactSubstr removal step of Lee et al. 2022: every char covered by a
+    k-window whose corpus count reaches `min_count` is removed (every
+    occurrence; keep-one-copy would need a global order over 100 TB), the
+    survivors re-join in original order. Null text stays null; docs
+    shorter than k pass through unchanged.
+
+    Returns (id, text, n_chars_removed, n_chars_kept). Scale shape: the
+    broadcast pattern of dup_span_stats — ONE coarse hash exchange for the
+    counts, dup hashes ray.put once (bounded by distinct duplicated
+    windows), one streaming rebuild pass."""
+    import ray
+
+    from ..util import collect_table
+
+    counts = _dup_window_hash_counts(ds, text_column, k, min_count, n_parts)
+    dup_t = collect_table(counts)
+    dup = np.sort(np.asarray(dup_t["h"].to_numpy(zero_copy_only=False),
+                             dtype=np.uint64))
+    dup_ref = ray.put(dup)
+    return ds.map_batches(
+        _DropDupSpanStage(dup_ref, text_column, id_column, k),
+        batch_format="pyarrow")

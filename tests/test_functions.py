@@ -1284,3 +1284,135 @@ def test_bm25_matches_reference(ray_session):
     assert sum(p["contribution"] for p in pairs
                if p["doc_id"] == 0) == pytest.approx(want[0], abs=1e-12)
     assert all(p["dl"] == len(toks[p["doc_id"]]) for p in pairs)
+
+
+def _dup_span_expected(texts, k, min_count):
+    """Scalar reference for dup_span_stats: corpus counts of every char
+    k-window (exact substrings), per-doc dup-window counts and the char
+    coverage of duplicated windows."""
+    from collections import Counter
+    corpus = Counter()
+    for t in texts:
+        t = t or ""
+        for i in range(len(t) - k + 1):
+            corpus[t[i:i + k]] += 1
+    out = {}
+    for d, t in enumerate(texts):
+        t = t or ""
+        L = len(t)
+        if L < k:
+            continue
+        starts = [i for i in range(L - k + 1) if corpus[t[i:i + k]] >= min_count]
+        cov = np.zeros(L, dtype=bool)
+        for i in starts:
+            cov[i:i + k] = True
+        nw = L - k + 1
+        out[d] = (nw, len(starts), len(starts) / nw,
+                  int(cov.sum()), int(cov.sum()) / L)
+    return out
+
+
+def test_dup_span_stats_matches_scalar(ray_session):
+    """Broadcast path == scalar reference on docs with injected shared
+    spans, nulls, short docs, unicode, and within-doc repeats (which count
+    toward the corpus total)."""
+    import ray.data as rd
+
+    from gojsonschema_ray.functions.text import dup_span_stats
+    from gojsonschema_ray.util import collect_rows
+
+    shared = "the five boxing wizards jump quickly over it"
+    texts = [
+        "prefix " + shared + " suffix one",
+        shared + " different tail",
+        "short",                        # < k -> dropped
+        None,                           # null -> dropped
+        "no duplication in this document at all, honest",
+        "répét " + shared + " répét " + shared,  # unicode + two copies
+    ]
+    k = 12
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    want = _dup_span_expected(texts, k, 2)
+    rows = collect_rows(dup_span_stats(
+        rd.from_arrow(t), "text", "doc_id", k=k, min_count=2))
+    got = {r["doc_id"]: (r["n_windows"], r["n_dup_windows"],
+                         r["dup_window_frac"], r["covered_chars"],
+                         r["covered_frac"])
+           for r in rows}
+    assert got == want
+
+
+def test_dup_span_stats_shuffle_equals_broadcast(ray_session):
+    """The no-broadcast-assumption shuffle path returns identical rows."""
+    import ray.data as rd
+
+    from gojsonschema_ray.functions.text import dup_span_stats
+    from gojsonschema_ray.util import collect_rows
+
+    rng = np.random.default_rng(11)
+    frags = ["".join(rng.choice(list("abcdef gh"), size=25)) for _ in range(12)]
+    texts = []
+    for _ in range(150):
+        n = rng.integers(1, 5)
+        texts.append(" ".join(rng.choice(frags, size=n)))
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    key = lambda r: r["doc_id"]
+    for mc in (2, 4):
+        a = sorted(collect_rows(dup_span_stats(
+            rd.from_arrow(t), "text", "doc_id", k=15, min_count=mc,
+            strategy="broadcast")), key=key)
+        b = sorted(collect_rows(dup_span_stats(
+            rd.from_arrow(t), "text", "doc_id", k=15, min_count=mc,
+            strategy="shuffle")), key=key)
+        assert a == b
+    with pytest.raises(ValueError, match="strategy"):
+        dup_span_stats(rd.from_arrow(t), "text", "doc_id", strategy="bogus")
+
+
+def test_drop_duplicate_spans(ray_session):
+    """Chars covered by corpus-duplicated k-windows are cut (every copy),
+    survivors re-join in order, null stays null, sub-k docs pass through,
+    and the removed/kept counts match the scalar coverage."""
+    import ray.data as rd
+
+    from gojsonschema_ray.functions.text import drop_duplicate_spans
+    from gojsonschema_ray.util import collect_rows
+
+    shared = "a block of boilerplate text repeated verbatim"
+    texts = [
+        "keep-head " + shared + " keep-tail",
+        shared,                          # fully covered -> ""
+        "tiny",                          # < k -> unchanged
+        None,
+        "wholly original sentence with no reuse anywhere",
+    ]
+    k = 12
+    want = _dup_span_expected(texts, k, 2)
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    rows = collect_rows(drop_duplicate_spans(
+        rd.from_arrow(t), "text", "doc_id", k=k, min_count=2))
+    got = {r["doc_id"]: r for r in rows}
+    assert len(got) == len(texts)
+    assert got[3]["text"] is None
+    assert got[2]["text"] == "tiny" and got[2]["n_chars_removed"] == 0
+    assert got[1]["text"] == "" and got[1]["n_chars_kept"] == 0
+    for d, t_orig in enumerate(texts):
+        if t_orig is None or len(t_orig) < k:
+            continue
+        _, _, _, cov, _ = want[d]
+        r = got[d]
+        assert r["n_chars_removed"] == cov
+        assert r["n_chars_kept"] == len(t_orig) - cov
+        # the kept text is exactly the uncovered chars, in order
+        corpus_cov = np.zeros(len(t_orig), dtype=bool)
+        from collections import Counter
+        corpus = Counter()
+        for tt in texts:
+            tt = tt or ""
+            for i in range(len(tt) - k + 1):
+                corpus[tt[i:i + k]] += 1
+        for i in range(len(t_orig) - k + 1):
+            if corpus[t_orig[i:i + k]] >= 2:
+                corpus_cov[i:i + k] = True
+        assert r["text"] == "".join(
+            c for c, m in zip(t_orig, corpus_cov) if not m)
