@@ -1320,6 +1320,29 @@ def q_documents_logprob(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_documents_bigram_logprob(sf_dir: str) -> pd.DataFrame:
+    """Corpus-BIGRAM fluency score (functions/text.bigram_logprob): two
+    vocabulary passes (unigram + bigram token_frequencies exchanges),
+    counts broadcast once as sorted (hash, count) arrays, then one
+    streaming pass scores ln(p_uni) for doc-initial tokens and the
+    additive-smoothed bigram ratio for the rest — the KenLM/CCNet
+    perplexity-filter shape one order up from documents_logprob.
+    avg_logp rounded to 6 decimals (ln/summation-order ulps are not
+    oracle-stable at full precision)."""
+    from gojsonschema_ray.functions.text import bigram_logprob
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    rows = collect_rows(bigram_logprob(ds, "text", "doc_id"))
+    df = pd.DataFrame({
+        "doc_id": pd.Series([r["doc_id"] for r in rows], dtype="int64"),
+        "n_tokens": pd.Series([r["n_tokens"] for r in rows], dtype="int64"),
+        "avg_logp": pd.Series([r["avg_logp"] for r in rows],
+                              dtype="float64"),
+    })
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_documents_dup_lines(sf_dir: str) -> pd.DataFrame:
     """CORPUS-WIDE duplicate-line fractions (functions/text.dup_line_stats,
     broadcast strategy) — the cross-document half of Gopher's repetition
@@ -1872,7 +1895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts_by_lang": q_token_counts_by_lang,
         "documents_repetition": q_documents_repetition,
         "documents_ngram_repetition": q_documents_ngram_repetition,
-        "documents_logprob": q_documents_logprob,
+        "documents_bigram_logprob": q_documents_bigram_logprob,
         "ann_top5": q_ann_top5,
         "events_props_json": q_events_props_json,
         "quality_by_source": q_quality_by_source,
@@ -1898,6 +1921,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_within_dup_lines": q_documents_within_dup_lines,
         # sibling: documents_dup_lines (same segment semantics, within-doc
         # scope) and documents_repetition (in-window within-doc kernel)
+        "documents_logprob": q_documents_logprob,  # sibling:
+        # documents_bigram_logprob (in-window; same vocab exchange +
+        # broadcast-lookup machinery, unigram is its backoff term)
         "documents_drop_dup_lines": q_documents_drop_dup_lines,  # sibling:
         # documents_dup_lines (same corpus-count exchange; the in-window
         # entry verifies the counts, this one the filtered reconstruction)
@@ -2562,6 +2588,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
             "round(avg(ln(v.c / tot.t)), 6) AS avg_logp "
             "FROM toks JOIN vocab v USING (tok), tot "
+            "GROUP BY doc_id ORDER BY doc_id"
+        ),
+        # first token ln(c/T); token w after v scores the smoothed ratio
+        # ln((c(vw) + 1.0*(c(w)/T)) / (c(v) + 1.0)) — exactly the engine's
+        # float-op chain; min_count=1 means every token/bigram is in-vocab
+        "documents_bigram_logprob": (
+            "WITH base AS (SELECT doc_id, "
+            "string_split_regex(lower(trim(text)), '\\s+') AS arr "
+            "FROM documents WHERE text IS NOT NULL AND trim(text) != ''), "
+            "toks AS (SELECT doc_id, unnest(arr) AS tok, "
+            "generate_subscripts(arr, 1) AS i FROM base), "
+            "vocab AS (SELECT tok, CAST(count(*) AS DOUBLE) AS c "
+            "FROM toks GROUP BY tok), "
+            "tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM vocab), "
+            "big AS (SELECT a.tok AS prev, b.tok AS cur, "
+            "CAST(count(*) AS DOUBLE) AS cb FROM toks a JOIN toks b "
+            "ON a.doc_id = b.doc_id AND b.i = a.i + 1 "
+            "GROUP BY a.tok, b.tok), "
+            "scores AS (SELECT t.doc_id, CASE WHEN t.i = 1 "
+            "THEN ln(v.c / tot.t) "
+            "ELSE ln((bg.cb + 1.0 * (v.c / tot.t)) / (pv.c + 1.0)) END "
+            "AS s FROM toks t JOIN vocab v ON v.tok = t.tok "
+            "LEFT JOIN toks p ON p.doc_id = t.doc_id AND p.i = t.i - 1 "
+            "LEFT JOIN vocab pv ON pv.tok = p.tok "
+            "LEFT JOIN big bg ON bg.prev = p.tok AND bg.cur = t.tok, tot) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+            "round(avg(s), 6) AS avg_logp FROM scores "
             "GROUP BY doc_id ORDER BY doc_id"
         ),
         # char-20-gram shingle join vs the doc_id<10 eval set

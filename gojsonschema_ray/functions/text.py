@@ -1907,3 +1907,117 @@ def drop_duplicate_spans(ds, text_column: str, id_column: str, *,
     return ds.map_batches(
         _DropDupSpanStage(dup_ref, text_column, id_column, k),
         batch_format="pyarrow")
+
+
+def bigram_logprob(ds, text_column: str, id_column: str, *,
+                   alpha: float = 1.0, lowercase: bool = True,
+                   min_count: int = 1, n_parts: int | None = None):
+    """Per-document mean BIGRAM log-probability — the KenLM-style fluency
+    score one order up from `unigram_logprob` (CCNet filters on n-gram LM
+    perplexity; the corpus's own counts are the model). Token scores:
+
+      first token of a doc:  ln(p_uni(w))
+      token w after v:       ln((c(v w) + alpha * p_uni(w)) / (c(v) + alpha))
+
+    with p_uni(w) = c(w)/T for in-vocabulary tokens and the 1/T OOV floor
+    otherwise (additive smoothing with unigram backoff — every score is
+    finite even for unseen bigrams/tokens). Lower = more surprising.
+
+    Scale shape: TWO vocabulary passes (unigram + bigram counts, each the
+    token_frequencies combiner + ONE coarse exchange, results bounded by
+    vocabulary not corpus size; pass min_count>1 at web scale to bound the
+    bigram table — dropped tails score through the smoothing path), then
+    the broadcast pattern: (sorted hash, count) arrays ray.put ONCE, one
+    streaming scoring pass — RE2 split, the SAME shifted-slice
+    binary_join_element_wise bigram construction as token_frequencies(n=2)
+    so both phases build identical grams, searchsorted lookups, per-doc
+    bincount. No Python per row/token; the corpus never materializes.
+
+    Returns (id, n_tokens, avg_logp); zero-token docs are dropped.
+    avg_logp is rounded to 6 decimals (ln() is ulp-dependent across libm
+    implementations; the engine's own determinism is unaffected)."""
+    import ray
+
+    from ..stages.sketches import hash_arrow_array
+    from ..util import collect_rows
+
+    def _count_arrays(n: int):
+        rows = collect_rows(token_frequencies(
+            ds, text_column, n=n, min_count=min_count, lowercase=lowercase,
+            n_parts=n_parts))
+        g = pd.Series([r["gram"] for r in rows], dtype="object")
+        c = np.array([r["n"] for r in rows], dtype=np.float64)
+        h = hash_arrow_array(g)
+        order = np.argsort(h)
+        return h[order], c[order]
+
+    uh, uc = _count_arrays(1)
+    bh, bc = _count_arrays(2)
+    total = float(uc.sum())
+    vocab_ref = ray.put((uh, uc, bh, bc))
+    T = total if total else 1.0
+    a = float(alpha)
+
+    def _lookup(sh: np.ndarray, sc: np.ndarray, h: np.ndarray) -> np.ndarray:
+        if not len(sh) or not len(h):
+            return np.zeros(len(h), dtype=np.float64)
+        pos = np.minimum(np.searchsorted(sh, h), len(sh) - 1)
+        return np.where(sh[pos] == h, sc[pos], 0.0)
+
+    def score(batch: pa.Table) -> pa.Table:
+        vuh, vuc, vbh, vbc = ray.get(vocab_ref)
+        col = batch[text_column]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        txt = pc.utf8_trim_whitespace(pc.cast(col, pa.string()))
+        if lowercase:
+            txt = pc.utf8_lower(txt)
+        lists = pc.split_pattern_regex(txt, r"\s+")
+        lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) \
+            else lists
+        offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        raw_lengths = np.diff(offsets)
+        valid = ~np.asarray(pc.is_null(lists).to_numpy(zero_copy_only=False))
+        empty = np.asarray(
+            pc.equal(pc.utf8_length(txt), 0).fill_null(True)
+            .to_numpy(zero_copy_only=False))
+        keep = valid & ~empty & (raw_lengths > 0)
+        kept_rows = np.flatnonzero(keep)
+        ids = batch[id_column].combine_chunks() \
+            if isinstance(batch[id_column], pa.ChunkedArray) \
+            else batch[id_column]
+        if not len(kept_rows):
+            return pa.table({id_column: ids.slice(0, 0),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "avg_logp": pa.array([], pa.float64())})
+        vals = lists.values
+        n_tok = len(vals)
+        did = np.repeat(np.arange(batch.num_rows, dtype=np.int64),
+                        raw_lengths)
+        cw = _lookup(vuh, vuc, hash_arrow_array(vals))
+        p_uni = np.where(cw > 0, cw / T, 1.0 / T)
+        logp = np.empty(n_tok, dtype=np.float64)
+        is_first = np.ones(n_tok, dtype=bool)
+        is_first[1:] = did[1:] != did[:-1]
+        logp[is_first] = np.log(p_uni[is_first])
+        L = n_tok - 1
+        if L > 0:
+            # bigram construction identical to token_frequencies(n=2)
+            grams = pc.binary_join_element_wise(
+                vals.slice(0, L), vals.slice(1, L), " ")
+            cbi = _lookup(vbh, vbc, hash_arrow_array(grams))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                lp_bi = np.log((cbi + a * p_uni[1:]) / (cw[:L] + a))
+            rest = ~is_first
+            logp[rest] = lp_bi[rest[1:]]
+        tok_keep = np.repeat(keep, raw_lengths)
+        local = np.repeat(np.arange(len(kept_rows)), raw_lengths[kept_rows])
+        sums = np.bincount(local, weights=logp[tok_keep],
+                           minlength=len(kept_rows))
+        ntok = raw_lengths[kept_rows]
+        return pa.table({
+            id_column: ids.take(pa.array(kept_rows)),
+            "n_tokens": pa.array(ntok.astype(np.int64)),
+            "avg_logp": pa.array(np.round(sums / ntok, 6)),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -1416,3 +1416,56 @@ def test_drop_duplicate_spans(ray_session):
                 corpus_cov[i:i + k] = True
         assert r["text"] == "".join(
             c for c, m in zip(t_orig, corpus_cov) if not m)
+
+
+def test_bigram_logprob_matches_scalar(ray_session):
+    """bigram_logprob == scalar reference: first token scores ln(p_uni),
+    later tokens the smoothed bigram ratio; T is the RETAINED vocabulary's
+    token total (the unigram_logprob contract); min_count>1 exercises the
+    OOV floor and unseen-bigram smoothing paths."""
+    import math
+    from collections import Counter
+
+    import ray.data as rd
+
+    from gojsonschema_ray.functions.text import bigram_logprob
+    from gojsonschema_ray.util import collect_rows
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ran",
+        "",                      # dropped
+        None,                    # dropped
+        "solo",
+        "THE CAT sat",           # lowercase folding
+    ]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    docs = [x.strip().lower().split()
+            if x is not None and x.strip() else None for x in texts]
+
+    def expected(min_count):
+        uni, bi = Counter(), Counter()
+        for d in docs:
+            if not d:
+                continue
+            uni.update(d)
+            bi.update(zip(d, d[1:]))
+        uni = Counter({k: v for k, v in uni.items() if v >= min_count})
+        bi = Counter({k: v for k, v in bi.items() if v >= min_count})
+        T = sum(uni.values()) or 1.0
+        p = lambda w: uni[w] / T if uni[w] else 1.0 / T
+        out = {}
+        for i, d in enumerate(docs):
+            if not d:
+                continue
+            s = math.log(p(d[0]))
+            for v, w in zip(d, d[1:]):
+                s += math.log((bi[(v, w)] + 1.0 * p(w)) / (uni[v] + 1.0))
+            out[i] = (len(d), round(s / len(d), 6))
+        return out
+
+    for mc in (1, 3):
+        rows = collect_rows(bigram_logprob(
+            rd.from_arrow(t), "text", "doc_id", min_count=mc))
+        got = {r["doc_id"]: (r["n_tokens"], r["avg_logp"]) for r in rows}
+        assert got == expected(mc), mc
