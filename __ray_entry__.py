@@ -1009,6 +1009,30 @@ def q_ann_top5(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def q_embeddings_quantize(sf_dir: str) -> pd.DataFrame:
+    """Per-vector symmetric int8 quantization audit
+    (stages/similarity.quantize_embeddings, emit_codes=False): scale =
+    max|x|/127 in float64, codes = floor(x/scale + 0.5) — floor(x+0.5)
+    instead of banker's rounding so numpy and DuckDB agree bit-for-bit.
+    code_sum (exact integer) and max_abs_err (order-free max) make the
+    whole row oracle-exact with no rounding contract. Pure per-batch
+    kernel — the 4x-memory scale path for the ANN/dedup stages."""
+    from gojsonschema_ray.stages.similarity import quantize_embeddings
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    rows = collect_rows(quantize_embeddings(ds, "embedding", "vec_id",
+                                            emit_codes=False))
+    df = pd.DataFrame({
+        "vec_id": pd.Series([r["vec_id"] for r in rows], dtype="int64"),
+        "scale": pd.Series([r["scale"] for r in rows], dtype="float64"),
+        "code_sum": pd.Series([r["code_sum"] for r in rows], dtype="int64"),
+        "max_abs_err": pd.Series([r["max_abs_err"] for r in rows],
+                                 dtype="float64"),
+    })
+    return df.sort_values("vec_id").reset_index(drop=True)
+
+
 def q_events_props_json(sf_dir: str) -> pd.DataFrame:
     """Dynamic JSON column validated on the FAST path (polars struct-decode
     + vectorized evaluator, sources/jsonl.py JsonStructValidator; malformed
@@ -1907,8 +1931,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sketch_lineitem": q_sketch_lineitem,
         "langid_documents": q_langid_documents,
         "drift_events_fixed": q_drift_events_fixed,
-        # ---- position 51+: redundant-oracle siblings (oracle_check.py
-        # still verifies them; each operator has an in-window oracle above)
+        # ---- position 51+: oracle_check.py still verifies everything
+        # below; the 50-slot window above holds one strongest oracle per
+        # operator family and is at capacity, so overflow starts with the
+        # newest whole-family entries, then redundant-oracle siblings
+        "embeddings_quantize": q_embeddings_quantize,  # int8 quantization
+        # (new family; fully exact oracle — scale, integer code checksum,
+        # order-free max reconstruction error)
         "documents_gopher": q_documents_gopher,      # composition of
         # in-window-verified signals (repetition, quality, token counts)
         "lineitem_orders_join": q_lineitem_orders_join,  # sibling:
@@ -2589,6 +2618,25 @@ def oracle_sql() -> dict[str, str]:
             "round(avg(ln(v.c / tot.t)), 6) AS avg_logp "
             "FROM toks JOIN vocab v USING (tok), tot "
             "GROUP BY doc_id ORDER BY doc_id"
+        ),
+        # symmetric int8: scale = max|x|/127 (float64), code =
+        # floor(x/scale + 0.5) clipped to ±127 — floor(x+0.5) matches the
+        # engine exactly (no banker's rounding); code_sum is an exact
+        # integer, max_abs_err an order-free max — no rounding contract
+        "embeddings_quantize": (
+            "WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) "
+            "AS x FROM embeddings), "
+            "agg AS (SELECT vec_id, max(abs(x)) / 127.0 AS scale "
+            "FROM e GROUP BY vec_id), "
+            "q AS (SELECT e.vec_id, a.scale, e.x, CASE WHEN a.scale = 0 "
+            "THEN 0.0 ELSE greatest(-127.0, least(127.0, "
+            "floor(e.x / a.scale + 0.5))) END AS c "
+            "FROM e JOIN agg a USING (vec_id)) "
+            "SELECT vec_id, any_value(scale) AS scale, "
+            "CAST(sum(c) AS BIGINT) AS code_sum, "
+            "CASE WHEN any_value(scale) = 0 THEN 0.0 "
+            "ELSE max(abs(x - c * scale)) END AS max_abs_err "
+            "FROM q GROUP BY vec_id ORDER BY vec_id"
         ),
         # first token ln(c/T); token w after v scores the smoothed ratio
         # ln((c(vw) + 1.0*(c(w)/T)) / (c(v) + 1.0)) — exactly the engine's

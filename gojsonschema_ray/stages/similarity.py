@@ -85,9 +85,14 @@ def ann_brute_force(ds, embedding_column: str, id_column: str,
                             id_column=id_column, queries_ref=ref, k=k),
         batch_format="pyarrow",
     )
-    # merge block-local top-k on the driver: ONE vectorized pass (concat
-    # the blocks x k partials, sort, head(k) per query) — no per-candidate
-    # Python loop, so the merge stays flat as block counts grow 100x
+    return _merge_topk(partials, id_column, k)
+
+
+def _merge_topk(partials, id_column: str, k: int) -> pd.DataFrame:
+    """Merge block-local top-k partials on the driver: ONE vectorized pass
+    (concat the blocks x k partials, sort, head(k) per query) — no
+    per-candidate Python loop, so the merge stays flat as block counts
+    grow 100x."""
     qs_l, ids_l, ss_l = [], [], []
     for b in partials.iter_batches(batch_format="pyarrow"):
         if b.num_rows == 0:
@@ -473,3 +478,109 @@ def group_centroids(ds, key_column: str, embedding_column: str):
         rows.extend({"key": key, "pos": p + 1, "centroid": c[p]}
                     for p in range(d))
     return pd.DataFrame(rows, columns=["key", "pos", "centroid"])
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization — the memory scale path for embedding columns: a
+# float32 corpus shrinks 4x (100 TB of embeddings -> 25 TB of codes) before
+# ANN / dedup stages, at a reconstruction error the operator itself reports.
+# ---------------------------------------------------------------------------
+def quantize_embeddings(ds, embedding_column: str, id_column: str, *,
+                        emit_codes: bool = True):
+    """Per-vector symmetric int8 quantization of a `list<float>` column:
+    scale = max(|x|)/127 (float64), code_i = floor(x_i/scale + 0.5) in
+    [-127, 127] — `floor(x + 0.5)` instead of banker's rounding so the
+    arithmetic is bit-identical in numpy and SQL. Zero vectors quantize to
+    all-zero codes with scale 0.
+
+    Returns (id, codes list<int8> [when emit_codes], scale, code_sum,
+    max_abs_err): `code_sum` is an exact integer checksum of the codes and
+    `max_abs_err` = max_i |x_i - code_i*scale| — both ORDER-FREE (max /
+    integer sum), so the whole row is oracle-exact with no rounding
+    contract. Pure per-batch kernel (one vectorized pass per batch, no
+    shuffle, no per-row Python) — trivially parallel at any scale;
+    downstream stages dequantize with one multiply."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        m = list_column_to_matrix(batch[embedding_column]).astype(np.float64)
+        n, d = m.shape
+        scale = np.abs(m).max(axis=1) / 127.0
+        safe = np.where(scale == 0.0, 1.0, scale)
+        q = np.floor(m / safe[:, None] + 0.5)
+        q = np.clip(q, -127, 127)
+        err = np.abs(m - q * safe[:, None]).max(axis=1)
+        err = np.where(scale == 0.0, 0.0, err)
+        cols = {
+            id_column: batch[id_column],
+            "scale": pa.array(scale),
+            "code_sum": pa.array(q.sum(axis=1).astype(np.int64)),
+            "max_abs_err": pa.array(err),
+        }
+        if emit_codes:
+            codes = pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32)),
+                pa.array(q.reshape(-1).astype(np.int8)))
+            cols = {id_column: batch[id_column], "codes": codes, **{
+                k: v for k, v in cols.items() if k != id_column}}
+        return pa.table(cols)
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+class _QuantizedBruteForceStage:
+    """Brute-force cosine top-k over int8 codes: per batch ONE int-domain
+    matmul (codes @ q8ᵀ) rescaled by the per-vector scale — the compute
+    shape of a quantized ANN serving path; exactness is traded for 4x
+    memory (tests pin recall against the float path)."""
+
+    def __init__(self, embedding_column, id_column, queries_ref, k):
+        self.embedding_column = embedding_column
+        self.id_column = id_column
+        self.queries_ref = queries_ref
+        self.k = k
+        self._q = None
+
+    def _queries(self) -> np.ndarray:
+        if self._q is None:
+            import ray
+            r = self.queries_ref
+            self._q = ray.get(r) if hasattr(r, "hex") else r
+        return self._q
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qn = self._queries()  # (Q, d) float64, L2-normalized
+        m = list_column_to_matrix(batch[self.embedding_column]) \
+            .astype(np.float64)
+        scale = np.abs(m).max(axis=1) / 127.0
+        safe = np.where(scale == 0.0, 1.0, scale)
+        q8 = np.clip(np.floor(m / safe[:, None] + 0.5), -127, 127)
+        deq = q8 * safe[:, None]
+        deq = _normalize(deq)
+        sims = deq @ qn.T  # (n, Q)
+        ids = batch[self.id_column].to_numpy(zero_copy_only=False)
+        k = min(self.k, len(ids))
+        top = np.argpartition(-sims, k - 1, axis=0)[:k]  # (k, Q)
+        out_q = np.repeat(np.arange(qn.shape[0]), k)
+        flat = top.T.reshape(-1)
+        return pa.table({
+            "query": pa.array(out_q.astype(np.int64)),
+            self.id_column: pa.array(ids[flat]),
+            "cosine": pa.array(sims[flat, out_q]),
+        })
+
+
+def ann_brute_force_quantized(ds, embedding_column: str, id_column: str,
+                              queries, k: int = 5):
+    """Brute-force cosine top-k over ON-THE-FLY int8-quantized vectors —
+    the memory-bound serving shape (codes are what a 100-TB deployment
+    would store; this operator shows the engine's accuracy/throughput
+    at that representation). Same merge contract as `ann_brute_force`:
+    per-batch local top-k partials, one vectorized driver merge."""
+    import ray
+
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    ref = ray.put(qn)
+    partials = ds.map_batches(
+        _QuantizedBruteForceStage(embedding_column, id_column, ref, k),
+        batch_format="pyarrow")
+    return _merge_topk(partials, id_column, k)

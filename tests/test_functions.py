@@ -1469,3 +1469,59 @@ def test_bigram_logprob_matches_scalar(ray_session):
             rd.from_arrow(t), "text", "doc_id", min_count=mc))
         got = {r["doc_id"]: (r["n_tokens"], r["avg_logp"]) for r in rows}
         assert got == expected(mc), mc
+
+
+def test_quantize_embeddings_exact(ray_session):
+    """int8 quantization is bit-exact vs the closed-form definition
+    (floor(x/scale + 0.5), scale = max|x|/127 in float64), zero vectors
+    included; code_sum and max_abs_err are order-free exacts."""
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.similarity import quantize_embeddings
+    from gojsonschema_ray.util import collect_rows
+
+    rng = np.random.default_rng(3)
+    M = rng.normal(size=(60, 8)).astype(np.float32)
+    M[7] = 0.0
+    ds = rd.from_items([{"vec_id": i, "embedding": M[i].tolist()}
+                        for i in range(len(M))])
+    rows = collect_rows(quantize_embeddings(ds, "embedding", "vec_id"))
+    assert len(rows) == len(M)
+    for r in rows:
+        x = M[r["vec_id"]].astype(np.float64)
+        s = np.abs(x).max() / 127.0
+        if s == 0:
+            assert r["scale"] == 0 and r["code_sum"] == 0
+            assert r["max_abs_err"] == 0 and all(c == 0 for c in r["codes"])
+            continue
+        q = np.clip(np.floor(x / s + 0.5), -127, 127)
+        assert r["scale"] == s
+        assert np.array_equal(np.asarray(r["codes"], dtype=np.float64), q)
+        assert r["code_sum"] == int(q.sum())
+        assert r["max_abs_err"] == np.abs(x - q * s).max()
+    # emit_codes=False drops the list column, keeps the audit columns
+    lean = collect_rows(quantize_embeddings(ds, "embedding", "vec_id",
+                                            emit_codes=False))
+    assert set(lean[0].keys()) == {"vec_id", "scale", "code_sum",
+                                   "max_abs_err"}
+
+
+def test_quantized_ann_recall(ray_session):
+    """Quantized brute-force top-k recalls >=80% of the exact float top-k
+    on gaussian data (int8 keeps ~2 decimal digits of the cosine)."""
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.similarity import (ann_brute_force,
+                                                    ann_brute_force_quantized)
+
+    rng = np.random.default_rng(5)
+    M = rng.normal(size=(400, 16)).astype(np.float32)
+    ds = rd.from_items([{"vec_id": i, "embedding": M[i].tolist()}
+                        for i in range(len(M))])
+    Q = rng.normal(size=(5, 16))
+    exact = ann_brute_force(ds, "embedding", "vec_id", Q, k=10)
+    quant = ann_brute_force_quantized(ds, "embedding", "vec_id", Q, k=10)
+    for q in range(5):
+        a = set(exact[exact["query"] == q]["vec_id"])
+        b = set(quant[quant["query"] == q]["vec_id"])
+        assert len(a & b) >= 8, (q, a, b)
