@@ -1856,6 +1856,56 @@ def q_clips_audio_transform(sf_dir: str) -> pd.DataFrame:
     }])
 
 
+def q_clips_audio_fingerprint(sf_dir: str) -> pd.DataFrame:
+    """Content-level audio dedup (stages/audio.duplicate_audio_groups):
+    gain-invariant energy-contour fingerprints over the synthetic clips
+    table, grouped corpus-wide through the engine's coarse hash exchange.
+    The datagen corpus has NATURAL content duplicates — clip frequency
+    cycles with period 400 (datagen.clip_frequency) while sr cycles with
+    period 5, so at a 30 ms cap every (freq, sr) content repeats ~every
+    400 rows. Rows-only: WAV decode + FFT-free fingerprinting is not
+    SQL-expressible; closed-form goldens (all-ones ramp fingerprint, gain
+    invariance, cross-codec grouping) live in tests/test_stages.py."""
+    from gojsonschema_ray import datagen
+    from gojsonschema_ray.stages.audio import duplicate_audio_groups
+    from gojsonschema_ray.util import collect_rows
+
+    n = 5_000
+    ds = datagen.clips_dataset(n, audio_cap_ms=30, override_num_blocks=8)
+    groups = collect_rows(duplicate_audio_groups(
+        ds, min_count=2, concurrency=(1, 4), batch_size=256))
+    sizes = [int(g["n"]) for g in groups]
+    return pd.DataFrame([{
+        "n_groups": len(sizes),
+        "dup_clips": int(sum(sizes)),
+        "max_group": max(sizes) if sizes else 0,
+    }])
+
+
+def q_clips_audio_near_dups(sf_dir: str) -> pd.DataFrame:
+    """Near-duplicate audio pairs (stages/audio.near_duplicate_audio):
+    64-bit energy-contour fingerprints, 4×16-bit Hamming-band pigeonhole
+    (the simhash machinery reused over decoded PCM). The datagen corpus's
+    period-400 frequency cycle makes identical-content clips pair at
+    hamming 0. Rows-only: WAV decode is not SQL-expressible; closed-form
+    goldens (cross-codec hamming 0, one-frame edit = exactly hamming 1)
+    live in tests/test_stages.py."""
+    from gojsonschema_ray import datagen
+    from gojsonschema_ray.stages.audio import near_duplicate_audio
+    from gojsonschema_ray.util import collect_rows
+
+    n = 5_000
+    ds = datagen.clips_dataset(n, audio_cap_ms=30, override_num_blocks=8)
+    pairs = collect_rows(near_duplicate_audio(
+        ds, max_hamming=3, concurrency=(1, 4), batch_size=256))
+    h = [int(p["hamming"]) for p in pairs]
+    return pd.DataFrame([{
+        "n_pairs": len(h),
+        "n_exact": int(sum(1 for x in h if x == 0)),
+        "max_hamming": max(h) if h else 0,
+    }])
+
+
 def entry() -> Any:
     """Flagship smoke on sf0.001: constraint validation over lineitem +
     documents + uniqueness on events, one violations summary Dataset."""
@@ -1984,6 +2034,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dups": q_simhash_near_dups,
         "drift_events": q_drift_events,
         "flagship_clips": q_flagship_clips,
+        "clips_audio_fingerprint": q_clips_audio_fingerprint,
+        "clips_audio_near_dups": q_clips_audio_near_dups,
     }
 
 

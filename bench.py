@@ -137,7 +137,8 @@ def bench_queries(sf_dir: str, passes: int = 3) -> dict:
              "ngram_jaccard_pairs", "lineitem_price_bands",
              "customer_formats", "documents_pii",
              "documents_packed", "documents_decontaminate_ngrams",
-             "documents_bm25", "documents_chunks", "documents_dup_lines"]
+             "documents_bm25", "documents_chunks", "documents_dup_lines",
+             "clips_audio_near_dups"]
     qs = M.queries()
     out: dict[str, float] = {}
     for _ in range(passes):

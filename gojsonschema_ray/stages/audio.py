@@ -32,6 +32,7 @@ import wave
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 class CodecUnavailable(Exception):
@@ -52,6 +53,12 @@ def decode_raw_s16le(blob: bytes, sr: int) -> tuple[np.ndarray, int]:
     if len(blob) % 2 != 0:
         raise ValueError("odd byte count for s16le payload")
     return np.frombuffer(blob, dtype="<i2"), sr
+
+
+def _decode_wav_ignore_sr(blob: bytes, sr: int) -> tuple[np.ndarray, int]:
+    """decode_wav under the (blob, sr) dispatch arity — module-level (not a
+    lambda) so stage instances stay picklable end-to-end."""
+    return decode_wav(blob)
 
 
 def _i16_view(b: np.ndarray, off: int, nbytes: int) -> np.ndarray:
@@ -383,7 +390,7 @@ class AudioInvariantChecker:
         self.audio_cap_ms = audio_cap_ms
         self.check_transcript = check_transcript
         self.decoders = {
-            "wav": lambda blob, sr: decode_wav(blob),
+            "wav": _decode_wav_ignore_sr,
             "pcm_s16le": decode_raw_s16le,
         }
 
@@ -568,7 +575,7 @@ class AudioFeatureStage:
     def __init__(self, audio_cap_ms: int | None = None):
         self.audio_cap_ms = audio_cap_ms
         self.decoders = {
-            "wav": lambda blob, sr: decode_wav(blob),
+            "wav": _decode_wav_ignore_sr,
             "pcm_s16le": decode_raw_s16le,
         }
 
@@ -721,7 +728,7 @@ class AudioTransformStage:
         self.trim_threshold_dbfs = trim_threshold_dbfs
         self.frame_ms = frame_ms
         self.decoders = {
-            "wav": lambda blob, sr: decode_wav(blob),
+            "wav": _decode_wav_ignore_sr,
             "pcm_s16le": decode_raw_s16le,
         }
 
@@ -782,3 +789,153 @@ class AudioTransformStage:
                 "bytes": np.ascontiguousarray(pcm).tobytes(),
             })
         return pa.Table.from_pylist(rows, schema=TRANSFORM_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# audio FINGERPRINTS — content-level duplicate detection for clip corpora
+# (the multimodal member of the dedup family: dedup by what the audio IS,
+# not what its container bytes are — re-encoded/gain-shifted copies match)
+# ---------------------------------------------------------------------------
+def energy_fingerprint(pcm: np.ndarray, frames: int = 33) -> int:
+    """Gain-invariant energy-contour fingerprint of one decoded clip: the
+    PCM splits into `frames` equal frames, each frame's log-energy is
+    taken, and the SIGNS of successive log-energy deltas binarize into a
+    (frames-1)-bit integer. A constant gain multiplies every frame energy
+    by the same factor — a constant shift in log — so the deltas, and the
+    fingerprint, are unchanged (the chromaprint idea on one band).
+    Deterministic; near-flat contours (pure steady tones) sit at the
+    decision boundary and may flip bits under requantization — this is an
+    EXACT-group fingerprint, not a perceptual distance.
+
+    Clips shorter than `frames` samples fingerprint to 0."""
+    n = len(pcm)
+    if n < frames:
+        return 0
+    m = (n // frames) * frames
+    x = pcm[:m].astype(np.float64).reshape(frames, -1)
+    e = np.log(np.einsum("ij,ij->i", x, x) + 1e-9)
+    bits = (np.diff(e) > 0).astype(np.uint64)
+    return int((bits << np.arange(frames - 1, dtype=np.uint64)).sum())
+
+
+FINGERPRINT_SCHEMA = pa.schema([
+    ("clip_id", pa.string()),
+    ("decode_ok", pa.bool_()),
+    ("fp", pa.uint64()),
+    ("n_samples", pa.int64()),
+])
+
+
+class AudioFingerprintStage:
+    """Actor-pool map_batches payload: decode (zero-copy views where the
+    block allows) + one fingerprint per clip. Same degrade-to-rows error
+    contract as AudioFeatureStage — a corrupt clip emits decode_ok=False,
+    never a dead task."""
+
+    def __init__(self, frames: int = 33):
+        self.frames = frames
+        self.decoders = {
+            "wav": _decode_wav_ignore_sr,
+            "pcm_s16le": decode_raw_s16le,
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["clip_id"].to_pylist()
+        srs = batch["sr_hz"].to_pylist()
+        codecs = batch["codec"].to_pylist()
+        views = binary_column_views(batch["bytes"])
+        blobs = batch["bytes"].to_pylist() if views is None else None
+        rows = []
+        for i, (cid, sr, codec) in enumerate(zip(ids, srs, codecs)):
+            dec = self.decoders.get(codec)
+            null = views[2][i] if views is not None else blobs[i] is None
+            pcm = None
+            if dec is not None and not null:
+                try:
+                    if views is not None:
+                        seg = views[1][int(views[0][i]):int(views[0][i + 1])]
+                        if codec == "wav":
+                            pcm, _ = wav_payload_view(seg)
+                        elif codec == "pcm_s16le":
+                            if len(seg) % 2:
+                                raise ValueError("odd byte count")
+                            pcm = _i16_view(seg, 0, len(seg))
+                        else:
+                            pcm, _ = dec(seg.tobytes(), sr)
+                    else:
+                        pcm, _ = dec(blobs[i], sr)
+                except Exception:  # noqa: BLE001 — decode failure → row
+                    pcm = None
+            if pcm is None:
+                rows.append({"clip_id": cid, "decode_ok": False,
+                             "fp": None, "n_samples": None})
+            else:
+                rows.append({"clip_id": cid, "decode_ok": True,
+                             "fp": energy_fingerprint(pcm, self.frames),
+                             "n_samples": len(pcm)})
+        return pa.Table.from_pylist(rows, schema=FINGERPRINT_SCHEMA)
+
+
+def near_duplicate_audio(ds, *, max_hamming: int = 3,
+                         concurrency=(1, 8), batch_size: int = 256,
+                         bucket_cap: int | None = None):
+    """Near-duplicate clip pairs by Hamming distance over 64-bit
+    energy-contour fingerprints — the audio member of the near-dup family
+    (text: `dedup.simhash_near_duplicates`; embeddings: hyperplane LSH).
+    frames=65 yields a 64-bit code and the 4×16-bit band pigeonhole
+    guarantees every pair at hamming ≤ 3 shares at least one band bucket —
+    the SAME guarantee, keyed exchange, and vectorized XOR+popcount verify
+    as the simhash path (dedup.pairs_by_partition / _simhash_band_pairs).
+    Undecodable clips are excluded. Returns (id_a, id_b, hamming, capped)."""
+    from .dedup import (DEFAULT_BUCKET_CAP, _simhash_band_pairs,
+                        pairs_by_partition, unique_pairs)
+
+    cap = DEFAULT_BUCKET_CAP if bucket_cap is None else bucket_cap
+    fps = ds.map_batches(AudioFingerprintStage,
+                         fn_constructor_kwargs=dict(frames=65),
+                         batch_size=batch_size, batch_format="pyarrow",
+                         concurrency=concurrency)
+
+    def to_bands(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.fill_null(t["decode_ok"], False))
+        h = t["fp"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(h)
+        keys = np.empty(4 * n, dtype=np.int64)
+        for band in range(4):
+            chunk = (h >> np.uint64(band * 16)) & np.uint64(0xFFFF)
+            keys[band * n:(band + 1) * n] = (band << 16) \
+                | chunk.astype(np.int64)
+        idx = pa.array(np.tile(np.arange(n), 4), type=pa.int64())
+        return pa.table({
+            "key": pa.array(keys),
+            "clip_id": t["clip_id"].take(idx),
+            "simhash": pa.array(np.tile(h, 4).view(np.int64)),
+        })
+
+    sig = fps.map_batches(to_bands, batch_format="pyarrow")
+    pairs = pairs_by_partition(
+        sig, lambda g: _simhash_band_pairs(g, "clip_id", max_hamming,
+                                           cap=cap))
+    return unique_pairs(pairs)
+
+
+def duplicate_audio_groups(ds, *, frames: int = 33, min_count: int = 2,
+                           concurrency=(1, 8), batch_size: int = 256):
+    """(fp, n) groups of content-duplicate audio clips — fingerprint every
+    clip (actor-pool decode stage), then the engine's ONE coarse hash
+    exchange counts fingerprints corpus-wide (uniqueness.KeyCountStage
+    partials + aggregate_key_counts, skew-proof by construction). Undecodable
+    clips are excluded (they have no content to match). The returned groups
+    are duplicate-bounded; join them back by fp to enumerate members or
+    keep-first, exactly as the text dedup family does."""
+    from .uniqueness import KeyCountStage, aggregate_key_counts
+
+    fps = ds.map_batches(AudioFingerprintStage,
+                         fn_constructor_kwargs=dict(frames=frames),
+                         batch_size=batch_size, batch_format="pyarrow",
+                         concurrency=concurrency)
+    ok = fps.map_batches(
+        lambda t: t.filter(pc.fill_null(t["decode_ok"], False)),
+        batch_format="pyarrow")
+    partials = ok.map_batches(KeyCountStage("fp"), batch_format="pyarrow")
+    return aggregate_key_counts(partials, "fp", min_count=min_count)

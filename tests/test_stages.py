@@ -1012,6 +1012,118 @@ def test_audio_transform_stage(ray_session):
             assert abs(peak_dbfs - (-3.0)) < 0.1
 
 
+def _ramp_tone(sr: int, n: int, lo: float, hi: float,
+               freq: float = 440.0, amp: float = 0.45) -> np.ndarray:
+    """int16 sine with a linear amplitude envelope lo→hi (of `amp` FS)."""
+    t = np.arange(n, dtype=np.float64) / sr
+    env = np.linspace(lo, hi, n)
+    return np.rint(amp * 32767.0 * env
+                   * np.sin(2 * np.pi * freq * t)).astype(np.int16)
+
+
+def test_energy_fingerprint_closed_form():
+    """Rising envelope → every log-energy delta positive → all-ones bits;
+    gain shifts never change the fingerprint; sub-frame clips → 0."""
+    from gojsonschema_ray.stages.audio import energy_fingerprint
+
+    sr, frames = 8000, 33
+    # exactly 2 sine periods per 24-sample frame: per-frame energy depends
+    # only on the envelope, so a rising ramp rises strictly frame-to-frame
+    f = 2 * sr / 24.0
+    up = _ramp_tone(sr, 33 * 24, 0.05, 1.0, freq=f)
+    fp_up = energy_fingerprint(up, frames)
+    assert fp_up == (1 << (frames - 1)) - 1  # all 32 delta bits set
+    # gain invariance: -6 dB and +~5 dB copies fingerprint identically
+    # (log-energy deltas are unchanged by a constant gain)
+    half = (up.astype(np.float64) * 0.5).astype(np.int16)
+    loud = (up.astype(np.float64) * 1.8).astype(np.int16)
+    assert energy_fingerprint(half, frames) == fp_up
+    assert energy_fingerprint(loud, frames) == fp_up
+    # a different envelope shape is a different fingerprint
+    down = _ramp_tone(sr, 33 * 24, 1.0, 0.05, freq=f)
+    assert energy_fingerprint(down, frames) == 0  # all deltas negative
+    assert energy_fingerprint(up[:20], frames) == 0  # shorter than frames
+
+
+def test_duplicate_audio_groups(ray_session):
+    """Content-duplicate clips group by fingerprint across codecs and gain
+    levels; unique and undecodable clips are excluded."""
+    import ray.data as rd
+
+    from gojsonschema_ray.datagen import CLIPS_SCHEMA, encode_audio
+    from gojsonschema_ray.stages.audio import duplicate_audio_groups
+    from gojsonschema_ray.util import collect_rows
+
+    sr, n = 8000, 33 * 24
+    a = _ramp_tone(sr, n, 0.05, 1.0)                       # rising
+    a_half = (a.astype(np.float64) * 0.5).astype(np.int16)  # re-gained copy
+    b = np.concatenate([_ramp_tone(sr, n // 2, 0.05, 1.0),
+                        _ramp_tone(sr, n - n // 2, 1.0, 0.05)])  # triangle
+    c = _ramp_tone(sr, n, 1.0, 0.05)                       # unique
+    rows = [
+        ("a-wav", encode_audio(a, sr, "wav"), "wav"),
+        ("a-raw", a.tobytes(), "pcm_s16le"),
+        ("a-gain", encode_audio(a_half, sr, "wav"), "wav"),
+        ("b-1", encode_audio(b, sr, "wav"), "wav"),
+        ("b-2", b.tobytes(), "pcm_s16le"),
+        ("c-solo", encode_audio(c, sr, "wav"), "wav"),
+        ("bad", b"\x00\x01truncated", "wav"),              # undecodable
+    ]
+    table = pa.table(
+        [[r[0] for r in rows], [r[1] for r in rows],
+         pa.array([sr] * len(rows), pa.int32()),
+         pa.array([n * 1000 // sr] * len(rows), pa.int32()),
+         [r[2] for r in rows], [""] * len(rows)],
+        schema=CLIPS_SCHEMA)
+    groups = collect_rows(duplicate_audio_groups(
+        rd.from_arrow(table).repartition(3), concurrency=(1, 2),
+        batch_size=4))
+    counts = sorted(g["n"] for g in groups)
+    assert counts == [2, 3]
+    fps = {g["fp"] for g in groups}
+    assert len(fps) == 2  # rising-ramp group and triangle group differ
+
+
+def test_near_duplicate_audio(ray_session):
+    """Hamming-band near-dup over 64-bit fingerprints: an exact cross-codec
+    copy pairs at hamming 0; a one-frame loudness edit pairs at exactly
+    hamming 1 (only the boosted frame's trailing delta flips on a rising
+    ramp); unrelated envelopes don't pair."""
+    import ray.data as rd
+
+    from gojsonschema_ray.datagen import CLIPS_SCHEMA, encode_audio
+    from gojsonschema_ray.stages.audio import near_duplicate_audio
+    from gojsonschema_ray.util import collect_rows
+
+    sr, flen = 8000, 24
+    n = 65 * flen  # 65 frames -> 64-bit code
+    f = 2 * sr / flen  # frame-commensurate: energy tracks only the envelope
+    a = _ramp_tone(sr, n, 0.05, 1.0, freq=f)
+    near = a.copy()  # boost frame 10 by 2x: delta 9 stays positive (rising
+    near[10 * flen:11 * flen] = np.clip(  # ramp), delta 10 flips -> 1 bit
+        near[10 * flen:11 * flen].astype(np.int32) * 2, -32767, 32767
+    ).astype(np.int16)
+    far = _ramp_tone(sr, n, 1.0, 0.05, freq=f)  # falling: ~64 bits away
+    rows = [
+        ("a-wav", encode_audio(a, sr, "wav"), "wav"),
+        ("a-raw", a.tobytes(), "pcm_s16le"),
+        ("a-near", encode_audio(near, sr, "wav"), "wav"),
+        ("far", encode_audio(far, sr, "wav"), "wav"),
+    ]
+    table = pa.table(
+        [[r[0] for r in rows], [r[1] for r in rows],
+         pa.array([sr] * len(rows), pa.int32()),
+         pa.array([n * 1000 // sr] * len(rows), pa.int32()),
+         [r[2] for r in rows], [""] * len(rows)],
+        schema=CLIPS_SCHEMA)
+    pairs = collect_rows(near_duplicate_audio(
+        rd.from_arrow(table).repartition(2), max_hamming=3,
+        concurrency=(1, 2), batch_size=4))
+    got = {(p["id_a"], p["id_b"]): p["hamming"] for p in pairs}
+    assert got == {("a-raw", "a-wav"): 0, ("a-near", "a-raw"): 1,
+                   ("a-near", "a-wav"): 1}
+
+
 def _join_frames():
     import pandas as pd
 
