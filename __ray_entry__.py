@@ -460,6 +460,29 @@ def q_events_rolling_avg(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("event_id").reset_index(drop=True)
 
 
+def q_events_sessions(sf_dir: str) -> pd.DataFrame:
+    """Gap-based sessionization of the user event stream (1-hour gap) —
+    stages/window.sessionize: one hash(user) co-partition exchange, then a
+    fully vectorized per-partition boundary-cumsum pass emitting ONE row
+    per session. Oracle: the exact two-window SQL idiom (lag() boundary
+    flag, running-total session number, GROUP BY user/session)."""
+    from gojsonschema_ray.stages.window import sessionize
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    out = sessionize(ds, "user_id", "ts", 3600.0,
+                     order_columns=("event_id",))
+    rows = collect_rows(out)
+    df = pd.DataFrame({
+        "user_id": pd.Series([r["user_id"] for r in rows], dtype="int64"),
+        "session": pd.Series([r["session"] for r in rows], dtype="int64"),
+        "n_events": pd.Series([r["n_events"] for r in rows], dtype="int64"),
+        "start_s": pd.Series([r["start_s"] for r in rows], dtype="float64"),
+        "dur_s": pd.Series([r["dur_s"] for r in rows], dtype="float64"),
+    })
+    return df.sort_values(["user_id", "session"]).reset_index(drop=True)
+
+
 def q_orders_quantiles(sf_dir: str) -> pd.DataFrame:
     """Exact per-customer order-price quantiles (many small groups — the
     regime where exact beats the t-digest sketch path) via
@@ -1988,6 +2011,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_quantize": q_embeddings_quantize,  # int8 quantization
         # (new family; fully exact oracle — scale, integer code checksum,
         # order-free max reconstruction error)
+        "events_sessions": q_events_sessions,  # gap-based sessionization
+        # (new family; exact two-window SQL oracle — lag boundary flag +
+        # running sum + GROUP BY (user, session))
         "documents_gopher": q_documents_gopher,      # composition of
         # in-window-verified signals (repetition, quality, token counts)
         "lineitem_orders_join": q_lineitem_orders_join,  # sibling:
@@ -2689,6 +2715,24 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN any_value(scale) = 0 THEN 0.0 "
             "ELSE max(abs(x - c * scale)) END AS max_abs_err "
             "FROM q GROUP BY vec_id ORDER BY vec_id"
+        ),
+        # two-window sessionization idiom: lag() flags a boundary when the
+        # gap EXCEEDS 3600 s (ties/equal-gap stay in-session), a running
+        # total numbers sessions 1-based per user, GROUP BY aggregates —
+        # epoch() is microseconds/1e6 as DOUBLE, the engine's exact division
+        "events_sessions": (
+            "WITH lagged AS (SELECT user_id, ts, event_id, "
+            "CASE WHEN lag(ts) OVER w IS NULL OR "
+            "epoch(ts) - lag(epoch(ts)) OVER w > 3600 THEN 1 ELSE 0 END "
+            "AS new_s FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "sessions AS (SELECT user_id, ts, CAST(sum(new_s) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session FROM lagged) "
+            "SELECT user_id, session, count(*) AS n_events, "
+            "round(epoch(min(ts)), 6) AS start_s, "
+            "round(epoch(max(ts)) - epoch(min(ts)), 6) AS dur_s "
+            "FROM sessions GROUP BY user_id, session"
         ),
         # first token ln(c/T); token w after v scores the smoothed ratio
         # ln((c(vw) + 1.0*(c(w)/T)) / (c(v) + 1.0)) — exactly the engine's

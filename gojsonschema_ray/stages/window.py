@@ -256,3 +256,80 @@ def lag_by_key(ds, key_column: str, ts_column: str, value_column: str,
     parts = ds.map_batches(project, batch_format="pyarrow") \
         .repartition(P).materialize()
     return parts.groupby("part").map_groups(per_part, batch_format="pandas")
+
+
+def sessionize(ds, key_column: str, ts_column: str, gap_s: float,
+               order_columns: tuple = (), n_parts: int | None = None):
+    """Gap-based sessionization — the classic event-stream operator: a key's
+    time-ordered events split into sessions wherever the gap since the
+    previous event EXCEEDS `gap_s` seconds (gap == gap_s stays in-session).
+    SQL equivalent: the two-window idiom — a lag() boundary flag summed by a
+    running-total window, then GROUP BY (key, session).
+
+    Returns ONE ROW PER SESSION: key, `session` (1-based per key, in time
+    order), `n_events`, `start_s` (epoch seconds of the first event) and
+    `dur_s` (last minus first, seconds) — session-level output keeps the
+    result duplicate-bounded instead of corpus-sized.
+
+    Same scale shape as rolling_by_key / lag_by_key: ONE hash(key)
+    co-partition exchange (documented assumption: one key's rows bound a
+    partition, not the corpus), then a fully vectorized per-partition pass
+    (sort → factorized key-change flags → boundary cumsum → slice
+    aggregation; no Python loop over rows or sessions). Timestamp columns
+    convert to epoch seconds with the same microseconds/1e6 float division
+    DuckDB's epoch() performs, so oracles compare exactly. Equal timestamps
+    are one session regardless of tiebreak order; `order_columns` only make
+    the SORT deterministic."""
+    from pandas.api.types import is_datetime64_any_dtype
+
+    from .dedup import _next_pow2, _shuffle_parts
+    from .sketches import hash_arrow_array
+
+    P = _next_pow2(n_parts or _shuffle_parts())
+    order = [ts_column, *order_columns]
+
+    def project(t: pa.Table) -> pa.Table:
+        cols = {c: t[c] for c in dict.fromkeys([key_column, *order])}
+        part = (hash_arrow_array(t[key_column]) % np.uint64(P)).astype(np.int32)
+        cols["part"] = pa.array(part)
+        return pa.table(cols)
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_column, *order], kind="stable")
+        ts = df[ts_column]
+        if is_datetime64_any_dtype(ts):
+            secs = ((ts - pd.Timestamp(0, tz=getattr(ts.dtype, "tz", None)))
+                    / pd.Timedelta(seconds=1)).to_numpy()
+        else:
+            secs = ts.to_numpy(dtype="float64")
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({
+                key_column: df[key_column],
+                "session": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64"),
+                "start_s": pd.Series([], dtype="float64"),
+                "dur_s": pd.Series([], dtype="float64")})
+        # factorize groups ALL nulls under one code (SQL PARTITION BY NULL)
+        codes = pd.factorize(df[key_column], use_na_sentinel=False)[0]
+        newkey = np.ones(n, dtype=bool)
+        newkey[1:] = codes[1:] != codes[:-1]
+        new_sess = newkey.copy()
+        new_sess[1:] |= (secs[1:] - secs[:-1]) > gap_s
+        b = np.flatnonzero(new_sess)            # session start row indices
+        e = np.append(b[1:], n)                 # one past each session end
+        # 1-based session index per key: position since the key's first
+        # session boundary
+        nb = newkey[b]
+        idx = np.arange(len(b), dtype=np.int64)
+        sess = idx - np.maximum.accumulate(np.where(nb, idx, -1)) + 1
+        return pd.DataFrame({
+            key_column: df[key_column].to_numpy()[b],
+            "session": sess,
+            "n_events": (e - b).astype(np.int64),
+            "start_s": np.round(secs[b], 6),
+            "dur_s": np.round(secs[e - 1] - secs[b], 6)})
+
+    parts = ds.map_batches(project, batch_format="pyarrow") \
+        .repartition(P).materialize()
+    return parts.groupby("part").map_groups(per_part, batch_format="pandas")

@@ -846,6 +846,78 @@ def test_rolling_by_key_matches_pandas(ray_session):
                                exp["roll_mean"].to_numpy())
 
 
+def test_sessionize_closed_form(ray_session):
+    """Gap-based sessions: boundary on gap > gap_s (equal gap stays
+    in-session), 1-based numbering per key, per-session aggregates, nulls
+    grouped as one key, datetime columns converted to epoch seconds."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.window import sessionize
+    from gojsonschema_ray.util import collect_rows
+
+    df = pd.DataFrame({
+        "user": [1, 1, 1, 1, 1, 2, 3, 3, None, None],
+        "ts": pd.to_datetime([0, 10, 20, 100, 110, 50, 0, 30, 0, 100],
+                             unit="s"),
+        "eid": range(10),
+    })
+    rows = collect_rows(sessionize(
+        rd.from_pandas(df).repartition(4), "user", "ts", 30.0,
+        order_columns=("eid",)))
+    got = sorted((((None if pd.isna(r["user"]) else int(r["user"])),
+                   int(r["session"]), int(r["n_events"]),
+                   float(r["start_s"]), float(r["dur_s"]))
+                  for r in rows),
+                 key=lambda t: (-1 if t[0] is None else t[0], t[1]))
+    assert got == [
+        (None, 1, 1, 0.0, 0.0), (None, 2, 1, 100.0, 0.0),
+        (1, 1, 3, 0.0, 20.0),   # gaps 10,10 <= 30 stay
+        (1, 2, 2, 100.0, 10.0),  # gap 80 > 30 splits
+        (2, 1, 1, 50.0, 0.0),
+        (3, 1, 2, 0.0, 30.0),   # gap == 30 is NOT a boundary
+    ]
+
+
+def test_sessionize_matches_sql_idiom(ray_session):
+    """Random streams: engine sessions == the two-window SQL idiom computed
+    with pandas (lag boundary flag + per-key cumsum + group aggregates)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.window import sessionize
+    from gojsonschema_ray.util import collect_rows
+
+    rng = np.random.default_rng(13)
+    n = 400
+    df = pd.DataFrame({
+        "user": rng.integers(0, 12, n),
+        "ts": rng.integers(0, 5000, n).astype("float64"),
+        "eid": np.arange(n),
+    })
+    rows = collect_rows(sessionize(
+        rd.from_pandas(df).repartition(5), "user", "ts", 120.0,
+        order_columns=("eid",)))
+    got = pd.DataFrame(rows).sort_values(["user", "session"]) \
+        .reset_index(drop=True)
+
+    exp = df.sort_values(["user", "ts", "eid"], kind="stable").copy()
+    gap = exp.groupby("user", sort=False)["ts"].diff()
+    exp["session"] = (gap.isna() | (gap > 120.0)).astype(int) \
+        .groupby(exp["user"], sort=False).cumsum()
+    agg = exp.groupby(["user", "session"], as_index=False) \
+        .agg(n_events=("ts", "size"), start_s=("ts", "min"),
+             end_s=("ts", "max"))
+    agg["dur_s"] = agg["end_s"] - agg["start_s"]
+    agg = agg.sort_values(["user", "session"]).reset_index(drop=True)
+    assert len(got) == len(agg)
+    np.testing.assert_array_equal(got["user"], agg["user"])
+    np.testing.assert_array_equal(got["session"], agg["session"])
+    np.testing.assert_array_equal(got["n_events"], agg["n_events"])
+    np.testing.assert_allclose(got["start_s"], agg["start_s"])
+    np.testing.assert_allclose(got["dur_s"], agg["dur_s"])
+
+
 def test_grouped_quantiles(ray_session):
     import pandas as pd
     import ray.data as rd
