@@ -483,6 +483,26 @@ def q_events_sessions(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["user_id", "session"]).reset_index(drop=True)
 
 
+def q_events_zscore(sf_dir: str) -> pd.DataFrame:
+    """Per-user z-score of event values (stages/sketches.normalize_by_group:
+    combiner-first Chan-merge variance partials, ray.put broadcast, one
+    streaming transform — the events table never shuffles). Oracle: the
+    exact window-function SQL, stddev_samp semantics, 6-decimal rounding."""
+    from gojsonschema_ray.stages.sketches import normalize_by_group
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "value"])
+    rows = collect_rows(normalize_by_group(
+        ds, "user_id", "value", keep_columns=("event_id",)))
+    df = pd.DataFrame({
+        "event_id": pd.Series([r["event_id"] for r in rows], dtype="int64"),
+        "z": pd.Series([None if r["z"] is None or pd.isna(r["z"])
+                        else round(r["z"], 6) for r in rows],
+                       dtype="float64"),
+    })
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
 def q_orders_quantiles(sf_dir: str) -> pd.DataFrame:
     """Exact per-customer order-price quantiles (many small groups — the
     regime where exact beats the t-digest sketch path) via
@@ -2014,6 +2034,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": q_events_sessions,  # gap-based sessionization
         # (new family; exact two-window SQL oracle — lag boundary flag +
         # running sum + GROUP BY (user, session))
+        "events_zscore": q_events_zscore,  # per-group z-score feature
+        # scaling (new family: broadcast-stats normalize, no shuffle;
+        # exact window-function oracle)
         "documents_gopher": q_documents_gopher,      # composition of
         # in-window-verified signals (repetition, quality, token counts)
         "lineitem_orders_join": q_lineitem_orders_join,  # sibling:
@@ -2715,6 +2738,14 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN any_value(scale) = 0 THEN 0.0 "
             "ELSE max(abs(x - c * scale)) END AS max_abs_err "
             "FROM q GROUP BY vec_id ORDER BY vec_id"
+        ),
+        # per-user z-score: stddev_samp (ddof=1) matches the engine's
+        # Chan-merged M2/(n-1); nullif guards zero-variance groups; n=1
+        # groups get NULL from stddev_samp itself
+        "events_zscore": (
+            "SELECT event_id, round((value - avg(value) OVER w) / "
+            "nullif(stddev_samp(value) OVER w, 0), 6) AS z "
+            "FROM events WINDOW w AS (PARTITION BY user_id)"
         ),
         # two-window sessionization idiom: lag() flags a boundary when the
         # gap EXCEEDS 3600 s (ties/equal-gap stay in-session), a running

@@ -508,3 +508,72 @@ def grouped_quantiles(ds, key_column: str, value_column: str,
     parts = ds.map_batches(project, batch_format="pyarrow") \
         .repartition(P).materialize()
     return parts.groupby("part").map_groups(per_part, batch_format="pandas")
+
+
+def normalize_by_group(ds, key_column: str, value_column: str,
+                       keep_columns: tuple = (), ddof: int = 1,
+                       out_column: str = "z"):
+    """Per-group z-score normalization — SQL `(v - avg(v) OVER (PARTITION BY
+    key)) / stddev_samp(v) OVER (PARTITION BY key)`; the feature-scaling
+    pass of a training-data pipeline.
+
+    Scale shape: the big table NEVER shuffles. Pass 1 emits one tiny
+    (key, n, mean, M2) partial row per (batch, group) — merged driver-side
+    with the Chan et al. parallel-variance combine (numerically stable,
+    order-independent up to fp rounding). The merged (key → mean, std) map
+    broadcasts once via ray.put; pass 2 is a streaming vectorized transform.
+    Documented assumption: the GROUP set is broadcast-small (the dim-table
+    regime — same as hash_join_broadcast's build side); per-group row counts
+    are unbounded.
+
+    Null values are ignored in the stats and emit null z (SQL semantics);
+    groups with n <= ddof or zero variance emit null z; NULL KEYS emit
+    null z (NaN keys can't round-trip a broadcast dict — callers needing
+    SQL's PARTITION-BY-NULL grouping should pre-fill the key)."""
+    import pandas as pd
+    import ray
+
+    from ..util import collect_rows
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key_column, dropna=True)[value_column]
+        n = g.count()
+        mean = g.mean()
+        m2 = (g.var(ddof=1) * (n - 1)).fillna(0.0)
+        return pd.DataFrame({key_column: n.index, "n": n.to_numpy(),
+                             "mean": mean.to_numpy(), "m2": m2.to_numpy()})
+
+    stats: dict = {}
+    for r in collect_rows(ds.map_batches(partial, batch_format="pandas")):
+        k = r[key_column]
+        nb, mb, m2b = int(r["n"]), float(r["mean"]), float(r["m2"])
+        if nb == 0:
+            continue
+        if k not in stats:
+            stats[k] = (nb, mb, m2b)
+            continue
+        na, ma, m2a = stats[k]
+        nab = na + nb
+        delta = mb - ma
+        stats[k] = (nab, ma + delta * nb / nab,
+                    m2a + m2b + delta * delta * na * nb / nab)
+
+    means = {k: m for k, (n, m, _) in stats.items()}
+    stds = {}
+    for k, (n, _, m2) in stats.items():
+        if n > ddof:
+            s = float(np.sqrt(m2 / (n - ddof)))
+            stds[k] = s if s > 0.0 else None
+        else:
+            stds[k] = None
+    ref = ray.put((means, stds))
+
+    def transform(df: pd.DataFrame) -> pd.DataFrame:
+        mean_map, std_map = ray.get(ref)
+        mu = df[key_column].map(mean_map)
+        sd = df[key_column].map(std_map)
+        out = df[[key_column, *keep_columns]].copy()
+        out[out_column] = (df[value_column] - mu) / sd
+        return out
+
+    return ds.map_batches(transform, batch_format="pandas")

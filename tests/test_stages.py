@@ -940,6 +940,42 @@ def test_grouped_quantiles(ray_session):
                                exp[0.9].to_numpy())
 
 
+def test_normalize_by_group(ray_session):
+    """Per-group z-scores match pandas' groupby transform exactly; n=1
+    groups, zero-variance groups, null values and null keys emit null."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.sketches import normalize_by_group
+    from gojsonschema_ray.util import collect_rows
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 8, 300).astype("float64"),
+        "eid": np.arange(300),
+        "v": rng.normal(10.0, 3.0, 300),
+    })
+    # edge rows: singleton group, constant group, null value, null key
+    edges = pd.DataFrame({
+        "k": [100.0, 101.0, 101.0, 0.0, None],
+        "eid": [300, 301, 302, 303, 304],
+        "v": [5.0, 7.0, 7.0, None, 1.0],
+    })
+    df = pd.concat([df, edges], ignore_index=True)
+    rows = collect_rows(normalize_by_group(
+        rd.from_pandas(df).repartition(6), "k", "v", keep_columns=("eid",)))
+    got = pd.DataFrame(rows).sort_values("eid").reset_index(drop=True)
+
+    grp = df.groupby("k")["v"]
+    exp = (df["v"] - grp.transform("mean")) / grp.transform("std")
+    exp[df["k"].isna()] = np.nan
+    mask = exp.notna().to_numpy()
+    assert list(got["eid"]) == list(df["eid"])
+    np.testing.assert_array_equal(got["z"].notna().to_numpy(), mask)
+    np.testing.assert_allclose(got["z"].to_numpy()[mask],
+                               exp.to_numpy()[mask], rtol=1e-9)
+
+
 def test_pcm_features_sine_closed_form():
     """datagen sines are 0.5 FS at integral frequency: RMS −9.03 dBFS,
     peak −6.02 dBFS, ZCR == f crossing pairs/s, FFT peak == f, no clipping."""
