@@ -503,6 +503,32 @@ def q_events_zscore(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("event_id").reset_index(drop=True)
 
 
+def q_documents_curate(sf_dir: str) -> pd.DataFrame:
+    """END-TO-END curation (pipelines/curation.curate_documents): Gopher
+    quality filter → keep-first exact dedup → char-20-gram decontamination
+    against the eval split (doc_id < 10, the decontamination oracle's
+    convention) → chunk accounting (8-token windows, stride 5). One row per
+    surviving doc: (doc_id, n_tokens, n_chunks). Oracle: the component
+    oracles' CTEs chained in the same stage order."""
+    from gojsonschema_ray.pipelines.curation import curate_documents
+    from gojsonschema_ray.util import collect_rows
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    corpus = docs.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["doc_id"], 10)),
+        batch_format="pyarrow")
+    reference = docs.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], 10)),
+        batch_format="pyarrow")
+    rows = collect_rows(curate_documents(corpus, reference))
+    df = pd.DataFrame({
+        "doc_id": pd.Series([r["doc_id"] for r in rows], dtype="int64"),
+        "n_tokens": pd.Series([r["n_tokens"] for r in rows], dtype="int64"),
+        "n_chunks": pd.Series([r["n_chunks"] for r in rows], dtype="int64"),
+    })
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_orders_quantiles(sf_dir: str) -> pd.DataFrame:
     """Exact per-customer order-price quantiles (many small groups — the
     regime where exact beats the t-digest sketch path) via
@@ -2037,6 +2063,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_zscore": q_events_zscore,  # per-group z-score feature
         # scaling (new family: broadcast-stats normalize, no shuffle;
         # exact window-function oracle)
+        "documents_curate": q_documents_curate,  # END-TO-END curation
+        # composition (gopher → exact dedup → ngram decontam → chunk
+        # accounting; the component oracles' CTEs chained in stage order)
         "documents_gopher": q_documents_gopher,      # composition of
         # in-window-verified signals (repetition, quality, token counts)
         "lineitem_orders_join": q_lineitem_orders_join,  # sibling:
@@ -2738,6 +2767,53 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN any_value(scale) = 0 THEN 0.0 "
             "ELSE max(abs(x - c * scale)) END AS max_abs_err "
             "FROM q GROUP BY vec_id ORDER BY vec_id"
+        ),
+        # the curation composition, component oracles chained in stage
+        # order: gopher verdict CTEs (documents_gopher) -> keep-first
+        # dedup (dedup_keep_first) -> char-20-gram decontamination
+        # (documents_decontaminate_ngrams) -> chunk-count closed form
+        # (documents_chunks' meta CTE)
+        "documents_curate": (
+            "WITH base AS (SELECT doc_id, text, "
+            "CASE WHEN text IS NULL OR trim(text) = '' THEN 0 "
+            "ELSE len(string_split_regex(trim(text), '\\s+')) END "
+            "AS n_tokens, "
+            "length(regexp_replace(coalesce(text, ''), '[^A-Za-z]', '', "
+            "'g')) AS n_alpha FROM documents WHERE doc_id >= 10), "
+            "toks AS (SELECT doc_id, "
+            "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok "
+            "FROM documents WHERE doc_id >= 10 AND text IS NOT NULL "
+            "AND trim(text) != ''), "
+            "per AS (SELECT doc_id, tok, count(*) AS c FROM toks "
+            "GROUP BY doc_id, tok), "
+            "rep AS (SELECT doc_id, count(*) AS n_distinct, max(c) AS topc, "
+            "coalesce(sum(c) FILTER (WHERE tok IN ('the','a','and','of',"
+            "'to','in','is','it','that','for')), 0) AS stop_hits "
+            "FROM per GROUP BY doc_id), "
+            "kept AS (SELECT b.doc_id, b.text, b.n_tokens "
+            "FROM base b LEFT JOIN rep r USING (doc_id) "
+            "WHERE b.n_tokens >= 50 AND b.n_tokens <= 100000 "
+            "AND CAST(b.n_alpha AS DOUBLE) / greatest(b.n_tokens, 1) >= 3.0 "
+            "AND CAST(b.n_alpha AS DOUBLE) / greatest(b.n_tokens, 1) <= 10.0 "
+            "AND 1.0 - CAST(r.n_distinct AS DOUBLE) / b.n_tokens <= 0.6 "
+            "AND CAST(r.topc AS DOUBLE) / b.n_tokens <= 0.2 "
+            "AND coalesce(r.stop_hits, 0) >= 2), "
+            "uniq AS (SELECT min(doc_id) AS doc_id FROM kept "
+            "GROUP BY text), "
+            "surv AS (SELECT k.doc_id, k.text, k.n_tokens FROM kept k "
+            "JOIN uniq u USING (doc_id)), "
+            "refg AS (SELECT DISTINCT "
+            "unnest(list_transform(generate_series(1, length(text) - 19), "
+            "i -> substr(text, i, 20))) AS g FROM documents "
+            "WHERE doc_id < 10), "
+            "dirty AS (SELECT DISTINCT sg.doc_id FROM (SELECT doc_id, "
+            "unnest(list_transform(generate_series(1, length(text) - 19), "
+            "i -> substr(text, i, 20))) AS g FROM surv) sg "
+            "JOIN refg USING (g)) "
+            "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
+            "CAST(1 + (greatest(n_tokens - 8, 0) + 4) // 5 AS BIGINT) "
+            "AS n_chunks FROM surv "
+            "WHERE doc_id NOT IN (SELECT doc_id FROM dirty)"
         ),
         # per-user z-score: stddev_samp (ddof=1) matches the engine's
         # Chan-merged M2/(n-1); nullif guards zero-variance groups; n=1

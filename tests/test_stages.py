@@ -976,6 +976,48 @@ def test_normalize_by_group(ray_session):
                                exp.to_numpy()[mask], rtol=1e-9)
 
 
+def test_curate_documents_closed_form(ray_session):
+    """Every curation stage exercised: quality drop (too short), exact-dup
+    drop (keep-first), decontamination drop (shares a 20-char gram with the
+    reference), survivors get exact token/chunk accounting."""
+    import itertools
+
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.pipelines.curation import curate_documents
+    from gojsonschema_ray.util import collect_rows
+
+    words = ["".join(w) for w in itertools.islice(
+        itertools.product("abcdefghij", repeat=5), 58)]
+    good = " ".join(["the", "and"] + words)          # 60 tokens, mwl 5ish
+    # 57 tokens — PASSES every quality rule, so its drop below can only
+    # come from the decontamination stage
+    contaminated = " ".join(
+        ["the", "and"] + words[:50] + ["zzzz contaminated gram here zz"])
+    ref_text = "an eval doc holding the zzzz contaminated gram here zz bit"
+    corpus = pd.DataFrame({
+        "doc_id": [10, 11, 12, 13],
+        "text": [good,            # survivor
+                 good,            # exact dup -> keep-first drops id 11
+                 "too short",     # quality: min_tokens
+                 contaminated],   # decontaminated away
+    })
+    out = collect_rows(curate_documents(
+        rd.from_pandas(corpus).repartition(2), [ref_text]))
+    got = {r["doc_id"]: (r["n_tokens"], r["n_chunks"]) for r in out}
+    assert got == {10: (60, 12)}  # chunks: 1 + ceil((60-8)/5) = 12
+    # with a non-matching reference doc 13 survives — i.e. its drop above
+    # really came from the decontamination stage, not quality/dedup
+    out2 = collect_rows(curate_documents(
+        rd.from_pandas(corpus).repartition(2), ["no overlap here at all"]))
+    assert {r["doc_id"] for r in out2} == {10, 13}
+    # keep_text=True returns the curated (text, id) rows
+    txt = collect_rows(curate_documents(
+        rd.from_pandas(corpus).repartition(2), [ref_text], keep_text=True))
+    assert [(r["doc_id"], r["text"] == good) for r in txt] == [(10, True)]
+
+
 def test_pcm_features_sine_closed_form():
     """datagen sines are 0.5 FS at integral frequency: RMS −9.03 dBFS,
     peak −6.02 dBFS, ZCR == f crossing pairs/s, FFT peak == f, no clipping."""
