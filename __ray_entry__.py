@@ -503,6 +503,26 @@ def q_events_zscore(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("event_id").reset_index(drop=True)
 
 
+def q_events_rank(sf_dir: str) -> pd.DataFrame:
+    """Exact global rank + percent_rank of event values WITHOUT a global
+    sort (stages/sketches.global_rank: sampled bucket boundaries, fixed-
+    width count partials, driver prefix offsets, ONE bucket-keyed exchange
+    with vectorized within-bucket searchsorted ranks). Oracle: the SQL
+    rank()/percent_rank() windows."""
+    from gojsonschema_ray.stages.sketches import global_rank
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    rows = collect_rows(global_rank(ds, "value", "event_id"))
+    df = pd.DataFrame({
+        "event_id": pd.Series([r["event_id"] for r in rows], dtype="int64"),
+        "rnk": pd.Series([r["rnk"] for r in rows], dtype="int64"),
+        "pct": pd.Series([round(r["pct"], 6) for r in rows],
+                         dtype="float64"),
+    })
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
 def q_documents_curate(sf_dir: str) -> pd.DataFrame:
     """END-TO-END curation (pipelines/curation.curate_documents): Gopher
     quality filter → keep-first exact dedup → char-20-gram decontamination
@@ -2066,6 +2086,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_curate": q_documents_curate,  # END-TO-END curation
         # composition (gopher → exact dedup → ngram decontam → chunk
         # accounting; the component oracles' CTEs chained in stage order)
+        "events_rank": q_events_rank,  # exact global rank/percent_rank
+        # without a global sort (new family: distributed sample-sort rank)
         "documents_gopher": q_documents_gopher,      # composition of
         # in-window-verified signals (repetition, quality, token counts)
         "lineitem_orders_join": q_lineitem_orders_join,  # sibling:
@@ -2767,6 +2789,14 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN any_value(scale) = 0 THEN 0.0 "
             "ELSE max(abs(x - c * scale)) END AS max_abs_err "
             "FROM q GROUP BY vec_id ORDER BY vec_id"
+        ),
+        # rank() = min-rank tie semantics = the engine's side='left'
+        # searchsorted + bucket offset; percent_rank = (rank-1)/(N-1)
+        "events_rank": (
+            "SELECT event_id, "
+            "CAST(rank() OVER (ORDER BY value) AS BIGINT) AS rnk, "
+            "round(percent_rank() OVER (ORDER BY value), 6) AS pct "
+            "FROM events WHERE value IS NOT NULL"
         ),
         # the curation composition, component oracles chained in stage
         # order: gopher verdict CTEs (documents_gopher) -> keep-first

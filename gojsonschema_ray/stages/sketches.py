@@ -577,3 +577,103 @@ def normalize_by_group(ds, key_column: str, value_column: str,
         return out
 
     return ds.map_batches(transform, batch_format="pandas")
+
+
+def global_rank(ds, value_column: str, id_column: str, *,
+                n_buckets: int | None = None, sample_per_block: int = 64,
+                pct_column: str = "pct"):
+    """EXACT global rank + percent_rank of a numeric column — SQL `rank()
+    OVER (ORDER BY v)` / `percent_rank()` — WITHOUT a global sort: the
+    distributed sample-sort rank pattern.
+
+    1. boundary sampling: each batch contributes ≤ `sample_per_block`
+       sorted values (tiny fixed-width partials); the driver derives
+       `n_buckets`-quantile boundaries. Boundaries only balance the
+       exchange — ranks are exact for ANY boundaries because bucketing is
+       a pure function of the value (ties can never split across buckets).
+    2. counting pass: per-batch fixed-width bucket histograms, summed
+       driver-side into prefix offsets (count of values in earlier
+       buckets).
+    3. rank pass: ONE bucket-keyed exchange of (id, v), then per bucket a
+       vectorized sort + side='left' searchsorted:
+       rank = offset(bucket) + |{v' in bucket : v' < v}| + 1
+       — exactly rank()'s tie semantics (ties share the min rank).
+
+    percent_rank = (rank-1)/(N-1), 0.0 when N == 1 (SQL convention).
+    NULL values are EXCLUDED (document the `WHERE v IS NOT NULL` in
+    oracles; SQL's NULLS-LAST window ranking has no engine use case).
+    Scale: passes 1-2 move O(#blocks × width) rows; pass 3 moves each
+    (id, v) pair exactly once, bucket sizes balanced by the sampled
+    boundaries."""
+    import pandas as pd
+    import ray
+
+    from ..util import collect_rows
+    from .dedup import _next_pow2, _shuffle_parts
+
+    P = _next_pow2(n_buckets or _shuffle_parts())
+
+    def sample(t: pa.Table) -> pa.Table:
+        v = np.asarray(pc.drop_null(t[value_column]).to_numpy(
+            zero_copy_only=False), dtype=np.float64)
+        if len(v) > sample_per_block:
+            v = np.sort(v)[np.linspace(0, len(v) - 1, sample_per_block)
+                           .astype(np.int64)]
+        return pa.table({"s": pa.array(v)})
+
+    samples = np.concatenate([
+        np.asarray([r["s"] for r in collect_rows(
+            ds.map_batches(sample, batch_format="pyarrow"))], np.float64),
+        np.zeros(0, np.float64)])
+    if len(samples) == 0:
+        bounds = np.zeros(0, np.float64)
+    else:
+        qs = np.quantile(samples, np.linspace(0, 1, P + 1)[1:-1])
+        bounds = np.unique(qs)  # duplicate quantiles collapse (skewed data)
+    bref = ray.put(bounds)
+
+    def bucket_of(v: np.ndarray) -> np.ndarray:
+        b = ray.get(bref)
+        return np.searchsorted(b, v, side="right").astype(np.int32)
+
+    def counts(t: pa.Table) -> pa.Table:
+        v = np.asarray(pc.drop_null(t[value_column]).to_numpy(
+            zero_copy_only=False), dtype=np.float64)
+        c = np.bincount(bucket_of(v), minlength=len(bounds) + 1)
+        return pa.table({"b": pa.array(np.arange(len(c), dtype=np.int32)),
+                         "c": pa.array(c.astype(np.int64))})
+
+    totals = np.zeros(len(bounds) + 1, dtype=np.int64)
+    for r in collect_rows(ds.map_batches(counts, batch_format="pyarrow")):
+        totals[r["b"]] += r["c"]
+    offsets = np.concatenate([[0], np.cumsum(totals)[:-1]])
+    n_total = int(totals.sum())
+    oref = ray.put(offsets)
+
+    def project(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[value_column]))
+        v = np.asarray(t[value_column].to_numpy(zero_copy_only=False),
+                       dtype=np.float64)
+        return pa.table({id_column: t[id_column],
+                         "v": pa.array(v),
+                         "part": pa.array(bucket_of(v))})
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(oref)
+        out = []
+        for b, g in df.groupby("part", sort=False):
+            v = g["v"].to_numpy()
+            sv = np.sort(v)
+            rank = offs[int(b)] + np.searchsorted(sv, v, side="left") + 1
+            pct = (rank - 1) / (n_total - 1) if n_total > 1 \
+                else np.zeros(len(v))
+            out.append(pd.DataFrame({
+                id_column: g[id_column].to_numpy(),
+                "rnk": rank.astype(np.int64), pct_column: pct}))
+        return pd.concat(out, ignore_index=True) if out else pd.DataFrame({
+            id_column: df[id_column], "rnk": pd.Series([], dtype="int64"),
+            pct_column: pd.Series([], dtype="float64")})
+
+    parts = ds.map_batches(project, batch_format="pyarrow") \
+        .repartition(int(P)).materialize()
+    return parts.groupby("part").map_groups(per_part, batch_format="pandas")

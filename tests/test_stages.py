@@ -976,6 +976,37 @@ def test_normalize_by_group(ray_session):
                                exp.to_numpy()[mask], rtol=1e-9)
 
 
+def test_global_rank(ray_session):
+    """Exact distributed rank matches SQL rank() (min-rank ties) and
+    percent_rank on data with heavy ties and nulls; single-row N edge."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.sketches import global_rank
+    from gojsonschema_ray.util import collect_rows
+
+    rng = np.random.default_rng(23)
+    v = np.where(rng.random(500) < 0.3,
+                 rng.integers(0, 5, 500).astype("float64"),  # tie mass
+                 rng.normal(size=500))
+    df = pd.DataFrame({"eid": np.arange(500), "v": v})
+    df.loc[::97, "v"] = None  # nulls excluded
+    rows = collect_rows(global_rank(
+        rd.from_pandas(df).repartition(7), "v", "eid"))
+    got = pd.DataFrame(rows).sort_values("eid").reset_index(drop=True)
+    ok = df[df["v"].notna()].reset_index(drop=True)
+    exp_rank = ok["v"].rank(method="min").astype("int64")
+    n = len(ok)
+    assert list(got["eid"]) == list(ok["eid"])
+    np.testing.assert_array_equal(got["rnk"].to_numpy(),
+                                  exp_rank.to_numpy())
+    np.testing.assert_allclose(got["pct"].to_numpy(),
+                               (exp_rank.to_numpy() - 1) / (n - 1))
+    one = collect_rows(global_rank(
+        rd.from_pandas(pd.DataFrame({"eid": [0], "v": [3.5]})), "v", "eid"))
+    assert [(r["rnk"], r["pct"]) for r in one] == [(1, 0.0)]
+
+
 def test_curate_documents_closed_form(ray_session):
     """Every curation stage exercised: quality drop (too short), exact-dup
     drop (keep-first), decontamination drop (shares a 20-char gram with the
