@@ -523,6 +523,30 @@ def q_events_rank(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("event_id").reset_index(drop=True)
 
 
+def q_events_funnel(sf_dir: str) -> pd.DataFrame:
+    """view→click→purchase funnel per user (stages/window.funnel_by_key:
+    one co-partition exchange, one vectorized mask + groupby-min per step).
+    Oracle: the chained min-join SQL idiom over DISTINCT users."""
+    from gojsonschema_ray.stages.window import funnel_by_key
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    rows = collect_rows(funnel_by_key(
+        ds, "user_id", "ts", "event_type", ["view", "click", "purchase"]))
+
+    def f(x):
+        return None if x is None or pd.isna(x) else float(x)
+
+    df = pd.DataFrame({
+        "user_id": pd.Series([r["user_id"] for r in rows], dtype="int64"),
+        "reached": pd.Series([r["reached"] for r in rows], dtype="int64"),
+        "t1_s": pd.Series([f(r["t1_s"]) for r in rows], dtype="float64"),
+        "t2_s": pd.Series([f(r["t2_s"]) for r in rows], dtype="float64"),
+        "t3_s": pd.Series([f(r["t3_s"]) for r in rows], dtype="float64"),
+    })
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
 def q_documents_curate(sf_dir: str) -> pd.DataFrame:
     """END-TO-END curation (pipelines/curation.curate_documents): Gopher
     quality filter → keep-first exact dedup → char-20-gram decontamination
@@ -2088,6 +2112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # accounting; the component oracles' CTEs chained in stage order)
         "events_rank": q_events_rank,  # exact global rank/percent_rank
         # without a global sort (new family: distributed sample-sort rank)
+        "events_funnel": q_events_funnel,  # ordered view→click→purchase
+        # funnel (new family; chained min-join SQL oracle)
         "documents_gopher": q_documents_gopher,      # composition of
         # in-window-verified signals (repetition, quality, token counts)
         "lineitem_orders_join": q_lineitem_orders_join,  # sibling:
@@ -2789,6 +2815,27 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN any_value(scale) = 0 THEN 0.0 "
             "ELSE max(abs(x - c * scale)) END AS max_abs_err "
             "FROM q GROUP BY vec_id ORDER BY vec_id"
+        ),
+        # chained min-join funnel: t_i = min ts of a step-i event AT OR
+        # AFTER t_{i-1}; epoch() comparisons are on the unrounded doubles,
+        # rounding applies to output only (matching the engine)
+        "events_funnel": (
+            "WITH u AS (SELECT DISTINCT user_id FROM events), "
+            "s1 AS (SELECT user_id, min(epoch(ts)) AS t1 FROM events "
+            "WHERE event_type = 'view' GROUP BY user_id), "
+            "s2 AS (SELECT e.user_id, min(epoch(e.ts)) AS t2 FROM events e "
+            "JOIN s1 ON e.user_id = s1.user_id AND epoch(e.ts) >= s1.t1 "
+            "WHERE e.event_type = 'click' GROUP BY e.user_id), "
+            "s3 AS (SELECT e.user_id, min(epoch(e.ts)) AS t3 FROM events e "
+            "JOIN s2 ON e.user_id = s2.user_id AND epoch(e.ts) >= s2.t2 "
+            "WHERE e.event_type = 'purchase' GROUP BY e.user_id) "
+            "SELECT u.user_id, CAST(CASE WHEN t3 IS NOT NULL THEN 3 "
+            "WHEN t2 IS NOT NULL THEN 2 WHEN t1 IS NOT NULL THEN 1 "
+            "ELSE 0 END AS BIGINT) AS reached, "
+            "round(t1, 6) AS t1_s, round(t2, 6) AS t2_s, "
+            "round(t3, 6) AS t3_s FROM u "
+            "LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) "
+            "LEFT JOIN s3 USING (user_id)"
         ),
         # rank() = min-rank tie semantics = the engine's side='left'
         # searchsorted + bucket offset; percent_rank = (rank-1)/(N-1)

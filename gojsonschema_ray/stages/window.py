@@ -333,3 +333,65 @@ def sessionize(ds, key_column: str, ts_column: str, gap_s: float,
     parts = ds.map_batches(project, batch_format="pyarrow") \
         .repartition(P).materialize()
     return parts.groupby("part").map_groups(per_part, batch_format="pandas")
+
+
+def funnel_by_key(ds, key_column: str, ts_column: str, type_column: str,
+                  steps: list, n_parts: int | None = None):
+    """Ordered funnel analysis — for each key, how far its event stream
+    progresses through `steps` in order: t1 = min ts of a step-1 event,
+    t_i = min ts of a step-i event AT OR AFTER t_{i-1} (the SQL chained
+    min-join idiom; a step-i event at exactly t_{i-1} counts).
+
+    Returns one row per DISTINCT key: key, `reached` (0..len(steps)), and
+    `t1_s`..`tk_s` epoch seconds (null once unreached; t_i is only defined
+    when t_{i-1} is, so `reached` == count of non-null t columns).
+
+    Same scale shape as sessionize: ONE hash(key) co-partition exchange,
+    then a vectorized per-partition pass — one boolean mask + groupby-min
+    per step, never a Python loop over keys. Timestamps convert with the
+    same microseconds/1e6 division DuckDB's epoch() performs."""
+    from pandas.api.types import is_datetime64_any_dtype
+
+    from .dedup import _next_pow2, _shuffle_parts
+    from .sketches import hash_arrow_array
+
+    if not steps:
+        raise ValueError("funnel_by_key: steps must be non-empty")
+    P = _next_pow2(n_parts or _shuffle_parts())
+
+    def project(t: pa.Table) -> pa.Table:
+        cols = {c: t[c] for c in
+                dict.fromkeys([key_column, ts_column, type_column])}
+        part = (hash_arrow_array(t[key_column]) % np.uint64(P)).astype(np.int32)
+        cols["part"] = pa.array(part)
+        return pa.table(cols)
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df[ts_column]
+        if is_datetime64_any_dtype(ts):
+            secs = ((ts - pd.Timestamp(0, tz=getattr(ts.dtype, "tz", None)))
+                    / pd.Timedelta(seconds=1))
+        else:
+            secs = ts.astype("float64")
+        keys = df[key_column]
+        out = pd.DataFrame({key_column: keys.drop_duplicates()
+                            .reset_index(drop=True)})
+        prev = None  # per-key epoch of the previous completed step
+        for i, step in enumerate(steps, 1):
+            m = (df[type_column] == step).to_numpy()
+            if prev is not None:
+                gate = keys.map(prev)
+                # NaN gate (prev step unreached) compares False -> excluded
+                m &= (secs >= gate).to_numpy()
+            cur = secs[m].groupby(keys[m]).min()
+            out[f"t{i}_s"] = np.round(
+                out[key_column].map(cur).to_numpy(dtype="float64"), 6)
+            prev = cur
+        out.insert(1, "reached", out[[f"t{i}_s" for i in
+                                      range(1, len(steps) + 1)]]
+                   .notna().sum(axis=1).astype("int64"))
+        return out
+
+    parts = ds.map_batches(project, batch_format="pyarrow") \
+        .repartition(P).materialize()
+    return parts.groupby("part").map_groups(per_part, batch_format="pandas")

@@ -976,6 +976,41 @@ def test_normalize_by_group(ray_session):
                                exp.to_numpy()[mask], rtol=1e-9)
 
 
+def test_funnel_by_key_closed_form(ray_session):
+    """Ordered funnel: out-of-order events don't count, equal timestamps
+    do (>= gate), unreached steps null, reached counts the prefix."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.window import funnel_by_key
+    from gojsonschema_ray.util import collect_rows
+
+    rows_in = [
+        (1, 0.0, "view"), (1, 5.0, "click"), (1, 3.0, "purchase"),
+        (1, 10.0, "purchase"),                       # 3: purchase@3 < click
+        (2, 0.0, "click"), (2, 5.0, "view"), (2, 4.0, "click"),
+        (2, 7.0, "click"),                           # 2: click@4 < view@5
+        (3, 1.0, "error"),                           # 0
+        (4, 2.0, "view"), (4, 3.0, "purchase"),      # 1: no click
+        (5, 1.0, "view"), (5, 1.0, "click"),         # 2: equal ts counts
+    ]
+    df = pd.DataFrame(rows_in, columns=["user", "ts", "etype"])
+    out = collect_rows(funnel_by_key(
+        rd.from_pandas(df).repartition(3), "user", "ts", "etype",
+        ["view", "click", "purchase"]))
+
+    def norm(x):
+        return None if x is None or (isinstance(x, float) and np.isnan(x)) \
+            else x
+    got = {r["user"]: (r["reached"], norm(r["t1_s"]), norm(r["t2_s"]),
+                       norm(r["t3_s"])) for r in out}
+    assert got == {1: (3, 0.0, 5.0, 10.0),
+                   2: (2, 5.0, 7.0, None),
+                   3: (0, None, None, None),
+                   4: (1, 2.0, None, None),
+                   5: (2, 1.0, 1.0, None)}
+
+
 def test_global_rank(ray_session):
     """Exact distributed rank matches SQL rank() (min-rank ties) and
     percent_rank on data with heavy ties and nulls; single-row N edge."""
