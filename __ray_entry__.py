@@ -547,6 +547,51 @@ def q_events_funnel(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("user_id").reset_index(drop=True)
 
 
+def q_orders_diff(sf_dir: str) -> pd.DataFrame:
+    """Snapshot regression diff (stages/integrity.snapshot_diff): synthetic
+    snapshot A = orders with o_orderkey % 7 != 0, snapshot B = orders with
+    o_orderkey % 5 != 0 and o_totalprice bumped by 1 when o_orderkey % 11
+    == 0 — both derivable in SQL, so the full added/removed/changed/same
+    matrix is exactly checkable. One co-partition exchange, vectorized
+    outer-merge status resolution per partition."""
+    from gojsonschema_ray.stages.integrity import snapshot_diff
+    from gojsonschema_ray.util import collect_rows
+
+    base = _read(sf_dir, "orders",
+                 ["o_orderkey", "o_totalprice", "o_orderstatus"])
+    def make_a(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"]
+        keep = pc.not_equal(pc.subtract(k, pc.multiply(pc.divide(k, 7), 7)),
+                            0)
+        return t.filter(keep)
+
+    snap_a = base.map_batches(make_a, batch_format="pyarrow")
+
+    def make_b(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"]
+        keep = pc.not_equal(pc.subtract(k, pc.multiply(pc.divide(k, 5), 5)),
+                            0)
+        t = t.filter(keep)
+        k = t["o_orderkey"]
+        bump = pc.equal(pc.subtract(k, pc.multiply(pc.divide(k, 11), 11)),
+                        0)
+        price = pc.if_else(bump, pc.add(t["o_totalprice"], 1.0),
+                           t["o_totalprice"])
+        return t.set_column(t.schema.get_field_index("o_totalprice"),
+                            "o_totalprice", price)
+
+    snap_b = base.map_batches(make_b, batch_format="pyarrow")
+    rows = collect_rows(snapshot_diff(
+        snap_a, snap_b, "o_orderkey", ["o_totalprice", "o_orderstatus"]))
+    df = pd.DataFrame({
+        "status": pd.Series([r["status"] for r in rows], dtype="object"),
+    })
+    out = df.groupby("status", as_index=False).size() \
+        .rename(columns={"size": "n"})
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("status").reset_index(drop=True)
+
+
 def q_documents_curate(sf_dir: str) -> pd.DataFrame:
     """END-TO-END curation (pipelines/curation.curate_documents): Gopher
     quality filter → keep-first exact dedup → char-20-gram decontamination
@@ -2114,6 +2159,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # without a global sort (new family: distributed sample-sort rank)
         "events_funnel": q_events_funnel,  # ordered view→click→purchase
         # funnel (new family; chained min-join SQL oracle)
+        "orders_diff": q_orders_diff,  # snapshot regression diff (new
+        # family; SQL-derivable synthetic snapshots, exact status counts)
         "documents_gopher": q_documents_gopher,      # composition of
         # in-window-verified signals (repetition, quality, token counts)
         "lineitem_orders_join": q_lineitem_orders_join,  # sibling:
@@ -2815,6 +2862,24 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN any_value(scale) = 0 THEN 0.0 "
             "ELSE max(abs(x - c * scale)) END AS max_abs_err "
             "FROM q GROUP BY vec_id ORDER BY vec_id"
+        ),
+        # the synthetic snapshots are pure functions of orders, so the
+        # status matrix is exact: FULL OUTER JOIN + NULL-safe compare
+        "orders_diff": (
+            "WITH a AS (SELECT o_orderkey, o_totalprice, o_orderstatus "
+            "FROM orders WHERE o_orderkey % 7 != 0), "
+            "b AS (SELECT o_orderkey, CASE WHEN o_orderkey % 11 = 0 "
+            "THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice, "
+            "o_orderstatus FROM orders WHERE o_orderkey % 5 != 0), "
+            "d AS (SELECT coalesce(a.o_orderkey, b.o_orderkey) AS k, "
+            "CASE WHEN a.o_orderkey IS NULL THEN 'added' "
+            "WHEN b.o_orderkey IS NULL THEN 'removed' "
+            "WHEN a.o_totalprice IS DISTINCT FROM b.o_totalprice "
+            "OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus "
+            "THEN 'changed' ELSE 'same' END AS status "
+            "FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey) "
+            "SELECT status, CAST(count(*) AS BIGINT) AS n FROM d "
+            "GROUP BY status ORDER BY status"
         ),
         # chained min-join funnel: t_i = min ts of a step-i event AT OR
         # AFTER t_{i-1}; epoch() comparisons are on the unrounded doubles,

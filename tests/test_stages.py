@@ -976,6 +976,37 @@ def test_normalize_by_group(ray_session):
                                exp.to_numpy()[mask], rtol=1e-9)
 
 
+def test_snapshot_diff(ray_session):
+    """added/removed/changed/same statuses; NULL==NULL is same, a one-side
+    null is changed; duplicate keys raise loudly."""
+    import pandas as pd
+    import pytest as _pytest
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.integrity import snapshot_diff
+    from gojsonschema_ray.util import collect_rows
+
+    a = pd.DataFrame({"k": [1, 2, 3, 4, 5, 6],
+                      "v": [10.0, 20.0, None, 40.0, None, 60.0],
+                      "w": list("aabbcc")})
+    b = pd.DataFrame({"k": [2, 3, 4, 5, 6, 7],
+                      "v": [20.0, None, 41.0, 50.0, 60.0, 70.0],
+                      "w": list("abbccd")})
+    out = collect_rows(snapshot_diff(
+        rd.from_pandas(a).repartition(3), rd.from_pandas(b).repartition(2),
+        "k", ["v", "w"]))
+    got = {r["k"]: r["status"] for r in out}
+    assert got == {1: "removed", 2: "same",
+                   3: "same",      # NULL == NULL is same
+                   4: "changed",   # 40 -> 41
+                   5: "changed",   # NULL -> 50 (one-side null)
+                   6: "same", 7: "added"}
+    dup = pd.DataFrame({"k": [1, 1], "v": [0.0, 0.0], "w": ["x", "y"]})
+    with _pytest.raises(Exception, match="unique per snapshot"):
+        collect_rows(snapshot_diff(
+            rd.from_pandas(dup), rd.from_pandas(b), "k", ["v", "w"]))
+
+
 def test_funnel_by_key_closed_form(ray_session):
     """Ordered funnel: out-of-order events don't count, equal timestamps
     do (>= gate), unreached steps null, reached counts the prefix."""
