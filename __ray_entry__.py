@@ -592,6 +592,30 @@ def q_orders_diff(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("status").reset_index(drop=True)
 
 
+def q_documents_mix(sf_dir: str) -> pd.DataFrame:
+    """Weighted training mix (stages/sampling.mix_corpora): the en/de/es
+    language slices of documents sampled at 80/50/25% with per-source
+    salts and unioned with a source tag — pure per-batch Knuth-threshold
+    filters, no shuffle. Oracle: the hash replica UNION ALL."""
+    from gojsonschema_ray.stages.sampling import mix_corpora
+    from gojsonschema_ray.util import collect_rows
+
+    def slice_lang(lang: str):
+        return _read(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
+            lambda t, _l=lang: t.filter(pc.equal(t["lang"], _l)),
+            batch_format="pyarrow")
+
+    mixed = mix_corpora([slice_lang("en"), slice_lang("de"),
+                         slice_lang("es")], "doc_id", [0.8, 0.5, 0.25],
+                        source_names=["en", "de", "es"])
+    rows = collect_rows(mixed)
+    df = pd.DataFrame({
+        "source": pd.Series([r["source"] for r in rows], dtype="object"),
+        "doc_id": pd.Series([r["doc_id"] for r in rows], dtype="int64"),
+    })
+    return df.sort_values(["source", "doc_id"]).reset_index(drop=True)
+
+
 def q_documents_curate(sf_dir: str) -> pd.DataFrame:
     """END-TO-END curation (pipelines/curation.curate_documents): Gopher
     quality filter → keep-first exact dedup → char-20-gram decontamination
@@ -2161,6 +2185,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # funnel (new family; chained min-join SQL oracle)
         "orders_diff": q_orders_diff,  # snapshot regression diff (new
         # family; SQL-derivable synthetic snapshots, exact status counts)
+        "documents_mix": q_documents_mix,  # weighted corpus mixing (hash
+        # replica UNION ALL oracle; sampling family's multi-source member)
         "documents_gopher": q_documents_gopher,      # composition of
         # in-window-verified signals (repetition, quality, token counts)
         "lineitem_orders_join": q_lineitem_orders_join,  # sibling:
@@ -2862,6 +2888,19 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN any_value(scale) = 0 THEN 0.0 "
             "ELSE max(abs(x - c * scale)) END AS max_abs_err "
             "FROM q GROUP BY vec_id ORDER BY vec_id"
+        ),
+        # per-source Knuth thresholds: hi = round(rate * 2^32) ->
+        # 0.8: 3435973837, 0.5: 2147483648, 0.25: 1073741824; salts
+        # 1000/1001/1002 (mix_corpora salt_base + index)
+        "documents_mix": (
+            "SELECT 'en' AS source, doc_id FROM documents WHERE lang='en' "
+            "AND ((doc_id + 1000) * 2654435761) % 4294967296 < 3435973837 "
+            "UNION ALL "
+            "SELECT 'de' AS source, doc_id FROM documents WHERE lang='de' "
+            "AND ((doc_id + 1001) * 2654435761) % 4294967296 < 2147483648 "
+            "UNION ALL "
+            "SELECT 'es' AS source, doc_id FROM documents WHERE lang='es' "
+            "AND ((doc_id + 1002) * 2654435761) % 4294967296 < 1073741824"
         ),
         # the synthetic snapshots are pure functions of orders, so the
         # status matrix is exact: FULL OUTER JOIN + NULL-safe compare

@@ -141,3 +141,40 @@ def stratified_sample(ds, group_column: str, key_column: str,
                          [("sample_h", "ascending"),
                           (key_column, "ascending")],
                          n_per_group, n_parts=n_parts)
+
+
+def mix_corpora(sources: list, key_column: str, rates: list[float], *,
+                source_names: list[str] | None = None,
+                source_column: str = "source", salt_base: int = 1000):
+    """Weighted deterministic corpus mixing — the training-mix op: sample
+    each source at its own rate and union into one stream, each row tagged
+    with its source. Rates are exact threshold bands of the engine's
+    SQL-replicable Knuth hash, so the mix is reproducible row-for-row (and
+    nested: raising one source's rate only ADDS its rows).
+
+    Each source samples with its own salt (salt_base + index) so the same
+    key appearing in two sources is decided independently. Sources must
+    already share a schema (project before mixing). Scale shape: pure
+    per-batch filters, no shuffle, no driver state; note Ray unions
+    re-execute a SHARED lazy upstream per branch — feed distinct reads or
+    materialize the common parent first."""
+    if len(sources) != len(rates):
+        raise ValueError("mix_corpora: one rate per source")
+    if source_names is not None and len(source_names) != len(sources):
+        raise ValueError("mix_corpora: one name per source")
+    names = source_names or [f"s{i}" for i in range(len(sources))]
+    if source_column in (key_column,):
+        raise ValueError(f"mix_corpora: {source_column!r} collides with "
+                         "the key column")
+
+    tagged = []
+    for i, (src, rate, name) in enumerate(zip(sources, rates, names)):
+        sampled = hash_sample(src, key_column, rate, salt=salt_base + i)
+        tagged.append(sampled.map_batches(
+            lambda t, _n=name: t.append_column(
+                source_column, pa.array([_n] * t.num_rows, pa.string())),
+            batch_format="pyarrow"))
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.union(t)
+    return out

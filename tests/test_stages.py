@@ -976,6 +976,34 @@ def test_normalize_by_group(ray_session):
                                exp.to_numpy()[mask], rtol=1e-9)
 
 
+def test_mix_corpora(ray_session):
+    """Mixed stream == the per-source Knuth-threshold replicas, tagged;
+    per-source salts decide the same key independently."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.sampling import KNUTH, MOD, mix_corpora
+    from gojsonschema_ray.util import collect_rows
+
+    n = 2000
+    a = pd.DataFrame({"k": np.arange(n, dtype="int64"), "tag": "A"})
+    b = pd.DataFrame({"k": np.arange(n, dtype="int64"), "tag": "B"})
+    out = collect_rows(mix_corpora(
+        [rd.from_pandas(a).repartition(3), rd.from_pandas(b).repartition(2)],
+        "k", [0.7, 0.2], source_names=["a", "b"]))
+    got = {(r["source"], r["k"]) for r in out}
+
+    def member(k, salt, rate):
+        h = ((np.uint64(k) + np.uint64(salt)) * KNUTH) & (MOD - np.uint64(1))
+        return int(h) < int(round(rate * float(MOD)))
+
+    exp = {("a", k) for k in range(n) if member(k, 1000, 0.7)} \
+        | {("b", k) for k in range(n) if member(k, 1001, 0.2)}
+    assert got == exp
+    assert 0.6 < len([1 for s, _ in got if s == "a"]) / n < 0.8
+    assert 0.15 < len([1 for s, _ in got if s == "b"]) / n < 0.26
+
+
 def test_snapshot_diff(ray_session):
     """added/removed/changed/same statuses; NULL==NULL is same, a one-side
     null is changed; duplicate keys raise loudly."""
