@@ -616,6 +616,25 @@ def q_documents_mix(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["source", "doc_id"]).reset_index(drop=True)
 
 
+def q_documents_resample(sf_dir: str) -> pd.DataFrame:
+    """Temperature resampling (stages/sampling.resample_by_group): subsample
+    documents per language so kept counts follow n_lang^0.5 (the XLM-R /
+    mT5 multilingual flattening recipe) — exact combiner-first group counts,
+    per-group floor(rate*2^32) Knuth thresholds, pure per-batch filter.
+    Oracle: the same counts → power() rates → threshold filter in SQL."""
+    from gojsonschema_ray.stages.sampling import resample_by_group
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    out, _rates = resample_by_group(ds, "lang", "doc_id", 0.5)
+    rows = collect_rows(out)
+    df = pd.DataFrame({
+        "lang": pd.Series([r["lang"] for r in rows], dtype="object"),
+        "doc_id": pd.Series([r["doc_id"] for r in rows], dtype="int64"),
+    })
+    return df.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+
+
 def q_documents_curate(sf_dir: str) -> pd.DataFrame:
     """END-TO-END curation (pipelines/curation.curate_documents): Gopher
     quality filter → keep-first exact dedup → char-20-gram decontamination
@@ -2187,6 +2206,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # family; SQL-derivable synthetic snapshots, exact status counts)
         "documents_mix": q_documents_mix,  # weighted corpus mixing (hash
         # replica UNION ALL oracle; sampling family's multi-source member)
+        "documents_resample": q_documents_resample,  # temperature (n^alpha)
+        # per-group resampling (counts → power rates → hash thresholds)
         "documents_gopher": q_documents_gopher,      # composition of
         # in-window-verified signals (repetition, quality, token counts)
         "lineitem_orders_join": q_lineitem_orders_join,  # sibling:
@@ -2901,6 +2922,21 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT 'es' AS source, doc_id FROM documents WHERE lang='es' "
             "AND ((doc_id + 1002) * 2654435761) % 4294967296 < 1073741824"
+        ),
+        # temperature resampling: exact per-lang counts -> u = n^(alpha-1)
+        # (alpha=0.5) -> rate = u/max(u) -> threshold floor(rate*2^32);
+        # same Knuth membership hash as the engine, salt 0
+        "documents_resample": (
+            "WITH counts AS (SELECT lang, count(*) AS n FROM documents "
+            "GROUP BY lang), "
+            "u AS (SELECT lang, power(CAST(n AS DOUBLE), -0.5) AS ug "
+            "FROM counts), "
+            "thr AS (SELECT lang, CAST(floor(ug / (SELECT max(ug) FROM u) "
+            "* 4294967296.0) AS BIGINT) AS t FROM u) "
+            "SELECT d.lang AS lang, d.doc_id AS doc_id "
+            "FROM documents d JOIN thr ON d.lang = thr.lang "
+            "WHERE (d.doc_id * 2654435761) % 4294967296 < thr.t "
+            "ORDER BY lang, doc_id"
         ),
         # the synthetic snapshots are pure functions of orders, so the
         # status matrix is exact: FULL OUTER JOIN + NULL-safe compare

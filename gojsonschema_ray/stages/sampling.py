@@ -143,6 +143,86 @@ def stratified_sample(ds, group_column: str, key_column: str,
                          n_per_group, n_parts=n_parts)
 
 
+def group_counts(ds, group_column: str) -> dict:
+    """Exact per-group row counts via combiner-first partials: each batch
+    emits its own (group, n) value-counts table (at most one row per group
+    per batch), the driver folds the small partials — no groupby shuffle.
+    Built for LOW-cardinality grouping columns (language, source, domain
+    tier); the driver holds one counter per distinct group. Null groups are
+    counted under None."""
+    from ..util import collect_rows
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = t[group_column].combine_chunks().value_counts()
+        return pa.table({"g": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    counts: dict = {}
+    for row in collect_rows(ds.map_batches(partial, batch_format="pyarrow")):
+        counts[row["g"]] = counts.get(row["g"], 0) + int(row["n"])
+    return counts
+
+
+def resample_by_group(ds, group_column: str, key_column: str,
+                      alpha: float, *, salt: int = 0, counts: dict = None):
+    """Temperature-based corpus resampling: subsample each group so kept
+    counts follow n_g^alpha (the multilingual training-mix recipe — XLM-R /
+    mT5 style: alpha<1 flattens the distribution toward rare groups,
+    alpha=1 is a no-op, alpha=0 targets uniform counts). Acceptance is the
+    engine's deterministic SQL-replicable Knuth-hash threshold, so the
+    resample is reproducible row-for-row and nested in alpha.
+
+    Per-group acceptance rate: u_g = n_g^(alpha-1), rate_g = u_g / max(u)
+    (the largest-rate group keeps everything; subsampling can only remove
+    rows). Thresholds are floor(rate_g * 2^32) — floor, not round, so the
+    SQL replica (``CAST(floor(r*4294967296.0) AS BIGINT)``) is unambiguous.
+
+    Scale shape: ONE combiner-first counting pass (driver holds one int per
+    group — low-cardinality groups only), then a pure per-batch filter with
+    the (group -> threshold) map shipped in the task closure; no shuffle.
+    `ds` is consumed twice (count + filter) — pass a re-readable pipeline
+    (a fresh read) or a materialized Dataset, or supply `counts` from a
+    prior `group_counts` call. Rows with null group or null key are dropped
+    (membership of an unknown key is undefined, as in hash_sample).
+
+    Returns (filtered_ds, rates) where rates maps group -> acceptance
+    fraction for audit."""
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    if counts is None:
+        counts = group_counts(ds, group_column)
+    counts = {g: n for g, n in counts.items() if g is not None and n > 0}
+    if not counts:
+        raise ValueError("resample_by_group: no non-null groups")
+    groups = sorted(counts)
+    u = {g: float(counts[g]) ** (alpha - 1.0) for g in groups}
+    umax = max(u.values())
+    rates = {g: u[g] / umax for g in groups}
+    thresholds = {g: int(np.floor(rates[g] * float(MOD))) for g in groups}
+
+    def filt(t: pa.Table) -> pa.Table:
+        gcol, kcol = t[group_column], t[key_column]
+        valid = pc.and_(pc.is_valid(gcol), pc.is_valid(kcol))
+        if pc.any(pc.invert(valid)).as_py():
+            t = t.filter(valid)
+            gcol, kcol = t[group_column], t[key_column]
+        if t.num_rows == 0:
+            return t
+        enc = gcol.combine_chunks().dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):  # pyarrow version-dependent
+            enc = enc.chunk(0) if enc.num_chunks else \
+                pa.array([], pa.string()).dictionary_encode()
+        thr_by_code = np.array(
+            [thresholds.get(v, 0) for v in enc.dictionary.to_pylist()] or [0],
+            np.uint64)
+        codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False))
+        keys = np.asarray(kcol.to_numpy(zero_copy_only=False))
+        h = hash_bucket_u32(keys, salt)
+        return t.filter(pa.array(h < thr_by_code[codes]))
+
+    return ds.map_batches(filt, batch_format="pyarrow"), rates
+
+
 def mix_corpora(sources: list, key_column: str, rates: list[float], *,
                 source_names: list[str] | None = None,
                 source_column: str = "source", salt_base: int = 1000):

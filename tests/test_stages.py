@@ -1004,6 +1004,58 @@ def test_mix_corpora(ray_session):
     assert 0.15 < len([1 for s, _ in got if s == "b"]) / n < 0.26
 
 
+def test_resample_by_group(ray_session):
+    """Kept set == the closed-form Knuth-threshold replica with
+    rate_g = (n_g/n_ref)^(alpha-1); alpha=1 is a no-op; alpha=0 targets
+    uniform counts; null groups/keys are dropped."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.sampling import (KNUTH, MOD,
+                                                  resample_by_group)
+    from gojsonschema_ray.util import collect_rows
+
+    sizes = {"big": 3000, "mid": 600, "small": 150}
+    ks, gs = [], []
+    nxt = 0
+    for g, n in sizes.items():
+        ks.extend(range(nxt, nxt + n))
+        gs.extend([g] * n)
+        nxt += n
+    df = pd.DataFrame({"k": np.array(ks, "int64"), "g": gs})
+    # null rows must be dropped, not crash the hash
+    df = pd.concat([df, pd.DataFrame(
+        {"k": [10**6, None], "g": [None, "big"]})], ignore_index=True)
+    ds = rd.from_pandas(df).repartition(4)
+
+    alpha = 0.5
+    out, rates = resample_by_group(ds, "g", "k", alpha)
+    got = {(r["g"], r["k"]) for r in collect_rows(out)}
+
+    u = {g: float(n) ** (alpha - 1.0) for g, n in sizes.items()}
+    umax = max(u.values())
+    exp = set()
+    for g, n0 in zip(gs, ks):
+        h = (np.uint64(n0) * KNUTH) & (MOD - np.uint64(1))
+        thr = int(np.floor(u[g] / umax * float(MOD)))
+        if int(h) < thr:
+            exp.add((g, n0))
+    assert got == exp
+    assert rates["small"] == 1.0 and rates["big"] < rates["mid"] < 1.0
+    # alpha=0 -> expected kept counts ~uniform (= n_small per group)
+    out0, rates0 = resample_by_group(ds, "g", "k", 0.0)
+    by_g = {}
+    for r in collect_rows(out0):
+        by_g[r["g"]] = by_g.get(r["g"], 0) + 1
+    assert rates0["small"] == 1.0
+    for g in sizes:
+        assert 0.7 * sizes["small"] <= by_g[g] <= 1.3 * sizes["small"]
+    # alpha=1 -> identity on non-null rows
+    out1, rates1 = resample_by_group(ds, "g", "k", 1.0)
+    assert all(r == 1.0 for r in rates1.values())
+    assert len(collect_rows(out1)) == sum(sizes.values())
+
+
 def test_snapshot_diff(ray_session):
     """added/removed/changed/same statuses; NULL==NULL is same, a one-side
     null is changed; duplicate keys raise loudly."""
