@@ -635,6 +635,20 @@ def q_documents_resample(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["lang", "doc_id"]).reset_index(drop=True)
 
 
+def q_orders_sample_k(sf_dir: str) -> pd.DataFrame:
+    """Exactly-k deterministic global sample (stages/sampling.
+    global_sample_k): the 200 orders whose keys hash lowest — per-block
+    top-k partials + a blocks x k driver merge, no shuffle, no reservoir
+    coordination, partitioning-independent. Oracle: ORDER BY the same
+    Knuth hash LIMIT 200."""
+    from gojsonschema_ray.stages.sampling import global_sample_k
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    out = global_sample_k(ds, "o_orderkey", 200)
+    df = out.select(["o_orderkey", "o_totalprice"]).to_pandas()
+    return df.sort_values("o_orderkey").reset_index(drop=True)
+
+
 def q_documents_curate(sf_dir: str) -> pd.DataFrame:
     """END-TO-END curation (pipelines/curation.curate_documents): Gopher
     quality filter → keep-first exact dedup → char-20-gram decontamination
@@ -2208,6 +2222,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # replica UNION ALL oracle; sampling family's multi-source member)
         "documents_resample": q_documents_resample,  # temperature (n^alpha)
         # per-group resampling (counts → power rates → hash thresholds)
+        "orders_sample_k": q_orders_sample_k,  # exactly-k lowest-hash
+        # global sample (per-block top-k partials, ORDER BY hash oracle)
         "documents_gopher": q_documents_gopher,      # composition of
         # in-window-verified signals (repetition, quality, token counts)
         "lineitem_orders_join": q_lineitem_orders_join,  # sibling:
@@ -2922,6 +2938,12 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT 'es' AS source, doc_id FROM documents WHERE lang='es' "
             "AND ((doc_id + 1002) * 2654435761) % 4294967296 < 1073741824"
+        ),
+        # exactly-k sample: same Knuth membership hash, key breaks ties
+        "orders_sample_k": (
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "ORDER BY (o_orderkey * 2654435761) % 4294967296, o_orderkey "
+            "LIMIT 200"
         ),
         # temperature resampling: exact per-lang counts -> u = n^(alpha-1)
         # (alpha=0.5) -> rate = u/max(u) -> threshold floor(rate*2^32);

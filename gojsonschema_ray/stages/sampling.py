@@ -223,6 +223,33 @@ def resample_by_group(ds, group_column: str, key_column: str,
     return ds.map_batches(filt, batch_format="pyarrow"), rates
 
 
+def global_sample_k(ds, key_column: str, k: int, *, salt: int = 0
+                    ) -> pa.Table:
+    """Deterministic global sample of EXACTLY min(k, n) rows: the k rows
+    whose keys hash LOWEST (key breaks hash ties, so the order is total).
+    The fixed-count complement of hash_sample's fixed-rate band — same
+    guarantees (run-, order- and partitioning-independent, SQL-replicable
+    as ``ORDER BY (key*2654435761)%4294967296, key LIMIT k``) without
+    needing to know n to pick a rate. Null keys are dropped.
+
+    Scale shape: one streaming pass of per-block top-k partials + a
+    blocks x k driver merge (stages/topk.global_top_k) — no shuffle, no
+    reservoir coordination. Returns the input columns + `sample_h`."""
+    from .topk import global_top_k
+
+    def add_h(t: pa.Table) -> pa.Table:
+        col = t[key_column]
+        if (col.null_count if hasattr(col, "null_count") else 0) > 0:
+            t = t.filter(pc.is_valid(col))
+        keys = np.asarray(t[key_column].to_numpy(zero_copy_only=False))
+        h = hash_bucket_u32(keys, salt).astype(np.int64)
+        return t.append_column("sample_h", pa.array(h))
+
+    return global_top_k(ds.map_batches(add_h, batch_format="pyarrow"),
+                        [("sample_h", "ascending"),
+                         (key_column, "ascending")], k)
+
+
 def mix_corpora(sources: list, key_column: str, rates: list[float], *,
                 source_names: list[str] | None = None,
                 source_column: str = "source", salt_base: int = 1000):

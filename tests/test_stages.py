@@ -1056,6 +1056,33 @@ def test_resample_by_group(ray_session):
     assert len(collect_rows(out1)) == sum(sizes.values())
 
 
+def test_global_sample_k(ray_session):
+    """Exactly-k lowest-hash rows, partitioning-independent; k > n returns
+    all rows; null keys dropped."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.sampling import (KNUTH, MOD,
+                                                  global_sample_k)
+
+    n = 3000
+    df = pd.DataFrame({"k": np.arange(n, dtype="int64"),
+                       "v": np.arange(n, dtype="int64") * 10})
+    df = pd.concat([df, pd.DataFrame({"k": [None], "v": [-1]})],
+                   ignore_index=True)
+    h = (np.arange(n, dtype=np.uint64) * KNUTH) & (MOD - np.uint64(1))
+    exp = set(np.argsort(h, kind="stable")[:100].tolist())
+
+    for parts in (2, 7):
+        out = global_sample_k(rd.from_pandas(df).repartition(parts),
+                              "k", 100)
+        got = set(out["k"].to_pylist())
+        assert got == exp and out.num_rows == 100
+        assert set(out.column_names) == {"k", "v", "sample_h"}
+    big = global_sample_k(rd.from_pandas(df).repartition(3), "k", n + 50)
+    assert big.num_rows == n  # null key dropped
+
+
 def test_snapshot_diff(ray_session):
     """added/removed/changed/same statuses; NULL==NULL is same, a one-side
     null is changed; duplicate keys raise loudly."""
