@@ -649,6 +649,27 @@ def q_orders_sample_k(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("o_orderkey").reset_index(drop=True)
 
 
+def q_events_fd(sf_dir: str) -> pd.DataFrame:
+    """Functional-dependency check user_id → event_type
+    (stages/integrity.fd_violations): users whose events span more than one
+    distinct type, with the min/max conflicting types — the cross-row
+    generalization of the dependencies keyword. One pair-partial exchange.
+    Oracle: GROUP BY HAVING count(DISTINCT) > 1."""
+    from gojsonschema_ray.stages.integrity import fd_violations
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    rows = collect_rows(fd_violations(ds, "user_id", "event_type"))
+    df = pd.DataFrame({
+        "user_id": pd.Series([r["user_id"] for r in rows], dtype="int64"),
+        "n_distinct": pd.Series([r["n_distinct"] for r in rows],
+                                dtype="int64"),
+        "v_min": pd.Series([r["v_min"] for r in rows], dtype="object"),
+        "v_max": pd.Series([r["v_max"] for r in rows], dtype="object"),
+    })
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
 def q_documents_curate(sf_dir: str) -> pd.DataFrame:
     """END-TO-END curation (pipelines/curation.curate_documents): Gopher
     quality filter → keep-first exact dedup → char-20-gram decontamination
@@ -2224,6 +2245,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-group resampling (counts → power rates → hash thresholds)
         "orders_sample_k": q_orders_sample_k,  # exactly-k lowest-hash
         # global sample (per-block top-k partials, ORDER BY hash oracle)
+        "events_fd": q_events_fd,  # functional-dependency violations
+        # (cross-row dependencies keyword; HAVING count(DISTINCT)>1 oracle)
         "documents_gopher": q_documents_gopher,      # composition of
         # in-window-verified signals (repetition, quality, token counts)
         "lineitem_orders_join": q_lineitem_orders_join,  # sibling:
@@ -2938,6 +2961,13 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT 'es' AS source, doc_id FROM documents WHERE lang='es' "
             "AND ((doc_id + 1002) * 2654435761) % 4294967296 < 1073741824"
+        ),
+        # FD check: distinct dependent count + conflict-set bounds per key
+        "events_fd": (
+            "SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) "
+            "AS n_distinct, min(event_type) AS v_min, "
+            "max(event_type) AS v_max FROM events GROUP BY user_id "
+            "HAVING count(DISTINCT event_type) > 1 ORDER BY user_id"
         ),
         # exactly-k sample: same Knuth membership hash, key breaks ties
         "orders_sample_k": (

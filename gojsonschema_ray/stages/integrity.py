@@ -212,3 +212,52 @@ def snapshot_diff(ds_a, ds_b, key_column: str, compare_columns: list,
         .union(ds_b.map_batches(project("b"), batch_format="pyarrow"))
     parts = both.repartition(P).materialize()
     return parts.groupby("part").map_groups(per_part, batch_format="pandas")
+
+
+def fd_violations(ds, determinant: str, dependent: str,
+                  n_parts: int | None = None):
+    """Functional-dependency violation detection — the table-level
+    constraint "determinant → dependent" (each determinant value maps to
+    exactly one dependent value), the multi-row generalization of the
+    reference's per-document dependencies keyword (gojsonschema
+    validation.go dependenciesKind: intra-document; this checks the
+    dependency ACROSS rows). Returns one row per violating determinant
+    value: (determinant, n_distinct, v_min, v_max) where n_distinct > 1 —
+    min/max of the conflicting dependent values bound the conflict set
+    for triage without shipping it.
+
+    Scale shape (same as uniqueness.grouped_nunique): each batch collapses
+    to its distinct (determinant, dependent) pairs, ONE hash(determinant)
+    coarse-partition exchange of the pair partials, per-partition pandas
+    dedup + nunique/min/max, filter n_distinct > 1. The exchange moves at
+    most one row per distinct pair per batch; a satisfied FD moves exactly
+    one row per key. Null dependents are ignored (COUNT(DISTINCT)
+    semantics); null determinants are dropped (an unknown key determines
+    nothing)."""
+    import pandas as pd
+
+    from .dedup import _next_pow2, _shuffle_parts
+    from .sketches import hash_arrow_array
+
+    P = _next_pow2(n_parts or _shuffle_parts())
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[determinant, dependent]]
+        d = d[d[dependent].notna() & d[determinant].notna()]
+        d = d.drop_duplicates()
+        h = hash_arrow_array(d[determinant])
+        return d.assign(part=(h % np.uint64(P)).astype("int32"))
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates([determinant, dependent])
+        g = d.groupby(determinant, sort=False).agg(
+            n_distinct=(dependent, "size"),
+            v_min=(dependent, "min"),
+            v_max=(dependent, "max")).reset_index()
+        g = g[g["n_distinct"] > 1]
+        g["n_distinct"] = g["n_distinct"].astype("int64")
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    parts = partials.repartition(P).materialize()
+    return parts.groupby("part").map_groups(per_part, batch_format="pandas")

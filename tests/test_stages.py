@@ -1056,6 +1056,28 @@ def test_resample_by_group(ray_session):
     assert len(collect_rows(out1)) == sum(sizes.values())
 
 
+def test_fd_violations(ray_session):
+    """Violating keys only, with distinct counts and min/max of the
+    conflict set; null dependents ignored, null determinants dropped;
+    duplicate pairs collapse."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.integrity import fd_violations
+    from gojsonschema_ray.util import collect_rows
+
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 2, 2, 3, 3, 3, None, 4, 4],
+        "v": ["a", "b", "a", "x", "x", "p", None, "q", "z", None, None],
+    })
+    rows = collect_rows(fd_violations(
+        rd.from_pandas(df).repartition(3), "k", "v"))
+    got = {r["k"]: (r["n_distinct"], r["v_min"], r["v_max"]) for r in rows}
+    # 1 -> {a,b} violates; 2 -> {x} ok; 3 -> {p,q} (null ignored) violates;
+    # None dropped; 4 -> all-null dependents -> no pairs -> absent
+    assert got == {1: (2, "a", "b"), 3: (2, "p", "q")}
+
+
 def test_global_sample_k(ray_session):
     """Exactly-k lowest-hash rows, partitioning-independent; k > n returns
     all rows; null keys dropped."""
