@@ -670,6 +670,24 @@ def q_events_fd(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("user_id").reset_index(drop=True)
 
 
+def q_documents_top_sources(sf_dir: str) -> pd.DataFrame:
+    """Top-2 most frequent sources per language (stages/topk.
+    grouped_top_values): exact cross-batch counts via one hash(group)
+    exchange of per-batch pair-count partials, count-desc/value-asc
+    tie-break. Oracle: QUALIFY row_number over the same ordering."""
+    from gojsonschema_ray.stages.topk import grouped_top_values
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    rows = collect_rows(grouped_top_values(ds, "lang", "source", 2))
+    df = pd.DataFrame({
+        "lang": pd.Series([r["lang"] for r in rows], dtype="object"),
+        "source": pd.Series([r["source"] for r in rows], dtype="object"),
+        "n": pd.Series([r["n"] for r in rows], dtype="int64"),
+    })
+    return df.sort_values(["lang", "source"]).reset_index(drop=True)
+
+
 def q_documents_curate(sf_dir: str) -> pd.DataFrame:
     """END-TO-END curation (pipelines/curation.curate_documents): Gopher
     quality filter → keep-first exact dedup → char-20-gram decontamination
@@ -2247,6 +2265,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # global sample (per-block top-k partials, ORDER BY hash oracle)
         "events_fd": q_events_fd,  # functional-dependency violations
         # (cross-row dependencies keyword; HAVING count(DISTINCT)>1 oracle)
+        "documents_top_sources": q_documents_top_sources,  # top-k frequent
+        # values per group (pair-count exchange; QUALIFY oracle)
         "documents_gopher": q_documents_gopher,      # composition of
         # in-window-verified signals (repetition, quality, token counts)
         "lineitem_orders_join": q_lineitem_orders_join,  # sibling:
@@ -2961,6 +2981,14 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT 'es' AS source, doc_id FROM documents WHERE lang='es' "
             "AND ((doc_id + 1002) * 2654435761) % 4294967296 < 1073741824"
+        ),
+        # grouped top frequent values: count desc, value asc tie-break
+        "documents_top_sources": (
+            "WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n "
+            "FROM documents GROUP BY lang, source) "
+            "SELECT lang, source, n FROM c "
+            "QUALIFY row_number() OVER (PARTITION BY lang "
+            "ORDER BY n DESC, source) <= 2 ORDER BY lang, source"
         ),
         # FD check: distinct dependent count + conflict-set bounds per key
         "events_fd": (

@@ -71,3 +71,46 @@ def grouped_top_k(ds, group_column: str, sort_keys: list[tuple[str, str]],
 
     parts = partials.repartition(P).materialize()
     return parts.groupby("part").map_groups(per_part, batch_format="pandas")
+
+
+def grouped_top_values(ds, group_column: str, value_column: str, k: int,
+                       n_parts: int | None = None):
+    """Top-k most frequent values PER GROUP — the categorical profile of a
+    column within each segment (top event types per user, top domains per
+    language, ...). Exact counts, deterministic ties (count desc, value
+    asc).
+
+    Scale shape: each batch collapses to its (group, value, n) counts (one
+    row per distinct pair per batch), ONE hash(group) coarse-partition
+    exchange of the count partials, per-partition sum + per-group head(k).
+    Unlike grouped_top_k the partials canNOT be truncated to k before the
+    exchange (a value's global count accumulates across batches), so the
+    exchange moves one row per distinct pair per batch — fine for
+    bounded-cardinality value columns; for unbounded ones compose a
+    sketches.heavy_hitters pre-filter. Null groups and null values are
+    dropped. Returns a Dataset of (group, value, n)."""
+    import pandas as pd
+
+    from .dedup import _next_pow2, _shuffle_parts
+    from .sketches import hash_arrow_array
+
+    P = _next_pow2(n_parts or _shuffle_parts())
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[group_column, value_column]].dropna()
+        g = d.groupby([group_column, value_column], sort=False).size() \
+            .reset_index(name="n")
+        h = hash_arrow_array(g[group_column])
+        return g.assign(part=(h % np.uint64(P)).astype("int32"))
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby([group_column, value_column], sort=False)["n"] \
+            .sum().reset_index()
+        g = g.sort_values([group_column, "n", value_column],
+                          ascending=[True, False, True], kind="stable")
+        out = g.groupby(group_column, sort=False).head(k)
+        return out.assign(n=out["n"].astype("int64"))
+
+    parts = ds.map_batches(partial, batch_format="pandas") \
+        .repartition(P).materialize()
+    return parts.groupby("part").map_groups(per_part, batch_format="pandas")

@@ -1056,6 +1056,32 @@ def test_resample_by_group(ray_session):
     assert len(collect_rows(out1)) == sum(sizes.values())
 
 
+def test_grouped_top_values(ray_session):
+    """Exact cross-batch counts, count-desc value-asc tie-break, nulls
+    dropped, partitioning-independent."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.topk import grouped_top_values
+    from gojsonschema_ray.util import collect_rows
+
+    rng = np.random.default_rng(7)
+    g = rng.integers(0, 5, 4000)
+    v = rng.choice(list("abcdefg"), 4000)
+    df = pd.DataFrame({"g": g, "v": v})
+    df.loc[:10, "v"] = None
+    exp = df.dropna().groupby(["g", "v"]).size().reset_index(name="n")
+    exp = exp.sort_values(["g", "n", "v"], ascending=[True, False, True])
+    exp = exp.groupby("g").head(2)
+    exp_set = set(map(tuple, exp.itertuples(index=False)))
+
+    for parts in (3, 8):
+        rows = collect_rows(grouped_top_values(
+            rd.from_pandas(df).repartition(parts), "g", "v", 2))
+        got = {(r["g"], r["v"], r["n"]) for r in rows}
+        assert got == exp_set
+
+
 def test_fd_violations(ray_session):
     """Violating keys only, with distinct counts and min/max of the
     conflict set; null dependents ignored, null determinants dropped;
