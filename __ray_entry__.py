@@ -688,6 +688,44 @@ def q_documents_top_sources(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["lang", "source"]).reset_index(drop=True)
 
 
+def q_drift_by_type(sf_dir: str) -> pd.DataFrame:
+    """Per-SEGMENT drift (stages/drift.psi_by_group): KS/PSI of the events
+    value column between the first and second half of the stream, computed
+    independently per event_type over the same fixed x.xx5-offset bins as
+    drift_events_fixed — the "which segment drifted" variant. One
+    (group,bin,count)-partial scan per side, driver folds the small
+    group x bin matrix. Oracle: the drift_events_fixed SQL with a group
+    dimension on the spine."""
+    from gojsonschema_ray.stages.drift import psi_by_group
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    lo = hi = None
+    for r in collect_rows(ds.map_batches(
+            lambda t: pa.table({"mn": [pc.min(t["ts"]).as_py()],
+                                "mx": [pc.max(t["ts"]).as_py()]}),
+            batch_format="pyarrow")):
+        lo = r["mn"] if lo is None else min(lo, r["mn"])
+        hi = r["mx"] if hi is None else max(hi, r["mx"])
+    lo_us = pd.Timestamp(lo).value // 1000
+    hi_us = pd.Timestamp(hi).value // 1000
+    mid = pa.scalar(pd.Timestamp((lo_us + (hi_us - lo_us) // 2) * 1000)
+                    .to_datetime64())
+    first = ds.map_batches(lambda t: t.filter(pc.less(t["ts"], mid)),
+                           batch_format="pyarrow")
+    second = ds.map_batches(lambda t: t.filter(pc.greater_equal(t["ts"],
+                                                                mid)),
+                            batch_format="pyarrow")
+    edges = np.linspace(-0.005, 599.995, 21)
+    out = psi_by_group(first, second, "event_type", "value", edges)
+    return pd.DataFrame({
+        "event_type": out["event_type"].astype("object"),
+        "ks": out["ks"].round(4),
+        "psi": out["psi"].round(4),
+        "drifted": out["drifted"].astype("bool"),
+    }).sort_values("event_type").reset_index(drop=True)
+
+
 def q_documents_curate(sf_dir: str) -> pd.DataFrame:
     """END-TO-END curation (pipelines/curation.curate_documents): Gopher
     quality filter → keep-first exact dedup → char-20-gram decontamination
@@ -2267,6 +2305,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (cross-row dependencies keyword; HAVING count(DISTINCT)>1 oracle)
         "documents_top_sources": q_documents_top_sources,  # top-k frequent
         # values per group (pair-count exchange; QUALIFY oracle)
+        "drift_by_type": q_drift_by_type,  # per-segment KS/PSI drift
+        # (grouped fixed-bin variant of the in-window drift_events_fixed)
         "documents_gopher": q_documents_gopher,      # composition of
         # in-window-verified signals (repetition, quality, token counts)
         "lineitem_orders_join": q_lineitem_orders_join,  # sibling:
@@ -2981,6 +3021,40 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT 'es' AS source, doc_id FROM documents WHERE lang='es' "
             "AND ((doc_id + 1002) * 2654435761) % 4294967296 < 1073741824"
+        ),
+        # per-segment drift: drift_events_fixed's SQL with a group
+        # dimension (spine = distinct types x sides x bins; zero-filled)
+        "drift_by_type": (
+            "WITH b AS (SELECT epoch_us(min(ts)) AS lo_us, "
+            "epoch_us(max(ts)) AS hi_us FROM events), "
+            "binned AS (SELECT event_type AS g, CASE WHEN epoch_us(ts) < "
+            "(SELECT lo_us + (hi_us - lo_us) // 2 FROM b) THEN 0 ELSE 1 END "
+            "AS side, "
+            "CASE WHEN value < -0.005 THEN 0 WHEN value > 599.995 THEN 21 "
+            "ELSE CAST(floor((value + 0.005) / 30.0) AS INT) + 1 END AS bin "
+            "FROM events), "
+            "counts AS (SELECT g, side, bin, count(*) AS c FROM binned "
+            "GROUP BY 1, 2, 3), "
+            "spine AS (SELECT gs.g, s.side, bseq.generate_series AS bin "
+            "FROM (SELECT DISTINCT event_type AS g FROM events) gs, "
+            "(VALUES (0), (1)) s(side), generate_series(0, 21) bseq), "
+            "filled AS (SELECT sp.g, sp.side, sp.bin, COALESCE(c.c, 0) AS c "
+            "FROM spine sp LEFT JOIN counts c "
+            "ON sp.g = c.g AND sp.side = c.side AND sp.bin = c.bin), "
+            "tot AS (SELECT g, side, greatest(sum(c), 1) AS t FROM filled "
+            "GROUP BY 1, 2), "
+            "cum AS (SELECT f.g, f.side, f.bin, "
+            "sum(f.c) OVER (PARTITION BY f.g, f.side ORDER BY f.bin) * 1.0 "
+            "/ t.t AS cdf, f.c * 1.0 / t.t AS p FROM filled f JOIN tot t "
+            "ON f.g = t.g AND f.side = t.side), "
+            "pairs AS (SELECT a.g, a.bin, a.cdf AS ca, b2.cdf AS cb, "
+            "greatest(a.p, 1e-6) AS pa, greatest(b2.p, 1e-6) AS pb "
+            "FROM cum a JOIN cum b2 ON a.g = b2.g AND a.bin = b2.bin "
+            "AND a.side = 0 AND b2.side = 1) "
+            "SELECT g AS event_type, round(max(abs(ca - cb)), 4) AS ks, "
+            "round(sum((pa - pb) * ln(pa / pb)), 4) AS psi, "
+            "(max(abs(ca - cb)) > 0.1 OR sum((pa - pb) * ln(pa / pb)) > 0.2) "
+            "AS drifted FROM pairs GROUP BY g ORDER BY g"
         ),
         # grouped top frequent values: count desc, value asc tie-break
         "documents_top_sources": (

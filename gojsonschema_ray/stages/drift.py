@@ -192,3 +192,79 @@ def drift_report(ds_ref, ds_new, columns: list[str], bins: int = 64,
             "drifted": bool(ks > ks_threshold or p > psi_threshold),
         }
     return report
+
+
+class GroupedHistogramStage:
+    """map_batches payload: fixed-edge histogram partials PER GROUP —
+    (group, bin, count) rows per batch, merged on the driver. Binning
+    matches HistogramStage/np.histogram exactly: bin 0 = underflow,
+    1..len(edges)-1 = [e_i, e_{i+1}) left-closed with the last interior
+    bin right-closed, len(edges) = overflow."""
+
+    def __init__(self, group_column: str, value_column: str,
+                 edges: np.ndarray):
+        self.group_column = group_column
+        self.value_column = value_column
+        self.edges = np.asarray(edges, dtype=np.float64)
+
+    def __call__(self, df):
+        import pandas as pd
+        d = df[[self.group_column, self.value_column]].dropna()
+        v = d[self.value_column].to_numpy(dtype=np.float64)
+        keep = np.isfinite(v)
+        d, v = d[keep], v[keep]
+        b = np.searchsorted(self.edges, v, side="right")
+        b[v == self.edges[-1]] = len(self.edges) - 1
+        out = pd.DataFrame({"g": d[self.group_column].to_numpy(),
+                            "bin": b.astype("int32")})
+        return out.groupby(["g", "bin"], sort=False).size() \
+            .reset_index(name="n")
+
+
+def psi_by_group(ds_ref, ds_new, group_column: str, value_column: str,
+                 edges, ks_threshold: float = 0.1,
+                 psi_threshold: float = 0.2):
+    """Per-SEGMENT drift: KS/PSI of `value_column` between two datasets
+    computed independently for every group value — "did the quality score
+    drift, and for WHICH language/source/shard?" The whole-table
+    drift_report_fixed answer can read clean while one segment collapses;
+    this is the per-segment variant over the same caller-fixed closed-form
+    bins (SQL-oracle-checkable, unlike digest-derived edges).
+
+    Scale shape: ONE scan per side emitting (group, bin, count) partials
+    (each batch collapses to ≤ groups×bins rows), driver fold over the
+    small group×bin matrix — low-cardinality grouping columns, same
+    contract as sampling.group_counts. Groups seen on either side are
+    reported; a side with no rows for a group counts as all-zero (PSI then
+    reads the eps-clipped maximum, flagging the appearance/disappearance).
+    Returns a pandas DataFrame (group, ks, psi, drifted) sorted by group.
+    """
+    import pandas as pd
+
+    from ..util import collect_rows
+
+    edges = np.asarray(edges, dtype=np.float64)
+    nbins = len(edges) + 1
+
+    def fold(ds):
+        stage = GroupedHistogramStage(group_column, value_column, edges)
+        acc: dict = {}
+        for r in collect_rows(ds.map_batches(stage, batch_format="pandas")):
+            arr = acc.get(r["g"])
+            if arr is None:
+                arr = acc[r["g"]] = np.zeros(nbins, dtype=np.int64)
+            arr[r["bin"]] += r["n"]
+        return acc
+
+    ha, hb = fold(ds_ref), fold(ds_new)
+    zeros = np.zeros(nbins, dtype=np.int64)
+    rows = []
+    for g in sorted(set(ha) | set(hb)):
+        ca, cb = ha.get(g, zeros), hb.get(g, zeros)
+        ks = ks_statistic(ca, cb)
+        p = psi(ca, cb)
+        rows.append({group_column: g, "ks": ks, "psi": p,
+                     "drifted": bool(ks > ks_threshold
+                                     or p > psi_threshold)})
+    return pd.DataFrame(rows,
+                        columns=[group_column, "ks", "psi", "drifted"])

@@ -1056,6 +1056,43 @@ def test_resample_by_group(ray_session):
     assert len(collect_rows(out1)) == sum(sizes.values())
 
 
+def test_psi_by_group(ray_session):
+    """Per-group KS/PSI equals the scalar ks_statistic/psi on each group's
+    own histogram; one-sided groups are reported against zero counts."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.drift import (ks_statistic, psi,
+                                               psi_by_group)
+
+    rng = np.random.default_rng(3)
+    a = pd.DataFrame({"g": rng.choice(["x", "y"], 3000),
+                      "v": rng.uniform(0, 10, 3000)})
+    b = pd.DataFrame({"g": rng.choice(["x", "y"], 3000),
+                      "v": rng.uniform(0, 10, 3000)})
+    b.loc[b["g"] == "y", "v"] += 4.0          # y drifts, x does not
+    b = pd.concat([b, pd.DataFrame({"g": ["z"] * 50,
+                                    "v": [5.0] * 50})], ignore_index=True)
+    edges = np.linspace(0.0, 10.0, 11)
+    out = psi_by_group(rd.from_pandas(a).repartition(3),
+                       rd.from_pandas(b).repartition(4), "g", "v", edges)
+    assert list(out["g"]) == ["x", "y", "z"]
+
+    def hist(df, g):
+        v = df.loc[df["g"] == g, "v"].to_numpy()
+        h, _ = np.histogram(v, bins=edges)
+        return np.array([(v < 0).sum(), *h, (v > 10).sum()], np.int64)
+
+    for g, side_b in (("x", b), ("y", b)):
+        row = out[out["g"] == g].iloc[0]
+        np.testing.assert_allclose(
+            row["ks"], ks_statistic(hist(a, g), hist(side_b, g)))
+        np.testing.assert_allclose(
+            row["psi"], psi(hist(a, g), hist(side_b, g)))
+    x, y, z = out.iloc[0], out.iloc[1], out.iloc[2]
+    assert not x["drifted"] and y["drifted"] and z["drifted"]
+
+
 def test_grouped_top_values(ray_session):
     """Exact cross-batch counts, count-desc value-asc tie-break, nulls
     dropped, partitioning-independent."""
