@@ -726,6 +726,25 @@ def q_drift_by_type(sf_dir: str) -> pd.DataFrame:
     }).sort_values("event_type").reset_index(drop=True)
 
 
+def q_events_cooccurrence(sf_dir: str) -> pd.DataFrame:
+    """Event-type co-occurrence support (stages/assoc.cooccurrence_pairs):
+    for each unordered pair of event types, how many users performed both —
+    distinct-pair partials + hash(key) exchange for per-key pair
+    generation + hash(pair) exchange for support counts; no all-pairs pass.
+    Oracle: distinct-pair self-join GROUP BY."""
+    from gojsonschema_ray.stages.assoc import cooccurrence_pairs
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    rows = collect_rows(cooccurrence_pairs(ds, "user_id", "event_type"))
+    df = pd.DataFrame({
+        "v1": pd.Series([r["v1"] for r in rows], dtype="object"),
+        "v2": pd.Series([r["v2"] for r in rows], dtype="object"),
+        "n": pd.Series([r["n"] for r in rows], dtype="int64"),
+    })
+    return df.sort_values(["v1", "v2"]).reset_index(drop=True)
+
+
 def q_documents_curate(sf_dir: str) -> pd.DataFrame:
     """END-TO-END curation (pipelines/curation.curate_documents): Gopher
     quality filter → keep-first exact dedup → char-20-gram decontamination
@@ -2307,6 +2326,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # values per group (pair-count exchange; QUALIFY oracle)
         "drift_by_type": q_drift_by_type,  # per-segment KS/PSI drift
         # (grouped fixed-bin variant of the in-window drift_events_fixed)
+        "events_cooccurrence": q_events_cooccurrence,  # pair-support
+        # association mining (two coarse exchanges; self-join oracle)
         "documents_gopher": q_documents_gopher,      # composition of
         # in-window-verified signals (repetition, quality, token counts)
         "lineitem_orders_join": q_lineitem_orders_join,  # sibling:
@@ -3021,6 +3042,14 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT 'es' AS source, doc_id FROM documents WHERE lang='es' "
             "AND ((doc_id + 1002) * 2654435761) % 4294967296 < 1073741824"
+        ),
+        # pair support: distinct (key,value) self-join, v1 < v2
+        "events_cooccurrence": (
+            "WITH d AS (SELECT DISTINCT user_id, event_type FROM events) "
+            "SELECT a.event_type AS v1, b.event_type AS v2, "
+            "CAST(count(*) AS BIGINT) AS n FROM d a JOIN d b "
+            "ON a.user_id = b.user_id AND a.event_type < b.event_type "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         # per-segment drift: drift_events_fixed's SQL with a group
         # dimension (spine = distinct types x sides x bins; zero-filled)

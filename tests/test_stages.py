@@ -1056,6 +1056,46 @@ def test_resample_by_group(ray_session):
     assert len(collect_rows(out1)) == sum(sizes.values())
 
 
+def test_cooccurrence_pairs(ray_session):
+    """Pair support equals the distinct-pair self-join; duplicates inside
+    a key collapse; nulls dropped; max_values_per_key drops degenerate
+    keys; min_count filters."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.assoc import cooccurrence_pairs
+    from gojsonschema_ray.util import collect_rows
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({"k": rng.integers(0, 200, 5000),
+                       "v": rng.choice(list("abcde"), 5000)})
+    df.loc[:20, "v"] = None
+    d = df.dropna().drop_duplicates()
+    j = d.merge(d, on="k")
+    j = j[j["v_x"] < j["v_y"]]
+    exp = j.groupby(["v_x", "v_y"]).size()
+    exp_set = {(a, b, n) for (a, b), n in exp.items()}
+
+    rows = collect_rows(cooccurrence_pairs(
+        rd.from_pandas(df).repartition(5), "k", "v"))
+    got = {(r["v1"], r["v2"], r["n"]) for r in rows}
+    assert got == exp_set
+
+    rows2 = collect_rows(cooccurrence_pairs(
+        rd.from_pandas(df).repartition(5), "k", "v",
+        min_count=int(exp.median())))
+    assert {(r["v1"], r["v2"], r["n"]) for r in rows2} == \
+        {t for t in exp_set if t[2] >= int(exp.median())}
+
+    # degenerate-key cap: key 999 holds 30 distinct values -> dropped
+    wide = pd.DataFrame({"k": [999] * 30, "v": [f"w{i}" for i in range(30)]})
+    both = pd.concat([df.dropna(), wide], ignore_index=True)
+    rows3 = collect_rows(cooccurrence_pairs(
+        rd.from_pandas(both).repartition(4), "k", "v",
+        max_values_per_key=10))
+    assert {(r["v1"], r["v2"], r["n"]) for r in rows3} == exp_set
+
+
 def test_psi_by_group(ray_session):
     """Per-group KS/PSI equals the scalar ks_statistic/psi on each group's
     own histogram; one-sided groups are reported against zero counts."""
