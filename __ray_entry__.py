@@ -745,6 +745,28 @@ def q_events_cooccurrence(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["v1", "v2"]).reset_index(drop=True)
 
 
+def q_events_transitions(sf_dir: str) -> pd.DataFrame:
+    """Markov transition profile (stages/window.transition_counts): counts
+    of consecutive event-type transitions within each user's time-ordered
+    stream (event_id breaks ts ties) — one hash(key) co-partition + lag
+    pairing, pair-count partials exchanged for the global sum. Oracle:
+    lag() OVER (PARTITION BY user ORDER BY ts, event_id) paired + counted.
+    """
+    from gojsonschema_ray.stages.window import transition_counts
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+    rows = collect_rows(transition_counts(
+        ds, "user_id", "ts", "event_type", order_columns=("event_id",)))
+    df = pd.DataFrame({
+        "v_from": pd.Series([r["v_from"] for r in rows], dtype="object"),
+        "v_to": pd.Series([r["v_to"] for r in rows], dtype="object"),
+        "n": pd.Series([r["n"] for r in rows], dtype="int64"),
+    })
+    return df.sort_values(["v_from", "v_to"]).reset_index(drop=True)
+
+
 def q_documents_curate(sf_dir: str) -> pd.DataFrame:
     """END-TO-END curation (pipelines/curation.curate_documents): Gopher
     quality filter → keep-first exact dedup → char-20-gram decontamination
@@ -2328,6 +2350,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (grouped fixed-bin variant of the in-window drift_events_fixed)
         "events_cooccurrence": q_events_cooccurrence,  # pair-support
         # association mining (two coarse exchanges; self-join oracle)
+        "events_transitions": q_events_transitions,  # Markov transition
+        # counts (lag pairing per key; window-lag SQL oracle)
         "documents_gopher": q_documents_gopher,      # composition of
         # in-window-verified signals (repetition, quality, token counts)
         "lineitem_orders_join": q_lineitem_orders_join,  # sibling:
@@ -3042,6 +3066,14 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT 'es' AS source, doc_id FROM documents WHERE lang='es' "
             "AND ((doc_id + 1002) * 2654435761) % 4294967296 < 1073741824"
+        ),
+        # transition counts: lag pairing, event_id breaks ts ties
+        "events_transitions": (
+            "WITH l AS (SELECT event_type AS v_to, "
+            "lag(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS v_from FROM events) "
+            "SELECT v_from, v_to, CAST(count(*) AS BIGINT) AS n FROM l "
+            "WHERE v_from IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         # pair support: distinct (key,value) self-join, v1 < v2
         "events_cooccurrence": (

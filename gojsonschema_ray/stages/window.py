@@ -395,3 +395,61 @@ def funnel_by_key(ds, key_column: str, ts_column: str, type_column: str,
     parts = ds.map_batches(project, batch_format="pyarrow") \
         .repartition(P).materialize()
     return parts.groupby("part").map_groups(per_part, batch_format="pandas")
+
+
+def transition_counts(ds, key_column: str, ts_column: str,
+                      value_column: str, order_columns: tuple = (),
+                      n_parts: int | None = None):
+    """Markov transition profile of an event stream: counts of consecutive
+    (v_from, v_to) value transitions within each key's time-ordered
+    sequence, summed across keys — the first-order sequence-mining
+    complement of funnel_by_key (which asks "did the fixed path complete";
+    this asks "what paths do keys actually take"). SQL equivalent:
+    lag(value) OVER (PARTITION BY key ORDER BY ts[, tiebreaks]) paired
+    with value, counted.
+
+    Scale shape: ONE hash(key) co-partition exchange (rows-per-key bounds
+    one partition, as in lag_by_key), per-partition vectorized sort +
+    groupby.shift, then per-partition (v_from, v_to) pre-counts exchanged
+    on a coarse hash(pair) partition for the global sum — transition rows
+    never leave their key's partition, only the ≤|V|² count partials move.
+    Null values participate as sequence positions but pairs with a null
+    side are dropped (lag semantics). Returns (v_from, v_to, n)."""
+    from .dedup import _next_pow2, _shuffle_parts
+    from .sketches import hash_arrow_array
+
+    P = _next_pow2(n_parts or _shuffle_parts())
+    order = [ts_column, *order_columns]
+
+    def project(t: pa.Table) -> pa.Table:
+        cols = {c: t[c] for c in dict.fromkeys(
+            [key_column, *order, value_column])}
+        part = (hash_arrow_array(t[key_column])
+                % np.uint64(P)).astype(np.int32)
+        cols["part"] = pa.array(part)
+        return pa.table(cols)
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_column, *order], kind="stable")
+        prev = df.groupby(key_column, sort=False, dropna=False)[
+            value_column].shift(1)
+        pairs = pd.DataFrame({"v_from": prev,
+                              "v_to": df[value_column]}).dropna()
+        g = pairs.groupby(["v_from", "v_to"], sort=False).size() \
+            .reset_index(name="cnt")
+        g["cnt"] = g["cnt"].astype("int64")
+        h = hash_arrow_array(g["v_from"].astype(str) + "\x1f"
+                             + g["v_to"].astype(str))
+        return g.assign(part2=(h % np.uint64(P)).astype("int32"))
+
+    def per_pair(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["v_from", "v_to"], sort=False,
+                       as_index=False)["cnt"].sum()
+        return g.rename(columns={"cnt": "n"})
+
+    parts = ds.map_batches(project, batch_format="pyarrow") \
+        .repartition(P).materialize()
+    partials = parts.groupby("part").map_groups(per_part,
+                                                batch_format="pandas")
+    return partials.repartition(P).materialize() \
+        .groupby("part2").map_groups(per_pair, batch_format="pandas")

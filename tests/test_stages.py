@@ -1056,6 +1056,37 @@ def test_resample_by_group(ray_session):
     assert len(collect_rows(out1)) == sum(sizes.values())
 
 
+def test_transition_counts(ray_session):
+    """Transition counts equal the pandas lag replica; ties broken by the
+    order columns; cross-key boundaries never pair; partitioning-free."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.window import transition_counts
+    from gojsonschema_ray.util import collect_rows
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 100, n),
+        "ts": rng.integers(0, 10**6, n),
+        "seq": np.arange(n, dtype="int64"),
+        "v": rng.choice(list("abcd"), n),
+    })
+    d = df.sort_values(["k", "ts", "seq"], kind="stable")
+    prev = d.groupby("k")["v"].shift(1)
+    exp = pd.DataFrame({"f": prev, "t": d["v"]}).dropna() \
+        .groupby(["f", "t"]).size()
+    exp_set = {(f, t, c) for (f, t), c in exp.items()}
+
+    for parts in (3, 9):
+        rows = collect_rows(transition_counts(
+            rd.from_pandas(df).repartition(parts), "k", "ts", "v",
+            order_columns=("seq",)))
+        got = {(r["v_from"], r["v_to"], r["n"]) for r in rows}
+        assert got == exp_set
+
+
 def test_cooccurrence_pairs(ray_session):
     """Pair support equals the distinct-pair self-join; duplicates inside
     a key collapse; nulls dropped; max_values_per_key drops degenerate
