@@ -767,6 +767,26 @@ def q_events_transitions(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["v_from", "v_to"]).reset_index(drop=True)
 
 
+def q_events_retention(sf_dir: str) -> pd.DataFrame:
+    """Weekly cohort retention (stages/window.retention_cohorts): users
+    cohorted by the absolute week index (epoch_us // week_us, calendar-free
+    integer floor) of their first event; n = distinct users of cohort c
+    active again o weeks later. One hash(key) co-partition (cohort = local
+    min) + one coarse pair-count exchange. Oracle: the same integer
+    arithmetic via min() OVER and GROUP BY."""
+    from gojsonschema_ray.stages.window import retention_cohorts
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    rows = collect_rows(retention_cohorts(ds, "user_id", "ts"))
+    df = pd.DataFrame({
+        "cohort": pd.Series([r["cohort"] for r in rows], dtype="int64"),
+        "offset": pd.Series([r["offset"] for r in rows], dtype="int64"),
+        "n": pd.Series([r["n"] for r in rows], dtype="int64"),
+    })
+    return df.sort_values(["cohort", "offset"]).reset_index(drop=True)
+
+
 def q_documents_curate(sf_dir: str) -> pd.DataFrame:
     """END-TO-END curation (pipelines/curation.curate_documents): Gopher
     quality filter → keep-first exact dedup → char-20-gram decontamination
@@ -2352,6 +2372,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # association mining (two coarse exchanges; self-join oracle)
         "events_transitions": q_events_transitions,  # Markov transition
         # counts (lag pairing per key; window-lag SQL oracle)
+        "events_retention": q_events_retention,  # weekly cohort retention
+        # (calendar-free week index; integer-arithmetic SQL oracle)
         "documents_gopher": q_documents_gopher,      # composition of
         # in-window-verified signals (repetition, quality, token counts)
         "lineitem_orders_join": q_lineitem_orders_join,  # sibling:
@@ -3066,6 +3088,16 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT 'es' AS source, doc_id FROM documents WHERE lang='es' "
             "AND ((doc_id + 1002) * 2654435761) % 4294967296 < 1073741824"
+        ),
+        # cohort retention: absolute week index, distinct (user, week)
+        "events_retention": (
+            "WITH p AS (SELECT DISTINCT user_id, "
+            "epoch_us(ts) // 604800000000 AS period FROM events), "
+            "c AS (SELECT user_id, period, "
+            "min(period) OVER (PARTITION BY user_id) AS cohort FROM p) "
+            "SELECT cohort, period - cohort AS \"offset\", "
+            "CAST(count(*) AS BIGINT) AS n FROM c "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         # transition counts: lag pairing, event_id breaks ts ties
         "events_transitions": (

@@ -453,3 +453,60 @@ def transition_counts(ds, key_column: str, ts_column: str,
                                                 batch_format="pandas")
     return partials.repartition(P).materialize() \
         .groupby("part2").map_groups(per_pair, batch_format="pandas")
+
+
+def retention_cohorts(ds, key_column: str, ts_column: str,
+                      period_s: int = 7 * 86400,
+                      n_parts: int | None = None):
+    """Cohort retention matrix — the classic engagement analysis: keys are
+    cohorted by the period of their FIRST event (absolute period index =
+    epoch_us // (period_s·10⁶), integer floor — deliberately calendar-free
+    so the SQL replica is exact integer arithmetic, no date_trunc
+    semantics), and n counts the distinct keys of cohort c active again at
+    offset o periods later. Row (cohort, offset=0) is the cohort size.
+
+    Scale shape: per-batch distinct (key, period) pairs → ONE hash(key)
+    co-partition exchange (a key's full history lands in one partition, so
+    its cohort = min(period) is computable locally), per-partition
+    vectorized cohort/offset derivation + (cohort, offset) pre-counts →
+    ONE coarse hash(pair) exchange of the ≤periods² count partials. Null
+    keys/timestamps dropped. Returns (cohort, offset, n)."""
+    from .dedup import _next_pow2, _shuffle_parts
+    from .sketches import hash_arrow_array
+
+    P = _next_pow2(n_parts or _shuffle_parts())
+    div = int(period_s) * 1_000_000
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[key_column, ts_column]].dropna()
+        # datetime64[ns] and [us] batches both normalize to exact µs
+        us = d[ts_column].to_numpy().astype("datetime64[us]").astype(
+            "int64")
+        out = pd.DataFrame({"k": d[key_column].to_numpy(),
+                            "period": us // div}).drop_duplicates()
+        h = hash_arrow_array(out["k"])
+        return out.assign(part=(h % np.uint64(P)).astype("int32"))
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["k", "period"])
+        cohort = d.groupby("k", sort=False)["period"].transform("min")
+        g = pd.DataFrame({"cohort": cohort,
+                          "offset": d["period"] - cohort}) \
+            .groupby(["cohort", "offset"], sort=False).size() \
+            .reset_index(name="cnt")
+        g["cnt"] = g["cnt"].astype("int64")
+        h = hash_arrow_array(g["cohort"].astype(str) + "\x1f"
+                             + g["offset"].astype(str))
+        return g.assign(part2=(h % np.uint64(P)).astype("int32"))
+
+    def per_cell(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["cohort", "offset"], sort=False,
+                       as_index=False)["cnt"].sum()
+        return g.rename(columns={"cnt": "n"})
+
+    parts = ds.map_batches(partial, batch_format="pandas") \
+        .repartition(P).materialize()
+    partials = parts.groupby("part").map_groups(per_part,
+                                                batch_format="pandas")
+    return partials.repartition(P).materialize() \
+        .groupby("part2").map_groups(per_cell, batch_format="pandas")

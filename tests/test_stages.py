@@ -1056,6 +1056,42 @@ def test_resample_by_group(ray_session):
     assert len(collect_rows(out1)) == sum(sizes.values())
 
 
+def test_retention_cohorts(ray_session):
+    """Cohort/offset cells equal the pandas replica; (cohort, 0) is the
+    cohort size; within-period duplicates collapse; partitioning-free."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.window import retention_cohorts
+    from gojsonschema_ray.util import collect_rows
+
+    rng = np.random.default_rng(9)
+    n = 5000
+    base = pd.Timestamp("2024-01-01").value // 1000  # us
+    week = 7 * 86400 * 1_000_000
+    us = base + rng.integers(0, 12 * week, n)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 400, n),
+        "ts": pd.to_datetime(us, unit="us"),
+    })
+    period = pd.Series(us // week)
+    d = pd.DataFrame({"k": df["k"], "p": period}).drop_duplicates()
+    cohort = d.groupby("k")["p"].transform("min")
+    exp = pd.DataFrame({"c": cohort, "o": d["p"] - cohort}) \
+        .groupby(["c", "o"]).size()
+    exp_set = {(c, o, int(v)) for (c, o), v in exp.items()}
+
+    for parts in (3, 8):
+        rows = collect_rows(retention_cohorts(
+            rd.from_pandas(df).repartition(parts), "k", "ts"))
+        got = {(r["cohort"], r["offset"], r["n"]) for r in rows}
+        assert got == exp_set
+    # cohort size at offset 0 = distinct keys first seen that period
+    sizes = {c: v for (c, o, v) in exp_set if o == 0}
+    firsts = d.groupby("k")["p"].min().value_counts().to_dict()
+    assert sizes == {int(k): int(v) for k, v in firsts.items()}
+
+
 def test_transition_counts(ray_session):
     """Transition counts equal the pandas lag replica; ties broken by the
     order columns; cross-key boundaries never pair; partitioning-free."""
