@@ -787,6 +787,20 @@ def q_events_retention(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["cohort", "offset"]).reset_index(drop=True)
 
 
+def q_events_association(sf_dir: str) -> pd.DataFrame:
+    """Association-rule supports (stages/assoc.association_support):
+    pair support + per-value distinct-user supports — the integer-exact
+    confidence/lift inputs. Oracle: distinct self-join + per-value counts
+    joined."""
+    from gojsonschema_ray.stages.assoc import association_support
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    df = association_support(ds, "user_id", "event_type")
+    df["v1"] = df["v1"].astype("object")
+    df["v2"] = df["v2"].astype("object")
+    return df
+
+
 def q_documents_curate(sf_dir: str) -> pd.DataFrame:
     """END-TO-END curation (pipelines/curation.curate_documents): Gopher
     quality filter → keep-first exact dedup → char-20-gram decontamination
@@ -2374,6 +2388,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # counts (lag pairing per key; window-lag SQL oracle)
         "events_retention": q_events_retention,  # weekly cohort retention
         # (calendar-free week index; integer-arithmetic SQL oracle)
+        "events_association": q_events_association,  # pair + value
+        # supports (sibling: events_cooccurrence; adds grouped_nunique leg)
         "documents_gopher": q_documents_gopher,      # composition of
         # in-window-verified signals (repetition, quality, token counts)
         "lineitem_orders_join": q_lineitem_orders_join,  # sibling:
@@ -3088,6 +3104,19 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT 'es' AS source, doc_id FROM documents WHERE lang='es' "
             "AND ((doc_id + 1002) * 2654435761) % 4294967296 < 1073741824"
+        ),
+        # association supports: pair counts + per-value distinct keys
+        "events_association": (
+            "WITH d AS (SELECT DISTINCT user_id, event_type FROM events), "
+            "vc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nv "
+            "FROM d GROUP BY 1), "
+            "pc AS (SELECT a.event_type AS v1, b.event_type AS v2, "
+            "CAST(count(*) AS BIGINT) AS n_pair FROM d a JOIN d b "
+            "ON a.user_id = b.user_id AND a.event_type < b.event_type "
+            "GROUP BY 1, 2) "
+            "SELECT pc.v1, pc.v2, pc.n_pair, va.nv AS n1, vb.nv AS n2 "
+            "FROM pc JOIN vc va ON pc.v1 = va.event_type "
+            "JOIN vc vb ON pc.v2 = vb.event_type ORDER BY v1, v2"
         ),
         # cohort retention: absolute week index, distinct (user, week)
         "events_retention": (

@@ -97,3 +97,38 @@ def cooccurrence_pairs(ds, key_column: str, value_column: str, *,
     by_pair = by_key.repartition(P).materialize() \
         .groupby("part2").map_groups(per_pair, batch_format="pandas")
     return by_pair
+
+
+def association_support(ds, key_column: str, value_column: str, *,
+                        min_count: int = 1,
+                        max_values_per_key: int | None = None,
+                        n_parts: int | None = None):
+    """Association-rule support table: (v1, v2, n_pair, n1, n2) — pair
+    support plus each value's own distinct-key support, the exact integer
+    numerators/denominators of confidence (n_pair/n1) and lift
+    (n_pair·N/(n1·n2)); emitting the integers keeps the result
+    float-free and exactly SQL-checkable. v1 < v2; n_pair >= min_count.
+
+    Composes cooccurrence_pairs (two coarse exchanges) with a per-value
+    distinct-key count (uniqueness.grouped_nunique — one more coarse
+    exchange); the driver joins the |V|² pair rows against the |V| value
+    supports. `ds` is consumed twice — pass a re-readable pipeline or a
+    materialized Dataset. Returns a pandas DataFrame sorted by (v1, v2)."""
+    import pandas as pd
+
+    from ..util import collect_rows
+    from .uniqueness import grouped_nunique
+
+    pairs = collect_rows(cooccurrence_pairs(
+        ds, key_column, value_column, min_count=min_count,
+        max_values_per_key=max_values_per_key, n_parts=n_parts))
+    support = {r[value_column]: int(r["n_distinct"]) for r in
+               collect_rows(grouped_nunique(ds, value_column, key_column,
+                                            n_parts=n_parts))}
+    rows = [{"v1": r["v1"], "v2": r["v2"], "n_pair": int(r["n"]),
+             "n1": support[r["v1"]], "n2": support[r["v2"]]}
+            for r in pairs]
+    df = pd.DataFrame(rows, columns=["v1", "v2", "n_pair", "n1", "n2"])
+    if len(df):
+        df = df.astype({"n_pair": "int64", "n1": "int64", "n2": "int64"})
+    return df.sort_values(["v1", "v2"]).reset_index(drop=True)

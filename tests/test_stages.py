@@ -1056,6 +1056,30 @@ def test_resample_by_group(ray_session):
     assert len(collect_rows(out1)) == sum(sizes.values())
 
 
+def test_association_support(ray_session):
+    """n_pair matches cooccurrence; n1/n2 are the per-value distinct-key
+    supports (confidence/lift denominators)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.assoc import association_support
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({"k": rng.integers(0, 150, 3000),
+                       "v": rng.choice(list("abcd"), 3000)})
+    d = df.drop_duplicates()
+    j = d.merge(d, on="k")
+    j = j[j["v_x"] < j["v_y"]]
+    exp_pairs = j.groupby(["v_x", "v_y"]).size().to_dict()
+    exp_sup = d.groupby("v")["k"].nunique().to_dict()
+
+    out = association_support(rd.from_pandas(df).repartition(4), "k", "v")
+    assert len(out) == len(exp_pairs)
+    for r in out.itertuples(index=False):
+        assert exp_pairs[(r.v1, r.v2)] == r.n_pair
+        assert exp_sup[r.v1] == r.n1 and exp_sup[r.v2] == r.n2
+
+
 def test_retention_cohorts(ray_session):
     """Cohort/offset cells equal the pandas replica; (cohort, 0) is the
     cohort size; within-period duplicates collapse; partitioning-free."""
