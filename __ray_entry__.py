@@ -801,6 +801,32 @@ def q_events_association(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def q_orders_outliers(sf_dir: str) -> pd.DataFrame:
+    """Per-priority Tukey-fence outliers on order totals
+    (stages/sketches.outliers_by_group): exact quantile_cont-parity
+    quartiles + identical double fence arithmetic, one co-partition
+    exchange, counts + fences per group. Oracle: quantile_cont CTE + fence
+    join."""
+    from gojsonschema_ray.stages.sketches import outliers_by_group
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    rows = collect_rows(outliers_by_group(ds, "o_orderpriority",
+                                          "o_totalprice"))
+    df = pd.DataFrame({
+        "o_orderpriority": pd.Series([r["o_orderpriority"] for r in rows],
+                                     dtype="object"),
+        "n_rows": pd.Series([r["n_rows"] for r in rows], dtype="int64"),
+        "n_low": pd.Series([r["n_low"] for r in rows], dtype="int64"),
+        "n_high": pd.Series([r["n_high"] for r in rows], dtype="int64"),
+        "lo": pd.Series([round(r["lo"], 4) for r in rows],
+                        dtype="float64"),
+        "hi": pd.Series([round(r["hi"], 4) for r in rows],
+                        dtype="float64"),
+    })
+    return df.sort_values("o_orderpriority").reset_index(drop=True)
+
+
 def q_documents_curate(sf_dir: str) -> pd.DataFrame:
     """END-TO-END curation (pipelines/curation.curate_documents): Gopher
     quality filter → keep-first exact dedup → char-20-gram decontamination
@@ -2390,6 +2416,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (calendar-free week index; integer-arithmetic SQL oracle)
         "events_association": q_events_association,  # pair + value
         # supports (sibling: events_cooccurrence; adds grouped_nunique leg)
+        "orders_outliers": q_orders_outliers,  # per-group Tukey fences
+        # (quantile_cont-parity quartiles; CTE + fence-join oracle)
         "documents_gopher": q_documents_gopher,      # composition of
         # in-window-verified signals (repetition, quality, token counts)
         "lineitem_orders_join": q_lineitem_orders_join,  # sibling:
@@ -3104,6 +3132,23 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT 'es' AS source, doc_id FROM documents WHERE lang='es' "
             "AND ((doc_id + 1002) * 2654435761) % 4294967296 < 1073741824"
+        ),
+        # Tukey fences: quantile_cont quartiles, identical double math
+        "orders_outliers": (
+            "WITH q AS (SELECT o_orderpriority, "
+            "quantile_cont(o_totalprice, 0.25) AS q1, "
+            "quantile_cont(o_totalprice, 0.75) AS q3 FROM orders "
+            "GROUP BY 1), "
+            "f AS (SELECT o_orderpriority, q1 - 1.5 * (q3 - q1) AS lo, "
+            "q3 + 1.5 * (q3 - q1) AS hi FROM q) "
+            "SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(count(*) FILTER (WHERE o.o_totalprice < f.lo) AS BIGINT) "
+            "AS n_low, "
+            "CAST(count(*) FILTER (WHERE o.o_totalprice > f.hi) AS BIGINT) "
+            "AS n_high, round(any_value(f.lo), 4) AS lo, "
+            "round(any_value(f.hi), 4) AS hi "
+            "FROM orders o JOIN f USING (o_orderpriority) "
+            "GROUP BY 1 ORDER BY 1"
         ),
         # association supports: pair counts + per-value distinct keys
         "events_association": (

@@ -677,3 +677,56 @@ def global_rank(ds, value_column: str, id_column: str, *,
     parts = ds.map_batches(project, batch_format="pyarrow") \
         .repartition(int(P)).materialize()
     return parts.groupby("part").map_groups(per_part, batch_format="pandas")
+
+
+def outliers_by_group(ds, key_column: str, value_column: str,
+                      k: float = 1.5, n_parts: int | None = None):
+    """Per-group Tukey-fence outlier detection — flag values outside
+    [q1 - k·IQR, q3 + k·IQR] within their own group, the distribution
+    sanity check a per-segment pipeline runs before trusting aggregates.
+    Returns one row per group: (key, n_rows, n_low, n_high, lo, hi) with
+    exact linear-interpolation quartiles (SQL quantile_cont parity, as in
+    grouped_quantiles) and fences computed in identical double arithmetic,
+    so the SQL replica matches bit-for-bit.
+
+    Scale shape: ONE hash(key) co-partition exchange (a group's values fit
+    a partition — grouped_quantiles' documented many-small-groups
+    assumption), then per-partition vectorized quartiles + fence counts in
+    the same pass (values never move twice). Null values are ignored."""
+    import pandas as pd
+
+    from .dedup import _next_pow2, _shuffle_parts
+
+    P = _next_pow2(n_parts or _shuffle_parts())
+
+    def project(t: pa.Table) -> pa.Table:
+        part = (hash_arrow_array(t[key_column])
+                % np.uint64(P)).astype(np.int32)
+        return pa.table({key_column: t[key_column], "v": t[value_column],
+                         "part": pa.array(part)})
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["v"].notna()]
+        g = d.groupby(key_column, sort=False, dropna=False)["v"]
+        q1 = g.quantile(0.25, interpolation="linear")
+        q3 = g.quantile(0.75, interpolation="linear")
+        lo = q1 - k * (q3 - q1)
+        hi = q3 + k * (q3 - q1)
+        stats = pd.DataFrame({"lo": lo, "hi": hi})
+        m = d.merge(stats, left_on=key_column, right_index=True)
+        below = (m["v"] < m["lo"]).groupby(m[key_column]).sum()
+        above = (m["v"] > m["hi"]).groupby(m[key_column]).sum()
+        out = pd.DataFrame({
+            key_column: stats.index,
+            "n_rows": d.groupby(key_column, sort=False).size()
+            .reindex(stats.index).astype("int64"),
+            "n_low": below.reindex(stats.index).fillna(0).astype("int64"),
+            "n_high": above.reindex(stats.index).fillna(0).astype("int64"),
+            "lo": stats["lo"],
+            "hi": stats["hi"],
+        }).reset_index(drop=True)
+        return out
+
+    parts = ds.map_batches(project, batch_format="pyarrow") \
+        .repartition(P).materialize()
+    return parts.groupby("part").map_groups(per_part, batch_format="pandas")

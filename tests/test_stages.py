@@ -1056,6 +1056,40 @@ def test_resample_by_group(ray_session):
     assert len(collect_rows(out1)) == sum(sizes.values())
 
 
+def test_outliers_by_group(ray_session):
+    """Fence counts equal the pandas quantile replica; injected spikes are
+    flagged on the right side; nulls ignored."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.sketches import outliers_by_group
+    from gojsonschema_ray.util import collect_rows
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame({"g": rng.choice(["a", "b", "c"], 3000),
+                       "v": rng.normal(50, 5, 3000)})
+    spikes = pd.DataFrame({"g": ["a"] * 5 + ["b"] * 3,
+                           "v": [500.0] * 5 + [-500.0] * 3})
+    df = pd.concat([df, spikes,
+                    pd.DataFrame({"g": ["c"], "v": [None]})],
+                   ignore_index=True)
+    rows = collect_rows(outliers_by_group(
+        rd.from_pandas(df).repartition(4), "g", "v"))
+    got = {r["g"]: r for r in rows}
+
+    d = df.dropna()
+    for g in "abc":
+        v = d.loc[d["g"] == g, "v"]
+        q1, q3 = v.quantile(0.25), v.quantile(0.75)
+        lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+        r = got[g]
+        assert r["n_rows"] == len(v)
+        assert r["n_low"] == int((v < lo).sum())
+        assert r["n_high"] == int((v > hi).sum())
+        np.testing.assert_allclose([r["lo"], r["hi"]], [lo, hi])
+    assert got["a"]["n_high"] >= 5 and got["b"]["n_low"] >= 3
+
+
 def test_association_support(ray_session):
     """n_pair matches cooccurrence; n1/n2 are the per-value distinct-key
     supports (confidence/lift denominators)."""
