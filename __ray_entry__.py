@@ -827,6 +827,27 @@ def q_orders_outliers(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("o_orderpriority").reset_index(drop=True)
 
 
+def q_orders_weighted_sample(sf_dir: str) -> pd.DataFrame:
+    """Weight-proportional deterministic sample (stages/sampling.
+    weighted_sample): orders kept with probability o_totalprice / max —
+    importance sampling with a pure per-batch hash-threshold filter (one
+    cheap max pass, no shuffle). Oracle: the same double arithmetic
+    operation-for-operation."""
+    from gojsonschema_ray.stages.sampling import weighted_sample
+    from gojsonschema_ray.util import collect_rows
+
+    def fresh():
+        return _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    out = weighted_sample(fresh(), "o_orderkey", "o_totalprice")
+    rows = collect_rows(out)
+    df = pd.DataFrame({
+        "o_orderkey": pd.Series([r["o_orderkey"] for r in rows],
+                                dtype="int64"),
+    })
+    return df.sort_values("o_orderkey").reset_index(drop=True)
+
+
 def q_documents_curate(sf_dir: str) -> pd.DataFrame:
     """END-TO-END curation (pipelines/curation.curate_documents): Gopher
     quality filter → keep-first exact dedup → char-20-gram decontamination
@@ -2418,6 +2439,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # supports (sibling: events_cooccurrence; adds grouped_nunique leg)
         "orders_outliers": q_orders_outliers,  # per-group Tukey fences
         # (quantile_cont-parity quartiles; CTE + fence-join oracle)
+        "orders_weighted_sample": q_orders_weighted_sample,  # importance
+        # sampling by weight (sibling: lineitem_hash_sample machinery)
         "documents_gopher": q_documents_gopher,      # composition of
         # in-window-verified signals (repetition, quality, token counts)
         "lineitem_orders_join": q_lineitem_orders_join,  # sibling:
@@ -3132,6 +3155,14 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT 'es' AS source, doc_id FROM documents WHERE lang='es' "
             "AND ((doc_id + 1002) * 2654435761) % 4294967296 < 1073741824"
+        ),
+        # weighted sample: w/w_max * 2^32 threshold, same double math
+        "orders_weighted_sample": (
+            "WITH m AS (SELECT max(o_totalprice) AS wm FROM orders) "
+            "SELECT o_orderkey FROM orders, m "
+            "WHERE (o_orderkey * 2654435761) % 4294967296 < "
+            "CAST(floor(o_totalprice / wm * 4294967296.0) AS BIGINT) "
+            "ORDER BY o_orderkey"
         ),
         # Tukey fences: quantile_cont quartiles, identical double math
         "orders_outliers": (

@@ -223,6 +223,53 @@ def resample_by_group(ds, group_column: str, key_column: str,
     return ds.map_batches(filt, batch_format="pyarrow"), rates
 
 
+def weighted_sample(ds, key_column: str, weight_column: str, *,
+                    salt: int = 0, w_max: float | None = None):
+    """Weight-proportional deterministic sampling (importance sampling for
+    corpus construction — keep high-quality / long / rare documents more
+    often): a row is kept iff hash(key) < floor(w / w_max · 2^32), so
+    acceptance probability is w/w_max and membership stays a pure function
+    of (key, weight) — run-, order- and partitioning-independent, and
+    exactly SQL-replicable (the double arithmetic `w / w_max * 2^32` is
+    mirrored operation-for-operation). The max-weight row is always kept.
+
+    w_max defaults to one cheap max-partial pass over `ds` (pass it
+    explicitly to avoid consuming a non-re-readable pipeline twice). Rows
+    with null key or null weight are dropped; negative weights raise
+    (membership would be undefined). Returns the filtered Dataset."""
+    if w_max is None:
+        from ..util import collect_rows
+        mx = None
+        for r in collect_rows(ds.map_batches(
+                lambda t: pa.table({"m": pa.array(
+                    [pc.max(t[weight_column]).as_py()], pa.float64())}),
+                batch_format="pyarrow")):
+            if r["m"] is not None:
+                mx = r["m"] if mx is None else max(mx, r["m"])
+        w_max = mx
+    if w_max is None or not np.isfinite(w_max) or w_max <= 0:
+        raise ValueError(f"weighted_sample: bad w_max {w_max!r}")
+    w_max = float(w_max)
+
+    def filt(t: pa.Table) -> pa.Table:
+        valid = pc.and_(pc.is_valid(t[key_column]),
+                        pc.is_valid(t[weight_column]))
+        if pc.any(pc.invert(valid)).as_py():
+            t = t.filter(valid)
+        if t.num_rows == 0:
+            return t
+        w = np.asarray(t[weight_column].to_numpy(zero_copy_only=False),
+                       dtype=np.float64)
+        if (w < 0).any():
+            raise ValueError("weighted_sample: negative weights")
+        keys = np.asarray(t[key_column].to_numpy(zero_copy_only=False))
+        h = hash_bucket_u32(keys, salt)
+        thr = np.floor(w / w_max * float(MOD)).astype(np.uint64)
+        return t.filter(pa.array(h < thr))
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
 def global_sample_k(ds, key_column: str, k: int, *, salt: int = 0
                     ) -> pa.Table:
     """Deterministic global sample of EXACTLY min(k, n) rows: the k rows

@@ -1056,6 +1056,39 @@ def test_resample_by_group(ray_session):
     assert len(collect_rows(out1)) == sum(sizes.values())
 
 
+def test_weighted_sample(ray_session):
+    """Membership equals the closed-form replica; acceptance tracks
+    weight; max-weight row always kept; negative weights raise."""
+    import pandas as pd
+    import pytest as _pytest
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.sampling import (KNUTH, MOD,
+                                                  weighted_sample)
+    from gojsonschema_ray.util import collect_rows
+
+    n = 4000
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame({"k": np.arange(n, dtype="int64"),
+                       "w": rng.uniform(0.0, 10.0, n)})
+    df.loc[0, "w"] = 10.0  # the max row
+    out = weighted_sample(rd.from_pandas(df).repartition(4), "k", "w")
+    got = set(r["k"] for r in collect_rows(out))
+
+    h = (np.arange(n, dtype=np.uint64) * KNUTH) & (MOD - np.uint64(1))
+    thr = np.floor(df["w"].to_numpy() / 10.0 * float(MOD)).astype(
+        np.uint64)
+    exp = set(np.nonzero(h < thr)[0].tolist())
+    assert got == exp and 0 in got
+    # acceptance roughly proportional to weight (w~U(0,10) -> ~50% kept)
+    assert 0.4 < len(got) / n < 0.6
+
+    bad = pd.DataFrame({"k": [1, 2], "w": [1.0, -0.5]})
+    with _pytest.raises(Exception, match="negative"):
+        collect_rows(weighted_sample(rd.from_pandas(bad), "k", "w",
+                                     w_max=1.0))
+
+
 def test_outliers_by_group(ray_session):
     """Fence counts equal the pandas quantile replica; injected spikes are
     flagged on the right side; nulls ignored."""
