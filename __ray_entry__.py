@@ -848,6 +848,28 @@ def q_orders_weighted_sample(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("o_orderkey").reset_index(drop=True)
 
 
+def q_orders_mad(sf_dir: str) -> pd.DataFrame:
+    """Per-status robust dispersion (stages/sketches.mad_by_group): median
+    and median-absolute-deviation of order totals per o_orderstatus — one
+    co-partition exchange, linear-interpolation parity with DuckDB
+    median()/mad(). Oracle: native median + mad aggregates."""
+    from gojsonschema_ray.stages.sketches import mad_by_group
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
+    rows = collect_rows(mad_by_group(ds, "o_orderstatus", "o_totalprice"))
+    df = pd.DataFrame({
+        "o_orderstatus": pd.Series([r["o_orderstatus"] for r in rows],
+                                   dtype="object"),
+        "med": pd.Series([round(r["med"], 4) for r in rows],
+                         dtype="float64"),
+        "mad": pd.Series([round(r["mad"], 4) for r in rows],
+                         dtype="float64"),
+        "n_rows": pd.Series([r["n_rows"] for r in rows], dtype="int64"),
+    })
+    return df.sort_values("o_orderstatus").reset_index(drop=True)
+
+
 def q_documents_curate(sf_dir: str) -> pd.DataFrame:
     """END-TO-END curation (pipelines/curation.curate_documents): Gopher
     quality filter → keep-first exact dedup → char-20-gram decontamination
@@ -2441,6 +2463,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (quantile_cont-parity quartiles; CTE + fence-join oracle)
         "orders_weighted_sample": q_orders_weighted_sample,  # importance
         # sampling by weight (sibling: lineitem_hash_sample machinery)
+        "orders_mad": q_orders_mad,  # robust per-group dispersion
+        # (median/MAD; native DuckDB median()/mad() oracle)
         "documents_gopher": q_documents_gopher,      # composition of
         # in-window-verified signals (repetition, quality, token counts)
         "lineitem_orders_join": q_lineitem_orders_join,  # sibling:
@@ -3155,6 +3179,13 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT 'es' AS source, doc_id FROM documents WHERE lang='es' "
             "AND ((doc_id + 1002) * 2654435761) % 4294967296 < 1073741824"
+        ),
+        # robust dispersion: DuckDB native median()/mad() aggregates
+        "orders_mad": (
+            "SELECT o_orderstatus, round(median(o_totalprice), 4) AS med, "
+            "round(mad(o_totalprice), 4) AS mad, "
+            "CAST(count(o_totalprice) AS BIGINT) AS n_rows FROM orders "
+            "GROUP BY 1 ORDER BY 1"
         ),
         # weighted sample: w/w_max * 2^32 threshold, same double math
         "orders_weighted_sample": (

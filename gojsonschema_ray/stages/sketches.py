@@ -730,3 +730,47 @@ def outliers_by_group(ds, key_column: str, value_column: str,
     parts = ds.map_batches(project, batch_format="pyarrow") \
         .repartition(P).materialize()
     return parts.groupby("part").map_groups(per_part, batch_format="pandas")
+
+
+def mad_by_group(ds, key_column: str, value_column: str,
+                 n_parts: int | None = None):
+    """Per-group median absolute deviation — the robust dispersion measure
+    (insensitive to the heavy tails that wreck stddev on web-scale
+    distributions): med = median(v), mad = median(|v - med|), both with
+    linear interpolation (DuckDB median()/mad() parity). Complements
+    outliers_by_group's IQR fences with the MAD-based robust z-score
+    denominator.
+
+    Scale shape: same ONE hash(key) co-partition exchange as
+    grouped_quantiles (a group's values fit a partition — the
+    many-small-groups regime), then two vectorized per-partition groupby
+    quantile passes (med, then |v-med|). Null values ignored. Returns
+    (key, med, mad, n_rows)."""
+    import pandas as pd
+
+    from .dedup import _next_pow2, _shuffle_parts
+
+    P = _next_pow2(n_parts or _shuffle_parts())
+
+    def project(t: pa.Table) -> pa.Table:
+        part = (hash_arrow_array(t[key_column])
+                % np.uint64(P)).astype(np.int32)
+        return pa.table({key_column: t[key_column], "v": t[value_column],
+                         "part": pa.array(part)})
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["v"].notna()]
+        g = d.groupby(key_column, sort=False, dropna=False)["v"]
+        med = g.quantile(0.5, interpolation="linear")
+        dev = (d["v"] - d[key_column].map(med)).abs()
+        mad = dev.groupby(d[key_column]).quantile(
+            0.5, interpolation="linear")
+        n = g.size()
+        return pd.DataFrame({key_column: med.index, "med": med.values,
+                             "mad": mad.reindex(med.index).values,
+                             "n_rows": n.reindex(med.index)
+                             .astype("int64").values})
+
+    parts = ds.map_batches(project, batch_format="pyarrow") \
+        .repartition(P).materialize()
+    return parts.groupby("part").map_groups(per_part, batch_format="pandas")

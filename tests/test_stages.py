@@ -1056,6 +1056,32 @@ def test_resample_by_group(ray_session):
     assert len(collect_rows(out1)) == sum(sizes.values())
 
 
+def test_mad_by_group(ray_session):
+    """med/mad equal the linear-interpolation pandas replica per group;
+    nulls ignored; n_rows counts non-null values."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.sketches import mad_by_group
+    from gojsonschema_ray.util import collect_rows
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame({"g": rng.choice(list("abc"), 2001),
+                       "v": rng.normal(10, 3, 2001)})
+    df.loc[:5, "v"] = None
+    rows = collect_rows(mad_by_group(
+        rd.from_pandas(df).repartition(4), "g", "v"))
+    got = {r["g"]: r for r in rows}
+    d = df.dropna()
+    for g in "abc":
+        v = d.loc[d["g"] == g, "v"]
+        med = v.quantile(0.5, interpolation="linear")
+        mad = (v - med).abs().quantile(0.5, interpolation="linear")
+        assert got[g]["n_rows"] == len(v)
+        np.testing.assert_allclose([got[g]["med"], got[g]["mad"]],
+                                   [med, mad])
+
+
 def test_weighted_sample(ray_session):
     """Membership equals the closed-form replica; acceptance tracks
     weight; max-weight row always kept; negative weights raise."""
