@@ -870,6 +870,35 @@ def q_orders_mad(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("o_orderstatus").reset_index(drop=True)
 
 
+def q_embeddings_kmeans(sf_dir: str) -> pd.DataFrame:
+    """Distributed Lloyd k-means over the embeddings corpus
+    (stages/similarity.kmeans_fit): per-iteration fused E+M streaming
+    passes (broadcast centroids, kxdim partials), then a streaming
+    assignment pass for cluster sizes. Rows-only by design: iterative
+    float fitting is not SQL-expressible; the unit test proves exact
+    parity with a local Lloyd replica."""
+    from gojsonschema_ray.stages.similarity import kmeans_fit
+    from gojsonschema_ray.util import collect_rows
+
+    model = kmeans_fit(lambda: _read(sf_dir, "embeddings",
+                                     ["vec_id", "embedding"]),
+                       "embedding", k=8, iters=5)
+    tagged = _read(sf_dir, "embeddings", ["vec_id", "embedding"])         .map_batches(model.assign_stage("embedding"),
+                     batch_format="pyarrow")
+    sizes = {}
+    for r in collect_rows(tagged.map_batches(
+            lambda t: t.select(["cluster"]).group_by("cluster")
+            .aggregate([("cluster", "count")]),
+            batch_format="pyarrow")):
+        sizes[r["cluster"]] = sizes.get(r["cluster"], 0)             + r["cluster_count"]
+    df = pd.DataFrame({
+        "cluster": pd.Series(sorted(sizes), dtype="int64"),
+        "n": pd.Series([sizes[c] for c in sorted(sizes)], dtype="int64"),
+    })
+    df["inertia_final"] = round(model.inertia_history[-1], 2)
+    return df.reset_index(drop=True)
+
+
 def q_documents_curate(sf_dir: str) -> pd.DataFrame:
     """END-TO-END curation (pipelines/curation.curate_documents): Gopher
     quality filter → keep-first exact dedup → char-20-gram decontamination
@@ -2513,6 +2542,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_clips": q_flagship_clips,
         "clips_audio_fingerprint": q_clips_audio_fingerprint,
         "clips_audio_near_dups": q_clips_audio_near_dups,
+        "embeddings_kmeans": q_embeddings_kmeans,  # rows-only: iterative
+        # Lloyd fitting (local-replica parity proven in tests)
     }
 
 

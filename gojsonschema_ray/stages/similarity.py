@@ -584,3 +584,120 @@ def ann_brute_force_quantized(ds, embedding_column: str, id_column: str,
         _QuantizedBruteForceStage(embedding_column, id_column, ref, k),
         batch_format="pyarrow")
     return _merge_topk(partials, id_column, k)
+
+
+class KMeansModel:
+    """Fitted distributed k-means: centroids + per-iteration inertia.
+    Picklable (fit once, assign in later sessions, ship to workers)."""
+
+    def __init__(self, centroids: np.ndarray, inertia_history: list):
+        self.centroids = np.asarray(centroids, dtype=np.float64)
+        self.inertia_history = list(inertia_history)
+
+    def assign_stage(self, embedding_column: str,
+                     out_column: str = "cluster"):
+        """map_batches payload appending the nearest-centroid id (the
+        broadcast-centroids E-step as a streaming tagger)."""
+        import ray
+
+        ref = ray.put(self.centroids)
+
+        def assign(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            x = list_column_to_matrix(batch[embedding_column])
+            d2 = ((x * x).sum(1)[:, None] - 2.0 * (x @ c.T)
+                  + (c * c).sum(1)[None, :])
+            return batch.append_column(
+                out_column, pa.array(d2.argmin(1).astype(np.int32)))
+
+        return assign
+
+
+def kmeans_fit(make_ds, embedding_column: str, k: int = 8,
+               iters: int = 10, seed: int = 42, tol: float = 1e-7,
+               init_centroids: np.ndarray | None = None) -> KMeansModel:
+    """Full-corpus distributed Lloyd k-means — the iterative complement of
+    IVFIndex.train (which fits on a driver-side random sample): every
+    iteration streams the WHOLE corpus once through a fused E+M pass —
+    each batch assigns its rows to the ray.put-broadcast centroids and
+    emits per-cluster (count, sum-vector, sse) partials; the driver folds
+    the k×dim partials into new centroids. Euclidean objective; inertia
+    (within-cluster SSE) is non-increasing per Lloyd's guarantee and is
+    recorded per iteration. Empty clusters keep their previous centroid.
+    Stops early when max centroid shift² < tol.
+
+    `make_ds`: zero-arg callable returning a fresh Dataset per pass (a
+    lazy read pipeline re-executes; the corpus itself never materializes —
+    only k×(dim+2) partials per block reach the driver). Init: seeded
+    uniform random-sample rows (positionally unbiased, as IVFIndex.train)
+    unless `init_centroids` is given."""
+    import ray
+
+    ds0 = make_ds() if callable(make_ds) else make_ds
+    if not callable(make_ds):
+        make_ds = lambda _d=ds0: _d  # noqa: E731 — re-executed lazily
+
+    if init_centroids is not None:
+        cent = np.asarray(init_centroids, dtype=np.float64).copy()
+        k = len(cent)
+    else:
+        total = ds0.count()
+        frac = min(1.0, max(20 * k, 1000) / max(total, 1))
+        sample = collect_rows(ds0.random_sample(frac, seed=seed)
+                              if frac < 1.0 else ds0)
+        if len(sample) < k:
+            raise ValueError(f"kmeans_fit: {len(sample)} sampled rows "
+                             f"< k={k}")
+        x0 = np.stack([np.asarray(r[embedding_column], dtype=np.float64)
+                       for r in sample])
+        rng = np.random.default_rng(seed)
+        cent = x0[rng.choice(len(x0), k, replace=False)].copy()
+
+    dim = cent.shape[1]
+    history: list = []
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def partial(batch: pa.Table, _ref=ref) -> pa.Table:
+            c = ray.get(_ref)
+            x = list_column_to_matrix(batch[embedding_column])
+            if x.shape[0] == 0:
+                return pa.table({"cid": pa.array([], pa.int32()),
+                                 "n": pa.array([], pa.int64()),
+                                 "sse": pa.array([], pa.float64()),
+                                 "s": pa.array([], pa.list_(pa.float64()))})
+            d2 = ((x * x).sum(1)[:, None] - 2.0 * (x @ c.T)
+                  + (c * c).sum(1)[None, :])
+            a = d2.argmin(1)
+            best = d2[np.arange(len(a)), a]
+            uk = np.unique(a)
+            sums = np.zeros((len(uk), x.shape[1]))
+            inv = np.searchsorted(uk, a)
+            np.add.at(sums, inv, x)
+            ns = np.bincount(inv, minlength=len(uk))
+            sse = np.zeros(len(uk))
+            np.add.at(sse, inv, best)
+            return pa.table({"cid": pa.array(uk.astype(np.int32)),
+                             "n": pa.array(ns.astype(np.int64)),
+                             "sse": pa.array(sse),
+                             "s": pa.array([row.tolist() for row in sums],
+                                           pa.list_(pa.float64()))})
+
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, dim))
+        inertia = 0.0
+        for r in collect_rows(make_ds().map_batches(
+                partial, batch_format="pyarrow")):
+            cid = int(r["cid"])
+            counts[cid] += int(r["n"])
+            sums[cid] += np.asarray(r["s"], dtype=np.float64)
+            inertia += float(r["sse"])
+        history.append(inertia)
+        new = cent.copy()
+        nz = counts > 0
+        new[nz] = sums[nz] / counts[nz, None]
+        shift = float(((new - cent) ** 2).sum(axis=1).max())
+        cent = new
+        if shift < tol:
+            break
+    return KMeansModel(cent, history)

@@ -1056,6 +1056,48 @@ def test_resample_by_group(ray_session):
     assert len(collect_rows(out1)) == sum(sizes.values())
 
 
+def test_kmeans_fit(ray_session):
+    """Distributed Lloyd matches a local replica from the same init;
+    inertia is non-increasing; blobs separate; assign_stage tags purely."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.similarity import kmeans_fit
+    from gojsonschema_ray.util import collect_rows
+
+    rng = np.random.default_rng(31)
+    centers = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]])
+    label = rng.integers(0, 3, 1500)
+    x = centers[label] + rng.normal(0, 0.5, (1500, 2))
+    df = pd.DataFrame({"id": np.arange(1500),
+                       "emb": [row.tolist() for row in x]})
+    init = x[[0, 1, 2]].copy()
+
+    model = kmeans_fit(lambda: rd.from_pandas(df).repartition(4), "emb",
+                       iters=8, init_centroids=init)
+    assert all(b <= a + 1e-6 for a, b in
+               zip(model.inertia_history, model.inertia_history[1:]))
+
+    cent = init.copy()
+    for _ in range(len(model.inertia_history)):
+        d2 = ((x * x).sum(1)[:, None] - 2 * x @ cent.T
+              + (cent * cent).sum(1)[None, :])
+        a = d2.argmin(1)
+        for c in range(3):
+            if (a == c).any():
+                cent[c] = x[a == c].mean(0)
+    np.testing.assert_allclose(model.centroids, cent, rtol=1e-8)
+
+    tagged = collect_rows(rd.from_pandas(df).repartition(3).map_batches(
+        model.assign_stage("emb"), batch_format="pyarrow"))
+    got = np.array([r["cluster"] for r in
+                    sorted(tagged, key=lambda r: r["id"])])
+    # every true blob maps to exactly one fitted cluster
+    for b in range(3):
+        assert len(set(got[label == b])) == 1
+    assert len(set(got)) == 3
+
+
 def test_mad_by_group(ray_session):
     """med/mad equal the linear-interpolation pandas replica per group;
     nulls ignored; n_rows counts non-null values."""
