@@ -43,6 +43,11 @@ def cooccurrence_pairs(ds, key_column: str, value_column: str, *,
     from .dedup import _next_pow2, _shuffle_parts
     from .sketches import hash_arrow_array
 
+    reserved = {"part", "part2", "v1", "v2", "cnt", "n"} & \
+        {key_column, value_column}
+    if reserved:  # synthetic exchange/output columns
+        raise ValueError(f"cooccurrence_pairs: column names "
+                         f"{sorted(reserved)} are reserved")
     P = _next_pow2(n_parts or _shuffle_parts())
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:

@@ -239,6 +239,11 @@ def fd_violations(ds, determinant: str, dependent: str,
     from .dedup import _next_pow2, _shuffle_parts
     from .sketches import hash_arrow_array
 
+    reserved = {"part", "n_distinct", "v_min", "v_max"} & \
+        {determinant, dependent}
+    if reserved:  # synthetic exchange/output columns — a silent overwrite
+        raise ValueError(  # would corrupt routing or the report
+            f"fd_violations: column names {sorted(reserved)} are reserved")
     P = _next_pow2(n_parts or _shuffle_parts())
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:

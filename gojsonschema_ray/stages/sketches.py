@@ -697,6 +697,12 @@ def outliers_by_group(ds, key_column: str, value_column: str,
 
     from .dedup import _next_pow2, _shuffle_parts
 
+    reserved = {"v", "part", "n_rows", "n_low", "n_high", "lo", "hi"} & \
+        {key_column}
+    if reserved:  # the key survives into the projection and the output;
+        raise ValueError(  # the value column is renamed into "v" safely
+            f"outliers_by_group: key column name {sorted(reserved)} is "
+            "reserved")
     P = _next_pow2(n_parts or _shuffle_parts())
 
     def project(t: pa.Table) -> pa.Table:
@@ -750,6 +756,11 @@ def mad_by_group(ds, key_column: str, value_column: str,
 
     from .dedup import _next_pow2, _shuffle_parts
 
+    reserved = {"v", "part", "med", "mad", "n_rows"} & {key_column}
+    if reserved:  # the key survives into the projection and the output;
+        raise ValueError(  # the value column is renamed into "v" safely
+            f"mad_by_group: key column name {sorted(reserved)} is "
+            "reserved")
     P = _next_pow2(n_parts or _shuffle_parts())
 
     def project(t: pa.Table) -> pa.Table:

@@ -94,6 +94,10 @@ def grouped_top_values(ds, group_column: str, value_column: str, k: int,
     from .dedup import _next_pow2, _shuffle_parts
     from .sketches import hash_arrow_array
 
+    reserved = {"part", "n"} & {group_column, value_column}
+    if reserved:  # synthetic exchange/output columns
+        raise ValueError(f"grouped_top_values: column names "
+                         f"{sorted(reserved)} are reserved")
     P = _next_pow2(n_parts or _shuffle_parts())
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:

@@ -418,6 +418,11 @@ def transition_counts(ds, key_column: str, ts_column: str,
     from .dedup import _next_pow2, _shuffle_parts
     from .sketches import hash_arrow_array
 
+    reserved = {"part", "part2", "v_from", "v_to", "cnt", "n"} & \
+        {key_column, ts_column, value_column, *order_columns}
+    if reserved:  # synthetic exchange/output columns
+        raise ValueError(f"transition_counts: column names "
+                         f"{sorted(reserved)} are reserved")
     P = _next_pow2(n_parts or _shuffle_parts())
     order = [ts_column, *order_columns]
 

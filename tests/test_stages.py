@@ -1056,6 +1056,43 @@ def test_resample_by_group(ray_session):
     assert len(collect_rows(out1)) == sum(sizes.values())
 
 
+def test_round5_reserved_column_guards(ray_session):
+    """Every round-5 exchange operator rejects input column names that
+    collide with its synthetic exchange/output columns instead of
+    silently corrupting routing (the hash_join_shuffle guard policy)."""
+    import pandas as pd
+    import pytest as _pytest
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.assoc import cooccurrence_pairs
+    from gojsonschema_ray.stages.integrity import fd_violations
+    from gojsonschema_ray.stages.sketches import (mad_by_group,
+                                                  outliers_by_group)
+    from gojsonschema_ray.stages.topk import grouped_top_values
+    from gojsonschema_ray.stages.window import (retention_cohorts,
+                                                transition_counts)
+
+    df = pd.DataFrame({"part": [1, 2], "v": ["a", "b"],
+                       "ts": pd.to_datetime([1, 2], unit="s"),
+                       "n": [1.0, 2.0]})
+    ds = rd.from_pandas(df)
+    with _pytest.raises(ValueError, match="reserved"):
+        fd_violations(ds, "part", "v")
+    with _pytest.raises(ValueError, match="reserved"):
+        grouped_top_values(ds, "part", "v", 2)
+    with _pytest.raises(ValueError, match="reserved"):
+        cooccurrence_pairs(ds, "part", "v")
+    with _pytest.raises(ValueError, match="reserved"):
+        transition_counts(ds, "part", "ts", "v")
+    with _pytest.raises(ValueError, match="reserved"):
+        outliers_by_group(ds, "part", "n")
+    with _pytest.raises(ValueError, match="reserved"):
+        mad_by_group(ds, "part", "n")
+    # retention_cohorts projects into a fresh frame — any names are fine
+    from gojsonschema_ray.util import collect_rows as _cr
+    assert _cr(retention_cohorts(ds, "part", "ts"))
+
+
 def test_kmeans_fit(ray_session):
     """Distributed Lloyd matches a local replica from the same init;
     inertia is non-increasing; blobs separate; assign_stage tags purely."""
