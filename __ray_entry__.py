@@ -899,6 +899,22 @@ def q_embeddings_kmeans(sf_dir: str) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def q_lineitem_correlations(sf_dir: str) -> pd.DataFrame:
+    """One-pass pairwise Pearson correlations over lineitem numerics
+    (stages/sketches.column_correlations): per-batch moment partials
+    (n, sums, cross-product upper triangle) folded on the driver — the
+    feature-redundancy profile in a single scan. Oracle: SQL corr()
+    pairs, both rounded to 4."""
+    from gojsonschema_ray.stages.sketches import column_correlations
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_quantity", "l_extendedprice", "l_discount"])
+    df = column_correlations(ds, ["l_quantity", "l_extendedprice",
+                                  "l_discount"])
+    df["corr"] = df["corr"].round(4)
+    return df.reset_index(drop=True)
+
+
 def q_documents_curate(sf_dir: str) -> pd.DataFrame:
     """END-TO-END curation (pipelines/curation.curate_documents): Gopher
     quality filter → keep-first exact dedup → char-20-gram decontamination
@@ -2494,6 +2510,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sampling by weight (sibling: lineitem_hash_sample machinery)
         "orders_mad": q_orders_mad,  # robust per-group dispersion
         # (median/MAD; native DuckDB median()/mad() oracle)
+        "lineitem_correlations": q_lineitem_correlations,  # one-pass
+        # pairwise Pearson profile (moment partials; SQL corr() oracle)
         "documents_gopher": q_documents_gopher,      # composition of
         # in-window-verified signals (repetition, quality, token counts)
         "lineitem_orders_join": q_lineitem_orders_join,  # sibling:
@@ -3210,6 +3228,18 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT 'es' AS source, doc_id FROM documents WHERE lang='es' "
             "AND ((doc_id + 1002) * 2654435761) % 4294967296 < 1073741824"
+        ),
+        # pairwise Pearson: SQL corr() per pair, rounded to 4
+        "lineitem_correlations": (
+            "SELECT 'l_discount' AS col_a, 'l_extendedprice' AS col_b, "
+            "round(corr(l_discount, l_extendedprice), 4) AS \"corr\" "
+            "FROM lineitem UNION ALL "
+            "SELECT 'l_discount', 'l_quantity', "
+            "round(corr(l_quantity, l_discount), 4) FROM lineitem "
+            "UNION ALL "
+            "SELECT 'l_extendedprice', 'l_quantity', "
+            "round(corr(l_quantity, l_extendedprice), 4) FROM lineitem "
+            "ORDER BY col_a, col_b"
         ),
         # robust dispersion: DuckDB native median()/mad() aggregates
         "orders_mad": (

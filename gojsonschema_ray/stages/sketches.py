@@ -785,3 +785,63 @@ def mad_by_group(ds, key_column: str, value_column: str,
     parts = ds.map_batches(project, batch_format="pyarrow") \
         .repartition(P).materialize()
     return parts.groupby("part").map_groups(per_part, batch_format="pandas")
+
+
+def column_correlations(ds, columns: list):
+    """Pairwise Pearson correlations over numeric columns in ONE streaming
+    pass — the multivariate profile step (feature redundancy, leakage
+    screening) the per-column ColumnStats can't see. Sample correlation
+    (n-1 denominators, SQL corr() parity) from per-batch moment partials:
+    each batch emits (n, Σx per column, Σx·xᵀ upper triangle) over rows
+    complete in ALL columns (pairwise-complete would make the matrix
+    inconsistent); the driver folds the fixed-width partials. Returns a
+    pandas DataFrame (col_a, col_b, corr) for the strict upper triangle,
+    sorted; constant columns yield NaN (0/0), matching SQL corr()."""
+    import pandas as pd
+
+    cols = list(columns)
+    k = len(cols)
+    if k < 2:
+        raise ValueError("column_correlations: need >= 2 columns")
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = np.column_stack([
+            np.asarray(t[c].to_numpy(zero_copy_only=False),
+                       dtype=np.float64) for c in cols])
+        keep = np.isfinite(x).all(axis=1)
+        x = x[keep]
+        return pa.table({
+            "n": pa.array([x.shape[0]], pa.int64()),
+            "s": pa.array([x.sum(axis=0).tolist()],
+                          pa.list_(pa.float64())),
+            "ss": pa.array([(x.T @ x).ravel().tolist()],
+                           pa.list_(pa.float64())),
+        })
+
+    n = 0
+    s = np.zeros(k)
+    ss = np.zeros((k, k))
+    for r in collect_rows(ds.map_batches(partial, batch_format="pyarrow")):
+        n += int(r["n"])
+        s += np.asarray(r["s"])
+        ss += np.asarray(r["ss"]).reshape(k, k)
+    rows = []
+    with np.errstate(invalid="ignore", divide="ignore"):
+        for i in range(k):
+            for j in range(i + 1, k):
+                if n < 2:
+                    c = float("nan")
+                else:
+                    cov = (ss[i, j] - s[i] * s[j] / n) / (n - 1)
+                    vi = (ss[i, i] - s[i] * s[i] / n) / (n - 1)
+                    vj = (ss[j, j] - s[j] * s[j] / n) / (n - 1)
+                    # a constant column's variance cancels to <= 0 while
+                    # the covariance keeps float dust — force NaN (SQL
+                    # corr() NULL), never +/-inf
+                    c = cov / np.sqrt(vi * vj) if vi > 0 and vj > 0 \
+                        else float("nan")
+                a, b = sorted((cols[i], cols[j]))  # corr is symmetric —
+                rows.append({"col_a": a, "col_b": b,  # canonical order
+                             "corr": float(c)})
+    return pd.DataFrame(rows).sort_values(["col_a", "col_b"]) \
+        .reset_index(drop=True)

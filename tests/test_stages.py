@@ -1056,6 +1056,33 @@ def test_resample_by_group(ray_session):
     assert len(collect_rows(out1)) == sum(sizes.values())
 
 
+def test_column_correlations(ray_session):
+    """Pairwise corr matches np.corrcoef on complete rows; null rows are
+    dropped listwise; constant columns yield NaN."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.sketches import column_correlations
+
+    rng = np.random.default_rng(41)
+    n = 3000
+    a = rng.normal(0, 1, n)
+    b = 2 * a + rng.normal(0, 0.5, n)
+    c = rng.uniform(0, 1, n)
+    df = pd.DataFrame({"a": a, "b": b, "c": c, "k": np.ones(n)})
+    df.loc[:20, "b"] = None
+    out = column_correlations(rd.from_pandas(df).repartition(4),
+                              ["a", "b", "c", "k"])
+    comp = df.dropna()
+    ref = np.corrcoef(comp[["a", "b", "c"]].to_numpy().T)
+    got = {(r.col_a, r.col_b): r.corr for r in out.itertuples(index=False)}
+    np.testing.assert_allclose(got[("a", "b")], ref[0, 1], rtol=1e-9)
+    np.testing.assert_allclose(got[("a", "c")], ref[0, 2], rtol=1e-6)
+    np.testing.assert_allclose(got[("b", "c")], ref[1, 2], rtol=1e-6)
+    assert np.isnan(got[("a", "k")])  # constant column
+    assert got[("a", "b")] > 0.9
+
+
 def test_round5_reserved_column_guards(ray_session):
     """Every round-5 exchange operator rejects input column names that
     collide with its synthetic exchange/output columns instead of
