@@ -915,6 +915,34 @@ def q_lineitem_correlations(sf_dir: str) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def q_orders_trend(sf_dir: str) -> pd.DataFrame:
+    """Per-priority price trend over time (stages/sketches.
+    regression_by_group): population least-squares slope/intercept of
+    o_totalprice against order-date day index — grouped moment partials,
+    one scan, no shuffle. Oracle: SQL regr_slope()/regr_intercept() on
+    the identical integer day index, both rounded to 4."""
+    from gojsonschema_ray.stages.sketches import regression_by_group
+    from gojsonschema_ray.util import collect_rows as _  # noqa: F401
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderpriority", "o_orderdate", "o_totalprice"])
+
+    def add_day(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                     pa.int64())
+        day = pc.cast(pc.divide(us, 86_400_000_000), pa.float64())
+        return pa.table({"o_orderpriority": t["o_orderpriority"],
+                         "day": day,
+                         "o_totalprice": t["o_totalprice"]})
+
+    df = regression_by_group(ds.map_batches(add_day,
+                                            batch_format="pyarrow"),
+                             "o_orderpriority", "day", "o_totalprice")
+    df["slope"] = df["slope"].round(4)
+    df["intercept"] = df["intercept"].round(4)
+    return df
+
+
 def q_documents_curate(sf_dir: str) -> pd.DataFrame:
     """END-TO-END curation (pipelines/curation.curate_documents): Gopher
     quality filter → keep-first exact dedup → char-20-gram decontamination
@@ -2512,6 +2540,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (median/MAD; native DuckDB median()/mad() oracle)
         "lineitem_correlations": q_lineitem_correlations,  # one-pass
         # pairwise Pearson profile (moment partials; SQL corr() oracle)
+        "orders_trend": q_orders_trend,  # per-group least-squares trend
+        # (grouped moment partials; regr_slope/regr_intercept oracle)
         "documents_gopher": q_documents_gopher,      # composition of
         # in-window-verified signals (repetition, quality, token counts)
         "lineitem_orders_join": q_lineitem_orders_join,  # sibling:
@@ -3228,6 +3258,17 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT 'es' AS source, doc_id FROM documents WHERE lang='es' "
             "AND ((doc_id + 1002) * 2654435761) % 4294967296 < 1073741824"
+        ),
+        # per-group trend: regr_* on the identical integer day index
+        "orders_trend": (
+            "WITH d AS (SELECT o_orderpriority, "
+            "CAST(epoch_us(o_orderdate) // 86400000000 AS DOUBLE) AS day, "
+            "o_totalprice FROM orders) "
+            "SELECT o_orderpriority, "
+            "round(regr_slope(o_totalprice, day), 4) AS slope, "
+            "round(regr_intercept(o_totalprice, day), 4) AS intercept, "
+            "CAST(count(*) AS BIGINT) AS n FROM d "
+            "GROUP BY 1 ORDER BY 1"
         ),
         # pairwise Pearson: SQL corr() per pair, rounded to 4
         "lineitem_correlations": (

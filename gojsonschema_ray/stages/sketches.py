@@ -845,3 +845,50 @@ def column_correlations(ds, columns: list):
                              "corr": float(c)})
     return pd.DataFrame(rows).sort_values(["col_a", "col_b"]) \
         .reset_index(drop=True)
+
+
+def regression_by_group(ds, key_column: str, x_column: str, y_column: str):
+    """Per-group simple linear regression — the trend-per-segment profile
+    ("is quality drifting over time, and in which source?"): population
+    least-squares slope/intercept (SQL regr_slope()/regr_intercept()
+    parity) from per-batch grouped moment partials (n, Σx, Σy, Σxy, Σx²)
+    folded on the driver — one scan, no shuffle, low-cardinality groups
+    (same contract as sampling.group_counts). Rows with a null in either
+    column are dropped (SQL regr_* semantics). Zero-variance x yields NaN.
+    Returns a pandas DataFrame (key, slope, intercept, n) sorted by key."""
+    import pandas as pd
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[key_column, x_column, y_column]].dropna()
+        x = d[x_column].astype("float64")
+        y = d[y_column].astype("float64")
+        t = pd.DataFrame({"g": d[key_column], "x": x, "y": y,
+                          "xy": x * y, "xx": x * x})
+        g = t.groupby("g", sort=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxy=("xy", "sum"), sxx=("xx", "sum")).reset_index()
+        return g
+
+    acc: dict = {}
+    for r in collect_rows(ds.map_batches(partial, batch_format="pandas")):
+        a = acc.setdefault(r["g"], [0, 0.0, 0.0, 0.0, 0.0])
+        a[0] += int(r["n"])
+        a[1] += r["sx"]
+        a[2] += r["sy"]
+        a[3] += r["sxy"]
+        a[4] += r["sxx"]
+    rows = []
+    for g in sorted(acc):
+        n, sx, sy, sxy, sxx = acc[g]
+        varx = sxx - sx * sx / n
+        if n < 2 or varx <= 0:
+            slope = intercept = float("nan")
+        else:
+            slope = (sxy - sx * sy / n) / varx
+            intercept = sy / n - slope * (sx / n)
+        rows.append({key_column: g, "slope": slope,
+                     "intercept": intercept, "n": n})
+    out = pd.DataFrame(rows,
+                       columns=[key_column, "slope", "intercept", "n"])
+    out["n"] = out["n"].astype("int64")
+    return out.reset_index(drop=True)

@@ -1056,6 +1056,38 @@ def test_resample_by_group(ray_session):
     assert len(collect_rows(out1)) == sum(sizes.values())
 
 
+def test_regression_by_group(ray_session):
+    """Per-group slope/intercept match np.polyfit; nulls dropped listwise;
+    zero-variance x yields NaN."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.sketches import regression_by_group
+
+    rng = np.random.default_rng(43)
+    frames = []
+    truth = {"a": (2.0, 5.0), "b": (-1.5, 10.0)}
+    for g, (m, b0) in truth.items():
+        x = rng.uniform(0, 100, 800)
+        y = m * x + b0 + rng.normal(0, 1.0, 800)
+        frames.append(pd.DataFrame({"g": g, "x": x, "y": y}))
+    frames.append(pd.DataFrame({"g": ["c"] * 3, "x": [7.0] * 3,
+                                "y": [1.0, 2.0, 3.0]}))  # zero-var x
+    df = pd.concat(frames, ignore_index=True)
+    df.loc[:4, "y"] = None
+    out = regression_by_group(rd.from_pandas(df).repartition(4),
+                              "g", "x", "y")
+    got = {r.g: r for r in out.itertuples(index=False)}
+    comp = df.dropna()
+    for g in "ab":
+        v = comp[comp["g"] == g]
+        m, b0 = np.polyfit(v["x"], v["y"], 1)
+        np.testing.assert_allclose([got[g].slope, got[g].intercept],
+                                   [m, b0], rtol=1e-7)
+        assert got[g].n == len(v)
+    assert np.isnan(got["c"].slope) and np.isnan(got["c"].intercept)
+
+
 def test_column_correlations(ray_session):
     """Pairwise corr matches np.corrcoef on complete rows; null rows are
     dropped listwise; constant columns yield NaN."""
