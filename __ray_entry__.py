@@ -943,6 +943,22 @@ def q_orders_trend(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def q_events_approx_users(sf_dir: str) -> pd.DataFrame:
+    """Approximate distinct users per event type (stages/sketches.
+    grouped_approx_nunique): one HLL per group, register-max merged on the
+    driver — the scale path of the exact events_active_days machinery.
+    Rows-only by design: the HLL estimate is sketch-specific (DuckDB's
+    approx_count_distinct uses a different sketch); the unit test bounds
+    the error at 5% against exact counts."""
+    from gojsonschema_ray.stages.sketches import grouped_approx_nunique
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    df = grouped_approx_nunique(ds, "event_type", "user_id")
+    df["event_type"] = df["event_type"].astype("object")
+    df["approx_nunique"] = df["approx_nunique"].astype("int64")
+    return df
+
+
 def q_documents_curate(sf_dir: str) -> pd.DataFrame:
     """END-TO-END curation (pipelines/curation.curate_documents): Gopher
     quality filter → keep-first exact dedup → char-20-gram decontamination
@@ -2592,6 +2608,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clips_audio_near_dups": q_clips_audio_near_dups,
         "embeddings_kmeans": q_embeddings_kmeans,  # rows-only: iterative
         # Lloyd fitting (local-replica parity proven in tests)
+        "events_approx_users": q_events_approx_users,  # rows-only:
+        # sketch-specific HLL estimate (5%-error bound proven in tests)
     }
 
 

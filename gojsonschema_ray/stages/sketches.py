@@ -892,3 +892,45 @@ def regression_by_group(ds, key_column: str, x_column: str, y_column: str):
                        columns=[key_column, "slope", "intercept", "n"])
     out["n"] = out["n"].astype("int64")
     return out.reset_index(drop=True)
+
+
+def grouped_approx_nunique(ds, key_column: str, value_column: str,
+                           p: int = 12):
+    """APPROXIMATE per-group distinct-value counts — the scale path of
+    uniqueness.grouped_nunique for when the exact pair-partial exchange is
+    too wide (billions of distinct (key, value) pairs): one HyperLogLog
+    per group, built per batch and merged associatively on the driver
+    (register-wise max), so the traffic is #groups × 2^p bytes per batch
+    and NOTHING shuffles. Low-cardinality grouping columns (language,
+    source, shard), same contract as sampling.group_counts; p=12 → ~1.6%
+    standard error. Null values are ignored (COUNT DISTINCT semantics);
+    null groups dropped. Returns a pandas DataFrame
+    (key, approx_nunique) sorted by key."""
+    import pandas as pd
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[key_column, value_column]].dropna()
+        out_k, out_b = [], []
+        for g, sub in d.groupby(key_column, sort=False):
+            h = HyperLogLog(p)
+            h.add_hashes(hash_arrow_array(sub[value_column]))
+            out_k.append(g)
+            out_b.append(h.registers.tobytes())
+        return pd.DataFrame({"g": out_k, "regs": out_b})
+
+    acc: dict = {}
+    for r in collect_rows(ds.map_batches(partial, batch_format="pandas")):
+        regs = np.frombuffer(r["regs"], dtype=np.uint8)
+        cur = acc.get(r["g"])
+        if cur is None:
+            acc[r["g"]] = regs.copy()
+        else:
+            np.maximum(cur, regs, out=cur)
+    rows = []
+    for g in sorted(acc):
+        h = HyperLogLog(p)
+        h.registers = acc[g]
+        rows.append({key_column: g,
+                     "approx_nunique": int(round(h.cardinality()))})
+    return pd.DataFrame(rows, columns=[key_column, "approx_nunique"]) \
+        .reset_index(drop=True)

@@ -1056,6 +1056,31 @@ def test_resample_by_group(ray_session):
     assert len(collect_rows(out1)) == sum(sizes.values())
 
 
+def test_grouped_approx_nunique(ray_session):
+    """Per-group HLL estimates land within ~5% of exact distinct counts
+    and are partitioning-independent (register merge is associative)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.sketches import grouped_approx_nunique
+
+    rng = np.random.default_rng(47)
+    df = pd.DataFrame({
+        "g": rng.choice(["x", "y", "z"], 30000),
+        "v": rng.integers(0, 5000, 30000),
+    })
+    exact = df.groupby("g")["v"].nunique()
+    outs = []
+    for parts in (3, 11):
+        out = grouped_approx_nunique(
+            rd.from_pandas(df).repartition(parts), "g", "v")
+        got = dict(zip(out["g"], out["approx_nunique"]))
+        for g in "xyz":
+            assert abs(got[g] - exact[g]) / exact[g] < 0.05
+        outs.append(got)
+    assert outs[0] == outs[1]  # merge order cannot change the estimate
+
+
 def test_regression_by_group(ray_session):
     """Per-group slope/intercept match np.polyfit; nulls dropped listwise;
     zero-variance x yields NaN."""
