@@ -959,6 +959,78 @@ def q_events_approx_users(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def q_orders_validate_changed(sf_dir: str) -> pd.DataFrame:
+    """INCREMENTAL validation — the production re-validation pattern:
+    diff snapshot B against snapshot A (stages/integrity.snapshot_diff,
+    the orders_diff synthetic snapshots), then run the compiled ruleset
+    over ONLY the added/changed delta (broadcast key set + per-batch
+    filter) instead of the whole corpus. Oracle: the diff CTEs + CASE
+    counts over the same delta."""
+    import ray as _ray
+
+    from gojsonschema_ray.stages.integrity import snapshot_diff
+    from gojsonschema_ray.util import collect_rows
+
+    base = _read(sf_dir, "orders",
+                 ["o_orderkey", "o_totalprice", "o_orderstatus"])
+
+    def make_a(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"]
+        keep = pc.not_equal(
+            pc.subtract(k, pc.multiply(pc.divide(k, 7), 7)), 0)
+        return t.filter(keep)
+
+    def make_b(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"]
+        keep = pc.not_equal(
+            pc.subtract(k, pc.multiply(pc.divide(k, 5), 5)), 0)
+        t = t.filter(keep)
+        k = t["o_orderkey"]
+        bump = pc.equal(
+            pc.subtract(k, pc.multiply(pc.divide(k, 11), 11)), 0)
+        price = pc.if_else(bump, pc.add(t["o_totalprice"], 1.0),
+                           t["o_totalprice"])
+        return t.set_column(t.schema.get_field_index("o_totalprice"),
+                            "o_totalprice", price)
+
+    diff = snapshot_diff(base.map_batches(make_a, batch_format="pyarrow"),
+                         base.map_batches(make_b, batch_format="pyarrow"),
+                         "o_orderkey", ["o_totalprice", "o_orderstatus"])
+    delta_keys = {r["o_orderkey"] for r in collect_rows(diff)
+                  if r["status"] in ("added", "changed")}
+    keys_ref = _ray.put(np.fromiter(sorted(delta_keys), dtype=np.int64))
+
+    def only_delta(t: pa.Table) -> pa.Table:
+        keys = _ray.get(keys_ref)
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        if len(keys) == 0:
+            return t.filter(pa.array(np.zeros(len(k), dtype=bool)))
+        idx = np.searchsorted(keys, k)
+        idx[idx >= len(keys)] = 0
+        return t.filter(pa.array(keys[idx] == k))
+
+    delta = base.map_batches(make_b, batch_format="pyarrow")         .map_batches(only_delta, batch_format="pyarrow")
+    n_delta = 0
+    for r in collect_rows(delta.map_batches(
+            lambda t: pa.table({"n": pa.array([t.num_rows], pa.int64())}),
+            batch_format="pyarrow")):
+        n_delta += r["n"]
+    tv = _validator({
+        "type": "object",
+        "properties": {
+            "o_orderstatus": {"enum": ["O", "F"]},
+            "o_totalprice": {"maximum": 250000},
+        },
+    }, "o_orderkey")
+    viol = delta.map_batches(tv, batch_format="pyarrow")
+    out = _violation_counts_row(viol, {
+        "status_enum": ("enum", "(root).o_orderstatus"),
+        "price_gt_max": ("number_lte", "(root).o_totalprice"),
+    })
+    out["n_delta"] = np.int64(n_delta)
+    return out
+
+
 def q_documents_curate(sf_dir: str) -> pd.DataFrame:
     """END-TO-END curation (pipelines/curation.curate_documents): Gopher
     quality filter → keep-first exact dedup → char-20-gram decontamination
@@ -2558,6 +2630,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pairwise Pearson profile (moment partials; SQL corr() oracle)
         "orders_trend": q_orders_trend,  # per-group least-squares trend
         # (grouped moment partials; regr_slope/regr_intercept oracle)
+        "orders_validate_changed": q_orders_validate_changed,  # diff →
+        # validate-the-delta composition (diff CTEs + CASE-count oracle)
         "documents_gopher": q_documents_gopher,      # composition of
         # in-window-verified signals (repetition, quality, token counts)
         "lineitem_orders_join": q_lineitem_orders_join,  # sibling:
@@ -3276,6 +3350,28 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT 'es' AS source, doc_id FROM documents WHERE lang='es' "
             "AND ((doc_id + 1002) * 2654435761) % 4294967296 < 1073741824"
+        ),
+        # incremental validation: diff statuses, then validate the delta
+        "orders_validate_changed": (
+            "WITH a AS (SELECT o_orderkey, o_totalprice, o_orderstatus "
+            "FROM orders WHERE o_orderkey % 7 != 0), "
+            "b AS (SELECT o_orderkey, CASE WHEN o_orderkey % 11 = 0 "
+            "THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice, "
+            "o_orderstatus FROM orders WHERE o_orderkey % 5 != 0), "
+            "d AS (SELECT coalesce(a.o_orderkey, b.o_orderkey) AS k, "
+            "CASE WHEN a.o_orderkey IS NULL THEN 'added' "
+            "WHEN b.o_orderkey IS NULL THEN 'removed' "
+            "WHEN a.o_totalprice IS DISTINCT FROM b.o_totalprice "
+            "OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus "
+            "THEN 'changed' ELSE 'same' END AS status "
+            "FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey), "
+            "delta AS (SELECT b.* FROM b JOIN d ON b.o_orderkey = d.k "
+            "WHERE d.status IN ('added', 'changed')) "
+            "SELECT count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F')) "
+            "AS status_enum, "
+            "count(*) FILTER (WHERE o_totalprice > 250000) "
+            "AS price_gt_max, "
+            "CAST(count(*) AS BIGINT) AS n_delta FROM delta"
         ),
         # per-group trend: regr_* on the identical integer day index
         "orders_trend": (
