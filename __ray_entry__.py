@@ -2585,9 +2585,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_quantize": q_embeddings_quantize,  # int8 quantization
         # (new family; fully exact oracle — scale, integer code checksum,
         # order-free max reconstruction error)
-        "events_sessions": q_events_sessions,  # gap-based sessionization
-        # (new family; exact two-window SQL oracle — lag boundary flag +
-        # running sum + GROUP BY (user, session))
         "events_zscore": q_events_zscore,  # per-group z-score feature
         # scaling (new family: broadcast-stats normalize, no shuffle;
         # exact window-function oracle)
