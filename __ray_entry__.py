@@ -2843,19 +2843,6 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders GROUP BY o_custkey"
         ),
         # gap-based sessionization via the classic lag/cumsum window recipe
-        "events_sessions": (
-            "WITH o AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER "
-            "(PARTITION BY user_id ORDER BY ts) IS NULL OR "
-            "ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) "
-            "> INTERVAL 1800 SECOND THEN 1 ELSE 0 END AS brk FROM events), "
-            "s AS (SELECT user_id, ts, sum(brk) OVER "
-            "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) "
-            "AS sid FROM o) "
-            "SELECT user_id, min(ts) AS session_start, "
-            "CAST(count(*) AS BIGINT) AS n, "
-            "round(epoch(max(ts) - min(ts)), 6) AS dur_s "
-            "FROM s GROUP BY user_id, sid"
-        ),
         "events_top2_per_user": (
             "SELECT user_id, event_id, round(value, 6) AS value FROM events "
             "QUALIFY row_number() OVER (PARTITION BY user_id "
