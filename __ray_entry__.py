@@ -424,10 +424,12 @@ def q_events_hopping_window(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("window_start").reset_index(drop=True)
 
 
-def q_events_sessions(sf_dir: str) -> pd.DataFrame:
+def q_events_session_windows(sf_dir: str) -> pd.DataFrame:
     """Gap-based session windows per user (30-minute inactivity gap):
     hash(user) co-partition + vectorized per-partition gap split
-    (stages/window.py session_windows)."""
+    (stages/window.py session_windows — the one-row-per-session sibling
+    of sessionize, restored under its own name after round 5's sessionize
+    query shadowed it)."""
     from gojsonschema_ray.stages.window import session_windows
     from gojsonschema_ray.util import collect_rows
 
@@ -2629,6 +2631,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (grouped moment partials; regr_slope/regr_intercept oracle)
         "orders_validate_changed": q_orders_validate_changed,  # diff →
         # validate-the-delta composition (diff CTEs + CASE-count oracle)
+        "events_session_windows": q_events_session_windows,  # round-2
+        # session_windows op (sibling: events_sessions/sessionize)
         "documents_gopher": q_documents_gopher,      # composition of
         # in-window-verified signals (repetition, quality, token counts)
         "lineitem_orders_join": q_lineitem_orders_join,  # sibling:
@@ -3334,6 +3338,20 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT 'es' AS source, doc_id FROM documents WHERE lang='es' "
             "AND ((doc_id + 1002) * 2654435761) % 4294967296 < 1073741824"
+        ),
+        # session_windows: 30-min gap, one row per session
+        "events_session_windows": (
+            "WITH o AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts) IS NULL OR "
+            "ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) "
+            "> INTERVAL 1800 SECOND THEN 1 ELSE 0 END AS brk FROM events), "
+            "s AS (SELECT user_id, ts, sum(brk) OVER "
+            "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) "
+            "AS sid FROM o) "
+            "SELECT user_id, min(ts) AS session_start, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "round(epoch(max(ts) - min(ts)), 6) AS dur_s "
+            "FROM s GROUP BY user_id, sid"
         ),
         # incremental validation: diff statuses, then validate the delta
         "orders_validate_changed": (
