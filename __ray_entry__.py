@@ -1033,6 +1033,53 @@ def q_orders_validate_changed(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_events_range_join(sf_dir: str) -> pd.DataFrame:
+    """Bucketed interval-containment join (stages/joins.
+    range_join_bucketed — the big-interval-side shuffle complement of the
+    broadcast range join): trigger events (event_id % 499 == 0) open
+    10-minute windows; every event inside a window joins it. One
+    hash(time-bucket) co-partition exchange, intervals replicated only to
+    overlapped buckets. Output: events-per-window counts. Oracle: the
+    epoch BETWEEN self-join."""
+    from gojsonschema_ray.stages.joins import range_join_bucketed
+    from gojsonschema_ray.util import collect_rows
+
+    base = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def pts(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table({"event_id": t["event_id"],
+                         "x": pc.divide(pc.cast(us, pa.float64()),
+                                        1_000_000.0)})
+
+    def ivs(t: pa.Table) -> pa.Table:
+        k = t["event_id"]
+        keep = pc.equal(pc.subtract(k, pc.multiply(pc.divide(k, 499),
+                                                   499)), 0)
+        t = t.filter(keep)
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        lo = pc.divide(pc.cast(us, pa.float64()), 1_000_000.0)
+        return pa.table({"iid": t["event_id"], "lo": lo,
+                         "hi": pc.add(lo, 600.0)})
+
+    joined = range_join_bucketed(
+        base.map_batches(pts, batch_format="pyarrow"),
+        base.map_batches(ivs, batch_format="pyarrow"),
+        on="x", lo="lo", hi="hi", bucket_width=600.0,
+        interval_columns=["iid"])
+    counts: dict = {}
+    for r in collect_rows(joined.map_batches(
+            lambda df: df.groupby("iid", sort=False).size()
+            .reset_index(name="c"), batch_format="pandas")):
+        counts[r["iid"]] = counts.get(r["iid"], 0) + int(r["c"])
+    df = pd.DataFrame({
+        "iid": pd.Series(sorted(counts), dtype="int64"),
+        "n_events": pd.Series([counts[k] for k in sorted(counts)],
+                              dtype="int64"),
+    })
+    return df.reset_index(drop=True)
+
+
 def q_documents_curate(sf_dir: str) -> pd.DataFrame:
     """END-TO-END curation (pipelines/curation.curate_documents): Gopher
     quality filter → keep-first exact dedup → char-20-gram decontamination
@@ -2633,6 +2680,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # validate-the-delta composition (diff CTEs + CASE-count oracle)
         "events_session_windows": q_events_session_windows,  # round-2
         # session_windows op (sibling: events_sessions/sessionize)
+        "events_range_join": q_events_range_join,  # bucketed interval
+        # join, big interval side (epoch BETWEEN self-join oracle)
         "documents_gopher": q_documents_gopher,      # composition of
         # in-window-verified signals (repetition, quality, token counts)
         "lineitem_orders_join": q_lineitem_orders_join,  # sibling:
@@ -3338,6 +3387,15 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT 'es' AS source, doc_id FROM documents WHERE lang='es' "
             "AND ((doc_id + 1002) * 2654435761) % 4294967296 < 1073741824"
+        ),
+        # bucketed range join: trigger windows, closed-end containment
+        "events_range_join": (
+            "WITH iv AS (SELECT event_id AS iid, epoch(ts) AS lo, "
+            "epoch(ts) + 600.0 AS hi FROM events WHERE event_id % 499 = 0) "
+            "SELECT iv.iid, CAST(count(*) AS BIGINT) AS n_events "
+            "FROM iv JOIN events e "
+            "ON epoch(e.ts) >= iv.lo AND epoch(e.ts) <= iv.hi "
+            "GROUP BY 1 ORDER BY 1"
         ),
         # session_windows: 30-min gap, one row per session
         "events_session_windows": (

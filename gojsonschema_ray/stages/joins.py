@@ -705,3 +705,87 @@ def _as_arrow_type(t):
     if np.dtype(t) == np.dtype("object"):
         return pa.string()
     return pa.from_numpy_dtype(t)
+
+
+def range_join_bucketed(points, intervals, *, on: str, lo: str, hi: str,
+                        bucket_width: float,
+                        interval_columns: list,
+                        max_fanout: int = 1024,
+                        n_parts: int | None = None):
+    """Interval containment join for a BIG interval side — the shuffle
+    complement of range_join_broadcast (which collects the intervals on
+    the driver), the same upgrade asof_join_bucketed gives the as-of
+    family. Emits one output row per (point, containing interval) pair
+    (lo <= on <= hi, closed ends, overlaps allowed): the point side's
+    columns + `interval_columns`.
+
+    Scale shape: the value axis is cut into `bucket_width` buckets; each
+    point routes to its ONE bucket, each interval replicates to every
+    bucket it overlaps, then ONE hash(bucket) co-partition exchange and a
+    vectorized per-partition bucket-merge + containment filter. Pick
+    bucket_width near the typical interval length so replication stays
+    O(1) per interval; an interval spanning more than `max_fanout`
+    buckets raises loudly (a width misconfiguration would otherwise
+    replicate it everywhere). Null points/bounds are dropped."""
+    import pandas as pd
+
+    from .dedup import _next_pow2, _shuffle_parts
+    from .sketches import hash_arrow_array
+
+    if bucket_width <= 0:
+        raise ValueError("range_join_bucketed: bucket_width must be > 0")
+    pnames = list(points.schema().names)
+    inames = [*interval_columns, lo, hi]
+    reserved = {"_bucket", "part", "_side"} & {*pnames, *inames}
+    if reserved:
+        raise ValueError(f"range_join_bucketed: column names "
+                         f"{sorted(reserved)} are reserved")
+    overlap = set(pnames) & set(inames)
+    if overlap:
+        raise ValueError(f"range_join_bucketed: columns {sorted(overlap)} "
+                         "appear on both sides — project or rename")
+    all_cols = [*pnames, *inames, "_bucket", "part", "_side"]
+    P = _next_pow2(n_parts or _shuffle_parts())
+    w = float(bucket_width)
+
+    def point_part(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df[on].notna()].copy()
+        d["_bucket"] = np.floor(
+            d[on].to_numpy(dtype=np.float64) / w).astype(np.int64)
+        d["part"] = (hash_arrow_array(d["_bucket"])
+                     % np.uint64(P)).astype("int32")
+        d["_side"] = np.int8(0)
+        return d.reindex(columns=all_cols)
+
+    def interval_part(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df[lo].notna() & df[hi].notna()]
+        d = d[d[lo] <= d[hi]]
+        b0 = np.floor(d[lo].to_numpy(dtype=np.float64) / w).astype(np.int64)
+        b1 = np.floor(d[hi].to_numpy(dtype=np.float64) / w).astype(np.int64)
+        span = b1 - b0 + 1
+        if span.size and int(span.max()) > max_fanout:
+            raise ValueError(
+                f"range_join_bucketed: an interval spans {int(span.max())}"
+                f" buckets (> max_fanout={max_fanout}) — raise bucket_width")
+        idx = np.repeat(np.arange(len(d)), span)
+        offs = np.concatenate([np.arange(n) for n in span]) if len(d) \
+            else np.empty(0, np.int64)
+        out = d.iloc[idx].copy()
+        out["_bucket"] = np.repeat(b0, span) + offs
+        out["part"] = (hash_arrow_array(out["_bucket"])
+                       % np.uint64(P)).astype("int32")
+        out["_side"] = np.int8(1)
+        return out.reindex(columns=all_cols)
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        p = df[df["_side"] == 0][[*pnames, "_bucket"]]
+        iv = df[df["_side"] == 1][["_bucket", *inames]]
+        m = p.merge(iv, on="_bucket")
+        m = m[(m[lo] <= m[on]) & (m[on] <= m[hi])]
+        return m.drop(columns=["_bucket", lo, hi]).reset_index(drop=True)
+
+    both = points.map_batches(point_part, batch_format="pandas") \
+        .union(intervals.map_batches(interval_part, batch_format="pandas"))
+    parts = both.repartition(P).materialize()
+    return parts.groupby("part").map_groups(per_part,
+                                            batch_format="pandas")

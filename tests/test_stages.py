@@ -1056,6 +1056,46 @@ def test_resample_by_group(ray_session):
     assert len(collect_rows(out1)) == sum(sizes.values())
 
 
+def test_range_join_bucketed(ray_session):
+    """Pair set equals the pandas containment replica including
+    OVERLAPPING intervals and bucket-boundary values; fanout guard
+    raises; null bounds dropped."""
+    import pandas as pd
+    import pytest as _pytest
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.joins import range_join_bucketed
+    from gojsonschema_ray.util import collect_rows
+
+    rng = np.random.default_rng(51)
+    pts = pd.DataFrame({"pid": np.arange(2000, dtype="int64"),
+                        "x": rng.uniform(0, 1000, 2000).round(1)})
+    pts.loc[0, "x"] = 100.0  # exactly on a bucket boundary
+    s = rng.uniform(0, 980, 60).round(1)
+    iv = pd.DataFrame({"iid": np.arange(60, dtype="int64"),
+                       "lo": s, "hi": s + rng.uniform(1, 40, 60).round(1)})
+    iv.loc[59, ["lo", "hi"]] = [None, None]
+
+    exp = set()
+    for r in iv.dropna().itertuples(index=False):
+        inside = pts[(pts["x"] >= r.lo) & (pts["x"] <= r.hi)]
+        exp |= {(p, r.iid) for p in inside["pid"]}
+
+    out = collect_rows(range_join_bucketed(
+        rd.from_pandas(pts).repartition(4),
+        rd.from_pandas(iv).repartition(2),
+        on="x", lo="lo", hi="hi", bucket_width=50.0,
+        interval_columns=["iid"]))
+    got = {(r["pid"], r["iid"]) for r in out}
+    assert got == exp and len(exp) > 100
+
+    with _pytest.raises(Exception, match="max_fanout"):
+        collect_rows(range_join_bucketed(
+            rd.from_pandas(pts), rd.from_pandas(iv.dropna()),
+            on="x", lo="lo", hi="hi", bucket_width=0.001,
+            interval_columns=["iid"], max_fanout=10))
+
+
 def test_grouped_approx_nunique(ray_session):
     """Per-group HLL estimates land within ~5% of exact distinct counts
     and are partitioning-independent (register merge is associative)."""
