@@ -1080,6 +1080,35 @@ def q_events_range_join(sf_dir: str) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def q_events_percentile(sf_dir: str) -> pd.DataFrame:
+    """Approximate percentile scoring (stages/sketches.
+    percentile_normalize): one t-digest sketch pass + one broadcast-digest
+    scoring pass over the events value column, reported as decile
+    occupancy. Rows-only by design: the digest CDF is sketch-specific;
+    the unit test bounds the error vs exact ranks at 2%."""
+    from gojsonschema_ray.stages.sketches import percentile_normalize
+    from gojsonschema_ray.util import collect_rows
+
+    def fresh():
+        return _read(sf_dir, "events", ["event_id", "value"])
+
+    scored = percentile_normalize(fresh(), "value")
+
+    def decile_partial(t: pa.Table) -> pa.Table:
+        p = np.asarray(t["pct"].to_numpy(zero_copy_only=False))
+        dec = np.clip((np.nan_to_num(p, nan=0.0) * 10).astype(np.int64),
+                      0, 9)
+        return pa.table({"dec": pa.array(np.arange(10, dtype=np.int64)),
+                         "n": pa.array(np.bincount(dec, minlength=10))})
+
+    agg = np.zeros(10, dtype=np.int64)
+    for r in collect_rows(scored.map_batches(decile_partial,
+                                             batch_format="pyarrow")):
+        agg[r["dec"]] += r["n"]
+    return pd.DataFrame({"decile": pd.Series(np.arange(10), dtype="int64"),
+                         "n": pd.Series(agg, dtype="int64")})
+
+
 def q_documents_curate(sf_dir: str) -> pd.DataFrame:
     """END-TO-END curation (pipelines/curation.curate_documents): Gopher
     quality filter → keep-first exact dedup → char-20-gram decontamination
@@ -2734,6 +2763,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Lloyd fitting (local-replica parity proven in tests)
         "events_approx_users": q_events_approx_users,  # rows-only:
         # sketch-specific HLL estimate (5%-error bound proven in tests)
+        "events_percentile": q_events_percentile,  # rows-only: digest
+        # CDF scoring (2%-error bound vs exact ranks proven in tests)
     }
 
 

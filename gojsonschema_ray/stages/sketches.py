@@ -934,3 +934,51 @@ def grouped_approx_nunique(ds, key_column: str, value_column: str,
                      "approx_nunique": int(round(h.cardinality()))})
     return pd.DataFrame(rows, columns=[key_column, "approx_nunique"]) \
         .reset_index(drop=True)
+
+
+def percentile_normalize(ds, value_column: str, *,
+                         out_column: str = "pct",
+                         compression: float = 200.0):
+    """Approximate percentile (CDF) score per row — the streaming scale
+    path of the exact global_rank: ONE sketch pass builds a merged
+    t-digest (fixed-size partials, no shuffle), then the broadcast digest
+    scores every row in a second streaming pass (`out_column` in [0, 1]).
+    At 10^12 rows the exact sample-sort rank pays a distribution exchange;
+    the digest answer is within ~O(1/compression) quantile error and
+    never moves the data. Null/NaN values score NaN.
+
+    `ds` is consumed twice (sketch + score) — pass a re-readable pipeline
+    or a materialized Dataset. Returns (ds columns + out_column)."""
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = TDigest(compression)
+        col = t[value_column]
+        v = np.asarray(col.to_numpy(zero_copy_only=False),
+                       dtype=np.float64)
+        d.add_array(v[np.isfinite(v)])
+        return pa.table({"d": pa.array([d.to_bytes()], pa.binary())})
+
+    merged = TDigest(compression)
+    for r in collect_rows(ds.map_batches(partial, batch_format="pyarrow")):
+        merged.merge(TDigest.from_bytes(r["d"]))
+    ref = ray.put(merged.to_bytes())
+
+    def score(t: pa.Table) -> pa.Table:
+        d = TDigest.from_bytes(ray.get(ref))
+        v = np.asarray(t[value_column].to_numpy(zero_copy_only=False),
+                       dtype=np.float64)
+        out = np.full(len(v), np.nan)
+        ok = np.isfinite(v)
+        # vectorized CDF: same interpolation as TDigest.cdf, batched
+        d._compress()
+        if len(d.means):
+            cum = np.cumsum(d.weights) - d.weights / 2
+            tot = d.weights.sum()
+            p = np.interp(v[ok], d.means, cum / tot)
+            p[v[ok] <= d.min] = 0.0
+            p[v[ok] >= d.max] = 1.0
+            out[ok] = p
+        return t.append_column(out_column, pa.array(out))
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -1056,6 +1056,35 @@ def test_resample_by_group(ray_session):
     assert len(collect_rows(out1)) == sum(sizes.values())
 
 
+def test_percentile_normalize(ray_session):
+    """Digest CDF scores track the exact empirical percentile within 2%,
+    are monotone in the value, and NaN for nulls."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.sketches import percentile_normalize
+    from gojsonschema_ray.util import collect_rows
+
+    rng = np.random.default_rng(53)
+    n = 20000
+    df = pd.DataFrame({"id": np.arange(n, dtype="int64"),
+                       "v": rng.lognormal(0, 1, n)})
+    df.loc[0, "v"] = None
+    rows = collect_rows(percentile_normalize(
+        rd.from_pandas(df).repartition(5), "v"))
+    rows.sort(key=lambda r: r["id"])
+    got = np.array([r["pct"] for r in rows])
+    v = df["v"].to_numpy()
+    exact = pd.Series(v).rank(pct=True).to_numpy()
+    ok = np.isfinite(v)
+    assert np.isnan(got[0])
+    err = np.abs(got[ok] - exact[ok])
+    assert np.quantile(err, 0.99) < 0.02
+    # monotone: sorting by value sorts the scores
+    order = np.argsort(v[ok], kind="stable")
+    assert (np.diff(got[ok][order]) >= -1e-12).all()
+
+
 def test_range_join_bucketed(ray_session):
     """Pair set equals the pandas containment replica including
     OVERLAPPING intervals and bucket-boundary values; fanout guard
