@@ -1109,6 +1109,33 @@ def q_events_percentile(sf_dir: str) -> pd.DataFrame:
                          "n": pd.Series(agg, dtype="int64")})
 
 
+def q_events_trending(sf_dir: str) -> pd.DataFrame:
+    """Trending items per day — the windowed-top-k composition: a pure
+    per-batch day-bucket projection feeds stages/topk.grouped_top_values
+    (one hash(day) pair-count exchange, count-desc/type-asc ties).
+    Oracle: GROUP BY day/type + QUALIFY row_number."""
+    from gojsonschema_ray.stages.topk import grouped_top_values
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def add_day(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table({"day": pc.divide(us, 86_400_000_000),
+                         "event_type": t["event_type"]})
+
+    rows = collect_rows(grouped_top_values(
+        ds.map_batches(add_day, batch_format="pyarrow"),
+        "day", "event_type", 2))
+    df = pd.DataFrame({
+        "day": pd.Series([r["day"] for r in rows], dtype="int64"),
+        "event_type": pd.Series([r["event_type"] for r in rows],
+                                dtype="object"),
+        "n": pd.Series([r["n"] for r in rows], dtype="int64"),
+    })
+    return df.sort_values(["day", "event_type"]).reset_index(drop=True)
+
+
 def q_documents_curate(sf_dir: str) -> pd.DataFrame:
     """END-TO-END curation (pipelines/curation.curate_documents): Gopher
     quality filter → keep-first exact dedup → char-20-gram decontamination
@@ -2711,6 +2738,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # session_windows op (sibling: events_sessions/sessionize)
         "events_range_join": q_events_range_join,  # bucketed interval
         # join, big interval side (epoch BETWEEN self-join oracle)
+        "events_trending": q_events_trending,  # windowed top-k
+        # composition (sibling: documents_top_sources machinery)
         "documents_gopher": q_documents_gopher,      # composition of
         # in-window-verified signals (repetition, quality, token counts)
         "lineitem_orders_join": q_lineitem_orders_join,  # sibling:
@@ -3418,6 +3447,15 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT 'es' AS source, doc_id FROM documents WHERE lang='es' "
             "AND ((doc_id + 1002) * 2654435761) % 4294967296 < 1073741824"
+        ),
+        # trending: integer day index, count desc / type asc ties
+        "events_trending": (
+            "WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, "
+            "event_type, CAST(count(*) AS BIGINT) AS n FROM events "
+            "GROUP BY 1, 2) "
+            "SELECT day, event_type, n FROM c "
+            "QUALIFY row_number() OVER (PARTITION BY day "
+            "ORDER BY n DESC, event_type) <= 2 ORDER BY day, event_type"
         ),
         # bucketed range join: trigger windows, closed-end containment
         "events_range_join": (
