@@ -1136,6 +1136,27 @@ def q_events_trending(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["day", "event_type"]).reset_index(drop=True)
 
 
+def q_events_debounce(sf_dir: str) -> pd.DataFrame:
+    """Event-stream debouncing (stages/window.debounce_by_key): drop an
+    event when the same (user, event_type) fired within the previous day,
+    keeping the first of each chained burst — one hash(user) co-partition
+    + the vectorized gap-split scan. Oracle: the two-window idiom (lag
+    boundary at gap >= window, running burst id, first row per burst)."""
+    from gojsonschema_ray.stages.window import debounce_by_key
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+    rows = collect_rows(debounce_by_key(
+        ds, "user_id", "ts", "event_type", 86400.0,
+        order_columns=("event_id",)))
+    df = pd.DataFrame({
+        "event_id": pd.Series([r["event_id"] for r in rows],
+                              dtype="int64"),
+    })
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
 def q_documents_curate(sf_dir: str) -> pd.DataFrame:
     """END-TO-END curation (pipelines/curation.curate_documents): Gopher
     quality filter → keep-first exact dedup → char-20-gram decontamination
@@ -2740,6 +2761,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # join, big interval side (epoch BETWEEN self-join oracle)
         "events_trending": q_events_trending,  # windowed top-k
         # composition (sibling: documents_top_sources machinery)
+        "events_debounce": q_events_debounce,  # burst cleanup / retry
+        # dedup (gap-split scan; two-window lag/burst-id oracle)
         "documents_gopher": q_documents_gopher,      # composition of
         # in-window-verified signals (repetition, quality, token counts)
         "lineitem_orders_join": q_lineitem_orders_join,  # sibling:
@@ -3447,6 +3470,20 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT 'es' AS source, doc_id FROM documents WHERE lang='es' "
             "AND ((doc_id + 1002) * 2654435761) % 4294967296 < 1073741824"
+        ),
+        # debounce: burst = session with gap < window on (user, type)
+        "events_debounce": (
+            "WITH l AS (SELECT event_id, CASE WHEN lag(ts) OVER w IS NULL "
+            "OR epoch(ts) - lag(epoch(ts)) OVER w >= 86400.0 "
+            "THEN 1 ELSE 0 END AS brk, ts, user_id, event_type FROM events "
+            "WINDOW w AS (PARTITION BY user_id, event_type "
+            "ORDER BY ts, event_id)), "
+            "s AS (SELECT event_id, ts, user_id, event_type, "
+            "sum(brk) OVER (PARTITION BY user_id, event_type "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS b FROM l) "
+            "SELECT event_id FROM s "
+            "QUALIFY row_number() OVER (PARTITION BY user_id, event_type, "
+            "b ORDER BY ts, event_id) = 1 ORDER BY event_id"
         ),
         # trending: integer day index, count desc / type asc ties
         "events_trending": (

@@ -515,3 +515,68 @@ def retention_cohorts(ds, key_column: str, ts_column: str,
                                                 batch_format="pandas")
     return partials.repartition(P).materialize() \
         .groupby("part2").map_groups(per_cell, batch_format="pandas")
+
+
+def debounce_by_key(ds, key_column: str, ts_column: str,
+                    value_column: str, window_s: float,
+                    order_columns: tuple = (),
+                    n_parts: int | None = None):
+    """Event-stream debouncing — drop a row when the SAME (key, value)
+    occurred within the previous `window_s` seconds (strictly less than;
+    a gap of exactly window_s is kept), keeping the first of each burst:
+    the duplicate-click / retry-storm cleanup pass of an event pipeline.
+    Chained bursts collapse to their first event (each kept row restarts
+    the window — NOT a fixed lag filter, which would re-admit every other
+    element of a long burst).
+
+    Scale shape: ONE hash(key) co-partition exchange, then a vectorized
+    per-partition sort + per-(key,value) cumulative scan. The scan is the
+    classic gap-split trick (sessionize's machinery on (key, value)):
+    bursts are sessions with gap < window_s, and "first of each burst" is
+    each session's first row — fully vectorized, no Python loop over
+    rows. Returns the kept rows (key, order columns, value)."""
+    from .dedup import _next_pow2, _shuffle_parts
+    from .sketches import hash_arrow_array
+
+    P = _next_pow2(n_parts or _shuffle_parts())
+    order = [ts_column, *order_columns]
+
+    def project(t: pa.Table) -> pa.Table:
+        cols = {c: t[c] for c in dict.fromkeys(
+            [key_column, *order, value_column])}
+        part = (hash_arrow_array(t[key_column])
+                % np.uint64(P)).astype(np.int32)
+        cols["part"] = pa.array(part)
+        return pa.table(cols)
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_column, value_column, *order],
+                            kind="stable")
+        ts = df[ts_column].to_numpy()
+        if np.issubdtype(ts.dtype, np.datetime64):
+            ts = ts.astype("datetime64[us]").astype("int64") / 1e6
+        else:
+            ts = ts.astype(np.float64)
+        keys = df[key_column].to_numpy()
+        vals = df[value_column].to_numpy()
+        same = np.zeros(len(df), dtype=bool)
+        if len(df):
+            same[1:] = (keys[1:] == keys[:-1]) & (vals[1:] == vals[:-1])
+        gap_ok = np.zeros(len(df), dtype=bool)
+        if len(df):
+            gap_ok[1:] = (ts[1:] - ts[:-1]) < window_s
+        # burst sessions: new burst wherever the (key,value) changes or
+        # the gap reaches window_s; keep each burst's first row
+        new_burst = ~(same & gap_ok)
+        burst_id = np.cumsum(new_burst)
+        keep = np.empty(len(df), dtype=bool)
+        if len(df):
+            keep[0] = True
+            keep[1:] = burst_id[1:] != burst_id[:-1]
+        out = df[keep].drop(columns=["part"])
+        return out.reset_index(drop=True)
+
+    parts = ds.map_batches(project, batch_format="pyarrow") \
+        .repartition(P).materialize()
+    return parts.groupby("part").map_groups(per_part,
+                                            batch_format="pandas")

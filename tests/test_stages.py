@@ -1056,6 +1056,54 @@ def test_resample_by_group(ray_session):
     assert len(collect_rows(out1)) == sum(sizes.values())
 
 
+def test_debounce_by_key(ray_session):
+    """Chained bursts collapse to their first event; a gap of exactly
+    window_s starts a new burst; different values never debounce each
+    other; partitioning-free."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.window import debounce_by_key
+    from gojsonschema_ray.util import collect_rows
+
+    # key 1: chained burst at t=0,4,8 (gaps 4 < 5) then t=13 (gap 5 ==
+    # window -> kept); key 1 value B interleaved is independent
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 1, 1, 2, 2],
+        "ts": pd.to_datetime([0, 4, 8, 13, 6, 0, 4], unit="s"),
+        "eid": [1, 2, 3, 4, 5, 6, 7],
+        "v": ["A", "A", "A", "A", "B", "A", "A"],
+    })
+    for parts in (2, 4):
+        rows = collect_rows(debounce_by_key(
+            rd.from_pandas(df).repartition(parts), "k", "ts", "v", 5.0,
+            order_columns=("eid",)))
+        kept = sorted(r["eid"] for r in rows)
+        assert kept == [1, 4, 5, 6]
+
+    # randomized parity with a pandas replica
+    rng = np.random.default_rng(59)
+    big = pd.DataFrame({
+        "k": rng.integers(0, 40, 3000),
+        "ts": pd.to_datetime(rng.integers(0, 10**5, 3000), unit="s"),
+        "eid": np.arange(3000, dtype="int64"),
+        "v": rng.choice(list("xy"), 3000),
+    })
+    d = big.sort_values(["k", "v", "ts", "eid"], kind="stable")
+    t = d["ts"].astype("int64").to_numpy() / 1e9
+    same = np.zeros(len(d), bool)
+    same[1:] = (d["k"].to_numpy()[1:] == d["k"].to_numpy()[:-1]) & \
+        (d["v"].to_numpy()[1:] == d["v"].to_numpy()[:-1])
+    gap_ok = np.zeros(len(d), bool)
+    gap_ok[1:] = (t[1:] - t[:-1]) < 60.0
+    keep = ~(same & gap_ok)
+    exp = set(d["eid"].to_numpy()[keep])
+    rows = collect_rows(debounce_by_key(
+        rd.from_pandas(big).repartition(5), "k", "ts", "v", 60.0,
+        order_columns=("eid",)))
+    assert {r["eid"] for r in rows} == exp
+
+
 def test_percentile_normalize(ray_session):
     """Digest CDF scores track the exact empirical percentile within 2%,
     are monotone in the value, and NaN for nulls."""
