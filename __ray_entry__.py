@@ -1157,6 +1157,55 @@ def q_events_debounce(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("event_id").reset_index(drop=True)
 
 
+def q_events_pivot(sf_dir: str) -> pd.DataFrame:
+    """Distributed pivot, long → wide (stages/reshape.pivot_wide): one row
+    per user, one count column per event type — per-batch (key, category)
+    count partials, ONE hash(key) coarse exchange, per-partition vectorized
+    widen against the globally pinned category list (passed explicitly, so
+    no discovery pass and no cross-partition schema coordination).
+    Oracle: count(*) FILTER per category, GROUP BY user."""
+    from gojsonschema_ray.stages.reshape import pivot_wide
+    from gojsonschema_ray.util import collect_rows
+
+    cats = ["click", "error", "purchase", "signup", "view"]
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    rows = collect_rows(pivot_wide(ds, "user_id", "event_type",
+                                   pivot_values=cats))
+    df = pd.DataFrame(rows)
+    for c in cats:
+        df[c] = df[c].astype("int64")
+    df["user_id"] = df["user_id"].astype("int64")
+    return df[["user_id"] + cats].sort_values("user_id") \
+        .reset_index(drop=True)
+
+
+def q_lineitem_melt(sf_dir: str) -> pd.DataFrame:
+    """Melt, wide → long (stages/reshape.melt): lineitem's three measure
+    columns unpivoted to one (measure, value) row each, keyed by
+    (l_orderkey, l_linenumber) — pure per-batch expansion, zero shuffle,
+    streams at any scale. Oracle: three-way UNION ALL."""
+    from gojsonschema_ray.stages.reshape import melt
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity",
+                "l_extendedprice", "l_discount"])
+    rows = collect_rows(melt(
+        ds, ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        var_name="measure", value_name="value"))
+    df = pd.DataFrame({
+        "l_orderkey": pd.Series([r["l_orderkey"] for r in rows],
+                                dtype="int64"),
+        "l_linenumber": pd.Series([r["l_linenumber"] for r in rows],
+                                  dtype="int32"),
+        "measure": pd.Series([r["measure"] for r in rows], dtype="object"),
+        "value": pd.Series([r["value"] for r in rows], dtype="float64"),
+    })
+    return df.sort_values(["l_orderkey", "l_linenumber", "measure"]) \
+        .reset_index(drop=True)
+
+
 def q_documents_curate(sf_dir: str) -> pd.DataFrame:
     """END-TO-END curation (pipelines/curation.curate_documents): Gopher
     quality filter → keep-first exact dedup → char-20-gram decontamination
@@ -2711,6 +2760,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_quantize": q_embeddings_quantize,  # int8 quantization
         # (new family; fully exact oracle — scale, integer code checksum,
         # order-free max reconstruction error)
+        "events_pivot": q_events_pivot,  # distributed pivot long→wide
+        # (new family: reshape — partial counts + one hash(key) exchange
+        # against a pinned category schema; FILTER-count oracle)
+        "lineitem_melt": q_lineitem_melt,  # melt wide→long (reshape
+        # family inverse; pure per-batch expansion; UNION ALL oracle)
         "events_zscore": q_events_zscore,  # per-group z-score feature
         # scaling (new family: broadcast-stats normalize, no shuffle;
         # exact window-function oracle)
@@ -3484,6 +3538,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id FROM s "
             "QUALIFY row_number() OVER (PARTITION BY user_id, event_type, "
             "b ORDER BY ts, event_id) = 1 ORDER BY event_id"
+        ),
+        # pivot: counts per category, pinned sorted category columns
+        "events_pivot": (
+            "SELECT user_id, "
+            "count(*) FILTER (WHERE event_type = 'click') AS click, "
+            "count(*) FILTER (WHERE event_type = 'error') AS \"error\", "
+            "count(*) FILTER (WHERE event_type = 'purchase') AS purchase, "
+            "count(*) FILTER (WHERE event_type = 'signup') AS signup, "
+            "count(*) FILTER (WHERE event_type = 'view') AS \"view\" "
+            "FROM events GROUP BY user_id ORDER BY user_id"
+        ),
+        # melt: one UNION ALL leg per measure column
+        "lineitem_melt": (
+            "SELECT l_orderkey, l_linenumber, "
+            "'l_quantity' AS measure, l_quantity AS value FROM lineitem "
+            "UNION ALL SELECT l_orderkey, l_linenumber, "
+            "'l_extendedprice', l_extendedprice FROM lineitem "
+            "UNION ALL SELECT l_orderkey, l_linenumber, "
+            "'l_discount', l_discount FROM lineitem "
+            "ORDER BY l_orderkey, l_linenumber, measure"
         ),
         # trending: integer day index, count desc / type asc ties
         "events_trending": (

@@ -2621,3 +2621,95 @@ def test_lag_by_key(ray_session):
     # equal timestamps: eid breaks the tie deterministically
     assert got[4] == (2.0, 3.0)
     assert got[3][1] is None or got[3][1] != got[3][1]
+
+
+def test_pivot_wide(ray_session):
+    """Wide counts/sums equal pandas pivot_table; fixed pivot_values pin
+    the schema (absent category -> all-fill column, unlisted -> dropped);
+    reserved/colliding names raise."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.reshape import pivot_wide
+    from gojsonschema_ray.util import collect_rows
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({"k": rng.integers(0, 50, 4000),
+                       "c": rng.choice(list("abc"), 4000),
+                       "v": rng.uniform(-1, 1, 4000).round(3)})
+    df.loc[:10, "c"] = None
+
+    exp = df.dropna(subset=["c"]).pivot_table(
+        index="k", columns="c", values="v", aggfunc="count") \
+        .fillna(0).astype(float)
+
+    got = pd.DataFrame(collect_rows(pivot_wide(
+        rd.from_pandas(df).repartition(6), "k", "c"))) \
+        .set_index("k").sort_index()
+    assert list(got.columns) == ["a", "b", "c"]
+    pd.testing.assert_frame_equal(got, exp, check_names=False)
+
+    exp_sum = df.dropna(subset=["c"]).pivot_table(
+        index="k", columns="c", values="v", aggfunc="sum").fillna(0)
+    got_sum = pd.DataFrame(collect_rows(pivot_wide(
+        rd.from_pandas(df).repartition(6), "k", "c",
+        value_column="v", agg="sum"))) \
+        .set_index("k").sort_index()
+    pd.testing.assert_frame_equal(got_sum, exp_sum, check_names=False,
+                                  check_exact=False, rtol=1e-12)
+
+    # pinned schema: 'z' never occurs (all-fill), 'c' unlisted (dropped)
+    got_pin = pd.DataFrame(collect_rows(pivot_wide(
+        rd.from_pandas(df).repartition(6), "k", "c",
+        pivot_values=["a", "b", "z"])))
+    assert list(got_pin.columns) == ["k", "a", "b", "z"]
+    assert (got_pin["z"] == 0).all()
+    m = got_pin.set_index("k").sort_index()
+    pd.testing.assert_frame_equal(m[["a", "b"]], exp[["a", "b"]],
+                                  check_names=False)
+
+    with pytest.raises(ValueError, match="reserved"):
+        pivot_wide(rd.from_pandas(df.rename(columns={"k": "part"})),
+                   "part", "c")
+    with pytest.raises(ValueError, match="collides with the key"):
+        pivot_wide(rd.from_pandas(df.assign(c="k")), "k", "c")
+    with pytest.raises(ValueError, match="needs value_column"):
+        pivot_wide(rd.from_pandas(df), "k", "c", agg="sum")
+
+
+def test_pivot_wide_discovery_cap(ray_session):
+    """Category discovery refuses high-cardinality pivot columns."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.reshape import pivot_wide
+
+    df = pd.DataFrame({"k": range(300), "c": [f"c{i}" for i in range(300)]})
+    with pytest.raises(Exception, match="distinct"):
+        pivot_wide(rd.from_pandas(df).repartition(2), "k", "c",
+                   max_categories=16).materialize()
+
+
+def test_melt(ray_session):
+    """Melt equals pandas melt row-set; name collisions raise."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.reshape import melt
+    from gojsonschema_ray.util import collect_rows
+
+    df = pd.DataFrame({"id": [1, 2, 3], "x": [1.0, 2.0, 3.0],
+                       "y": [9.0, 8.0, 7.0]})
+    exp = df.melt(id_vars=["id"], value_vars=["x", "y"])
+    got = pd.DataFrame(collect_rows(melt(
+        rd.from_pandas(df).repartition(2), ["id"], ["x", "y"])))
+    key = ["id", "variable", "value"]
+    pd.testing.assert_frame_equal(
+        got[key].sort_values(key).reset_index(drop=True),
+        exp[key].sort_values(key).reset_index(drop=True))
+
+    with pytest.raises(ValueError, match="collide"):
+        melt(rd.from_pandas(df), ["id"], ["x"], var_name="id")
