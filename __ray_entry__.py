@@ -1206,6 +1206,26 @@ def q_lineitem_melt(sf_dir: str) -> pd.DataFrame:
         .reset_index(drop=True)
 
 
+def q_events_gap_fill(sf_dir: str) -> pd.DataFrame:
+    """Time-series gap filling (stages/window.gap_fill): per-user daily
+    event counts with ZERO rows for every silent day between each user's
+    first and last event — per-batch count partials, ONE hash(key)
+    exchange, per-partition np.repeat/arange range expansion (no per-key
+    Python loop). Oracle: generate_series over each user's [min, max] day
+    LEFT JOINed against the observed counts."""
+    from gojsonschema_ray.stages.window import gap_fill
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    rows = collect_rows(gap_fill(ds, "user_id", "ts", 86400.0))
+    df = pd.DataFrame({
+        "user_id": pd.Series([r["user_id"] for r in rows], dtype="int64"),
+        "day": pd.Series([r["bucket"] for r in rows], dtype="int64"),
+        "n": pd.Series([r["n"] for r in rows], dtype="int64"),
+    })
+    return df.sort_values(["user_id", "day"]).reset_index(drop=True)
+
+
 def q_documents_curate(sf_dir: str) -> pd.DataFrame:
     """END-TO-END curation (pipelines/curation.curate_documents): Gopher
     quality filter → keep-first exact dedup → char-20-gram decontamination
@@ -2760,6 +2780,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_quantize": q_embeddings_quantize,  # int8 quantization
         # (new family; fully exact oracle — scale, integer code checksum,
         # order-free max reconstruction error)
+        "events_gap_fill": q_events_gap_fill,  # time-series gap filling
+        # (new family: regularization — zero rows for silent buckets via
+        # vectorized per-partition range expansion; generate_series oracle)
         "events_pivot": q_events_pivot,  # distributed pivot long→wide
         # (new family: reshape — partial counts + one hash(key) exchange
         # against a pinned category schema; FILTER-count oracle)
@@ -3538,6 +3561,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id FROM s "
             "QUALIFY row_number() OVER (PARTITION BY user_id, event_type, "
             "b ORDER BY ts, event_id) = 1 ORDER BY event_id"
+        ),
+        # gap fill: integer day floor, per-user generate_series expansion
+        "events_gap_fill": (
+            "WITH c AS (SELECT user_id, "
+            "epoch_us(ts) // 86400000000 AS day, "
+            "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+            "b AS (SELECT user_id, min(day) AS lo, max(day) AS hi "
+            "FROM c GROUP BY 1), "
+            "g AS (SELECT user_id, unnest(generate_series(lo, hi)) AS day "
+            "FROM b) "
+            "SELECT g.user_id, g.day, coalesce(c.n, 0) AS n FROM g "
+            "LEFT JOIN c ON g.user_id = c.user_id AND g.day = c.day "
+            "ORDER BY g.user_id, g.day"
         ),
         # pivot: counts per category, pinned sorted category columns
         "events_pivot": (

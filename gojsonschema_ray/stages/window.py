@@ -580,3 +580,81 @@ def debounce_by_key(ds, key_column: str, ts_column: str,
         .repartition(P).materialize()
     return parts.groupby("part").map_groups(per_part,
                                             batch_format="pandas")
+
+
+def gap_fill(ds, key_column: str, ts_column: str,
+             bucket_s: float = 86400.0, *,
+             max_buckets_per_key: int = 1_000_000,
+             n_parts: int | None = None):
+    """Regularized per-key time series: event counts per fixed bucket with
+    ZERO-count rows filled in for every bucket between each key's first and
+    last event — the gap-filling / resampling step every downstream
+    window model (rolling stats, trend fits, anomaly scans) assumes has
+    already happened. Bucket index = epoch_us // (bucket_s * 1e6), the
+    same calendar-free integer floor as the windowed operators above.
+    Returns (key, bucket BIGINT, n BIGINT).
+
+    Scale shape: per-batch (key, bucket) count partials (the combiner is
+    the skew defense) → ONE hash(key) coarse exchange → per-partition
+    vectorized sum + range expansion (np.repeat/arange arithmetic — no
+    per-key Python loop). Output size is Σ_key (span_key / bucket) — a key
+    whose span exceeds `max_buckets_per_key` buckets raises rather than
+    silently exploding a partition."""
+    import logging
+
+    from .dedup import _next_pow2, _shuffle_parts
+    from .sketches import hash_arrow_array
+
+    logger = logging.getLogger(__name__)
+    reserved = {"part", "bucket", "cnt", "n"} & {key_column, ts_column}
+    if reserved:  # synthetic exchange/output columns
+        raise ValueError(
+            f"gap_fill: column names {sorted(reserved)} are reserved")
+    if bucket_s <= 0:
+        raise ValueError("gap_fill: bucket_s must be positive")
+    P = _next_pow2(n_parts or _shuffle_parts())
+    bucket_us = int(round(bucket_s * 1e6))
+
+    def partial(t: pa.Table) -> pa.Table:
+        d0 = t.select([key_column, ts_column]).drop_null()
+        # normalize to µs first — the input may be s/ms/ns resolution
+        epoch = pc.cast(pc.cast(d0[ts_column], pa.timestamp("us")),
+                        pa.int64()) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        # exact integer floor (numpy floor_divide) — Arrow integer divide
+        # truncates toward zero, which is wrong for pre-epoch timestamps
+        b = np.floor_divide(epoch, bucket_us)
+        d = pa.table({key_column: d0[key_column],
+                      "bucket": pa.array(b, pa.int64())}).to_pandas()
+        g = d.groupby([key_column, "bucket"], sort=False).size() \
+            .reset_index(name="cnt")
+        g["cnt"] = g["cnt"].astype("int64")
+        h = hash_arrow_array(g[key_column])
+        g["part"] = (h % np.uint64(P)).astype("int32")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby([key_column, "bucket"], sort=False,
+                       as_index=False)["cnt"].sum()
+        g = g.sort_values([key_column, "bucket"], kind="stable")
+        spans = g.groupby(key_column, sort=False)["bucket"] \
+            .agg(["min", "max"])
+        lens = (spans["max"] - spans["min"] + 1).to_numpy()
+        if lens.size and int(lens.max()) > max_buckets_per_key:
+            raise ValueError(
+                f"gap_fill: a key spans {int(lens.max())} buckets "
+                f"(> max_buckets_per_key={max_buckets_per_key})")
+        total = int(lens.sum())
+        keys_rep = spans.index.to_numpy().repeat(lens)
+        offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        buckets = (np.arange(total, dtype=np.int64)
+                   - np.repeat(offs, lens)
+                   + np.repeat(spans["min"].to_numpy(), lens))
+        full = pd.DataFrame({key_column: keys_rep, "bucket": buckets})
+        out = full.merge(g, on=[key_column, "bucket"], how="left")
+        out["n"] = out["cnt"].fillna(0).astype("int64")
+        return out[[key_column, "bucket", "n"]]
+
+    parts = ds.map_batches(partial, batch_format="pyarrow") \
+        .repartition(P).materialize()
+    return parts.groupby("part").map_groups(expand, batch_format="pandas")

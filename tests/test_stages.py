@@ -2713,3 +2713,38 @@ def test_melt(ray_session):
 
     with pytest.raises(ValueError, match="collide"):
         melt(rd.from_pandas(df), ["id"], ["x"], var_name="id")
+
+
+def test_gap_fill(ray_session):
+    """Every bucket between each key's first and last event is present,
+    zero-filled; counts match a pandas reindex; span cap raises."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.window import gap_fill
+    from gojsonschema_ray.util import collect_rows
+
+    rng = np.random.default_rng(5)
+    ts = pd.to_datetime(rng.integers(0, 40 * 86400, 3000), unit="s")
+    df = pd.DataFrame({"u": rng.integers(0, 30, 3000), "ts": ts})
+
+    day = (df["ts"].astype("int64") // (86400 * 10**9)).astype("int64")
+    c = df.assign(day=day).groupby(["u", "day"]).size()
+    exp = {}
+    for u, grp in c.groupby(level=0):
+        days = grp.index.get_level_values(1)
+        for d in range(int(days.min()), int(days.max()) + 1):
+            exp[(u, d)] = int(grp.get((u, d), 0))
+
+    rows = collect_rows(gap_fill(
+        rd.from_pandas(df).repartition(5), "u", "ts", 86400.0))
+    got = {(r["u"], r["bucket"]): r["n"] for r in rows}
+    assert got == exp
+
+    with pytest.raises(Exception, match="max_buckets_per_key"):
+        gap_fill(rd.from_pandas(df), "u", "ts", 0.001,
+                 max_buckets_per_key=100).materialize()
+    with pytest.raises(ValueError, match="reserved"):
+        gap_fill(rd.from_pandas(df.rename(columns={"u": "bucket"})),
+                 "bucket", "ts")
