@@ -2698,6 +2698,72 @@ def q_clips_audio_near_dups(sf_dir: str) -> pd.DataFrame:
     }])
 
 
+def q_customer_fuzzy_pairs(sf_dir: str) -> Any:
+    """Typo-level entity resolution (stages/dedup.fuzzy_pairs_ed1): all
+    customer-name pairs within edit distance 1, via SymSpell-style
+    deletion-neighborhood blocking — each string emits 1+len fixed-width
+    key rows (vectorized polynomial-hash algebra, no per-position Python
+    strings), ONE keyed shuffle buckets candidates, exact O(len) ed<=1
+    verify per pair. Blocking is LOSSLESS for ed<=1, so the result equals
+    the oracle's cross-join levenshtein filter exactly."""
+    from gojsonschema_ray.stages.dedup import fuzzy_pairs_ed1
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    res = fuzzy_pairs_ed1(ds, "c_name", "c_custkey")
+    return res.map_batches(
+        lambda t: t.select(["id_a", "id_b", "dist"]),
+        batch_format="pyarrow")
+
+
+def q_orders_ntile(sf_dir: str) -> Any:
+    """Equal-frequency discretization (stages/sketches.ntile_global): each
+    order's price octile — SQL ntile(8) OVER (ORDER BY price, key) — via
+    the distributed sample-sort rank pattern (two O(#blocks) driver
+    passes + ONE bucket-keyed exchange), never a global sort."""
+    from gojsonschema_ray.stages.sketches import ntile_global
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ntile_global(ds, "o_totalprice", "o_orderkey", 8)
+
+
+def q_events_chi2(sf_dir: str) -> pd.DataFrame:
+    """Categorical association test (stages/sketches.
+    chi_square_independence): is event_type independent of hour-of-day?
+    One-scan combiner partials → driver fold over the (types × 24)
+    contingency grid; chi-square over the full cross product (zero cells
+    included) + mutual information in nats, both rounded to 4."""
+    from gojsonschema_ray.stages.sketches import chi_square_independence
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def add_hour(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"],
+                         "h": pc.hour(t["ts"])})
+
+    df = chi_square_independence(
+        ds.map_batches(add_hour, batch_format="pyarrow"), "event_type", "h")
+    df["chi2"] = df["chi2"].round(4)
+    df["mi"] = df["mi"].round(4)
+    return df
+
+
+def q_documents_diversity(sf_dir: str) -> pd.DataFrame:
+    """Per-language source-diversity profile (stages/sketches.
+    distribution_by_group): Shannon entropy, Herfindahl concentration,
+    top-source share, distinct sources, row count — the
+    is-one-source-dominating report a curation pipeline runs before
+    sampling. Combiner partials + ONE hash(lang) exchange."""
+    from gojsonschema_ray.stages.sketches import distribution_by_group
+    from gojsonschema_ray.util import collect_table
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    df = collect_table(distribution_by_group(ds, "lang", "source")) \
+        .to_pandas().sort_values("lang").reset_index(drop=True)
+    for c in ("entropy", "hhi", "top_share"):
+        df[c] = df[c].round(4)
+    return df
+
+
 def entry() -> Any:
     """Flagship smoke on sf0.001: constraint validation over lineitem +
     documents + uniqueness on events, one violations summary Dataset."""
@@ -2780,6 +2846,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_quantize": q_embeddings_quantize,  # int8 quantization
         # (new family; fully exact oracle — scale, integer code checksum,
         # order-free max reconstruction error)
+        "customer_fuzzy_pairs": q_customer_fuzzy_pairs,  # ed<=1 fuzzy
+        # entity resolution (new family: lossless deletion-neighborhood
+        # blocking + exact verify; cross-join levenshtein oracle)
+        "orders_ntile": q_orders_ntile,  # equal-frequency discretization
+        # (new family: exact distributed ntile; window-function oracle)
+        "events_chi2": q_events_chi2,  # chi-square + mutual information
+        # (new family: categorical association; full-grid CTE oracle)
+        "documents_diversity": q_documents_diversity,  # per-group
+        # entropy/HHI/top-share distribution profile (counts-CTE oracle)
         "events_gap_fill": q_events_gap_fill,  # time-series gap filling
         # (new family: regularization — zero rows for silent buckets via
         # vectorized per-partition range expansion; generate_series oracle)
@@ -3534,6 +3609,57 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN any_value(scale) = 0 THEN 0.0 "
             "ELSE max(abs(x - c * scale)) END AS max_abs_err "
             "FROM q GROUP BY vec_id ORDER BY vec_id"
+        ),
+        # ed<=1 pairs: the oracle is the brute-force cross join (fine at
+        # sf0.01); the engine's deletion-neighborhood blocking is lossless
+        # for ed<=1 so the row sets match exactly
+        "customer_fuzzy_pairs": (
+            "SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, "
+            "CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist "
+            "FROM customer a JOIN customer b "
+            "ON a.c_custkey < b.c_custkey "
+            "AND abs(length(a.c_name) - length(b.c_name)) <= 1 "
+            "AND levenshtein(a.c_name, b.c_name) <= 1 "
+            "ORDER BY id_a, id_b"
+        ),
+        # exact ntile: ties broken by the key, same as the engine
+        "orders_ntile": (
+            "SELECT o_orderkey, CAST(ntile(8) OVER "
+            "(ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS tile "
+            "FROM orders ORDER BY o_orderkey"
+        ),
+        # chi-square over the FULL type×hour grid (zero cells contribute
+        # their expected count); MI in nats over observed cells; both
+        # rounded to 4 (summation order differs at ulp scale)
+        "events_chi2": (
+            "WITH c AS (SELECT event_type AS a, hour(ts) AS b, "
+            "CAST(count(*) AS DOUBLE) AS o FROM events GROUP BY 1, 2), "
+            "ra AS (SELECT a, sum(o) AS ra FROM c GROUP BY 1), "
+            "cb AS (SELECT b, sum(o) AS cb FROM c GROUP BY 1), "
+            "nn AS (SELECT sum(o) AS n FROM c), "
+            "grid AS (SELECT ra.ra, cb.cb, coalesce(c.o, 0) AS o, nn.n "
+            "FROM ra CROSS JOIN cb CROSS JOIN nn "
+            "LEFT JOIN c ON c.a = ra.a AND c.b = cb.b) "
+            "SELECT round(sum(pow(o - ra*cb/n, 2) / (ra*cb/n)), 4) AS chi2, "
+            "round(sum(CASE WHEN o > 0 THEN (o/n) * ln(o*n/(ra*cb)) "
+            "ELSE 0 END), 4) AS mi, "
+            "CAST((SELECT count(*) - 1 FROM ra) * "
+            "(SELECT count(*) - 1 FROM cb) AS BIGINT) AS dof, "
+            "CAST((SELECT n FROM nn) AS BIGINT) AS n FROM grid"
+        ),
+        # per-lang source distribution profile: entropy (nats), HHI,
+        # top share, distinct values, rows; floats rounded to 4
+        "documents_diversity": (
+            "WITH c AS (SELECT lang, source, CAST(count(*) AS DOUBLE) "
+            "AS cnt FROM documents GROUP BY 1, 2), "
+            "t AS (SELECT lang, sum(cnt) AS n FROM c GROUP BY 1) "
+            "SELECT c.lang, round(-sum((cnt/n) * ln(cnt/n)), 4) AS entropy, "
+            "round(sum(pow(cnt/n, 2)), 4) AS hhi, "
+            "round(max(cnt) / any_value(n), 4) AS top_share, "
+            "CAST(count(*) AS BIGINT) AS n_values, "
+            "CAST(any_value(n) AS BIGINT) AS n "
+            "FROM c JOIN t ON c.lang = t.lang "
+            "GROUP BY c.lang ORDER BY c.lang"
         ),
         # per-source Knuth thresholds: hi = round(rate * 2^32) ->
         # 0.8: 3435973837, 0.5: 2147483648, 0.25: 1073741824; salts

@@ -1255,3 +1255,194 @@ def keep_one_per_cluster(corpus, labels_ds, id_column: str):
     ref = ray.put(drop_arr)
     return corpus.map_batches(_DropSetFilter(ref, id_column),
                               batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# fuzzy pairs at edit distance <= 1 (SymSpell-style deletion neighborhood)
+# ---------------------------------------------------------------------------
+_B_INV = np.uint64(pow(int(_GRAM_BASE), -1, 1 << 64))  # _GRAM_BASE is odd
+
+
+def deletion_key_hashes_batch(texts) -> tuple[np.ndarray, np.ndarray]:
+    """uint64 content hashes of each text's deletion-1 neighborhood,
+    vectorized over the whole batch with NO per-position Python strings
+    (same discipline as gram_hashes_batch).
+
+    Returns ``(hashes, seg)``: ``hashes[seg[i]:seg[i+1]]`` are texts[i]'s
+    ``1 + len(texts[i])`` keys — the hash of the full string followed by
+    the hash of the string with position j deleted, for every j. Two
+    strings within edit distance 1 ALWAYS share a key (SymSpell d=1
+    soundness: equal → full hashes match; one substitution at j → both
+    delete-at-j keys match; one insertion → the longer side's delete key
+    matches the shorter side's full hash), so bucketing on these keys is
+    a lossless blocking scheme for ed<=1 — collisions only add candidates
+    (the verifier is exact).
+
+    Hash algebra: polynomial hash H(s) = sum (c_i+1)*B^i mod 2^64 with odd
+    B, so B is invertible mod 2^64 and any substring hash re-bases with a
+    precomputed inverse-power table; a deletion hash is then
+    prefix + B^j * shifted-suffix — one vectorized expression over ALL
+    (string, position) pairs of the batch at once. splitmix64-finalized."""
+    n = len(texts)
+    lens = np.fromiter(((len(t) if t else 0) for t in texts),
+                       dtype=np.int64, count=n)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    T = int(offs[-1])
+    seg = offs + np.arange(n + 1, dtype=np.int64)  # +1 full-hash key per text
+    out = np.zeros(n + T, dtype=np.uint64)
+    if T == 0:  # all-empty batch: every key is hash(empty) == mix64(0)
+        return _mix64(out), seg
+    full = "".join(t or "" for t in texts)
+    cp = np.frombuffer(full.encode("utf-32-le"), dtype=np.uint32) \
+        .astype(np.uint64) + np.uint64(1)
+    powB = np.ones(T + 1, dtype=np.uint64)
+    powB[1:] = _GRAM_BASE
+    np.multiply.accumulate(powB, out=powB)          # B^0..B^T (wraps mod 2^64)
+    powI = np.ones(T + 1, dtype=np.uint64)
+    powI[1:] = _B_INV
+    np.multiply.accumulate(powI, out=powI)          # B^-0..B^-T
+    cs = np.zeros(T + 1, dtype=np.uint64)
+    np.cumsum(cp * powB[:T], out=cs[1:])            # prefix sums of c'_i B^i
+
+    def h_sub(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+        """Hash of chars [u, v) re-based to power 0 (vectorized)."""
+        return (cs[v] - cs[u]) * powI[u]
+
+    sid = np.repeat(np.arange(n, dtype=np.int64), lens)
+    g = np.arange(T, dtype=np.int64)                # global char positions
+    o, e = offs[sid], offs[sid + 1]                 # string start / end
+    j = g - o                                       # local position
+    dels = h_sub(o, g) + powB[j] * h_sub(g + 1, e)
+    full_pos = seg[:-1]
+    out[full_pos] = h_sub(offs[:-1], offs[1:])
+    mask = np.ones(n + T, dtype=bool)
+    mask[full_pos] = False
+    out[mask] = dels
+    return _mix64(out), seg
+
+
+class DeletionNeighborhoodStage:
+    """map_batches payload: text → ``1 + len(text)`` fixed-width
+    (key, id) rows keyed by the deletion-neighborhood hashes — the same
+    single-shuffle candidate shape as MinHashLSHStage, with the band
+    machinery (pairs_by_partition / _pairs_from_groups) reused as-is."""
+
+    def __init__(self, text_column: str, id_column: str):
+        self.text_column = text_column
+        self.id_column = id_column
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t[self.text_column].to_pylist()
+        h, seg = deletion_key_hashes_batch(texts)
+        counts = np.diff(seg)
+        idx = pa.array(np.repeat(np.arange(len(texts), dtype=np.int64),
+                                 counts), type=pa.int64())
+        return pa.table({"key": pa.array(h.view(np.int64)),
+                         self.id_column: t[self.id_column].take(idx)})
+
+
+def edit_distance_le1(a: str, b: str) -> int | None:
+    """Exact edit distance when it is <= 1, else None — O(len) without DP
+    (ed<=1 admits a direct case split on the length difference)."""
+    a, b = a or "", b or ""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return None
+    if la == lb:  # exactly one substitution?
+        seen = False
+        for x, y in zip(a, b):
+            if x != y:
+                if seen:
+                    return None
+                seen = True
+        return 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0  # b == a with one char inserted?
+    while i < la and a[i] == b[i]:
+        i += 1
+    return 1 if a[i:] == b[i + 1:] else None
+
+
+def fuzzy_pairs_ed1(ds, text_column: str, id_column: str, *,
+                    bucket_cap: int = DEFAULT_BUCKET_CAP):
+    """All id pairs whose texts are within edit distance 1 — typo-level
+    entity resolution (names, titles, codes). Reference analog: corpus-scope
+    generalization of `uniqueItems` to NEAR-equal strings.
+
+    Scale shape (mirrors minhash_near_duplicates exactly):
+    1. candidates: deletion-neighborhood keys (1+len rows per string, each
+       a fixed-width (key, id) pair) → ONE coarse keyed shuffle →
+       vectorized within-bucket pair expansion. Blocking is LOSSLESS for
+       ed<=1 (see deletion_key_hashes_batch), so recall is exact up to
+       `bucket_cap` (capped buckets are logged + flagged).
+    2. text fetch: Bloom-broadcast corpus filter + ONE hash(id)
+       co-partition shuffle (_pair_texts) — only candidate texts move.
+    3. verify: ONE hash(pair) shuffle; exact ed<=1 check per candidate
+       pair (O(len), no DP), duplicates from multiple shared keys collapse
+       in the same per-pair group.
+
+    Returns a Dataset of (id_a, id_b, dist) with dist in {0, 1}. Intended
+    for SHORT strings (names/titles): a string emits len+1 key rows, so
+    key-row volume is O(total characters)."""
+    import ray.data as rd
+
+    sigs = ds.map_batches(DeletionNeighborhoodStage(text_column, id_column),
+                          batch_format="pyarrow")
+    cand = pairs_by_partition(
+        sigs, lambda g: _pairs_from_groups(g, id_column, cap=bucket_cap))
+    pairs = cand.map_batches(lambda t: t.select(["id_a", "id_b"]),
+                             batch_format="pyarrow").materialize()
+    try:
+        id_dtype = ds.schema().base_schema.field(id_column).type.to_pandas_dtype()
+        id_dtype = np.dtype(id_dtype) if id_dtype is not object else "object"
+    except Exception:  # noqa: BLE001 — schema probe is best-effort
+        id_dtype = "int64"
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({"id_a": pd.Series([], dtype=id_dtype),
+                             "id_b": pd.Series([], dtype=id_dtype),
+                             "dist": pd.Series([], dtype="int64")})
+
+    if pairs.count() == 0:
+        return rd.from_pandas(_empty())
+    sided = _pair_texts(ds, pairs, text_column, id_column)
+    P = _next_pow2(_shuffle_parts())
+
+    def pair_part(t: pa.Table) -> pa.Table:
+        h = _pair_hash(t)
+        return t.append_column(
+            "ppart", pa.array((h % np.uint64(P)).astype(np.int32)))
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        # Vectorized pair collation — NO per-pair pandas groupby (its fixed
+        # cost dominated at ~0.4 ms/pair): dedup multi-key copies, sort by
+        # (id_a, id_b, jid); a complete pair is exactly two adjacent rows
+        # and jid sorts as (id_a, id_b) because id_a < id_b by construction.
+        df = df.drop_duplicates(subset=["id_a", "id_b", "jid"]) \
+            .sort_values(["id_a", "id_b", "jid"], kind="stable")
+        ia_all = df["id_a"].to_numpy()
+        ib_all = df["id_b"].to_numpy()
+        first = np.ones(len(df), dtype=bool)
+        if len(df):
+            first[1:] = (ia_all[1:] != ia_all[:-1]) | (ib_all[1:] != ib_all[:-1])
+        starts = np.nonzero(first)[0]
+        sizes = np.diff(np.concatenate([starts, [len(df)]]))
+        s2 = starts[sizes == 2]  # pairs with both text sides present
+        texts = df["text"].to_numpy()
+        dists = np.fromiter(
+            ((-1 if (d := edit_distance_le1(a, b)) is None else d)
+             for a, b in zip(texts[s2], texts[s2 + 1])),
+            dtype=np.int64, count=len(s2))
+        keep = s2[dists >= 0]
+        return pd.DataFrame({"id_a": pd.Series(ia_all[keep], dtype=id_dtype),
+                             "id_b": pd.Series(ib_all[keep], dtype=id_dtype),
+                             "dist": pd.Series(dists[dists >= 0],
+                                               dtype="int64")})
+
+    keyed = sided.map_batches(pair_part, batch_format="pyarrow") \
+        .repartition(P).materialize()
+    return keyed.groupby("ppart").map_groups(verify, batch_format="pandas")

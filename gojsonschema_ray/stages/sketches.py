@@ -982,3 +982,187 @@ def percentile_normalize(ds, value_column: str, *,
         return t.append_column(out_column, pa.array(out))
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def ntile_global(ds, value_column: str, id_column: str, n_tiles: int, *,
+                 sample_per_block: int = 64,
+                 tile_column: str = "tile"):
+    """EXACT equal-frequency discretization — SQL `ntile(k) OVER (ORDER BY
+    v, id)` — WITHOUT a global sort: the same sample-sort rank pattern as
+    global_rank, extended to deterministic ROW numbering.
+
+    ntile needs a total row order, so ties on the value are broken by
+    `id_column` (the id must be unique and orderable; document the same
+    tie-break in oracles). Buckets are a pure function of the VALUE, so a
+    value tie can never split across buckets and the within-bucket
+    lexsort((id, v)) + bucket prefix offset yields the exact global
+    row_number; the NTILE fill rule (first n%k tiles get one extra row)
+    is then closed-form from that row number. NULL values are excluded.
+    Scale: two O(#blocks × width) driver passes + ONE bucket-keyed
+    exchange in which each (id, v) pair moves exactly once."""
+    import pandas as pd
+    import ray
+
+    from ..util import collect_rows
+    from .dedup import _next_pow2, _shuffle_parts
+
+    if n_tiles < 1:
+        raise ValueError(f"ntile_global: n_tiles={n_tiles} must be >= 1")
+    P = _next_pow2(_shuffle_parts())
+
+    def sample(t: pa.Table) -> pa.Table:
+        v = np.asarray(pc.drop_null(t[value_column]).to_numpy(
+            zero_copy_only=False), dtype=np.float64)
+        if len(v) > sample_per_block:
+            v = np.sort(v)[np.linspace(0, len(v) - 1, sample_per_block)
+                           .astype(np.int64)]
+        return pa.table({"s": pa.array(v)})
+
+    samples = np.asarray([r["s"] for r in collect_rows(
+        ds.map_batches(sample, batch_format="pyarrow"))], np.float64)
+    bounds = np.unique(np.quantile(samples, np.linspace(0, 1, P + 1)[1:-1])) \
+        if len(samples) else np.zeros(0, np.float64)
+    bref = ray.put(bounds)
+
+    def bucket_of(v: np.ndarray) -> np.ndarray:
+        return np.searchsorted(ray.get(bref), v, side="right") \
+            .astype(np.int32)
+
+    def counts(t: pa.Table) -> pa.Table:
+        v = np.asarray(pc.drop_null(t[value_column]).to_numpy(
+            zero_copy_only=False), dtype=np.float64)
+        c = np.bincount(bucket_of(v), minlength=len(bounds) + 1)
+        return pa.table({"b": pa.array(np.arange(len(c), dtype=np.int32)),
+                         "c": pa.array(c.astype(np.int64))})
+
+    totals = np.zeros(len(bounds) + 1, dtype=np.int64)
+    for r in collect_rows(ds.map_batches(counts, batch_format="pyarrow")):
+        totals[r["b"]] += r["c"]
+    offsets = np.concatenate([[0], np.cumsum(totals)[:-1]])
+    n_total = int(totals.sum())
+    # NTILE fill rule: first r tiles hold q+1 rows, the rest q
+    q, r = divmod(n_total, n_tiles) if n_total else (0, 0)
+    cut = (q + 1) * r
+    oref = ray.put(offsets)
+
+    def project(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[value_column]))
+        v = np.asarray(t[value_column].to_numpy(zero_copy_only=False),
+                       dtype=np.float64)
+        return pa.table({id_column: t[id_column],
+                         "v": pa.array(v),
+                         "part": pa.array(bucket_of(v))})
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(oref)
+        out = []
+        for b, g in df.groupby("part", sort=False):
+            v = g["v"].to_numpy()
+            ids = g[id_column].to_numpy()
+            order = np.lexsort((ids, v))  # by (v, id) — ntile's row order
+            rn = np.empty(len(v), dtype=np.int64)
+            rn[order] = offs[int(b)] + np.arange(1, len(v) + 1)
+            tile = np.where(
+                rn <= cut,
+                -(-rn // (q + 1)),                       # ceil(rn/(q+1))
+                r + (-(-(rn - cut) // max(q, 1)))).astype(np.int64)
+            out.append(pd.DataFrame({id_column: ids, tile_column: tile}))
+        return pd.concat(out, ignore_index=True) if out else pd.DataFrame({
+            id_column: df[id_column],
+            tile_column: pd.Series([], dtype="int64")})
+
+    parts = ds.map_batches(project, batch_format="pyarrow") \
+        .repartition(int(P)).materialize()
+    return parts.groupby("part").map_groups(per_part, batch_format="pandas")
+
+
+def chi_square_independence(ds, col_a: str, col_b: str):
+    """Pearson chi-square independence test + mutual information between two
+    categorical columns, in ONE scan: per-batch Arrow group_by partial
+    contingency counts (the combiner), folded on the driver into the full
+    observed matrix — the column_correlations pattern for categorical
+    association. No all-to-all shuffle.
+
+    Returns a one-row DataFrame (chi2, mi, dof, n): chi2 over the FULL
+    cross product (zero cells contribute their expected count), mi in nats
+    over observed cells. Partitioning assumption (documented): the DISTINCT
+    (a, b) pair count is bounded (categorical columns) — the driver fold is
+    O(distinct pairs), never O(rows)."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([col_a, col_b]).group_by([col_a, col_b]) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns([col_a, col_b, "c"])
+
+    parts = [b for b in ds.map_batches(partial, batch_format="pyarrow")
+             .iter_batches(batch_format="pandas")]
+    cont = (pd.concat(parts, ignore_index=True)
+            .groupby([col_a, col_b], sort=False)["c"].sum()
+            .unstack(fill_value=0)) if parts else pd.DataFrame()
+    obs = cont.to_numpy(dtype=np.float64) if cont.size else \
+        np.zeros((0, 0), np.float64)
+    n = obs.sum()
+    ra = obs.sum(axis=1, keepdims=True)
+    cb = obs.sum(axis=0, keepdims=True)
+    if n > 0 and obs.shape[0] > 0 and obs.shape[1] > 0:
+        exp = ra * cb / n
+        chi2 = float(((obs - exp) ** 2 / exp).sum())
+        pos = obs > 0
+        mi = float((obs[pos] / n * np.log(obs[pos] * n
+                                          / (ra * cb)[pos])).sum())
+    else:
+        chi2, mi = 0.0, 0.0
+    dof = max(obs.shape[0] - 1, 0) * max(obs.shape[1] - 1, 0)
+    return pd.DataFrame({"chi2": [chi2], "mi": [mi],
+                         "dof": pd.Series([dof], dtype="int64"),
+                         "n": pd.Series([int(n)], dtype="int64")})
+
+
+def distribution_by_group(ds, key_column: str, value_column: str):
+    """Per-group categorical distribution profile: Shannon entropy (nats),
+    Herfindahl concentration (sum p²), top-value share, distinct-value
+    count and row count — the diversity report a curation pipeline runs
+    before sampling (is one source dominating a language?).
+
+    Scale shape (the grouped_top_values pattern): per-batch Arrow group_by
+    partial counts shrink rows to distinct (key, value) pairs, ONE
+    hash(key) coarse-partition exchange co-locates each key's counts, and
+    a vectorized pandas fold per partition computes the profile. NULL keys
+    and values participate as their own category (document COALESCE in
+    oracles or filter upstream)."""
+    import pandas as pd
+
+    from .dedup import _next_pow2, _shuffle_parts
+
+    P = _next_pow2(_shuffle_parts())
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([key_column, value_column]) \
+            .group_by([key_column, value_column]) \
+            .aggregate([([], "count_all")])
+        g = g.rename_columns([key_column, value_column, "c"])
+        part = (hash_arrow_array(g[key_column]) % np.uint64(P)) \
+            .astype(np.int32)
+        return g.append_column("part", pa.array(part))
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = df.groupby([key_column, value_column], sort=False)["c"].sum()
+        g = cnt.groupby(level=0, sort=False)
+        n = g.sum()
+        p = cnt / n.reindex(cnt.index.get_level_values(0)).to_numpy()
+        ent = (-p * np.log(p)).groupby(level=0, sort=False).sum()
+        hhi = (p * p).groupby(level=0, sort=False).sum()
+        top = g.max() / n
+        return pd.DataFrame({
+            key_column: n.index.to_numpy(),
+            "entropy": ent.reindex(n.index).to_numpy(),
+            "hhi": hhi.reindex(n.index).to_numpy(),
+            "top_share": top.reindex(n.index).to_numpy(),
+            "n_values": g.size().reindex(n.index).to_numpy()
+            .astype(np.int64),
+            "n": n.to_numpy().astype(np.int64)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow") \
+        .repartition(P).materialize()
+    return parts.groupby("part").map_groups(per_part, batch_format="pandas")

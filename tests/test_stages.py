@@ -2748,3 +2748,162 @@ def test_gap_fill(ray_session):
     with pytest.raises(ValueError, match="reserved"):
         gap_fill(rd.from_pandas(df.rename(columns={"u": "bucket"})),
                  "bucket", "ts")
+
+
+def test_deletion_key_hashes_batch():
+    """Deletion hash at position j equals the FULL hash of the string with
+    j removed (the algebra the ed<=1 blocking soundness rests on), for
+    random unicode strings batched together."""
+    import random
+
+    from gojsonschema_ray.stages.dedup import deletion_key_hashes_batch
+
+    rng = random.Random(7)
+    texts = ["".join(rng.choice("abé x01") for _ in range(rng.randint(0, 9)))
+             for _ in range(40)] + [None, ""]
+    h, seg = deletion_key_hashes_batch(texts)
+    assert len(h) == seg[-1]
+    for i, t in enumerate(texts):
+        t = t or ""
+        keys = h[seg[i]:seg[i + 1]]
+        assert len(keys) == len(t) + 1
+        for j in range(len(t)):
+            sub = t[:j] + t[j + 1:]
+            hh, ss = deletion_key_hashes_batch([sub])
+            assert keys[1 + j] == hh[ss[0]], (t, j)
+
+
+def test_edit_distance_le1_exhaustive():
+    """edit_distance_le1 agrees with full DP Levenshtein on every pair of
+    strings up to length 3 over a 3-letter alphabet (capped at 1/None)."""
+    import itertools
+
+    from gojsonschema_ray.stages.dedup import edit_distance_le1
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                cur = dp[j]
+                dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+                prev = cur
+        return dp[-1]
+
+    strs = ["".join(p) for n in range(4)
+            for p in itertools.product("ab1", repeat=n)]
+    for a in strs:
+        for b in strs:
+            d = lev(a, b)
+            assert edit_distance_le1(a, b) == (d if d <= 1 else None)
+
+
+def test_fuzzy_pairs_ed1(ray_session):
+    """Distributed ed<=1 pairs equal the brute-force pair set (blocking is
+    lossless); exact duplicates come back with dist=0."""
+    import itertools
+
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.dedup import (edit_distance_le1,
+                                               fuzzy_pairs_ed1)
+    from gojsonschema_ray.util import collect_rows
+
+    names = ["node-001", "node-002", "node-01", "node-101", "nodé-001",
+             "alpha", "alphas", "alpha", "beta", "", "b", "zzz"]
+    df = pd.DataFrame({"id": range(len(names)), "name": names})
+    exp = set()
+    for (ia, a), (ib, b) in itertools.combinations(enumerate(names), 2):
+        d = edit_distance_le1(a, b)
+        if d is not None:
+            exp.add((ia, ib, d))
+    rows = collect_rows(fuzzy_pairs_ed1(
+        rd.from_pandas(df).repartition(3), "name", "id"))
+    got = {(r["id_a"], r["id_b"], r["dist"]) for r in rows}
+    assert got == exp
+    assert (0, 1, 1) in got and any(d == 0 for _, _, d in got)
+
+
+def test_ntile_global(ray_session):
+    """Exact NTILE fill rule vs pandas, including ties (broken by id) and
+    k > n; n_tiles < 1 raises."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.sketches import ntile_global
+    from gojsonschema_ray.util import collect_rows
+
+    rng = np.random.default_rng(11)
+    v = rng.integers(0, 40, 500).astype(float)  # heavy ties
+    df = pd.DataFrame({"id": np.arange(500), "v": v})
+
+    def ref_ntile(df, k):
+        order = df.sort_values(["v", "id"], kind="stable")
+        n = len(order)
+        q, r = divmod(n, k)
+        sizes = [q + 1] * r + [q] * (k - r)
+        tiles = np.repeat(np.arange(1, k + 1), sizes[:k])[:n]
+        return dict(zip(order["id"].to_numpy(), tiles))
+
+    for k in (1, 3, 8, 700):
+        rows = collect_rows(ntile_global(
+            rd.from_pandas(df).repartition(4), "v", "id", k))
+        got = {r["id"]: r["tile"] for r in rows}
+        assert got == ref_ntile(df, k), k
+    with pytest.raises(ValueError, match="n_tiles"):
+        ntile_global(rd.from_pandas(df), "v", "id", 0)
+
+
+def test_chi_square_independence(ray_session):
+    """chi2/mi/dof match a closed-form contingency reference; an
+    independent 1-column grid yields chi2 == 0."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.sketches import chi_square_independence
+
+    rng = np.random.default_rng(3)
+    a = rng.choice(["x", "y", "z"], 2000)
+    b = np.where(a == "x", rng.choice(["p", "q"], 2000, p=[0.8, 0.2]),
+                 rng.choice(["p", "q"], 2000))
+    df = pd.DataFrame({"a": a, "b": b})
+    got = chi_square_independence(rd.from_pandas(df).repartition(4),
+                                  "a", "b")
+    obs = pd.crosstab(df["a"], df["b"]).to_numpy(dtype=float)
+    n = obs.sum()
+    exp = obs.sum(1, keepdims=True) * obs.sum(0, keepdims=True) / n
+    chi2 = ((obs - exp) ** 2 / exp).sum()
+    mi = (obs / n * np.log(obs * n / (obs.sum(1, keepdims=True)
+                                      * obs.sum(0, keepdims=True)))).sum()
+    assert got["chi2"][0] == pytest.approx(chi2, rel=1e-10)
+    assert got["mi"][0] == pytest.approx(mi, rel=1e-10)
+    assert got["dof"][0] == 2 and got["n"][0] == 2000
+
+    one = chi_square_independence(
+        rd.from_pandas(pd.DataFrame({"a": a, "b": ["k"] * 2000})), "a", "b")
+    assert one["chi2"][0] == 0.0 and one["dof"][0] == 0
+
+
+def test_distribution_by_group(ray_session):
+    """Entropy/HHI/top-share per group match closed-form; a single-value
+    group has entropy 0 and HHI 1."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.sketches import distribution_by_group
+    from gojsonschema_ray.util import collect_rows
+
+    df = pd.DataFrame({
+        "k": ["a"] * 6 + ["b"] * 4,
+        "v": ["x", "x", "x", "y", "y", "z", "w", "w", "w", "w"]})
+    rows = {r["k"]: r for r in collect_rows(distribution_by_group(
+        rd.from_pandas(df).repartition(3), "k", "v"))}
+    pa_ = np.array([3, 2, 1]) / 6
+    assert rows["a"]["entropy"] == pytest.approx(-(pa_ * np.log(pa_)).sum())
+    assert rows["a"]["hhi"] == pytest.approx((pa_ ** 2).sum())
+    assert rows["a"]["top_share"] == pytest.approx(0.5)
+    assert rows["a"]["n_values"] == 3 and rows["a"]["n"] == 6
+    assert rows["b"]["entropy"] == 0.0 and rows["b"]["hhi"] == 1.0
+    assert rows["b"]["top_share"] == 1.0 and rows["b"]["n_values"] == 1
