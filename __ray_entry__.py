@@ -2764,6 +2764,64 @@ def q_documents_diversity(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def q_documents_jaccard_join(sf_dir: str) -> Any:
+    """EXACT token-set Jaccard self-join (stages/dedup.jaccard_token_join):
+    all document pairs with word-set Jaccard >= 0.8 via prefix filtering
+    (Bayardo et al. WWW'07) — rare-first prefix keys through ONE keyed
+    shuffle, complete candidates by the prefix theorem, exact set verify.
+    The deterministic complement of the probabilistic minhash family."""
+    from gojsonschema_ray.stages.dedup import jaccard_token_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=16)
+    res = jaccard_token_join(ds, "text", "doc_id", threshold=0.8)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({"id_a": t["id_a"], "id_b": t["id_b"],
+                         "jaccard": pc.round(t["jaccard"], 6)})
+
+    return res.map_batches(fin, batch_format="pyarrow")
+
+
+def q_events_coverage(sf_dir: str) -> pd.DataFrame:
+    """Per-user active-time coverage (stages/window.interval_coverage):
+    union length of overlapping [ts, ts+30s) activity intervals — the
+    islands-and-gaps operator, one hash(key) exchange + vectorized
+    per-partition sweep. Oracle: the SQL lag/cummax island idiom."""
+    from gojsonschema_ray.stages.window import interval_coverage
+    from gojsonschema_ray.util import collect_table
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def add_iv(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        s = pc.divide(pc.cast(us, pa.float64()), 1e6)
+        return pa.table({"user_id": t["user_id"], "s": s,
+                         "e": pc.add(s, 30.0)})
+
+    df = collect_table(interval_coverage(
+        ds.map_batches(add_iv, batch_format="pyarrow"),
+        "user_id", "s", "e")).to_pandas()
+    df["covered"] = df["covered"].round(6)
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
+def q_events_rollup(sf_dir: str) -> pd.DataFrame:
+    """Hierarchical counts (stages/sketches.rollup_counts): GROUP BY
+    ROLLUP(event_type, hour) — combiner partials at the finest level, ONE
+    hash(event_type) exchange aggregates every prefix level in-partition,
+    grand total folded from the tiny level-1 rows."""
+    from gojsonschema_ray.stages.sketches import rollup_counts
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def add_hour(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"],
+                         "h": pc.cast(pc.hour(t["ts"]), pa.int64())})
+
+    return rollup_counts(ds.map_batches(add_hour, batch_format="pyarrow"),
+                         ["event_type", "h"])
+
+
 def entry() -> Any:
     """Flagship smoke on sf0.001: constraint validation over lineitem +
     documents + uniqueness on events, one violations summary Dataset."""
@@ -2855,6 +2913,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (new family: categorical association; full-grid CTE oracle)
         "documents_diversity": q_documents_diversity,  # per-group
         # entropy/HHI/top-share distribution profile (counts-CTE oracle)
+        "documents_jaccard_join": q_documents_jaccard_join,  # EXACT
+        # set-similarity self-join via prefix filtering (new family: the
+        # deterministic complement of minhash; unnest-join oracle)
+        "events_coverage": q_events_coverage,  # per-key interval union
+        # length (islands-and-gaps; lag/cummax island-idiom oracle)
+        "events_rollup": q_events_rollup,  # GROUP BY ROLLUP counts
+        # (hierarchical aggregate; native ROLLUP + grouping() oracle)
         "events_gap_fill": q_events_gap_fill,  # time-series gap filling
         # (new family: regularization — zero rows for silent buckets via
         # vectorized per-partition range expansion; generate_series oracle)
@@ -3660,6 +3725,53 @@ def oracle_sql() -> dict[str, str]:
             "CAST(any_value(n) AS BIGINT) AS n "
             "FROM c JOIN t ON c.lang = t.lang "
             "GROUP BY c.lang ORDER BY c.lang"
+        ),
+        # exact Jaccard >= 0.8 over distinct word sets; identical
+        # tokenization contract (trim -> lower -> \s+ split) as
+        # doc_freq_unigrams; jaccard rounded to 6 on both sides
+        "documents_jaccard_join": (
+            "WITH t AS (SELECT doc_id, unnest(list_distinct("
+            "string_split_regex(lower(trim(text)), '\\s+'))) AS tok "
+            "FROM documents WHERE text IS NOT NULL "
+            "AND length(trim(text)) > 0), "
+            "sz AS (SELECT doc_id, count(*) AS s FROM t GROUP BY 1), "
+            "inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, "
+            "CAST(count(*) AS DOUBLE) AS o FROM t a JOIN t b "
+            "ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT ia AS id_a, ib AS id_b, "
+            "round(o / (sa.s + sb.s - o), 6) AS jaccard "
+            "FROM inter JOIN sz sa ON sa.doc_id = ia "
+            "JOIN sz sb ON sb.doc_id = ib "
+            "WHERE o / (sa.s + sb.s - o) >= 0.8 ORDER BY 1, 2"
+        ),
+        # islands idiom: break where start exceeds the running max of
+        # prior ends, island length = max(end)-min(start); same epoch()
+        # seconds math as the engine; covered rounded to 6
+        "events_coverage": (
+            "WITH s AS (SELECT user_id, epoch(ts) AS st, "
+            "epoch(ts) + 30 AS en FROM events), "
+            "m AS (SELECT user_id, st, en, CASE WHEN st > coalesce("
+            "max(en) OVER (PARTITION BY user_id ORDER BY st, en "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1e18) "
+            "THEN 1 ELSE 0 END AS brk FROM s), "
+            "g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id "
+            "ORDER BY st, en ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "CURRENT ROW) AS grp FROM m), "
+            "isl AS (SELECT user_id, grp, max(en) - min(st) AS len, "
+            "count(*) AS cnt FROM g GROUP BY 1, 2) "
+            "SELECT user_id, round(sum(len), 6) AS covered, "
+            "CAST(count(*) AS BIGINT) AS n_islands, "
+            "CAST(sum(cnt) AS BIGINT) AS n_intervals "
+            "FROM isl GROUP BY 1 ORDER BY 1"
+        ),
+        # native ROLLUP; level derived from grouping() so genuine NULL
+        # category values (none here) could not be confused with rollups
+        "events_rollup": (
+            "SELECT event_type, h, CAST(2 - grouping(event_type) "
+            "- grouping(h) AS BIGINT) AS level, "
+            "CAST(count(*) AS BIGINT) AS n "
+            "FROM (SELECT event_type, hour(ts) AS h FROM events) "
+            "GROUP BY ROLLUP(event_type, h) ORDER BY 3, 1, 2"
         ),
         # per-source Knuth thresholds: hi = round(rate * 2^32) ->
         # 0.8: 3435973837, 0.5: 2147483648, 0.25: 1073741824; salts

@@ -1446,3 +1446,194 @@ def fuzzy_pairs_ed1(ds, text_column: str, id_column: str, *,
     keyed = sided.map_batches(pair_part, batch_format="pyarrow") \
         .repartition(P).materialize()
     return keyed.groupby("ppart").map_groups(verify, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# exact set-similarity join (prefix filtering — Bayardo et al., WWW'07)
+# ---------------------------------------------------------------------------
+def _doc_token_hashes(col) -> tuple[np.ndarray, np.ndarray]:
+    """Per-document SORTED-UNIQUE token-hash sets for a string column, in
+    one vectorized pass: the engine's SQL-reproducible tokenization
+    contract (trim → lower → RE2 ``\\s+`` split, same as
+    functions/text.token_frequencies) → uint64 token hashes → one global
+    lexsort((hash, doc)) + dedup. Returns ``(hashes, seg)`` with
+    ``hashes[seg[i]:seg[i+1]]`` = doc i's set. Empty/null docs yield
+    empty sets."""
+    from .sketches import hash_arrow_array
+
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(col)
+    txt = pc.utf8_lower(pc.utf8_trim_whitespace(pc.cast(col, pa.string())))
+    lists = pc.split_pattern_regex(txt, r"\s+")
+    lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) \
+        else lists
+    lens = np.diff(lists.offsets.to_numpy(zero_copy_only=False)
+                   .astype(np.int64))
+    doc_ok = ~np.asarray(pc.is_null(lists).to_numpy(zero_copy_only=False))
+    doc_ok &= np.asarray(pc.greater(pc.utf8_length(txt), 0)
+                         .fill_null(False).to_numpy(zero_copy_only=False))
+    did = np.repeat(np.arange(n, dtype=np.int64), lens)
+    keep = np.repeat(doc_ok, lens)
+    did = did[keep]
+    h = hash_arrow_array(lists.values.filter(pa.array(keep)))
+    order = np.lexsort((h, did))
+    did, h = did[order], h[order]
+    uniq = np.ones(len(h), dtype=bool)
+    if len(h):
+        uniq[1:] = (did[1:] != did[:-1]) | (h[1:] != h[:-1])
+    did, h = did[uniq], h[uniq]
+    seg = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(did, minlength=n), out=seg[1:])
+    return h, seg
+
+
+class _PrefixTokenStage:
+    """map_batches payload of jaccard_token_join's candidate pass: doc →
+    its PREFIX token hashes as fixed-width (key, id) rows. Prefix length
+    |x| - ceil(t*|x|) + 1 under the global (df asc, hash asc) token order;
+    the df table ships as a ray.put broadcast of two sorted arrays and is
+    read once per task (searchsorted lookup, unseen tokens df=0 — rarer
+    than rare, which only ever ADDS candidates... it cannot: df=0 never
+    happens for tokens of indexed docs; it is exact for this corpus)."""
+
+    def __init__(self, text_column: str, id_column: str, threshold: float,
+                 df_ref):
+        self.text_column = text_column
+        self.id_column = id_column
+        self.threshold = threshold
+        self.df_ref = df_ref
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import ray
+
+        dfh, dfc = ray.get(self.df_ref)
+        h, seg = _doc_token_hashes(t[self.text_column])
+        sizes = np.diff(seg)
+        n = len(sizes)
+        df = dfc[np.searchsorted(dfh, h)] if len(h) else \
+            np.zeros(0, dfc.dtype)
+        did = np.repeat(np.arange(n, dtype=np.int64), sizes)
+        order = np.lexsort((h, df, did))   # per doc: df asc, hash asc
+        h_ord = h[order]
+        pos = np.arange(len(h), dtype=np.int64) - np.repeat(seg[:-1], sizes)
+        p = sizes - np.ceil(self.threshold * sizes).astype(np.int64) + 1
+        keep = pos < np.repeat(p, sizes)
+        idx = pa.array(did[keep], type=pa.int64())
+        return pa.table({"key": pa.array(h_ord[keep].view(np.int64)),
+                         self.id_column: t[self.id_column].take(idx)})
+
+
+def jaccard_token_join(ds, text_column: str, id_column: str, *,
+                       threshold: float = 0.6,
+                       bucket_cap: int = DEFAULT_BUCKET_CAP,
+                       max_vocab: int = 50_000_000):
+    """EXACT all-pairs token-set Jaccard self-join at `threshold` — the
+    prefix-filtering algorithm (Bayardo, Ma & Srikant, "Scaling Up All
+    Pairs Similarity Search", WWW'07): a pair with J >= t MUST share a
+    token within the first |x| - ceil(t|x|) + 1 tokens of both sides under
+    any global token order (o >= t*max(|x|,|y|), so fewer than that many
+    non-shared tokens can precede the smallest shared one). Rare-first
+    (df ascending) ordering makes those prefix buckets the SPARSEST ones.
+
+    Unlike minhash_near_duplicates (probabilistic recall) this is exact:
+    candidates are complete by the prefix theorem, then verified with the
+    true Jaccard on full token sets. Shape: df pass (combiner exchange →
+    driver-collected broadcast arrays, bounded by `max_vocab` — documented
+    assumption: the distinct-token table fits the object store; raise or
+    shard for web-scale vocabularies), prefix pass (fixed-width (key, id)
+    rows, ONE keyed shuffle), pairs_by_partition expansion, Bloom-broadcast
+    text fetch, per-pair exact set intersection. Empty-token docs emit no
+    keys and never pair (document `length(tokens) > 0` in oracles).
+    Returns (id_a, id_b, jaccard)."""
+    import ray
+    import ray.data as rd
+
+    from ..util import collect_rows
+    from .uniqueness import aggregate_key_counts
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(
+            f"jaccard_token_join: threshold={threshold} not in (0, 1]")
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        h, _ = _doc_token_hashes(t[text_column])
+        uh, cnt = np.unique(h, return_counts=True)
+        return pa.table({"h": pa.array(uh.view(np.int64)),
+                         "cnt": pa.array(cnt.astype(np.int64)),
+                         "part": pa.array((uh % np.uint64(32))
+                                          .astype(np.int32))})
+
+    df_rows = collect_rows(aggregate_key_counts(
+        ds.map_batches(df_partial, batch_format="pyarrow"), "h",
+        min_count=1))
+    dfh = np.fromiter((r["h"] for r in df_rows), dtype=np.int64,
+                      count=len(df_rows)).view(np.uint64)
+    dfc = np.fromiter((r["n"] for r in df_rows), dtype=np.int64,
+                      count=len(df_rows))
+    if len(dfh) > max_vocab:
+        raise ValueError(
+            f"jaccard_token_join: {len(dfh)} distinct tokens exceed "
+            f"max_vocab={max_vocab}; shard the df table or raise the cap")
+    order = np.argsort(dfh)
+    df_ref = ray.put((dfh[order], dfc[order]))
+
+    sigs = ds.map_batches(
+        _PrefixTokenStage(text_column, id_column, threshold, df_ref),
+        batch_format="pyarrow")
+    cand = pairs_by_partition(
+        sigs, lambda g: _pairs_from_groups(g, id_column, cap=bucket_cap))
+    pairs = cand.map_batches(lambda t: t.select(["id_a", "id_b"]),
+                             batch_format="pyarrow").materialize()
+    try:
+        id_dtype = ds.schema().base_schema.field(id_column).type.to_pandas_dtype()
+        id_dtype = np.dtype(id_dtype) if id_dtype is not object else "object"
+    except Exception:  # noqa: BLE001 — schema probe is best-effort
+        id_dtype = "int64"
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({"id_a": pd.Series([], dtype=id_dtype),
+                             "id_b": pd.Series([], dtype=id_dtype),
+                             "jaccard": pd.Series([], dtype="float64")})
+
+    if pairs.count() == 0:
+        return rd.from_pandas(_empty())
+    sided = _pair_texts(ds, pairs, text_column, id_column)
+    P = _next_pow2(_shuffle_parts())
+
+    def pair_part(t: pa.Table) -> pa.Table:
+        h = _pair_hash(t)
+        return t.append_column(
+            "ppart", pa.array((h % np.uint64(P)).astype(np.int32)))
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        # same vectorized pair collation as fuzzy_pairs_ed1.verify
+        df = df.drop_duplicates(subset=["id_a", "id_b", "jid"]) \
+            .sort_values(["id_a", "id_b", "jid"], kind="stable")
+        ia_all = df["id_a"].to_numpy()
+        ib_all = df["id_b"].to_numpy()
+        first = np.ones(len(df), dtype=bool)
+        if len(df):
+            first[1:] = (ia_all[1:] != ia_all[:-1]) | (ib_all[1:] != ib_all[:-1])
+        starts = np.nonzero(first)[0]
+        sizes = np.diff(np.concatenate([starts, [len(df)]]))
+        s2 = starts[sizes == 2]
+        th, tseg = _doc_token_hashes(
+            pa.array(df["text"].to_numpy(), pa.string()))
+        out_j = np.empty(len(s2), dtype=np.float64)
+        for i, s in enumerate(s2):
+            a = th[tseg[s]:tseg[s + 1]]
+            b = th[tseg[s + 1]:tseg[s + 2]]
+            inter = len(np.intersect1d(a, b, assume_unique=True))
+            union = len(a) + len(b) - inter
+            out_j[i] = inter / union if union else 0.0
+        keep = out_j >= threshold
+        return pd.DataFrame({"id_a": pd.Series(ia_all[s2[keep]],
+                                               dtype=id_dtype),
+                             "id_b": pd.Series(ib_all[s2[keep]],
+                                               dtype=id_dtype),
+                             "jaccard": pd.Series(out_j[keep],
+                                                  dtype="float64")})
+
+    keyed = sided.map_batches(pair_part, batch_format="pyarrow") \
+        .repartition(P).materialize()
+    return keyed.groupby("ppart").map_groups(verify, batch_format="pandas")

@@ -1166,3 +1166,71 @@ def distribution_by_group(ds, key_column: str, value_column: str):
     parts = ds.map_batches(partial, batch_format="pyarrow") \
         .repartition(P).materialize()
     return parts.groupby("part").map_groups(per_part, batch_format="pandas")
+
+
+def rollup_counts(ds, columns: list):
+    """Hierarchical grouped counts — SQL ``GROUP BY ROLLUP(c1, .., ck)``:
+    one count row per group at every prefix level (c1..ck), (c1..ck-1),
+    ..., (c1), plus the grand total. Rolled-up columns come back as null;
+    `level` = number of retained grouping columns (grand total = 0).
+
+    Scale shape: per-batch Arrow group_by partials at the FINEST level
+    (the combiner — the exchange moves distinct tuples per batch, not
+    rows), ONE hash(c1) coarse exchange so every coarser level except the
+    grand total aggregates within its partition, then a vectorized pandas
+    fold per partition; the grand total folds the tiny level-1 rows on
+    the driver. Returns a pandas DataFrame (a rollup is an aggregate —
+    bounded by distinct(c1..ck); document the bounded-cardinality
+    assumption, same as pivot)."""
+    import pandas as pd
+
+    from .dedup import _next_pow2, _shuffle_parts
+
+    if not columns:
+        raise ValueError("rollup_counts: need at least one column")
+    if "n" in columns or "level" in columns or "part" in columns:
+        raise ValueError("rollup_counts: column names "
+                         "{'n','level','part'} are reserved")
+    P = _next_pow2(_shuffle_parts())
+    k = len(columns)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select(columns).group_by(columns) \
+            .aggregate([([], "count_all")])
+        g = g.rename_columns([*columns, "n"])
+        part = (hash_arrow_array(g[columns[0]]) % np.uint64(P)) \
+            .astype(np.int32)
+        return g.append_column("part", pa.array(part))
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for lvl in range(k, 0, -1):
+            g = df.groupby(columns[:lvl], sort=False, dropna=False)["n"] \
+                .sum().reset_index()
+            for c in columns[lvl:]:
+                # numeric rolled columns null as NaN (pandas' numeric NULL,
+                # matching what a SQL client hands back), others as None
+                g[c] = np.nan if np.issubdtype(df[c].dtype, np.number) \
+                    else None
+            g["level"] = np.int64(lvl)
+            outs.append(g[[*columns, "level", "n"]])
+        out = pd.concat(outs, ignore_index=True)
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pyarrow") \
+        .repartition(P).materialize()
+    levels = parts.groupby("part").map_groups(per_part,
+                                              batch_format="pandas")
+    rows = [b for b in levels.iter_batches(batch_format="pandas")]
+    out = pd.concat(rows, ignore_index=True) if rows else pd.DataFrame(
+        {**{c: pd.Series([], dtype="object") for c in columns},
+         "level": pd.Series([], dtype="int64"),
+         "n": pd.Series([], dtype="int64")})
+    total = int(out.loc[out["level"] == 1, "n"].sum()) if len(out) else 0
+    grand = pd.DataFrame({
+        **{c: [np.nan if np.issubdtype(out[c].dtype, np.number) else None]
+           for c in columns},
+        "level": pd.Series([0], dtype="int64"),
+        "n": pd.Series([total], dtype="int64")})
+    return pd.concat([out, grand], ignore_index=True)

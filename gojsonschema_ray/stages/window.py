@@ -658,3 +658,82 @@ def gap_fill(ds, key_column: str, ts_column: str,
     parts = ds.map_batches(partial, batch_format="pyarrow") \
         .repartition(P).materialize()
     return parts.groupby("part").map_groups(expand, batch_format="pandas")
+
+
+def interval_coverage(ds, key_column: str, start_column: str,
+                      end_column: str, n_parts: int | None = None):
+    """Per-key UNION length of (possibly overlapping) [start, end)
+    intervals — total active/covered time from sessions, leases, retries:
+    the islands-and-gaps operator. SQL equivalent: the lag/cummax island
+    idiom (break where start exceeds the running max of prior ends, sum
+    max(end)-min(start) per island).
+
+    Returns one row per key: `covered` (summed union length, float),
+    `n_islands` (disjoint merged spans), `n_intervals` (input rows).
+    Start/end are NUMERIC (epoch seconds — callers convert timestamps,
+    documenting the same epoch() math as sessionize). Rows with a null
+    key, null endpoints, or end < start are dropped.
+
+    Scale shape: ONE hash(key) co-partition exchange of (key, start, end)
+    triples, then a fully vectorized per-partition pass: sort by
+    (key, start, end), per-key running cummax of end, island boundary
+    flags, np.add.reduceat over island slices — no Python loop over rows,
+    islands, or keys."""
+    import pandas as pd
+
+    from .dedup import _next_pow2, _shuffle_parts
+    from .sketches import hash_arrow_array
+
+    reserved = {"part"} & {key_column, start_column, end_column}
+    if reserved:
+        raise ValueError(f"interval_coverage: column names "
+                         f"{sorted(reserved)} are reserved")
+    P = _next_pow2(n_parts or _shuffle_parts())
+
+    def project(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.and_(pc.is_valid(t[key_column]),
+                               pc.is_valid(t[start_column])),
+                       pc.is_valid(t[end_column]))
+        keep = pc.and_(keep, pc.greater_equal(t[end_column],
+                                              t[start_column]))
+        t = t.filter(keep)
+        part = (hash_arrow_array(t[key_column]) % np.uint64(P)) \
+            .astype(np.int32)
+        return pa.table({key_column: t[key_column],
+                         "s": pc.cast(t[start_column], pa.float64()),
+                         "e": pc.cast(t[end_column], pa.float64()),
+                         "part": pa.array(part)})
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                key_column: df[key_column],
+                "covered": pd.Series([], dtype="float64"),
+                "n_islands": pd.Series([], dtype="int64"),
+                "n_intervals": pd.Series([], dtype="int64")})
+        df = df.sort_values([key_column, "s", "e"], kind="stable")
+        k, keys = pd.factorize(df[key_column], sort=False)
+        s = df["s"].to_numpy()
+        e = df["e"].to_numpy()
+        run_end = df.groupby(k, sort=False)["e"].cummax().to_numpy()
+        new_key = np.ones(len(df), dtype=bool)
+        new_key[1:] = k[1:] != k[:-1]
+        brk = new_key.copy()
+        brk[1:] |= s[1:] > run_end[:-1]          # gap after the prior island
+        isl = np.cumsum(brk) - 1
+        starts = np.nonzero(brk)[0]
+        isl_len = np.maximum.reduceat(run_end, starts) - s[starts]
+        isl_key = k[starts]
+        n_keys = len(keys)
+        covered = np.bincount(isl_key, weights=isl_len, minlength=n_keys)
+        n_islands = np.bincount(isl_key, minlength=n_keys)
+        n_intervals = np.bincount(k, minlength=n_keys)
+        return pd.DataFrame({
+            key_column: keys,
+            "covered": covered,
+            "n_islands": n_islands.astype(np.int64),
+            "n_intervals": n_intervals.astype(np.int64)})
+
+    parts = ds.map_batches(project, batch_format="pyarrow") \
+        .repartition(P).materialize()
+    return parts.groupby("part").map_groups(per_part, batch_format="pandas")

@@ -2907,3 +2907,122 @@ def test_distribution_by_group(ray_session):
     assert rows["a"]["n_values"] == 3 and rows["a"]["n"] == 6
     assert rows["b"]["entropy"] == 0.0 and rows["b"]["hhi"] == 1.0
     assert rows["b"]["top_share"] == 1.0 and rows["b"]["n_values"] == 1
+
+
+def test_jaccard_token_join(ray_session):
+    """Prefix-filtered exact Jaccard join equals the brute-force pair set
+    at several thresholds (candidates are complete by the prefix theorem);
+    threshold validation raises."""
+    import itertools
+
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.dedup import jaccard_token_join
+    from gojsonschema_ray.util import collect_rows
+
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, rng.integers(1, 12)))
+             for _ in range(80)] + ["", None, "w0 w1 w2", "w0  w1 w2"]
+    df = pd.DataFrame({"id": range(len(texts)), "text": texts})
+
+    def tokset(t):
+        return frozenset((t or "").lower().split())
+
+    for thr in (0.5, 0.8, 1.0):
+        exp = set()
+        for (ia, a), (ib, b) in itertools.combinations(
+                enumerate(texts), 2):
+            sa, sb = tokset(a), tokset(b)
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= thr:
+                exp.add((ia, ib, round(j, 9)))
+        rows = collect_rows(jaccard_token_join(
+            rd.from_pandas(df).repartition(4), "text", "id",
+            threshold=thr))
+        got = {(r["id_a"], r["id_b"], round(r["jaccard"], 9))
+               for r in rows}
+        assert got == exp, thr
+    with pytest.raises(ValueError, match="threshold"):
+        jaccard_token_join(rd.from_pandas(df), "text", "id", threshold=0)
+
+
+def test_interval_coverage(ray_session):
+    """Union lengths match a brute-force sweep; overlapping, nested,
+    touching and point intervals; invalid rows dropped; reserved name."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.window import interval_coverage
+    from gojsonschema_ray.util import collect_rows
+
+    rng = np.random.default_rng(17)
+    k = rng.integers(0, 12, 400)
+    s = rng.uniform(0, 100, 400).round(3)
+    e = s + rng.uniform(0, 10, 400).round(3)
+    df = pd.DataFrame({"k": k, "s": s, "e": e})
+    # brute force: per key merge sorted intervals
+    exp = {}
+    for key, g in df.groupby("k"):
+        iv = sorted(zip(g["s"], g["e"]))
+        cov, isl, cur_s, cur_e = 0.0, 0, None, None
+        for a, b in iv:
+            if cur_e is None or a > cur_e:
+                if cur_e is not None:
+                    cov += cur_e - cur_s
+                cur_s, cur_e, isl = a, b, isl + 1
+            else:
+                cur_e = max(cur_e, b)
+        if cur_e is not None:
+            cov += cur_e - cur_s
+        exp[key] = (round(cov, 6), isl, len(g))
+    rows = collect_rows(interval_coverage(
+        rd.from_pandas(df).repartition(5), "k", "s", "e"))
+    got = {r["k"]: (round(r["covered"], 6), r["n_islands"],
+                    r["n_intervals"]) for r in rows}
+    assert got == exp
+
+    bad = pd.DataFrame({"k": [1, 1, None], "s": [5.0, None, 1.0],
+                        "e": [4.0, 6.0, 2.0]})  # end<start, null s, null k
+    assert collect_rows(interval_coverage(
+        rd.from_pandas(bad), "k", "s", "e")) == []
+    with pytest.raises(ValueError, match="reserved"):
+        interval_coverage(rd.from_pandas(df.rename(columns={"k": "part"})),
+                          "part", "s", "e")
+
+
+def test_rollup_counts(ray_session):
+    """Rollup levels equal pandas groupby counts at every prefix + the
+    grand total; numeric rolled columns are NaN; reserved names raise."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.sketches import rollup_counts
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame({"a": rng.choice(["x", "y", "z"], 500),
+                       "b": rng.integers(0, 4, 500)})
+    out = rollup_counts(rd.from_pandas(df).repartition(4), ["a", "b"])
+    lvl2 = out[out["level"] == 2]
+    exp2 = df.groupby(["a", "b"]).size()
+    assert len(lvl2) == len(exp2)
+    for _, r in lvl2.iterrows():
+        assert r["n"] == exp2[(r["a"], int(r["b"]))]
+    lvl1 = out[out["level"] == 1]
+    exp1 = df.groupby("a").size()
+    assert {(r["a"], r["n"]) for _, r in lvl1.iterrows()} \
+        == {(k, v) for k, v in exp1.items()}
+    assert lvl1["b"].isna().all()
+    g = out[out["level"] == 0]
+    assert len(g) == 1 and g["n"].iloc[0] == 500
+    with pytest.raises(ValueError, match="reserved"):
+        rollup_counts(rd.from_pandas(df.rename(columns={"b": "n"})),
+                      ["a", "n"])
+    with pytest.raises(ValueError, match="at least one"):
+        rollup_counts(rd.from_pandas(df), [])
