@@ -2822,6 +2822,72 @@ def q_events_rollup(sf_dir: str) -> pd.DataFrame:
                          ["event_type", "h"])
 
 
+def q_documents_balanced(sf_dir: str) -> Any:
+    """Balanced per-class sample (stages/sampling.grouped_sample_k):
+    exactly min(50, n) documents per language by lowest membership hash —
+    the deterministic class-capping op. Per-batch local per-group head-k
+    bounds the exchange; ONE hash(group) shuffle. Oracle: QUALIFY
+    row_number() over the identical Knuth hash order."""
+    from gojsonschema_ray.stages.sampling import grouped_sample_k
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return grouped_sample_k(ds, "lang", "doc_id", 50)
+
+
+def q_orders_benford(sf_dir: str) -> pd.DataFrame:
+    """Benford first-digit audit (stages/sketches.benford_profile) over
+    order totals in cents: leading digit by pure integer //10 sweeps (no
+    float log10 edge cases), 9-wide per-batch histograms summed on the
+    driver. Oracle: first char of the integer's string form."""
+    from gojsonschema_ray.stages.sketches import benford_profile
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["o_totalprice"].to_numpy(zero_copy_only=False),
+                       dtype=np.float64)
+        return pa.table({"c": pa.array(np.rint(v * 100).astype(np.int64))})
+
+    df = benford_profile(ds.map_batches(cents, batch_format="pyarrow"),
+                         "c")
+    df["freq"] = df["freq"].round(6)
+    df["expected"] = df["expected"].round(6)
+    return df
+
+
+def q_lineitem_histogram(sf_dir: str) -> pd.DataFrame:
+    """Equal-width histogram (stages/sketches.histogram_fixed) of extended
+    price in 20 bins: min/max partials pass + bincount partials pass, only
+    fixed-width rows ever move. Oracle: identical double math
+    floor((v-min)/w) with the closed top edge."""
+    from gojsonschema_ray.stages.sketches import histogram_fixed
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    df = histogram_fixed(ds, "l_extendedprice", 20)
+    df["lo"] = df["lo"].round(6)
+    df["hi"] = df["hi"].round(6)
+    return df
+
+
+def q_documents_slugs(sf_dir: str) -> Any:
+    """ASCII slug normalization (functions/text.slugify) of document-text
+    prefixes — NFD accent fold, lowercase, non-alnum runs to '-', pure
+    Arrow RE2 kernels. Oracle: trim(regexp_replace(lower(strip_accents()),
+    ...)) on the identical 60-char prefix."""
+    from gojsonschema_ray.functions.text import slugify
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=16)
+
+    def prefix(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "head": pc.utf8_slice_codeunits(
+                pc.cast(t["text"], pa.string()), 0, 60)})
+
+    return slugify(ds.map_batches(prefix, batch_format="pyarrow"),
+                   "head", out_column="head", keep_input=False)
+
+
 def entry() -> Any:
     """Flagship smoke on sf0.001: constraint validation over lineitem +
     documents + uniqueness on events, one violations summary Dataset."""
@@ -2920,6 +2986,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # length (islands-and-gaps; lag/cummax island-idiom oracle)
         "events_rollup": q_events_rollup,  # GROUP BY ROLLUP counts
         # (hierarchical aggregate; native ROLLUP + grouping() oracle)
+        "documents_balanced": q_documents_balanced,  # per-class capped
+        # sample (balancing family; QUALIFY row_number oracle)
+        "orders_benford": q_orders_benford,  # Benford first-digit audit
+        # (integer-exact digit extraction; string-substr oracle)
+        "lineitem_histogram": q_lineitem_histogram,  # equal-width
+        # histogram (two streaming passes; identical-double-math oracle)
+        "documents_slugs": q_documents_slugs,  # ASCII slug normalization
+        # (accent fold + kebab; strip_accents/regexp_replace oracle)
         "events_gap_fill": q_events_gap_fill,  # time-series gap filling
         # (new family: regularization — zero rows for silent buckets via
         # vectorized per-partition range expansion; generate_series oracle)
@@ -3763,6 +3837,58 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_islands, "
             "CAST(sum(cnt) AS BIGINT) AS n_intervals "
             "FROM isl GROUP BY 1 ORDER BY 1"
+        ),
+        # balanced per-class sample: same Knuth hash + key tiebreak as
+        # the engine; sample_h carried so the hash itself is checked
+        "documents_balanced": (
+            "SELECT lang, doc_id, "
+            "CAST((doc_id * 2654435761) % 4294967296 AS BIGINT) "
+            "AS sample_h FROM documents "
+            "QUALIFY row_number() OVER (PARTITION BY lang "
+            "ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) <= 50 "
+            "ORDER BY lang, doc_id"
+        ),
+        # Benford: first digit via integer string form — exact, no float
+        # log10; freq/expected rounded to 6
+        "orders_benford": (
+            "WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) "
+            "AS v FROM orders), "
+            "d AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) "
+            "AS digit FROM c WHERE v > 0), "
+            "n AS (SELECT digit, CAST(count(*) AS BIGINT) AS n "
+            "FROM d GROUP BY 1), "
+            "t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM n), "
+            "g AS (SELECT unnest(range(1, 10)) AS digit) "
+            "SELECT g.digit, coalesce(n.n, 0) AS n, "
+            "round(coalesce(n.n, 0) / t.total, 6) AS freq, "
+            "round(log10(1.0 + 1.0 / g.digit), 6) AS expected "
+            "FROM g LEFT JOIN n USING (digit) CROSS JOIN t "
+            "ORDER BY g.digit"
+        ),
+        # equal-width histogram: identical double math (w = (max-min)/20,
+        # floor((v-min)/w), top edge closed); edges rounded to 6
+        "lineitem_histogram": (
+            "WITH mm AS (SELECT min(l_extendedprice) AS mn, "
+            "max(l_extendedprice) AS mx, "
+            "(max(l_extendedprice) - min(l_extendedprice)) / 20 AS w "
+            "FROM lineitem), "
+            "b AS (SELECT least(CAST(floor((l_extendedprice - mn) / w) "
+            "AS BIGINT), 19) AS bin FROM lineitem, mm), "
+            "n AS (SELECT bin, CAST(count(*) AS BIGINT) AS n "
+            "FROM b GROUP BY 1), "
+            "g AS (SELECT unnest(range(0, 20)) AS bin) "
+            "SELECT g.bin, round(mm.mn + g.bin * mm.w, 6) AS lo, "
+            "round(CASE WHEN g.bin = 19 THEN mm.mx "
+            "ELSE mm.mn + (g.bin + 1) * mm.w END, 6) AS hi, "
+            "coalesce(n.n, 0) AS n "
+            "FROM g LEFT JOIN n USING (bin) CROSS JOIN mm ORDER BY g.bin"
+        ),
+        # slug of the 60-char text prefix: strip_accents == NFD + \\p{Mn}
+        # removal on this data; identical collapse/trim regexes
+        "documents_slugs": (
+            "SELECT doc_id, trim(regexp_replace(lower(strip_accents("
+            "substr(text, 1, 60))), '[^a-z0-9]+', '-', 'g'), '-') AS head "
+            "FROM documents ORDER BY doc_id"
         ),
         # native ROLLUP; level derived from grouping() so genuine NULL
         # category values (none here) could not be confused with rollups

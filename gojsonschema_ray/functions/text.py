@@ -2021,3 +2021,29 @@ def bigram_logprob(ds, text_column: str, id_column: str, *,
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def slugify(ds, text_column: str, out_column: str = "slug",
+            keep_input: bool = True):
+    """URL-safe ASCII slugs — the canonical-key normalization for joining
+    or deduping scraped titles/names: Unicode NFD decomposition, combining
+    marks stripped (the accent-folding DuckDB's ``strip_accents`` does),
+    lowercase, every non-[a-z0-9] run collapsed to one ``-``, edges
+    trimmed. Pure per-batch Arrow RE2/utf8 kernels, zero Python per row;
+    SQL-replicable as ``trim(regexp_replace(lower(strip_accents(s)),
+    '[^a-z0-9]+', '-', 'g'), '-')``. Null texts yield null slugs."""
+    def kernel(t: pa.Table) -> pa.Table:
+        col = t[text_column]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        s = pc.utf8_normalize(pc.cast(col, pa.string()), form="NFD")
+        s = pc.replace_substring_regex(s, r"\p{Mn}", "")
+        s = pc.utf8_lower(s)
+        s = pc.replace_substring_regex(s, "[^a-z0-9]+", "-")
+        s = pc.utf8_trim(s, "-")
+        if keep_input:
+            return t.append_column(out_column, s)
+        others = [c for c in t.column_names if c != text_column]
+        return pa.table({**{c: t[c] for c in others}, out_column: s})
+
+    return ds.map_batches(kernel, batch_format="pyarrow")

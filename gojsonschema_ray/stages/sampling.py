@@ -332,3 +332,33 @@ def mix_corpora(sources: list, key_column: str, rates: list[float], *,
     for t in tagged[1:]:
         out = out.union(t)
     return out
+
+
+def grouped_sample_k(ds, group_column: str, key_column: str, k: int, *,
+                     salt: int = 0):
+    """Deterministic BALANCED sample: exactly min(k, n_g) rows PER GROUP —
+    the k lowest (hash, key) rows of each group. The class-balancing op of
+    a curation pipeline (cap every language/source at k rows) with
+    hash_sample's guarantees: run-, order- and partitioning-independent,
+    SQL-replicable as ``QUALIFY row_number() OVER (PARTITION BY g ORDER BY
+    (key*2654435761)%4294967296, key) <= k``. Null keys are dropped; null
+    groups form their own group (matching SQL PARTITION BY).
+
+    Scale shape: composition of the membership hash with
+    topk.grouped_top_k — per-batch local per-group head-k bounds the
+    exchange at groups-per-batch x k rows, ONE hash(group) co-partition
+    shuffle, exact per-group head(k). Returns input columns + `sample_h`."""
+    from .topk import grouped_top_k
+
+    def add_h(t: pa.Table) -> pa.Table:
+        col = t[key_column]
+        if (col.null_count if hasattr(col, "null_count") else 0) > 0:
+            t = t.filter(pc.is_valid(col))
+        keys = np.asarray(t[key_column].to_numpy(zero_copy_only=False))
+        h = hash_bucket_u32(keys, salt).astype(np.int64)
+        return t.append_column("sample_h", pa.array(h))
+
+    return grouped_top_k(ds.map_batches(add_h, batch_format="pyarrow"),
+                         group_column,
+                         [("sample_h", "ascending"),
+                          (key_column, "ascending")], k)

@@ -1234,3 +1234,101 @@ def rollup_counts(ds, columns: list):
         "level": pd.Series([0], dtype="int64"),
         "n": pd.Series([total], dtype="int64")})
     return pd.concat([out, grand], ignore_index=True)
+
+
+def benford_profile(ds, column: str):
+    """First-significant-digit distribution vs Benford's law — the classic
+    fabricated-numbers audit for financial/measurement columns. Input must
+    be an INTEGER column (callers scale decimals first, e.g. price cents):
+    the leading digit comes from pure integer halving-by-10 sweeps, so
+    there is no float log10 edge case to disagree with a SQL oracle about.
+    Non-positive values are excluded.
+
+    One scan: per-batch 9-wide digit histograms (vectorized ``//10`` until
+    every value is a single digit — <= 19 passes for int64), summed on the
+    driver. Returns one row per digit 1..9: n, freq (n/total), and
+    Benford's expected log10(1 + 1/d)."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[column]
+        v = v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+        x = np.asarray(pc.drop_null(v).to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        x = x[x > 0]
+        while len(x) and int(x.max()) >= 10:
+            big = x >= 10
+            x[big] //= 10
+        c = np.bincount(x, minlength=10)[1:10]
+        return pa.table({"d": pa.array(np.arange(1, 10, dtype=np.int64)),
+                         "c": pa.array(c.astype(np.int64))})
+
+    counts = np.zeros(9, dtype=np.int64)
+    for r in collect_rows(ds.map_batches(partial, batch_format="pyarrow")):
+        counts[r["d"] - 1] += r["c"]
+    total = int(counts.sum())
+    d = np.arange(1, 10)
+    return pd.DataFrame({
+        "digit": pd.Series(d, dtype="int64"),
+        "n": pd.Series(counts, dtype="int64"),
+        "freq": counts / total if total else np.zeros(9),
+        "expected": np.log10(1.0 + 1.0 / d)})
+
+
+def histogram_fixed(ds, column: str, n_bins: int):
+    """Equal-WIDTH histogram over a numeric column in two streaming
+    passes: per-batch (min, max) partials fix the global range, then
+    per-batch ``bincount(floor((v-min)/w))`` partials fold into the final
+    counts on the driver (fixed 9-to-n_bins-wide rows move, never data).
+    The value-space complement of ntile_global's equal-FREQUENCY buckets.
+
+    Returns one row per non-empty-range bin: bin index, [lo, hi) edges
+    and n; the top edge is closed (v == max lands in the last bin, SQL
+    ``least(floor(...), n-1)``). NULL/NaN excluded. All-equal columns
+    collapse to one bin."""
+    import pandas as pd
+
+    if n_bins < 1:
+        raise ValueError(f"histogram_fixed: n_bins={n_bins} must be >= 1")
+
+    def mm(t: pa.Table) -> pa.Table:
+        v = np.asarray(pc.drop_null(t[column]).to_numpy(
+            zero_copy_only=False), dtype=np.float64)
+        v = v[np.isfinite(v)]
+        if not len(v):
+            return pa.table({"lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64())})
+        return pa.table({"lo": pa.array([v.min()]),
+                         "hi": pa.array([v.max()])})
+
+    lohi = [(r["lo"], r["hi"]) for r in collect_rows(
+        ds.map_batches(mm, batch_format="pyarrow"))]
+    if not lohi:
+        return pd.DataFrame({"bin": pd.Series([], dtype="int64"),
+                             "lo": pd.Series([], dtype="float64"),
+                             "hi": pd.Series([], dtype="float64"),
+                             "n": pd.Series([], dtype="int64")})
+    mn = min(lo for lo, _ in lohi)
+    mx = max(hi for _, hi in lohi)
+    w = (mx - mn) / n_bins
+    k = n_bins if w > 0 else 1
+
+    def counts(t: pa.Table) -> pa.Table:
+        v = np.asarray(pc.drop_null(t[column]).to_numpy(
+            zero_copy_only=False), dtype=np.float64)
+        v = v[np.isfinite(v)]
+        b = np.minimum(np.floor((v - mn) / w).astype(np.int64), k - 1) \
+            if w > 0 else np.zeros(len(v), dtype=np.int64)
+        c = np.bincount(b, minlength=k)
+        return pa.table({"b": pa.array(np.arange(k, dtype=np.int64)),
+                         "c": pa.array(c.astype(np.int64))})
+
+    totals = np.zeros(k, dtype=np.int64)
+    for r in collect_rows(ds.map_batches(counts, batch_format="pyarrow")):
+        totals[r["b"]] += r["c"]
+    bins = np.arange(k, dtype=np.int64)
+    return pd.DataFrame({"bin": pd.Series(bins, dtype="int64"),
+                         "lo": mn + bins * w,
+                         "hi": np.where(bins == k - 1, mx,
+                                        mn + (bins + 1) * w),
+                         "n": pd.Series(totals, dtype="int64")})

@@ -3026,3 +3026,101 @@ def test_rollup_counts(ray_session):
                       ["a", "n"])
     with pytest.raises(ValueError, match="at least one"):
         rollup_counts(rd.from_pandas(df), [])
+
+
+def test_grouped_sample_k(ray_session):
+    """Per-group exactly min(k, n_g) rows, the k lowest (hash, key); the
+    selection equals a pandas reference on the same hash; deterministic
+    across repartitionings."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.sampling import (grouped_sample_k,
+                                                  hash_bucket_u32)
+    from gojsonschema_ray.util import collect_rows
+
+    rng = np.random.default_rng(29)
+    df = pd.DataFrame({"g": rng.choice(["a", "b", "c"], 300),
+                       "id": np.arange(300)})
+    h = hash_bucket_u32(df["id"].to_numpy(), 0).astype(np.int64)
+    ref = df.assign(sample_h=h).sort_values(["sample_h", "id"]) \
+        .groupby("g").head(7)
+    exp = set(map(tuple, ref[["g", "id"]].itertuples(index=False)))
+    for parts in (2, 9):
+        rows = collect_rows(grouped_sample_k(
+            rd.from_pandas(df).repartition(parts), "g", "id", 7))
+        got = {(r["g"], r["id"]) for r in rows}
+        assert got == exp, parts
+    # k larger than every group: everything comes back
+    rows = collect_rows(grouped_sample_k(
+        rd.from_pandas(df), "g", "id", 1000))
+    assert len(rows) == 300
+
+
+def test_benford_profile(ray_session):
+    """Digit counts equal a string-based reference; non-positive values
+    excluded; freq sums to 1."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.sketches import benford_profile
+
+    rng = np.random.default_rng(31)
+    v = np.concatenate([
+        np.floor(np.exp(rng.uniform(0, 14, 2000))).astype(np.int64),
+        np.array([0, -5, -123, 1, 9, 10, 99, 100])])
+    df = benford_profile(
+        rd.from_pandas(pd.DataFrame({"v": v})).repartition(4), "v")
+    pos = v[v > 0]
+    exp = np.zeros(9, dtype=np.int64)
+    for x in pos:
+        exp[int(str(x)[0]) - 1] += 1
+    assert (df["n"].to_numpy() == exp).all()
+    assert df["freq"].sum() == pytest.approx(1.0)
+    assert df["expected"].iloc[0] == pytest.approx(np.log10(2))
+
+
+def test_histogram_fixed(ray_session):
+    """Counts per bin equal np.histogram with the same edges; max value
+    lands in the last bin; all-equal input collapses to one bin; n_bins
+    validation."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.sketches import histogram_fixed
+
+    rng = np.random.default_rng(37)
+    v = rng.uniform(-5, 17, 3000)
+    df = histogram_fixed(
+        rd.from_pandas(pd.DataFrame({"v": v})).repartition(5), "v", 12)
+    exp, _ = np.histogram(v, bins=12, range=(v.min(), v.max()))
+    assert (df["n"].to_numpy() == exp).all()
+    assert df["n"].sum() == 3000
+    assert df["hi"].iloc[-1] == pytest.approx(v.max())
+
+    one = histogram_fixed(
+        rd.from_pandas(pd.DataFrame({"v": [3.0] * 50})), "v", 8)
+    assert len(one) == 1 and one["n"].iloc[0] == 50
+    with pytest.raises(ValueError, match="n_bins"):
+        histogram_fixed(rd.from_pandas(pd.DataFrame({"v": [1.0]})), "v", 0)
+
+
+def test_slugify(ray_session):
+    """Accent folding, case folding, separator collapse and edge trims
+    match the documented SQL contract; nulls stay null."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.functions.text import slugify
+    from gojsonschema_ray.util import collect_rows
+
+    texts = ["Héllo, Wörld!! 42", "  --Crème BRÛLÉE--  ", "déjà-vu",
+             "", "***", None, "already-fine-123"]
+    want = ["hello-world-42", "creme-brulee", "deja-vu",
+            "", "", None, "already-fine-123"]
+    rows = collect_rows(slugify(
+        rd.from_pandas(pd.DataFrame({"t": texts})), "t"))
+    got = [r["slug"] for r in rows]
+    assert got == want
+    assert [r["t"] for r in rows] == texts  # keep_input carries the source
