@@ -2888,6 +2888,38 @@ def q_documents_slugs(sf_dir: str) -> Any:
                    "head", out_column="head", keep_input=False)
 
 
+def q_lineitem_global_quantiles(sf_dir: str) -> pd.DataFrame:
+    """EXACT global quantiles without a global sort (stages/sketches.
+    exact_global_quantiles): distributed SELECTION — counting passes
+    bracket each order statistic, the bracket narrows until it holds
+    <= collect_cap values, only that sliver is fetched. quantile_cont
+    interpolation parity with the SQL oracle, values rounded to 6."""
+    from gojsonschema_ray.stages.sketches import exact_global_quantiles
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    df = exact_global_quantiles(ds, "l_extendedprice",
+                                [0.01, 0.25, 0.5, 0.9, 0.99])
+    df["value"] = df["value"].round(6)
+    return df
+
+
+def q_events_time_weighted(sf_dir: str) -> pd.DataFrame:
+    """Per-user TIME-weighted mean of the event value (stages/window.
+    time_weighted_mean): zero-order hold until the next event, so burst
+    sampling doesn't bias the mean — the signal-average op. One hash(key)
+    exchange + vectorized diff/reduceat. Oracle: the SQL lead() idiom
+    with the identical epoch-seconds math."""
+    from gojsonschema_ray.stages.window import time_weighted_mean
+    from gojsonschema_ray.util import collect_table
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    df = collect_table(time_weighted_mean(ds, "user_id", "ts", "value")) \
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    df["twm"] = df["twm"].round(6)
+    df["span_s"] = df["span_s"].round(6)
+    return df
+
+
 def entry() -> Any:
     """Flagship smoke on sf0.001: constraint validation over lineitem +
     documents + uniqueness on events, one violations summary Dataset."""
@@ -2994,6 +3026,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # histogram (two streaming passes; identical-double-math oracle)
         "documents_slugs": q_documents_slugs,  # ASCII slug normalization
         # (accent fold + kebab; strip_accents/regexp_replace oracle)
+        "lineitem_global_quantiles": q_lineitem_global_quantiles,  # EXACT
+        # global quantile_cont by distributed selection (no global sort)
+        "events_time_weighted": q_events_time_weighted,  # zero-order-hold
+        # time-weighted mean per key (lead() idiom oracle)
         "events_gap_fill": q_events_gap_fill,  # time-series gap filling
         # (new family: regularization — zero rows for silent buckets via
         # vectorized per-partition range expansion; generate_series oracle)
@@ -3882,6 +3918,34 @@ def oracle_sql() -> dict[str, str]:
             "ELSE mm.mn + (g.bin + 1) * mm.w END, 6) AS hi, "
             "coalesce(n.n, 0) AS n "
             "FROM g LEFT JOIN n USING (bin) CROSS JOIN mm ORDER BY g.bin"
+        ),
+        # exact selection == native quantile_cont, both rounded to 6
+        "lineitem_global_quantiles": (
+            "SELECT q, round(value, 6) AS value FROM ("
+            "SELECT 0.01 AS q, quantile_cont(l_extendedprice, 0.01) "
+            "AS value FROM lineitem UNION ALL "
+            "SELECT 0.25, quantile_cont(l_extendedprice, 0.25) "
+            "FROM lineitem UNION ALL "
+            "SELECT 0.5, quantile_cont(l_extendedprice, 0.5) "
+            "FROM lineitem UNION ALL "
+            "SELECT 0.9, quantile_cont(l_extendedprice, 0.9) "
+            "FROM lineitem UNION ALL "
+            "SELECT 0.99, quantile_cont(l_extendedprice, 0.99) "
+            "FROM lineitem) ORDER BY q"
+        ),
+        # zero-order hold: v held until the key's next event; keys need
+        # >= 2 events AND a positive span (HAVING matches the engine)
+        "events_time_weighted": (
+            "WITH s AS (SELECT user_id, epoch(ts) AS t, value, "
+            "lead(epoch(ts)) OVER (PARTITION BY user_id ORDER BY "
+            "epoch(ts)) AS nxt FROM events) "
+            "SELECT user_id, "
+            "round(sum(value * (nxt - t)) FILTER (nxt IS NOT NULL) "
+            "/ (max(t) - min(t)), 6) AS twm, "
+            "round(max(t) - min(t), 6) AS span_s, "
+            "CAST(count(*) AS BIGINT) AS n_events "
+            "FROM s GROUP BY user_id HAVING max(t) > min(t) "
+            "ORDER BY user_id"
         ),
         # slug of the 60-char text prefix: strip_accents == NFD + \\p{Mn}
         # removal on this data; identical collapse/trim regexes

@@ -1332,3 +1332,209 @@ def histogram_fixed(ds, column: str, n_bins: int):
                          "hi": np.where(bins == k - 1, mx,
                                         mn + (bins + 1) * w),
                          "n": pd.Series(totals, dtype="int64")})
+
+
+def exact_global_quantiles(ds, column: str, qs, *,
+                           collect_cap: int = 262_144,
+                           sample_per_block: int = 64,
+                           max_rounds: int = 12):
+    """EXACT global quantiles — SQL ``quantile_cont(v, q)`` — by
+    distributed SELECTION, never a global sort: bracket each needed order
+    statistic with counting passes, narrow the value interval until it
+    holds <= `collect_cap` values, then fetch just that sliver and select
+    exactly. The t-digest is the one-pass approximate path; this is the
+    exact path whose scans stay O(data) each while driver memory stays
+    O(collect_cap).
+
+    quantile_cont semantics: h = q*(n-1); the result interpolates the
+    floor(h)-th and ceil(h)-th order statistics (0-indexed). NULL/NaN
+    excluded (SQL drops NULLs). Returns a DataFrame (q, value); NaN value
+    on an empty column.
+
+    Each refinement round is ONE combined pass (per-interval boundary
+    samples) + ONE counting pass shared by every still-active rank.
+    Sub-bucket counts carry explicit boundary-EQUALITY counts, so a rank
+    landing inside a tie run resolves immediately — point masses and
+    heavy skew terminate instead of looping. Intervals are [lo, hi);
+    after stepping past an equality run the new lo is nextafter(edge),
+    so every round strictly narrows or resolves."""
+    import pandas as pd
+
+    qs = [float(q) for q in qs]
+    if not qs or any(not 0.0 <= q <= 1.0 for q in qs):
+        raise ValueError(f"exact_global_quantiles: qs={qs} must be in [0,1]")
+
+    def col_vals(t: pa.Table) -> np.ndarray:
+        v = np.asarray(pc.drop_null(t[column]).to_numpy(
+            zero_copy_only=False), dtype=np.float64)
+        return v[np.isfinite(v)]
+
+    def in_ival(v: np.ndarray, lo: float, hi: float) -> np.ndarray:
+        m = v >= lo if lo != -math.inf else np.ones(len(v), dtype=bool)
+        if hi != math.inf:
+            m &= v < hi
+        return v[m]
+
+    # pass 1: global boundary samples
+    def sample(t: pa.Table) -> pa.Table:
+        v = col_vals(t)
+        if len(v) > sample_per_block:
+            v = np.sort(v)[np.linspace(0, len(v) - 1, sample_per_block)
+                           .astype(np.int64)]
+        return pa.table({"s": pa.array(v)})
+
+    samples = np.asarray([r["s"] for r in collect_rows(
+        ds.map_batches(sample, batch_format="pyarrow"))], np.float64)
+    if len(samples) == 0:
+        return pd.DataFrame({"q": pd.Series(qs, dtype="float64"),
+                             "value": np.full(len(qs), np.nan)})
+    P = 32
+    bounds = np.unique(np.quantile(samples, np.linspace(0, 1, P + 1)[1:-1]))
+
+    # pass 2: global region counts (regions are [b[i-1], b[i]) half-open)
+    def counts0(t: pa.Table) -> pa.Table:
+        v = col_vals(t)
+        c = np.bincount(np.searchsorted(bounds, v, side="right"),
+                        minlength=len(bounds) + 1)
+        return pa.table({"b": pa.array(np.arange(len(c), dtype=np.int64)),
+                         "c": pa.array(c.astype(np.int64))})
+
+    tot = np.zeros(len(bounds) + 1, dtype=np.int64)
+    for r in collect_rows(ds.map_batches(counts0, batch_format="pyarrow")):
+        tot[r["b"]] += r["c"]
+    n = int(tot.sum())
+    if n == 0:
+        return pd.DataFrame({"q": pd.Series(qs, dtype="float64"),
+                             "value": np.full(len(qs), np.nan)})
+    offs = np.concatenate([[0], np.cumsum(tot)])
+
+    # per needed rank k: (lo, hi, base, cnt, value-or-None) — the k-th
+    # order statistic lies in [lo, hi); `base` values are < lo
+    ranks = sorted({int(r) for q in qs
+                    for r in (math.floor(q * (n - 1)),
+                              math.ceil(q * (n - 1)))})
+    state: dict[int, list] = {}
+    for k in ranks:
+        b = int(np.searchsorted(offs[1:], k, side="right"))
+        lo = -math.inf if b == 0 else float(bounds[b - 1])
+        hi = math.inf if b == len(bounds) else float(bounds[b])
+        state[k] = [lo, hi, int(offs[b]), int(tot[b]), None]
+
+    def active():
+        return [(k, s) for k, s in state.items()
+                if s[4] is None and s[3] > collect_cap]
+
+    for _round in range(max_rounds):
+        act = active()
+        if not act:
+            break
+        ivals = [(s[0], s[1]) for _, s in act]
+
+        def refine(t: pa.Table, ivals=tuple(ivals)) -> pa.Table:
+            v = col_vals(t)
+            out_i, out_s = [], []
+            for i, (lo, hi) in enumerate(ivals):
+                w = in_ival(v, lo, hi)
+                if len(w) > sample_per_block:
+                    w = np.sort(w)[np.linspace(0, len(w) - 1,
+                                               sample_per_block)
+                                   .astype(np.int64)]
+                out_i.extend([i] * len(w))
+                out_s.extend(w.tolist())
+            return pa.table({"i": pa.array(out_i, pa.int64()),
+                             "s": pa.array(out_s, pa.float64())})
+
+        buf: dict[int, list] = {i: [] for i in range(len(ivals))}
+        for r in collect_rows(ds.map_batches(refine,
+                                             batch_format="pyarrow")):
+            buf[r["i"]].append(r["s"])
+        subs = {i: (np.unique(np.quantile(np.asarray(b),
+                                          np.linspace(0, 1, P + 1)[1:-1]))
+                    if b else np.zeros(0)) for i, b in buf.items()}
+
+        def subcounts(t: pa.Table, ivals=tuple(ivals),
+                      subs=subs) -> pa.Table:
+            v = col_vals(t)
+            out_i, out_b, out_c = [], [], []
+            for i, (lo, hi) in enumerate(ivals):
+                w = in_ival(v, lo, hi)
+                sb = subs[i]
+                reg = np.bincount(np.searchsorted(sb, w, side="right"),
+                                  minlength=len(sb) + 1)
+                eq = np.asarray([(w == x).sum() for x in sb],
+                                dtype=np.int64)
+                out_i.extend([i] * (2 * len(sb) + 1))
+                out_b.extend(range(len(sb) + 1))     # region counts
+                out_c.extend(reg.tolist())
+                out_b.extend(range(-1, -len(sb) - 1, -1))  # eq counts
+                out_c.extend(eq.tolist())
+            return pa.table({"i": pa.array(out_i, pa.int64()),
+                             "b": pa.array(out_b, pa.int64()),
+                             "c": pa.array(out_c, pa.int64())})
+
+        agg: dict[tuple, int] = {}
+        for r in collect_rows(ds.map_batches(subcounts,
+                                             batch_format="pyarrow")):
+            key = (r["i"], r["b"])
+            agg[key] = agg.get(key, 0) + r["c"]
+        for i, (k, s) in enumerate(act):
+            lo, hi, base, _cnt, _ = s
+            sb = subs[i]
+            if len(sb) == 0:
+                continue  # no samples — interval emptied by a race? keep
+            reg = np.asarray([agg.get((i, b), 0)
+                              for b in range(len(sb) + 1)], dtype=np.int64)
+            eq = np.asarray([agg.get((i, -(j + 1)), 0)
+                             for j in range(len(sb))], dtype=np.int64)
+            of = np.concatenate([[0], np.cumsum(reg)])
+            rel = k - base
+            b = int(np.searchsorted(of[1:], rel, side="right"))
+            if b > 0 and rel - of[b] < eq[b - 1]:
+                # the rank falls inside the tie run at edge sb[b-1]
+                state[k] = [s[0], s[1], base, s[3], float(sb[b - 1])]
+                continue
+            if b == 0:
+                nlo, nbase = lo, base
+                ncnt = int(reg[0])
+            else:
+                nlo = float(np.nextafter(sb[b - 1], math.inf))
+                nbase = base + int(of[b]) + int(eq[b - 1])
+                ncnt = int(reg[b]) - int(eq[b - 1])
+            nhi = hi if b == len(sb) else float(sb[b])
+            state[k] = [nlo, nhi, nbase, ncnt, None]
+    if active():
+        raise RuntimeError("exact_global_quantiles: selection did not "
+                           f"converge in {max_rounds} rounds")
+
+    # final pass: collect every unresolved bracket's values at once
+    pend = [(k, s) for k, s in state.items() if s[4] is None]
+    ivals = [(s[0], s[1]) for _, s in pend]
+
+    def collect(t: pa.Table, ivals=tuple(ivals)) -> pa.Table:
+        v = col_vals(t)
+        out_i, out_v = [], []
+        for i, (lo, hi) in enumerate(ivals):
+            w = in_ival(v, lo, hi)
+            out_i.extend([i] * len(w))
+            out_v.extend(w.tolist())
+        return pa.table({"i": pa.array(out_i, pa.int64()),
+                         "v": pa.array(out_v, pa.float64())})
+
+    if pend:
+        vals: dict[int, list] = {i: [] for i in range(len(ivals))}
+        for r in collect_rows(ds.map_batches(collect,
+                                             batch_format="pyarrow")):
+            vals[r["i"]].append(r["v"])
+        for i, (k, s) in enumerate(pend):
+            w = np.asarray(vals[i], dtype=np.float64)
+            w.partition(k - s[2])
+            state[k][4] = float(w[k - s[2]])
+    order_stat = {k: s[4] for k, s in state.items()}
+    out = []
+    for q in qs:
+        h = q * (n - 1)
+        k0, k1 = math.floor(h), math.ceil(h)
+        v0, v1 = order_stat[k0], order_stat[k1]
+        out.append(v0 + (h - k0) * (v1 - v0))
+    return pd.DataFrame({"q": pd.Series(qs, dtype="float64"),
+                         "value": pd.Series(out, dtype="float64")})

@@ -737,3 +737,86 @@ def interval_coverage(ds, key_column: str, start_column: str,
     parts = ds.map_batches(project, batch_format="pyarrow") \
         .repartition(P).materialize()
     return parts.groupby("part").map_groups(per_part, batch_format="pandas")
+
+
+def time_weighted_mean(ds, key_column: str, ts_column: str,
+                       value_column: str, n_parts: int | None = None):
+    """Per-key TIME-weighted average of a sampled signal — each value held
+    until the key's next event (zero-order hold), so sparse bursts don't
+    dominate the mean the way a plain avg() does. SQL equivalent: the
+    lead() idiom — sum(v * (lead(ts)-ts)) / (last_ts - first_ts).
+
+    Returns one row per key with >= 2 events and a positive span:
+    `twm` (the weighted mean), `span_s` (last - first, seconds), and
+    `n_events`. Null keys/ts/values are dropped; single-event and
+    zero-span keys are excluded (their hold weights are all zero —
+    document the HAVING in oracles). Timestamps convert with the same
+    microseconds/1e6 epoch() math as sessionize.
+
+    Scale shape: ONE hash(key) co-partition exchange of (key, ts, value)
+    triples, then a vectorized per-partition pass (sort, per-key diff,
+    segment-sum via np.add.reduceat) — no Python loop over keys."""
+    import pandas as pd
+    from pandas.api.types import is_datetime64_any_dtype
+
+    from .dedup import _next_pow2, _shuffle_parts
+    from .sketches import hash_arrow_array
+
+    if "part" in (key_column, ts_column, value_column):
+        raise ValueError("time_weighted_mean: column name 'part' is "
+                         "reserved")
+    P = _next_pow2(n_parts or _shuffle_parts())
+
+    def project(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.and_(pc.is_valid(t[key_column]),
+                               pc.is_valid(t[ts_column])),
+                       pc.is_valid(t[value_column]))
+        t = t.filter(keep)
+        part = (hash_arrow_array(t[key_column]) % np.uint64(P)) \
+            .astype(np.int32)
+        return pa.table({key_column: t[key_column],
+                         ts_column: t[ts_column],
+                         value_column: t[value_column],
+                         "part": pa.array(part)})
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            key_column: df[key_column].iloc[:0],
+            "twm": pd.Series([], dtype="float64"),
+            "span_s": pd.Series([], dtype="float64"),
+            "n_events": pd.Series([], dtype="int64")})
+        if not len(df):
+            return empty
+        df = df.sort_values([key_column, ts_column], kind="stable")
+        ts = df[ts_column]
+        if is_datetime64_any_dtype(ts):
+            # unit-agnostic epoch seconds (DuckDB epoch() float parity) —
+            # pandas 2 may hand back datetime64[us] from Arrow
+            t = ((ts - pd.Timestamp(0, tz=getattr(ts.dtype, "tz", None)))
+                 / pd.Timedelta(seconds=1)).to_numpy()
+        else:
+            t = ts.to_numpy(dtype=np.float64)
+        k, keys = pd.factorize(df[key_column], sort=False)
+        v = df[value_column].to_numpy(dtype=np.float64)
+        last = np.ones(len(df), dtype=bool)
+        last[:-1] = k[:-1] != k[1:]
+        dt = np.zeros(len(df))
+        dt[:-1] = t[1:] - t[:-1]
+        dt[last] = 0.0                      # no hold after a key's last row
+        wsum = np.bincount(k, weights=v * dt, minlength=len(keys))
+        starts = np.nonzero(np.concatenate([[True], last[:-1]]))[0]
+        ends = np.nonzero(last)[0]
+        span = t[ends] - t[starts]
+        cnt = np.bincount(k, minlength=len(keys)).astype(np.int64)
+        ok = span > 0
+        if not ok.any():
+            return empty
+        return pd.DataFrame({
+            key_column: np.asarray(keys)[ok],
+            "twm": wsum[ok] / span[ok],
+            "span_s": span[ok],
+            "n_events": cnt[ok]})
+
+    parts = ds.map_batches(project, batch_format="pyarrow") \
+        .repartition(P).materialize()
+    return parts.groupby("part").map_groups(per_part, batch_format="pandas")

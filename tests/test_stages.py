@@ -3124,3 +3124,75 @@ def test_slugify(ray_session):
     got = [r["slug"] for r in rows]
     assert got == want
     assert [r["t"] for r in rows] == texts  # keep_input carries the source
+
+
+def test_exact_global_quantiles(ray_session):
+    """Distributed selection equals np.quantile (quantile_cont semantics)
+    bit-for-bit, including q=0/1, heavy point masses with a tiny collect
+    cap (forcing refinement rounds), NaN/null exclusion, and validation."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.sketches import exact_global_quantiles
+
+    rng = np.random.default_rng(41)
+    v = np.concatenate([rng.normal(0, 100, 20000),
+                        np.full(30000, 7.25),      # point mass
+                        np.full(10000, -3.5)])
+    withnull = pd.Series(v).sample(frac=1, random_state=0)
+    df = pd.DataFrame({"v": withnull})
+    df.loc[df.index[:500], "v"] = np.nan
+    clean = df["v"].dropna().to_numpy()
+    qs = [0.0, 0.1, 0.5, 0.6, 0.99, 1.0]
+    got = exact_global_quantiles(
+        rd.from_pandas(df).repartition(6), "v", qs, collect_cap=400)
+    exp = np.quantile(clean, qs)
+    assert np.array_equal(got["value"].to_numpy(), exp)
+
+    empty = exact_global_quantiles(
+        rd.from_pandas(pd.DataFrame({"v": [np.nan]})), "v", [0.5])
+    assert np.isnan(empty["value"].iloc[0])
+    with pytest.raises(ValueError, match="qs"):
+        exact_global_quantiles(rd.from_pandas(df), "v", [1.5])
+
+
+def test_time_weighted_mean(ray_session):
+    """Zero-order-hold mean equals a per-key reference; single-event and
+    zero-span keys are excluded; reserved name raises."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.window import time_weighted_mean
+    from gojsonschema_ray.util import collect_rows
+
+    rng = np.random.default_rng(43)
+    n = 600
+    df = pd.DataFrame({
+        "k": rng.integers(0, 20, n),
+        "t": rng.uniform(0, 1000, n).round(3),
+        "v": rng.normal(size=n).round(3)})
+    # lone-event key and zero-span key
+    df = pd.concat([df, pd.DataFrame({"k": [97, 98, 98],
+                                      "t": [5.0, 7.0, 7.0],
+                                      "v": [1.0, 2.0, 3.0]})],
+                   ignore_index=True)
+    exp = {}
+    for key, g in df.groupby("k"):
+        g = g.sort_values("t")
+        span = g["t"].iloc[-1] - g["t"].iloc[0]
+        if span <= 0:
+            continue
+        w = np.diff(g["t"].to_numpy())
+        exp[key] = (round(float((g["v"].to_numpy()[:-1] * w).sum() / span),
+                          9), round(span, 9), len(g))
+    rows = collect_rows(time_weighted_mean(
+        rd.from_pandas(df).repartition(4), "k", "t", "v"))
+    got = {r["k"]: (round(r["twm"], 9), round(r["span_s"], 9),
+                    r["n_events"]) for r in rows}
+    assert got == exp
+    assert 97 not in got and 98 not in got
+    with pytest.raises(ValueError, match="reserved"):
+        time_weighted_mean(rd.from_pandas(
+            df.rename(columns={"k": "part"})), "part", "t", "v")
