@@ -2920,6 +2920,29 @@ def q_events_time_weighted(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def q_embeddings_list_stats(sf_dir: str) -> Any:
+    """Per-row array reductions (functions/arrays.list_stats): length,
+    mean, min, max and L2 norm of each embedding — the vector-health
+    profile (zero vectors, exploded norms) run before ANN/dedup stages.
+    Segmented reduceat over the flat values buffer, one pass, no
+    per-row Python. Oracle: DuckDB list_* aggregates with the identical
+    float64 widening."""
+    from gojsonschema_ray.functions.arrays import list_stats
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    res = list_stats(ds, "embedding", "vec_id")
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "vec_id": t["vec_id"], "n": t["n"],
+            "mean": pc.round(t["mean"], 6),
+            "min": pc.round(t["min"], 6),
+            "max": pc.round(t["max"], 6),
+            "l2": pc.round(t["l2"], 6)})
+
+    return res.map_batches(fin, batch_format="pyarrow")
+
+
 def entry() -> Any:
     """Flagship smoke on sf0.001: constraint validation over lineitem +
     documents + uniqueness on events, one violations summary Dataset."""
@@ -3030,6 +3053,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # global quantile_cont by distributed selection (no global sort)
         "events_time_weighted": q_events_time_weighted,  # zero-order-hold
         # time-weighted mean per key (lead() idiom oracle)
+        "embeddings_list_stats": q_embeddings_list_stats,  # per-row array
+        # reductions (segmented reduceat; DuckDB list_* oracle)
         "events_gap_fill": q_events_gap_fill,  # time-series gap filling
         # (new family: regularization — zero rows for silent buckets via
         # vectorized per-partition range expansion; generate_series oracle)
@@ -3918,6 +3943,17 @@ def oracle_sql() -> dict[str, str]:
             "ELSE mm.mn + (g.bin + 1) * mm.w END, 6) AS hi, "
             "coalesce(n.n, 0) AS n "
             "FROM g LEFT JOIN n USING (bin) CROSS JOIN mm ORDER BY g.bin"
+        ),
+        # per-row list reductions; squares widened to DOUBLE before the
+        # product exactly like the engine's float64 upcast; rounded to 6
+        "embeddings_list_stats": (
+            "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n, "
+            "round(list_avg(embedding), 6) AS mean, "
+            "round(CAST(list_min(embedding) AS DOUBLE), 6) AS min, "
+            "round(CAST(list_max(embedding) AS DOUBLE), 6) AS max, "
+            "round(sqrt(list_sum(list_transform(embedding, "
+            "x -> CAST(x AS DOUBLE) * x))), 6) AS l2 "
+            "FROM embeddings ORDER BY vec_id"
         ),
         # exact selection == native quantile_cont, both rounded to 6
         "lineitem_global_quantiles": (

@@ -829,6 +829,9 @@ class SimHashStage:
     re-executions of the signature stage."""
 
     def __init__(self, text_column: str, id_column: str):
+        if id_column == "key":  # synthetic shuffle-key column
+            raise ValueError("DeletionNeighborhoodStage: id_column 'key' "
+                             "is reserved")
         self.text_column = text_column
         self.id_column = id_column
 
@@ -1498,6 +1501,9 @@ class _PrefixTokenStage:
 
     def __init__(self, text_column: str, id_column: str, threshold: float,
                  df_ref):
+        if id_column == "key":  # synthetic shuffle-key column
+            raise ValueError("jaccard_token_join: id_column 'key' is "
+                             "reserved")
         self.text_column = text_column
         self.id_column = id_column
         self.threshold = threshold

@@ -128,6 +128,10 @@ def stratified_sample(ds, group_column: str, key_column: str,
     + `sample_h`."""
     from .topk import grouped_top_k
 
+    if "sample_h" in (group_column, key_column):
+        raise ValueError("grouped_sample_k: column name 'sample_h' is "
+                         "reserved")
+
     def add_h(t: pa.Table) -> pa.Table:
         col = t[key_column]
         if (col.null_count if hasattr(col, "null_count") else 0) > 0:

@@ -1008,6 +1008,11 @@ def ntile_global(ds, value_column: str, id_column: str, n_tiles: int, *,
 
     if n_tiles < 1:
         raise ValueError(f"ntile_global: n_tiles={n_tiles} must be >= 1")
+    reserved = {"v", "part", tile_column} & {id_column}
+    if reserved:  # the value column is renamed to the synthetic 'v'; only
+        # an ID named like a synthetic/output column can collide
+        raise ValueError(f"ntile_global: column names {sorted(reserved)} "
+                         "are reserved")
     P = _next_pow2(_shuffle_parts())
 
     def sample(t: pa.Table) -> pa.Table:
@@ -1135,6 +1140,10 @@ def distribution_by_group(ds, key_column: str, value_column: str):
 
     from .dedup import _next_pow2, _shuffle_parts
 
+    reserved = {"c", "part"} & {key_column, value_column}
+    if reserved:  # synthetic exchange columns
+        raise ValueError(f"distribution_by_group: column names "
+                         f"{sorted(reserved)} are reserved")
     P = _next_pow2(_shuffle_parts())
 
     def partial(t: pa.Table) -> pa.Table:

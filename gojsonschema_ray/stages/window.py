@@ -684,7 +684,11 @@ def interval_coverage(ds, key_column: str, start_column: str,
     from .dedup import _next_pow2, _shuffle_parts
     from .sketches import hash_arrow_array
 
-    reserved = {"part"} & {key_column, start_column, end_column}
+    reserved = {"part", "s", "e"} & {key_column, start_column, end_column}
+    # start/end are renamed to the synthetic s/e; only a KEY named s/e
+    # could collide
+    reserved = ({"part"} & {key_column, start_column, end_column}) \
+        | ({"s", "e"} & {key_column})
     if reserved:
         raise ValueError(f"interval_coverage: column names "
                          f"{sorted(reserved)} are reserved")

@@ -3196,3 +3196,33 @@ def test_time_weighted_mean(ray_session):
     with pytest.raises(ValueError, match="reserved"):
         time_weighted_mean(rd.from_pandas(
             df.rename(columns={"k": "part"})), "part", "t", "v")
+
+
+def test_list_stats(ray_session):
+    """Segmented reductions equal per-row numpy on ragged lists; empty
+    lists give n=0 with NaN stats; null rows are dropped."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.functions.arrays import list_stats
+    from gojsonschema_ray.util import collect_rows
+
+    lists = [[1.0, 2.0, 3.0], [], [-5.5], [0.0, 0.0], None,
+             [2.0, -2.0, 8.25, 1.5]]
+    tbl = pa.table({"id": pa.array(range(len(lists)), pa.int64()),
+                    "v": pa.array(lists, pa.list_(pa.float64()))})
+    rows = {r["id"]: r for r in collect_rows(list_stats(
+        rd.from_arrow(tbl).repartition(2), "v", "id"))}
+    assert 4 not in rows  # null row dropped
+    for i, lst in enumerate(lists):
+        if lst is None:
+            continue
+        r = rows[i]
+        assert r["n"] == len(lst)
+        if lst:
+            a = np.asarray(lst)
+            assert r["mean"] == pytest.approx(a.mean())
+            assert r["min"] == a.min() and r["max"] == a.max()
+            assert r["l2"] == pytest.approx(np.sqrt((a * a).sum()))
+        else:
+            assert np.isnan(r["mean"]) and np.isnan(r["l2"])
