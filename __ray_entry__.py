@@ -2943,6 +2943,45 @@ def q_embeddings_list_stats(sf_dir: str) -> Any:
     return res.map_batches(fin, batch_format="pyarrow")
 
 
+def q_documents_index_probe(sf_dir: str) -> pd.DataFrame:
+    """Incremental near-dup ingest (stages/dedup.MinHashIndex): build the
+    persisted LSH index over the corpus (doc_id % 10 != 0), probe the
+    'arriving batch' (doc_id % 10 == 0) reading ONLY the band/bucket and
+    text partitions the batch touches — the build-once-probe-many dedup
+    path. Same LSH recall regime as minhash_near_dups (injected near-dups
+    sit >= 0.92 jaccard), so the result equals the exact cross-set
+    shingle-join oracle."""
+    import shutil
+
+    from gojsonschema_ray.stages.dedup import MinHashIndex
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=16)
+
+    def split(keep_new: bool):
+        def f(t: pa.Table) -> pa.Table:
+            mod = pc.cast(pc.subtract(
+                t["doc_id"], pc.multiply(pc.divide(t["doc_id"], 10), 10)),
+                pa.int64())
+            m = pc.equal(mod, 0) if keep_new else pc.not_equal(mod, 0)
+            return t.filter(m)
+        return f
+
+    corpus = ds.map_batches(split(False), batch_format="pyarrow")
+    new = ds.map_batches(split(True), batch_format="pyarrow")
+    ix_dir = "/tmp/gojsonschema_ray_cache/mh_index"
+    shutil.rmtree(ix_dir, ignore_errors=True)
+    idx = MinHashIndex("text", "doc_id", threshold=0.5)
+    idx.build(corpus, ix_dir)
+    rows = collect_rows(idx.probe(new, ix_dir))
+    df = pd.DataFrame({
+        "id_a": pd.Series([r["id_a"] for r in rows], dtype="int64"),
+        "id_b": pd.Series([r["id_b"] for r in rows], dtype="int64"),
+        "jaccard": pd.Series([round(r["jaccard"], 6) for r in rows],
+                             dtype="float64")})
+    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship smoke on sf0.001: constraint validation over lineitem +
     documents + uniqueness on events, one violations summary Dataset."""
@@ -3055,6 +3094,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # time-weighted mean per key (lead() idiom oracle)
         "embeddings_list_stats": q_embeddings_list_stats,  # per-row array
         # reductions (segmented reduceat; DuckDB list_* oracle)
+        "documents_index_probe": q_documents_index_probe,  # persisted LSH
+        # index probe — incremental ingest dedup w/ partition-pruned reads
+        # (cross-set shingle-join oracle)
         "events_gap_fill": q_events_gap_fill,  # time-series gap filling
         # (new family: regularization — zero rows for silent buckets via
         # vectorized per-partition range expansion; generate_series oracle)
@@ -3943,6 +3985,24 @@ def oracle_sql() -> dict[str, str]:
             "ELSE mm.mn + (g.bin + 1) * mm.w END, 6) AS hi, "
             "coalesce(n.n, 0) AS n "
             "FROM g LEFT JOIN n USING (bin) CROSS JOIN mm ORDER BY g.bin"
+        ),
+        # incremental ingest: exact cross-set 5-gram jaccard between the
+        # corpus (doc_id%10 != 0) and the arriving batch (doc_id%10 == 0);
+        # same recall regime as minhash_near_dups
+        "documents_index_probe": (
+            "WITH grams AS (SELECT DISTINCT doc_id, "
+            "unnest(list_transform(generate_series(1, length(text) - 4), "
+            "i -> substr(text, i, 5))) AS gram FROM documents"
+            "), sizes AS (SELECT doc_id, count(*) AS c FROM grams "
+            "GROUP BY doc_id"
+            "), inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, "
+            "count(*) AS i FROM grams a JOIN grams b ON a.gram = b.gram "
+            "AND a.doc_id % 10 != 0 AND b.doc_id % 10 = 0 GROUP BY 1, 2) "
+            "SELECT ia AS id_a, ib AS id_b, "
+            "round(i * 1.0 / (s1.c + s2.c - i), 6) AS jaccard "
+            "FROM inter JOIN sizes s1 ON s1.doc_id = ia "
+            "JOIN sizes s2 ON s2.doc_id = ib "
+            "WHERE i * 1.0 / (s1.c + s2.c - i) >= 0.5 ORDER BY 1, 2"
         ),
         # per-row list reductions; squares widened to DOUBLE before the
         # product exactly like the engine's float64 upcast; rounded to 6

@@ -1643,3 +1643,208 @@ def jaccard_token_join(ds, text_column: str, id_column: str, *,
     keyed = sided.map_batches(pair_part, batch_format="pyarrow") \
         .repartition(P).materialize()
     return keyed.groupby("ppart").map_groups(verify, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# persisted LSH index — incremental near-dup ingest (build once, probe many)
+# ---------------------------------------------------------------------------
+class MinHashIndex:
+    """Persisted MinHash-LSH index for INCREMENTAL near-dup detection: build
+    the corpus's band-bucket signature table ONCE as hive-partitioned
+    parquet, then probe each arriving batch against ONLY the partitions its
+    own signatures touch — the dedup counterpart of IVFIndex's persisted
+    inverted lists (similarity.py build_lists/search_built): partition
+    pruning at the READ, so ingesting N new docs never rescans the corpus.
+
+    Layout under `index_dir`:
+      sig/  (key, id)  partitioned by band (signature band index) and
+            bmod (bucket hash % `mods`) — a probe touches at most
+            bands x mods directories, typically far fewer;
+      txt/  (id, text) partitioned by tmod (id hash % `mods`) — the verify
+            step fetches ONLY the candidate corpus texts' partitions.
+
+    The instance (permutation tables + params) pickles for
+    build-once-probe-many across jobs, like IVFIndex centroids. Same
+    recall contract as minhash_near_duplicates: candidates are LSH-
+    probabilistic (1-(1-j^r)^b), the Jaccard verify is exact."""
+
+    def __init__(self, text_column: str, id_column: str, *,
+                 threshold: float = 0.7, num_perm: int = 128,
+                 bands: int = 16, shingle_k: int = 5, seed: int = 42,
+                 mods: int = 64, bucket_cap: int = DEFAULT_BUCKET_CAP):
+        if id_column == "key":
+            raise ValueError("MinHashIndex: id_column 'key' is reserved")
+        self.text_column = text_column
+        self.id_column = id_column
+        self.threshold = threshold
+        self.shingle_k = shingle_k
+        self.mods = mods
+        self.bucket_cap = bucket_cap
+        self.stage = MinHashLSHStage(text_column=text_column,
+                                     id_column=id_column, num_perm=num_perm,
+                                     bands=bands, shingle_k=shingle_k,
+                                     seed=seed)
+        self.last_probe_sig_dirs: int | None = None  # pruning observability
+
+    # -- shared helpers ----------------------------------------------------
+    def _sig_parts(self, t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy(zero_copy_only=False).view(np.uint64)
+        band = (key >> np.uint64(48)).astype(np.int32)
+        bmod = (key & np.uint64(self.mods - 1)).astype(np.int32)
+        return t.append_column("band", pa.array(band)) \
+            .append_column("bmod", pa.array(bmod))
+
+    def _id_mod(self, ids) -> np.ndarray:
+        from .sketches import hash_arrow_array
+
+        return (hash_arrow_array(ids) % np.uint64(self.mods)) \
+            .astype(np.int32)
+
+    @staticmethod
+    def _expand(filesystem, base: str, dirs) -> list[str]:
+        from pyarrow import fs as pafs
+
+        paths: list[str] = []
+        for d in dirs:
+            sel = pafs.FileSelector(f"{base}/{d}", allow_not_found=True,
+                                    recursive=True)
+            paths.extend(sorted(
+                i.path for i in filesystem.get_file_info(sel)
+                if i.type == pafs.FileType.File
+                and i.path.endswith(".parquet")))
+        return paths
+
+    # -- build --------------------------------------------------------------
+    def build(self, ds, index_dir: str) -> str:
+        """Materialize signature + text tables, hive-partitioned for probe-
+        side pruning. `ds` streams through twice (signatures, texts)."""
+        sigs = ds.map_batches(self.stage, batch_format="pyarrow") \
+            .map_batches(self._sig_parts, batch_format="pyarrow")
+        sigs.write_parquet(f"{index_dir}/sig",
+                           partition_cols=["band", "bmod"])
+
+        id_col, text_col = self.id_column, self.text_column
+
+        def txt(t: pa.Table, self=self) -> pa.Table:
+            return pa.table({
+                id_col: t[id_col], text_col: t[text_col],
+                "tmod": pa.array(self._id_mod(t[id_col]))})
+
+        ds.map_batches(txt, batch_format="pyarrow") \
+            .write_parquet(f"{index_dir}/txt", partition_cols=["tmod"])
+        return index_dir
+
+    # -- probe --------------------------------------------------------------
+    def probe(self, new_ds, index_dir: str):
+        """Near-dup pairs (id_a = corpus id, id_b = new id, jaccard) between
+        `new_ds` and the built corpus, reading ONLY the signature/text
+        partitions the new batch touches. `new_ds` must carry the same
+        text/id columns; ids are assumed globally unique across both."""
+        import ray
+        import ray.data as rd
+        from pyarrow import fs as pafs
+
+        from ..util import collect_rows
+
+        id_col, text_col = self.id_column, self.text_column
+        sig_new = new_ds.map_batches(self.stage, batch_format="pyarrow") \
+            .map_batches(self._sig_parts, batch_format="pyarrow") \
+            .materialize()
+
+        def dirs_partial(t: pa.Table) -> pa.Table:
+            import pandas as pd  # noqa: F811 — worker-local
+
+            d = pd.DataFrame({"band": t["band"].to_numpy(),
+                              "bmod": t["bmod"].to_numpy()}) \
+                .drop_duplicates()
+            return pa.Table.from_pandas(d, preserve_index=False)
+
+        touched = {(r["band"], r["bmod"]) for r in collect_rows(
+            sig_new.map_batches(dirs_partial, batch_format="pyarrow"))}
+        filesystem, base = pafs.FileSystem.from_uri(index_dir)
+        sig_paths = self._expand(
+            filesystem, f"{base}/sig",
+            [f"band={b}/bmod={m}" for b, m in sorted(touched)])
+        self.last_probe_sig_dirs = len(touched)
+
+        def _empty() -> pd.DataFrame:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "jaccard": pd.Series([], dtype="float64")})
+
+        if not sig_paths:
+            return rd.from_pandas(_empty())
+        sig_idx = ray.data.read_parquet(sig_paths, filesystem=filesystem,
+                                        columns=["key", id_col])
+
+        def side(v: int):
+            def f(t: pa.Table) -> pa.Table:
+                return pa.table({
+                    "key": t["key"], id_col: t[id_col],
+                    "side": pa.array(np.full(t.num_rows, v, np.int8))})
+            return f
+
+        both = sig_idx.map_batches(side(0), batch_format="pyarrow").union(
+            sig_new.map_batches(side(1), batch_format="pyarrow"))
+        cap = self.bucket_cap
+
+        def cross_pairs(g: pd.DataFrame) -> pd.DataFrame:
+            a = np.unique(g.loc[g["side"] == 0, id_col].to_numpy())
+            b = np.unique(g.loc[g["side"] == 1, id_col].to_numpy())
+            if len(a) == 0 or len(b) == 0:
+                return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                     "id_b": pd.Series([], dtype="int64")})
+            if len(a) * len(b) > cap * cap:
+                _LOG.warning("MinHashIndex bucket %d x %d exceeds cap²: "
+                             "star pairs vs min corpus id", len(a), len(b))
+                a = a[:1]
+            ia, ib = np.repeat(a, len(b)), np.tile(b, len(a))
+            return pd.DataFrame({"id_a": ia, "id_b": ib})
+
+        cand = pairs_by_partition(both, cross_pairs)
+        pairs = cand.materialize()
+        if pairs.count() == 0:
+            return rd.from_pandas(_empty())
+
+        # corpus texts: only the candidate ids' tmod partitions
+        tmods = set()
+        for b in pairs.iter_batches(batch_format="pyarrow"):
+            tmods.update(np.unique(self._id_mod(b["id_a"])).tolist())
+        txt_paths = self._expand(filesystem, f"{base}/txt",
+                                 [f"tmod={m}" for m in sorted(tmods)])
+        corpus_txt = ray.data.read_parquet(
+            txt_paths, filesystem=filesystem, columns=[id_col, text_col])
+        combined = corpus_txt.union(new_ds.map_batches(
+            lambda t: t.select([id_col, text_col]),
+            batch_format="pyarrow"))
+        sided = _pair_texts(combined, pairs, text_col, id_col)
+        P = _next_pow2(_shuffle_parts())
+
+        def pair_part(t: pa.Table) -> pa.Table:
+            h = _pair_hash(t)
+            return t.append_column(
+                "ppart", pa.array((h % np.uint64(P)).astype(np.int32)))
+
+        thr, k = self.threshold, self.shingle_k
+
+        def verify(df: pd.DataFrame) -> pd.DataFrame:
+            out_a, out_b, out_j = [], [], []
+            for (ia, ib), grp in df.groupby(["id_a", "id_b"], sort=False):
+                ta = grp.loc[grp["jid"] == ia, "text"]
+                tb = grp.loc[grp["jid"] == ib, "text"]
+                if ta.empty or tb.empty:
+                    continue
+                j = ngram_jaccard(ta.iloc[0], tb.iloc[0], k)
+                if j >= thr:
+                    out_a.append(ia)
+                    out_b.append(ib)
+                    out_j.append(j)
+            return pd.DataFrame({
+                "id_a": pd.Series(out_a, dtype="int64"),
+                "id_b": pd.Series(out_b, dtype="int64"),
+                "jaccard": pd.Series(out_j, dtype="float64")})
+
+        keyed = sided.map_batches(pair_part, batch_format="pyarrow") \
+            .repartition(P).materialize()
+        return keyed.groupby("ppart").map_groups(verify,
+                                                 batch_format="pandas")

@@ -3226,3 +3226,54 @@ def test_list_stats(ray_session):
             assert r["l2"] == pytest.approx(np.sqrt((a * a).sum()))
         else:
             assert np.isnan(r["mean"]) and np.isnan(r["l2"])
+
+
+def test_minhash_index_build_probe(ray_session, tmp_path):
+    """Persisted LSH index: probing an arriving batch finds exactly the
+    brute-force cross-set near-dup pairs (high-jaccard regime), touches
+    FEWER signature partitions than exist (I/O pruning), and a second
+    probe reuses the same build."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.dedup import MinHashIndex, ngram_jaccard
+    from gojsonschema_ray.util import collect_rows
+
+    rng = np.random.default_rng(47)
+    vocab = [f"tok{i}" for i in range(60)]
+    base = [" ".join(rng.choice(vocab, 40)) for _ in range(30)]
+    corpus_texts = list(base)
+    # arriving batch: 4 near-copies of corpus docs + 4 fresh docs
+    new_texts = [base[i] + " extra" for i in range(4)] + \
+        [" ".join(rng.choice(vocab, 40)) for _ in range(4)]
+    corpus = pd.DataFrame({"id": range(100, 100 + len(corpus_texts)),
+                           "text": corpus_texts})
+    new = pd.DataFrame({"id": range(500, 500 + len(new_texts)),
+                        "text": new_texts})
+    idx = MinHashIndex("text", "id", threshold=0.6, mods=16)
+    ix_dir = str(tmp_path / "mh")
+    idx.build(rd.from_pandas(corpus).repartition(3), ix_dir)
+
+    exp = set()
+    for _, rn in new.iterrows():
+        for _, rc in corpus.iterrows():
+            j = ngram_jaccard(rc["text"], rn["text"], 5)
+            if j >= 0.6:
+                exp.add((rc["id"], rn["id"], round(j, 9)))
+    rows = collect_rows(idx.probe(
+        rd.from_pandas(new).repartition(2), ix_dir))
+    got = {(r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in rows}
+    assert got == exp and len(exp) >= 4
+    assert idx.last_probe_sig_dirs is not None
+    total = 16 * 16  # bands x mods upper bound on sig dirs
+    assert idx.last_probe_sig_dirs < total
+
+    # probe again with ONE doc: same index, much stronger pruning
+    one = rd.from_pandas(new.iloc[:1])
+    rows1 = collect_rows(idx.probe(one, ix_dir))
+    assert {(r["id_a"], r["id_b"]) for r in rows1} \
+        == {(a, b) for a, b, _ in exp if b == 500}
+    assert idx.last_probe_sig_dirs <= 16  # 16 bands x 1 doc
+
+    with pytest.raises(ValueError, match="reserved"):
+        MinHashIndex("text", "key")
