@@ -2982,6 +2982,26 @@ def q_documents_index_probe(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def q_embeddings_covariance(sf_dir: str) -> pd.DataFrame:
+    """One-pass embedding covariance (stages/similarity.
+    embedding_covariance): per-batch (n, Σx, XᵀX) moment partials folded
+    on the driver — only d²-sized partials move. The full 64×64 matrix is
+    computed; the oracle checks the first 12 dimensions' upper triangle
+    (78 covar_samp pairs) plus means, rounded to 6."""
+    from gojsonschema_ray.stages.similarity import embedding_covariance
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+    n, mean, cov = embedding_covariance(ds, "embedding")
+    k = 12
+    ii, jj = np.triu_indices(k)
+    return pd.DataFrame({
+        "i": pd.Series(ii, dtype="int64"),
+        "j": pd.Series(jj, dtype="int64"),
+        "mean_i": np.round(mean[ii], 6),
+        "cov": np.round(cov[ii, jj], 6),
+        "n": pd.Series(np.full(len(ii), n), dtype="int64")})
+
+
 def entry() -> Any:
     """Flagship smoke on sf0.001: constraint validation over lineitem +
     documents + uniqueness on events, one violations summary Dataset."""
@@ -3097,6 +3117,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_index_probe": q_documents_index_probe,  # persisted LSH
         # index probe — incremental ingest dedup w/ partition-pruned reads
         # (cross-set shingle-join oracle)
+        "embeddings_covariance": q_embeddings_covariance,  # one-pass
+        # moment-partial covariance matrix (covar_samp-pair oracle)
         "events_gap_fill": q_events_gap_fill,  # time-series gap filling
         # (new family: regularization — zero rows for silent buckets via
         # vectorized per-partition range expansion; generate_series oracle)
@@ -3212,6 +3234,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_percentile": q_events_percentile,  # rows-only: digest
         # CDF scoring (2%-error bound vs exact ranks proven in tests)
     }
+
+
+def _covariance_oracle_sql(k: int = 12) -> str:
+    """covar_samp/avg pair terms for the upper triangle of the first `k`
+    embedding dimensions (DuckDB lists are 1-based), long format matching
+    q_embeddings_covariance's columns."""
+    terms = []
+    for i in range(k):
+        for j in range(i, k):
+            terms.append(
+                f"SELECT {i} AS i, {j} AS j, "
+                f"round(avg(CAST(embedding[{i + 1}] AS DOUBLE)), 6) "
+                f"AS mean_i, "
+                f"round(covar_samp(CAST(embedding[{i + 1}] AS DOUBLE), "
+                f"CAST(embedding[{j + 1}] AS DOUBLE)), 6) AS cov, "
+                f"CAST(count(*) AS BIGINT) AS n FROM embeddings")
+    return " UNION ALL ".join(terms) + " ORDER BY i, j"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3986,6 +4025,9 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(n.n, 0) AS n "
             "FROM g LEFT JOIN n USING (bin) CROSS JOIN mm ORDER BY g.bin"
         ),
+        # one-pass covariance: covar_samp pairs over the first 12 dims
+        # (engine computes the full 64x64; the oracle slices the triangle)
+        "embeddings_covariance": _covariance_oracle_sql(12),
         # incremental ingest: exact cross-set 5-gram jaccard between the
         # corpus (doc_id%10 != 0) and the arriving batch (doc_id%10 == 0);
         # same recall regime as minhash_near_dups

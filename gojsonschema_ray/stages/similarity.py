@@ -701,3 +701,46 @@ def kmeans_fit(make_ds, embedding_column: str, k: int = 8,
         if shift < tol:
             break
     return KMeansModel(cent, history)
+
+
+def embedding_covariance(ds, embedding_column: str):
+    """Full d×d sample covariance (+ per-dimension means) of an embedding
+    column in ONE streaming pass — the PCA/whitening preprocessing
+    statistic: per-batch moment partials (n, column sums, Xᵀ X Gram
+    matrix) fold associatively on the driver, so only (d² + d + 1)-sized
+    partials ever move, never vectors. cov = (Sxy − Sx·Sy/n) / (n−1),
+    float64 throughout (float32 inputs widen exactly — SQL covar_samp
+    parity to rounding).
+
+    Returns (n, mean[d], cov[d, d]) as numpy arrays. Needs n >= 2."""
+    from ..util import collect_rows, list_column_to_matrix
+
+    def partial(t: pa.Table) -> pa.Table:
+        X = list_column_to_matrix(t[embedding_column])
+        if X.shape[0] == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.list_(pa.float64())),
+                             "g": pa.array([], pa.list_(pa.float64()))})
+        g = X.T @ X
+        return pa.table({
+            "n": pa.array([X.shape[0]], pa.int64()),
+            "s": pa.array([X.sum(axis=0).tolist()],
+                          pa.list_(pa.float64())),
+            "g": pa.array([g.ravel().tolist()], pa.list_(pa.float64()))})
+
+    n = 0
+    s = None
+    g = None
+    for r in collect_rows(ds.map_batches(partial, batch_format="pyarrow")):
+        n += r["n"]
+        rs = np.asarray(r["s"], dtype=np.float64)
+        rg = np.asarray(r["g"], dtype=np.float64)
+        s = rs if s is None else s + rs
+        g = rg if g is None else g + rg
+    if n < 2:
+        raise ValueError(f"embedding_covariance: need >= 2 rows, got {n}")
+    d = len(s)
+    G = g.reshape(d, d)
+    mean = s / n
+    cov = (G - np.outer(s, s) / n) / (n - 1)
+    return n, mean, cov

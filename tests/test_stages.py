@@ -3277,3 +3277,26 @@ def test_minhash_index_build_probe(ray_session, tmp_path):
 
     with pytest.raises(ValueError, match="reserved"):
         MinHashIndex("text", "key")
+
+
+def test_embedding_covariance(ray_session):
+    """Moment-partial covariance equals np.cov / mean across any
+    partitioning; n < 2 raises."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.similarity import embedding_covariance
+
+    rng = np.random.default_rng(53)
+    X = rng.normal(0, 3, (400, 10))
+    tbl = pa.table({"embedding": pa.array(X.tolist(),
+                                          pa.list_(pa.float64()))})
+    for parts in (1, 7):
+        n, mean, cov = embedding_covariance(
+            rd.from_arrow(tbl).repartition(parts), "embedding")
+        assert n == 400
+        assert np.allclose(mean, X.mean(axis=0), atol=1e-10)
+        assert np.allclose(cov, np.cov(X, rowvar=False), atol=1e-9)
+    with pytest.raises(ValueError, match=">= 2"):
+        embedding_covariance(
+            rd.from_arrow(tbl.slice(0, 1)), "embedding")
