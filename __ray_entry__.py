@@ -3002,6 +3002,26 @@ def q_embeddings_covariance(sf_dir: str) -> pd.DataFrame:
         "n": pd.Series(np.full(len(ii), n), dtype="int64")})
 
 
+def q_embeddings_pca(sf_dir: str) -> pd.DataFrame:
+    """PCA projection to 8 dims (stages/similarity.pca_project): fit from
+    the one-pass covariance partials, project per batch against the
+    broadcast (mean, components). Rows-only by design (eigendecomposition
+    isn't SQL-expressible); the numpy-parity unit test is the correctness
+    gate, and the summary here carries the variance-explained audit."""
+    from gojsonschema_ray.stages.similarity import pca_project
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    rows = collect_rows(pca_project(ds, "embedding", "vec_id", 8))
+    norms = np.asarray([float(np.linalg.norm(r["pc"])) for r in rows])
+    return pd.DataFrame([{
+        "n": len(rows),
+        "dims": len(rows[0]["pc"]) if rows else 0,
+        "explained": round(float(rows[0]["explained"]), 6) if rows else 0.0,
+        "mean_norm": round(float(norms.mean()), 6) if len(norms) else 0.0,
+    }])
+
+
 def entry() -> Any:
     """Flagship smoke on sf0.001: constraint validation over lineitem +
     documents + uniqueness on events, one violations summary Dataset."""
@@ -3233,6 +3253,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sketch-specific HLL estimate (5%-error bound proven in tests)
         "events_percentile": q_events_percentile,  # rows-only: digest
         # CDF scoring (2%-error bound vs exact ranks proven in tests)
+        "embeddings_pca": q_embeddings_pca,  # rows-only: eigendecomposition
+        # isn't SQL-expressible (numpy-parity unit test is the gate; its
+        # covariance input IS oracle-checked via embeddings_covariance)
     }
 
 

@@ -744,3 +744,47 @@ def embedding_covariance(ds, embedding_column: str):
     mean = s / n
     cov = (G - np.outer(s, s) / n) / (n - 1)
     return n, mean, cov
+
+
+def pca_project(ds, embedding_column: str, id_column: str, k: int, *,
+                out_column: str = "pc"):
+    """PCA dimensionality reduction as a two-phase distributed op: FIT from
+    the one-pass moment partials (embedding_covariance → driver eigh of
+    the d×d matrix — d is small, the corpus is not), then PROJECT the
+    corpus per batch against the ray.put-broadcast (mean, components)
+    pair. The 4×-and-more compression stage ahead of ANN/dedup at scale;
+    composes with quantize_embeddings for the int8 path.
+
+    Component signs are canonicalized (largest-|loading| coordinate made
+    positive) so results are deterministic across eigensolvers. Returns
+    (id, pc: list<float64>[k], plus `explained`: the fraction of total
+    variance the k components carry, constant per row for audit SQL).
+    Oracle note: eigendecomposition is not SQL-expressible — verify via
+    numpy parity tests and the variance-fraction audit column."""
+    import ray
+
+    n, mean, cov = embedding_covariance(ds, embedding_column)
+    d = cov.shape[0]
+    if not 1 <= k <= d:
+        raise ValueError(f"pca_project: k={k} not in [1, {d}]")
+    w, v = np.linalg.eigh(cov)          # ascending eigenvalues
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order]                 # (d, k)
+    flip = np.sign(comps[np.argmax(np.abs(comps), axis=0),
+                         np.arange(k)])
+    comps = comps * flip
+    explained = float(w[order].sum() / w.sum()) if w.sum() > 0 else 0.0
+    ref = ray.put((mean, comps))
+
+    def project(t: pa.Table) -> pa.Table:
+        from ..util import list_column_to_matrix
+
+        m, c = ray.get(ref)
+        X = list_column_to_matrix(t[embedding_column])
+        Y = (X - m) @ c
+        return pa.table({
+            id_column: t[id_column],
+            out_column: pa.array(Y.tolist(), pa.list_(pa.float64())),
+            "explained": pa.array(np.full(len(Y), explained))})
+
+    return ds.map_batches(project, batch_format="pyarrow")

@@ -3300,3 +3300,39 @@ def test_embedding_covariance(ray_session):
     with pytest.raises(ValueError, match=">= 2"):
         embedding_covariance(
             rd.from_arrow(tbl.slice(0, 1)), "embedding")
+
+
+def test_pca_project(ray_session):
+    """Distributed PCA equals numpy eigh on the same covariance (up to the
+    canonical sign), the projection reconstructs variance, and k
+    validation raises."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.similarity import pca_project
+    from gojsonschema_ray.util import collect_rows
+
+    rng = np.random.default_rng(59)
+    # anisotropic data: one dominant direction
+    base = rng.normal(0, 1, (300, 6))
+    base[:, 0] *= 10
+    tbl = pa.table({"id": pa.array(range(300), pa.int64()),
+                    "embedding": pa.array(base.tolist(),
+                                          pa.list_(pa.float64()))})
+    rows = collect_rows(pca_project(
+        rd.from_arrow(tbl).repartition(5), "embedding", "id", 2))
+    got = np.asarray([r["pc"] for r in sorted(rows, key=lambda r: r["id"])])
+
+    cov = np.cov(base, rowvar=False)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:2]
+    comps = v[:, order]
+    comps *= np.sign(comps[np.argmax(np.abs(comps), axis=0),
+                           np.arange(2)])
+    exp = (base - base.mean(axis=0)) @ comps
+    assert np.allclose(got, exp, atol=1e-8)
+    explained = rows[0]["explained"]
+    assert explained == pytest.approx(w[order].sum() / w.sum())
+    assert explained > 0.9  # the dominant direction carries the variance
+    with pytest.raises(ValueError, match="k="):
+        pca_project(rd.from_arrow(tbl), "embedding", "id", 99)
