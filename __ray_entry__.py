@@ -3022,6 +3022,43 @@ def q_embeddings_pca(sf_dir: str) -> pd.DataFrame:
     }])
 
 
+def q_orders_schema_drift(sf_dir: str) -> pd.DataFrame:
+    """Schema-drift GATE — the infer → compile → validate-the-future
+    composition: infer a ruleset from the pre-1998 training epoch
+    (stages/infer.infer_ruleset: combiner partials, no shuffle), compile
+    it, validate the post-1998 epoch with the vectorized TableValidator,
+    and count out-of-profile rows. Oracle: CTEs recompute the inferred
+    bounds/enum (they are plain aggregates) and count the same
+    violations with identical float comparisons."""
+    from gojsonschema_ray.stages.infer import infer_ruleset
+
+    cols = ["o_orderkey", "o_orderdate", "o_totalprice", "o_orderpriority"]
+    ds = _read(sf_dir, "orders", cols)
+    split_us = pa.scalar(pd.Timestamp("1998-01-01").value // 1000,
+                         type=pa.timestamp("us"))
+
+    def epoch(train: bool):
+        def f(t: pa.Table) -> pa.Table:
+            d = pc.cast(t["o_orderdate"], pa.timestamp("us"))
+            m = pc.less(d, split_us) if train \
+                else pc.greater_equal(d, split_us)
+            return t.filter(m).select(
+                ["o_orderkey", "o_totalprice", "o_orderpriority"])
+        return f
+
+    train = ds.map_batches(epoch(True), batch_format="pyarrow")
+    test = ds.map_batches(epoch(False), batch_format="pyarrow")
+    rs = infer_ruleset(train, ["o_totalprice", "o_orderpriority"],
+                       enum_max=16)
+    tv = _validator(rs, "o_orderkey")
+    viol = test.map_batches(tv, batch_format="pyarrow")
+    return _violation_counts_row(viol, {
+        "price_below": ("number_gte", "(root).o_totalprice"),
+        "price_above": ("number_lte", "(root).o_totalprice"),
+        "new_priority": ("enum", "(root).o_orderpriority"),
+    })
+
+
 def entry() -> Any:
     """Flagship smoke on sf0.001: constraint validation over lineitem +
     documents + uniqueness on events, one violations summary Dataset."""
@@ -3139,6 +3176,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (cross-set shingle-join oracle)
         "embeddings_covariance": q_embeddings_covariance,  # one-pass
         # moment-partial covariance matrix (covar_samp-pair oracle)
+        "orders_schema_drift": q_orders_schema_drift,  # infer -> compile
+        # -> validate-the-future drift gate (bounds-CTE recompute oracle)
         "events_gap_fill": q_events_gap_fill,  # time-series gap filling
         # (new family: regularization — zero rows for silent buckets via
         # vectorized per-partition range expansion; generate_series oracle)
@@ -4047,6 +4086,25 @@ def oracle_sql() -> dict[str, str]:
             "ELSE mm.mn + (g.bin + 1) * mm.w END, 6) AS hi, "
             "coalesce(n.n, 0) AS n "
             "FROM g LEFT JOIN n USING (bin) CROSS JOIN mm ORDER BY g.bin"
+        ),
+        # drift gate: the inferred rules ARE plain training-epoch
+        # aggregates, so the oracle recomputes them in CTEs and counts the
+        # same out-of-profile rows (identical double comparisons)
+        "orders_schema_drift": (
+            "WITH tr AS (SELECT min(o_totalprice) AS mn, "
+            "max(o_totalprice) AS mx FROM orders "
+            "WHERE o_orderdate < TIMESTAMP '1998-01-01'), "
+            "pri AS (SELECT DISTINCT o_orderpriority AS p FROM orders "
+            "WHERE o_orderdate < TIMESTAMP '1998-01-01'), "
+            "te AS (SELECT * FROM orders "
+            "WHERE o_orderdate >= TIMESTAMP '1998-01-01') "
+            "SELECT CAST(count(*) FILTER (o_totalprice < tr.mn) AS BIGINT) "
+            "AS price_below, "
+            "CAST(count(*) FILTER (o_totalprice > tr.mx) AS BIGINT) "
+            "AS price_above, "
+            "CAST(count(*) FILTER (o_orderpriority NOT IN "
+            "(SELECT p FROM pri)) AS BIGINT) AS new_priority "
+            "FROM te, tr"
         ),
         # one-pass covariance: covar_samp pairs over the first 12 dims
         # (engine computes the full 64x64; the oracle slices the triangle)

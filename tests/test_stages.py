@@ -3336,3 +3336,32 @@ def test_pca_project(ray_session):
     assert explained > 0.9  # the dominant direction carries the variance
     with pytest.raises(ValueError, match="k="):
         pca_project(rd.from_arrow(tbl), "embedding", "id", 99)
+
+
+def test_infer_validate_drift_gate(ray_session):
+    """infer on epoch A -> compile -> validate epoch B: injected
+    out-of-profile rows fire exactly the expected keywords."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.schema import compile_schema
+    from gojsonschema_ray.stages import TableValidator
+    from gojsonschema_ray.stages.infer import infer_ruleset
+    from gojsonschema_ray.util import collect_rows
+
+    train = pd.DataFrame({"id": range(100),
+                          "v": np.linspace(10.0, 20.0, 100),
+                          "cat": ["a", "b"] * 50})
+    test = pd.DataFrame({"id": [900, 901, 902, 903],
+                         "v": [9.0, 25.0, 15.0, 15.0],
+                         "cat": ["a", "b", "zzz", "a"]})
+    rs = infer_ruleset(rd.from_pandas(train), ["v", "cat"])
+    tv = TableValidator(compile_schema(rs), key_column="id",
+                        mode="violations")
+    viol = collect_rows(rd.from_pandas(test).map_batches(
+        tv, batch_format="pyarrow"))
+    fired = {(r["key"], r["keyword"]) for r in viol}
+    assert ("900", "number_gte") in fired    # below inferred minimum
+    assert ("901", "number_lte") in fired    # above inferred maximum
+    assert ("902", "enum") in fired          # unseen category
+    assert not any(k == "903" for k, _ in fired)
