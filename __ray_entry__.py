@@ -2971,7 +2971,7 @@ def q_documents_index_probe(sf_dir: str) -> pd.DataFrame:
     new = ds.map_batches(split(True), batch_format="pyarrow")
     ix_dir = "/tmp/gojsonschema_ray_cache/mh_index"
     shutil.rmtree(ix_dir, ignore_errors=True)
-    idx = MinHashIndex("text", "doc_id", threshold=0.5)
+    idx = MinHashIndex("text", "doc_id", threshold=0.5, mods=16)
     idx.build(corpus, ix_dir)
     rows = collect_rows(idx.probe(new, ix_dir))
     df = pd.DataFrame({
