@@ -3059,6 +3059,23 @@ def q_orders_schema_drift(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def q_orders_winsorized(sf_dir: str) -> Any:
+    """Outlier-tamed price column (stages/sketches.winsorize): clip to the
+    exact [p1, p99] quantile_cont cuts found by distributed selection, then
+    a pure per-batch clamp — no global sort anywhere. Oracle: quantile_cont
+    CTE + least/greatest with identical double math."""
+    from gojsonschema_ray.stages.sketches import winsorize
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    res = winsorize(ds, "o_totalprice", 0.01, 0.99, out_column="clipped")
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "clipped": pc.round(t["clipped"], 6)})
+
+    return res.map_batches(fin, batch_format="pyarrow")
+
+
 def entry() -> Any:
     """Flagship smoke on sf0.001: constraint validation over lineitem +
     documents + uniqueness on events, one violations summary Dataset."""
@@ -3178,6 +3195,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # moment-partial covariance matrix (covar_samp-pair oracle)
         "orders_schema_drift": q_orders_schema_drift,  # infer -> compile
         # -> validate-the-future drift gate (bounds-CTE recompute oracle)
+        "orders_winsorized": q_orders_winsorized,  # exact-quantile clip
+        # transform (quantile_cont + least/greatest oracle)
         "events_gap_fill": q_events_gap_fill,  # time-series gap filling
         # (new family: regularization — zero rows for silent buckets via
         # vectorized per-partition range expansion; generate_series oracle)
@@ -4086,6 +4105,15 @@ def oracle_sql() -> dict[str, str]:
             "ELSE mm.mn + (g.bin + 1) * mm.w END, 6) AS hi, "
             "coalesce(n.n, 0) AS n "
             "FROM g LEFT JOIN n USING (bin) CROSS JOIN mm ORDER BY g.bin"
+        ),
+        # winsorize: exact quantile_cont cuts, then least/greatest —
+        # identical double math; rounded to 6
+        "orders_winsorized": (
+            "WITH q AS (SELECT quantile_cont(o_totalprice, 0.01) AS lo, "
+            "quantile_cont(o_totalprice, 0.99) AS hi FROM orders) "
+            "SELECT o_orderkey, "
+            "round(least(greatest(o_totalprice, q.lo), q.hi), 6) "
+            "AS clipped FROM orders, q ORDER BY o_orderkey"
         ),
         # drift gate: the inferred rules ARE plain training-epoch
         # aggregates, so the oracle recomputes them in CTEs and counts the

@@ -1547,3 +1547,30 @@ def exact_global_quantiles(ds, column: str, qs, *,
         out.append(v0 + (h - k0) * (v1 - v0))
     return pd.DataFrame({"q": pd.Series(qs, dtype="float64"),
                          "value": pd.Series(out, dtype="float64")})
+
+
+def winsorize(ds, value_column: str, p_lo: float = 0.01,
+              p_hi: float = 0.99, *, out_column: str | None = None):
+    """Winsorization — clip a numeric column to its EXACT [p_lo, p_hi]
+    quantiles (quantile_cont semantics via exact_global_quantiles'
+    distributed selection), the standard outlier-taming transform before
+    scaling/regression. The quantile pass never sorts globally; the clip
+    is a pure per-batch kernel against the two broadcast cut values.
+    NULLs pass through unchanged; replaces the column in place unless
+    `out_column` is given."""
+    if not 0.0 <= p_lo < p_hi <= 1.0:
+        raise ValueError(f"winsorize: need 0 <= p_lo < p_hi <= 1, "
+                         f"got ({p_lo}, {p_hi})")
+    q = exact_global_quantiles(ds, value_column, [p_lo, p_hi])
+    lo, hi = float(q["value"].iloc[0]), float(q["value"].iloc[1])
+    out = out_column or value_column
+
+    def clip(t: pa.Table) -> pa.Table:
+        v = pc.cast(t[value_column], pa.float64())
+        c = pc.min_element_wise(pc.max_element_wise(v, lo), hi)
+        if out in t.column_names:
+            i = t.column_names.index(out)
+            return t.set_column(i, out, c)
+        return t.append_column(out, c)
+
+    return ds.map_batches(clip, batch_format="pyarrow")

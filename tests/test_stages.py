@@ -3365,3 +3365,27 @@ def test_infer_validate_drift_gate(ray_session):
     assert ("901", "number_lte") in fired    # above inferred maximum
     assert ("902", "enum") in fired          # unseen category
     assert not any(k == "903" for k, _ in fired)
+
+
+def test_winsorize(ray_session):
+    """Clipping matches np.quantile-based clip exactly; values inside the
+    cuts are untouched; validation raises."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.sketches import winsorize
+    from gojsonschema_ray.util import collect_rows
+
+    rng = np.random.default_rng(61)
+    v = np.concatenate([rng.normal(0, 1, 2000), [50.0, -40.0]])
+    df = pd.DataFrame({"id": np.arange(len(v)), "v": v})
+    rows = collect_rows(winsorize(
+        rd.from_pandas(df).repartition(4), "v", 0.05, 0.95))
+    got = {r["id"]: r["v"] for r in rows}
+    lo, hi = np.quantile(v, [0.05, 0.95])
+    exp = np.clip(v, lo, hi)
+    assert all(got[i] == exp[i] for i in range(len(v)))
+    assert got[2000] == hi and got[2001] == lo
+    with pytest.raises(ValueError, match="p_lo"):
+        winsorize(rd.from_pandas(df), "v", 0.9, 0.1)
