@@ -3076,6 +3076,44 @@ def q_orders_winsorized(sf_dir: str) -> Any:
     return res.map_batches(fin, batch_format="pyarrow")
 
 
+def q_clips_audio_activity(sf_dir: str) -> pd.DataFrame:
+    """Energy-based activity segmentation (stages/audio.
+    AudioActivityStage): per-clip active-frame ratio, segment count and
+    span from framed RMS with VAD-style hangover — the silence-curation
+    signal. Rows-only: audio decode is not SQL-expressible; the
+    closed-form golden (synthetic sine clips are continuously active ⇒
+    one segment, ratio 1.0) lives in tests/test_stages.py."""
+    from gojsonschema_ray import datagen
+    from gojsonschema_ray.stages.audio import AudioActivityStage
+    from gojsonschema_ray.util import collect_rows
+
+    n = 5_000
+    ds = datagen.clips_dataset(n, audio_cap_ms=30, override_num_blocks=8)
+    acts = ds.map_batches(AudioActivityStage, batch_size=256,
+                          batch_format="pyarrow", concurrency=(1, 4))
+
+    def partial(t: pa.Table) -> pa.Table:
+        ok = pc.fill_null(t["decode_ok"], False)
+        tt = t.filter(ok)
+        return pa.table({
+            "n_ok": pa.array([tt.num_rows], pa.int64()),
+            "n_bad": pa.array([t.num_rows - tt.num_rows], pa.int64()),
+            "sum_ratio": pa.array(
+                [pc.sum(tt["active_ratio"]).as_py() or 0.0]),
+            "n_multi": pa.array([pc.sum(pc.cast(pc.greater(
+                tt["n_segments"], 1), pa.int64())).as_py() or 0],
+                pa.int64())})
+
+    rows = collect_rows(acts.map_batches(partial, batch_format="pyarrow"))
+    n_ok = sum(r["n_ok"] for r in rows)
+    return pd.DataFrame([{
+        "n_ok": n_ok,
+        "n_bad": sum(r["n_bad"] for r in rows),
+        "mean_active_ratio": round(
+            sum(r["sum_ratio"] for r in rows) / max(n_ok, 1), 4),
+        "n_multi_segment": sum(r["n_multi"] for r in rows)}])
+
+
 def entry() -> Any:
     """Flagship smoke on sf0.001: constraint validation over lineitem +
     documents + uniqueness on events, one violations summary Dataset."""
@@ -3314,6 +3352,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_pca": q_embeddings_pca,  # rows-only: eigendecomposition
         # isn't SQL-expressible (numpy-parity unit test is the gate; its
         # covariance input IS oracle-checked via embeddings_covariance)
+        "clips_audio_activity": q_clips_audio_activity,  # rows-only:
+        # audio decode isn't SQL-expressible (closed-form sine golden)
     }
 
 

@@ -939,3 +939,118 @@ def duplicate_audio_groups(ds, *, frames: int = 33, min_count: int = 2,
         batch_format="pyarrow")
     partials = ok.map_batches(KeyCountStage("fp"), batch_format="pyarrow")
     return aggregate_key_counts(partials, "fp", min_count=min_count)
+
+
+# ---------------------------------------------------------------------------
+# energy-based activity segmentation (VAD-style silence curation)
+# ---------------------------------------------------------------------------
+def activity_segments(pcm: np.ndarray, sr: int, *, frame_ms: int = 20,
+                      threshold_dbfs: float = -40.0,
+                      hang_frames: int = 2) -> dict:
+    """Energy-based speech/activity segmentation of one clip — the
+    silence-curation signal (drop clips that are mostly dead air, split
+    on long pauses): frame RMS against `threshold_dbfs` re. int16 full
+    scale, with a `hang_frames` hangover (gaps of <= hang_frames silent
+    frames stay inside a segment, the standard VAD smoothing so plosive
+    gaps don't fragment speech). Vectorized: one reshape, one per-frame
+    RMS, flatnonzero arithmetic on active-frame indices — no per-frame
+    Python loop.
+
+    Returns n_frames, n_active_frames, active_ratio, n_segments,
+    longest_ms and total_active_ms (segment span including bridged
+    gaps)."""
+    n = len(pcm)
+    flen = max(1, int(sr * frame_ms / 1000))
+    nf = n // flen
+    if nf == 0:
+        return {"n_frames": 0, "n_active_frames": 0, "active_ratio": 0.0,
+                "n_segments": 0, "longest_ms": 0.0, "total_active_ms": 0.0}
+    xf = pcm[:nf * flen].astype(np.float64).reshape(nf, flen)
+    rms = np.sqrt(np.mean(xf * xf, axis=1))
+    thresh = _FS * 10.0 ** (threshold_dbfs / 20.0)
+    act = np.flatnonzero(rms >= thresh)
+    if not len(act):
+        return {"n_frames": int(nf), "n_active_frames": 0,
+                "active_ratio": 0.0, "n_segments": 0, "longest_ms": 0.0,
+                "total_active_ms": 0.0}
+    # a new segment starts where the gap to the previous active frame
+    # exceeds the hangover
+    brk = np.ones(len(act), dtype=bool)
+    brk[1:] = np.diff(act) > hang_frames + 1
+    starts = act[brk]
+    ends = np.concatenate([act[np.nonzero(brk)[0][1:] - 1], act[-1:]])
+    lens_ms = (ends - starts + 1) * frame_ms
+    return {"n_frames": int(nf), "n_active_frames": int(len(act)),
+            "active_ratio": float(len(act) / nf),
+            "n_segments": int(len(starts)),
+            "longest_ms": float(lens_ms.max()),
+            "total_active_ms": float(lens_ms.sum())}
+
+
+ACTIVITY_SCHEMA = pa.schema([
+    ("clip_id", pa.string()),
+    ("decode_ok", pa.bool_()),
+    ("n_frames", pa.int64()),
+    ("n_active_frames", pa.int64()),
+    ("active_ratio", pa.float64()),
+    ("n_segments", pa.int64()),
+    ("longest_ms", pa.float64()),
+    ("total_active_ms", pa.float64()),
+])
+
+
+class AudioActivityStage:
+    """map_batches payload: decode (zero-copy views where the block
+    allows) + activity segmentation per clip. Same degrade-to-rows error
+    contract as AudioFeatureStage — a corrupt clip emits decode_ok=False,
+    never a dead task."""
+
+    def __init__(self, frame_ms: int = 20, threshold_dbfs: float = -40.0,
+                 hang_frames: int = 2):
+        self.frame_ms = frame_ms
+        self.threshold_dbfs = threshold_dbfs
+        self.hang_frames = hang_frames
+        self.decoders = {
+            "wav": _decode_wav_ignore_sr,
+            "pcm_s16le": decode_raw_s16le,
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["clip_id"].to_pylist()
+        srs = batch["sr_hz"].to_pylist()
+        codecs = batch["codec"].to_pylist()
+        views = binary_column_views(batch["bytes"])
+        blobs = batch["bytes"].to_pylist() if views is None else None
+        rows = []
+        for i, (cid, sr, codec) in enumerate(zip(ids, srs, codecs)):
+            dec = self.decoders.get(codec)
+            null = views[2][i] if views is not None else blobs[i] is None
+            out = None
+            if dec is not None and not null:
+                try:
+                    if views is not None:
+                        seg = views[1][int(views[0][i]):int(views[0][i + 1])]
+                        if codec == "wav":
+                            pcm, file_sr = wav_payload_view(seg)
+                        elif codec == "pcm_s16le":
+                            if len(seg) % 2:
+                                raise ValueError("odd byte count")
+                            pcm, file_sr = _i16_view(seg, 0, len(seg)), sr
+                        else:
+                            pcm, file_sr = dec(seg.tobytes(), sr)
+                    else:
+                        pcm, file_sr = dec(blobs[i], sr)
+                    out = activity_segments(
+                        pcm, int(file_sr or sr), frame_ms=self.frame_ms,
+                        threshold_dbfs=self.threshold_dbfs,
+                        hang_frames=self.hang_frames)
+                except Exception:  # noqa: BLE001 — decode failure → row
+                    out = None
+            if out is None:
+                rows.append({"clip_id": cid, "decode_ok": False,
+                             "n_frames": None, "n_active_frames": None,
+                             "active_ratio": None, "n_segments": None,
+                             "longest_ms": None, "total_active_ms": None})
+            else:
+                rows.append({"clip_id": cid, "decode_ok": True, **out})
+        return pa.Table.from_pylist(rows, schema=ACTIVITY_SCHEMA)

@@ -3389,3 +3389,55 @@ def test_winsorize(ray_session):
     assert got[2000] == hi and got[2001] == lo
     with pytest.raises(ValueError, match="p_lo"):
         winsorize(rd.from_pandas(df), "v", 0.9, 0.1)
+
+
+def test_activity_segments():
+    """Closed-form VAD golden: constructed active/silent frame patterns
+    yield exact segment counts, ratios and spans; hangover bridges short
+    gaps; all-silent and empty clips degrade cleanly."""
+    from gojsonschema_ray.stages.audio import activity_segments
+
+    sr = 16000
+    flen = sr * 20 // 1000  # 20 ms frames
+    loud = (np.ones(flen) * 8000).astype(np.int16)
+    quiet = np.zeros(flen, dtype=np.int16)
+
+    # 3 loud, 1 quiet (bridged by hangover 2), 2 loud, 5 quiet, 1 loud
+    pcm = np.concatenate([loud] * 3 + [quiet] + [loud] * 2
+                         + [quiet] * 5 + [loud])
+    r = activity_segments(pcm, sr, frame_ms=20, hang_frames=2)
+    assert r["n_frames"] == 12 and r["n_active_frames"] == 6
+    assert r["n_segments"] == 2          # the 5-frame gap splits
+    assert r["longest_ms"] == 6 * 20.0   # frames 0..5 incl. bridged gap
+    assert r["total_active_ms"] == 6 * 20.0 + 20.0
+    assert r["active_ratio"] == pytest.approx(0.5)
+
+    # hangover 0: the 1-frame gap also splits
+    r0 = activity_segments(pcm, sr, frame_ms=20, hang_frames=0)
+    assert r0["n_segments"] == 3
+
+    silent = activity_segments(np.zeros(flen * 4, np.int16), sr)
+    assert silent["n_segments"] == 0 and silent["active_ratio"] == 0.0
+    empty = activity_segments(np.zeros(0, np.int16), sr)
+    assert empty["n_frames"] == 0 and empty["n_segments"] == 0
+
+
+def test_audio_activity_stage(ray_session):
+    """Stage over the synthetic clips: datagen sines are continuously
+    active — every decodable clip reads one segment at ratio 1.0;
+    corrupt rows degrade to decode_ok=False."""
+    from gojsonschema_ray import datagen
+    from gojsonschema_ray.stages.audio import AudioActivityStage
+    from gojsonschema_ray.util import collect_rows
+
+    ds = datagen.clips_dataset(300, audio_cap_ms=30, override_num_blocks=2)
+    rows = collect_rows(ds.map_batches(AudioActivityStage, batch_size=64,
+                                       batch_format="pyarrow",
+                                       concurrency=(1, 2)))
+    assert len(rows) == 300
+    ok = [r for r in rows if r["decode_ok"]]
+    assert len(ok) > 250
+    assert all(r["n_segments"] == 1 and r["active_ratio"] == 1.0
+               for r in ok)
+    bad = [r for r in rows if not r["decode_ok"]]
+    assert all(r["n_frames"] is None for r in bad)
