@@ -3114,6 +3114,86 @@ def q_clips_audio_activity(sf_dir: str) -> pd.DataFrame:
         "n_multi_segment": sum(r["n_multi"] for r in rows)}])
 
 
+def q_clips_audio_chunks(sf_dir: str) -> pd.DataFrame:
+    """Fixed-window clip chunking (stages/audio.AudioChunkStage): explode
+    clips into 10 ms training segments, summarize segment counts and
+    byte conservation. Rows-only: audio decode is not SQL-expressible;
+    the exact-conservation golden lives in tests/test_stages.py."""
+    from gojsonschema_ray import datagen
+    from gojsonschema_ray.stages.audio import AudioChunkStage
+    from gojsonschema_ray.util import collect_rows
+
+    ds = datagen.clips_dataset(5_000, audio_cap_ms=30, override_num_blocks=8)
+    segs = ds.map_batches(AudioChunkStage(chunk_ms=10), batch_size=256,
+                          batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        ok = pc.fill_null(t["decode_ok"], False)
+        tt = t.filter(ok)
+        real = tt.filter(pc.is_valid(tt["seg_idx"]))
+        ns = real["n_samples"].to_numpy(zero_copy_only=False)
+        full = real["sr_hz"].to_numpy(zero_copy_only=False) * 10 // 1000
+        return pa.table({
+            "n_segs": pa.array([real.num_rows], pa.int64()),
+            "n_bad_clips": pa.array([t.num_rows - tt.num_rows], pa.int64()),
+            "n_samples": pa.array([int(ns.sum())], pa.int64()),
+            "n_partial": pa.array([int((ns < full).sum())], pa.int64())})
+
+    rows = collect_rows(segs.map_batches(partial, batch_format="pyarrow"))
+    return pd.DataFrame([{
+        "n_segments": sum(r["n_segs"] for r in rows),
+        "n_bad_clips": sum(r["n_bad_clips"] for r in rows),
+        "total_samples": sum(r["n_samples"] for r in rows),
+        "n_partial_segments": sum(r["n_partial"] for r in rows)}])
+
+
+def q_clips_audio_mel(sf_dir: str) -> pd.DataFrame:
+    """Log-mel embeddings (stages/audio.LogMelStage): 16-dim mean log-mel
+    vector per clip — the audio → embedding-space bridge (output feeds
+    the embedding dedup/ANN family). Rows-only: FFT/mel is not
+    SQL-expressible; sine-bin and gain-shift goldens live in
+    tests/test_stages.py. The argmax-bin diversity column shows the
+    embedding discriminates datagen's 400 tone frequencies."""
+    from gojsonschema_ray import datagen
+    from gojsonschema_ray.stages.audio import LogMelStage
+    from gojsonschema_ray.util import collect_rows
+
+    ds = datagen.clips_dataset(5_000, audio_cap_ms=60, override_num_blocks=8)
+    mels = ds.map_batches(LogMelStage, batch_size=256,
+                          batch_format="pyarrow", concurrency=(1, 4))
+
+    def partial(t: pa.Table) -> pa.Table:
+        ok = pc.fill_null(t["decode_ok"], False)
+        tt = t.filter(ok)
+        vecs = tt["mel"].combine_chunks()
+        am: list[int] = []
+        if len(vecs):
+            flat = np.asarray(vecs.values, dtype=np.float32)
+            offs = np.asarray(vecs.offsets)
+            mat = flat.reshape(len(vecs), -1) \
+                if len(set(np.diff(offs).tolist())) == 1 else None
+            am = (np.argmax(mat, axis=1).tolist() if mat is not None
+                  else [int(np.argmax(flat[a:b]))
+                        for a, b in zip(offs[:-1], offs[1:])])
+        return pa.table({
+            "n_ok": pa.array([tt.num_rows], pa.int64()),
+            "n_bad": pa.array([t.num_rows - tt.num_rows], pa.int64()),
+            "sum_frames": pa.array(
+                [pc.sum(tt["n_frames"]).as_py() or 0], pa.int64()),
+            "argmax_bins": pa.array([sorted(set(am))],
+                                    pa.list_(pa.int64()))})
+
+    rows = collect_rows(mels.map_batches(partial, batch_format="pyarrow"))
+    n_ok = sum(r["n_ok"] for r in rows)
+    bins = sorted({b for r in rows for b in r["argmax_bins"]})
+    return pd.DataFrame([{
+        "n_ok": n_ok,
+        "n_bad": sum(r["n_bad"] for r in rows),
+        "mean_frames": round(sum(r["sum_frames"] for r in rows)
+                             / max(n_ok, 1), 4),
+        "n_distinct_argmax_bins": len(bins)}])
+
+
 def entry() -> Any:
     """Flagship smoke on sf0.001: constraint validation over lineitem +
     documents + uniqueness on events, one violations summary Dataset."""
@@ -3354,6 +3434,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # covariance input IS oracle-checked via embeddings_covariance)
         "clips_audio_activity": q_clips_audio_activity,  # rows-only:
         # audio decode isn't SQL-expressible (closed-form sine golden)
+        "clips_audio_chunks": q_clips_audio_chunks,  # rows-only: audio
+        # decode isn't SQL-expressible (exact-conservation golden)
+        "clips_audio_mel": q_clips_audio_mel,  # rows-only: FFT/mel isn't
+        # SQL-expressible (sine-bin + gain-shift goldens)
     }
 
 

@@ -1054,3 +1054,224 @@ class AudioActivityStage:
             else:
                 rows.append({"clip_id": cid, "decode_ok": True, **out})
         return pa.Table.from_pylist(rows, schema=ACTIVITY_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# shared decode walk for the newer stages (the older stages inline the
+# identical views/blobs pattern — see AudioFeatureStage.__call__)
+# ---------------------------------------------------------------------------
+def decoded_pcm_rows(batch: pa.Table):
+    """Yield ``(row_idx, clip_id, sr_eff, pcm)`` for every row of a clips
+    batch — ``pcm`` is ``None`` when the payload is null / corrupt / an
+    unknown codec, so callers degrade to rows instead of dead tasks (the
+    module's error contract). Zero-copy where the block allows: WAV and
+    raw-PCM payloads are sliced as int16 VIEWS of the Arrow binary buffer
+    (`binary_column_views`), never materialized as Python bytes."""
+    ids = batch["clip_id"].to_pylist()
+    srs = batch["sr_hz"].to_pylist()
+    codecs = batch["codec"].to_pylist()
+    views = binary_column_views(batch["bytes"])
+    blobs = batch["bytes"].to_pylist() if views is None else None
+    decoders = {"wav": _decode_wav_ignore_sr, "pcm_s16le": decode_raw_s16le}
+    for i, (cid, sr, codec) in enumerate(zip(ids, srs, codecs)):
+        dec = decoders.get(codec)
+        null = views[2][i] if views is not None else blobs[i] is None
+        pcm = file_sr = None
+        if dec is not None and not null:
+            try:
+                if views is not None:
+                    seg = views[1][int(views[0][i]):int(views[0][i + 1])]
+                    if codec == "wav":
+                        pcm, file_sr = wav_payload_view(seg)
+                    elif codec == "pcm_s16le":
+                        if len(seg) % 2:
+                            raise ValueError("odd byte count")
+                        pcm, file_sr = _i16_view(seg, 0, len(seg)), sr
+                    else:
+                        pcm, file_sr = dec(seg.tobytes(), sr)
+                else:
+                    pcm, file_sr = dec(blobs[i], sr)
+            except Exception:  # noqa: BLE001 — decode failure → null row
+                pcm = None
+        sr_eff = int(file_sr or sr or 0)
+        if pcm is not None and sr_eff <= 0:
+            pcm = None  # a clip without a usable rate can't be processed
+        yield i, cid, sr_eff, pcm
+
+
+# ---------------------------------------------------------------------------
+# fixed-window chunking — explode clips into training segments
+# ---------------------------------------------------------------------------
+CHUNK_SCHEMA = pa.schema([
+    ("clip_id", pa.string()),
+    ("seg_idx", pa.int32()),
+    ("n_segs", pa.int32()),
+    ("start_ms", pa.float64()),
+    ("sr_hz", pa.int64()),
+    ("codec", pa.string()),
+    ("bytes", pa.binary()),
+    ("n_samples", pa.int64()),
+    ("decode_ok", pa.bool_()),
+])
+
+
+class AudioChunkStage:
+    """map_batches payload: explode every clip into fixed-duration
+    ``chunk_ms`` segments — the sample-shaping pass that turns a
+    variable-length corpus into fixed-window training examples (and the
+    audio member of the chunking family next to
+    `functions.text.chunk_documents`).
+
+    Output rows carry (sr_hz, codec="pcm_s16le", bytes) under the SAME
+    column names as the input clips table, so segment rows feed directly
+    into any downstream audio stage (features, mel, fingerprints) with
+    (clip_id, seg_idx) as the lineage key. The trailing partial segment
+    is kept when `keep_partial` and it reaches `min_partial_ms`.
+    Segment payloads are one `tobytes()` copy off the zero-copy decoded
+    view — concatenating a clip's segments reproduces its PCM exactly.
+    Corrupt / unknown-codec rows degrade to one decode_ok=False row."""
+
+    def __init__(self, chunk_ms: int = 1000, keep_partial: bool = True,
+                 min_partial_ms: int = 0):
+        if chunk_ms <= 0:
+            raise ValueError(f"AudioChunkStage: chunk_ms={chunk_ms}")
+        self.chunk_ms = chunk_ms
+        self.keep_partial = keep_partial
+        self.min_partial_ms = min_partial_ms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for _, cid, sr, pcm in decoded_pcm_rows(batch):
+            if pcm is None:
+                rows.append({"clip_id": cid, "seg_idx": None, "n_segs": 0,
+                             "start_ms": None, "sr_hz": None, "codec": None,
+                             "bytes": None, "n_samples": None,
+                             "decode_ok": False})
+                continue
+            seg_len = max(1, int(sr * self.chunk_ms / 1000))
+            n = len(pcm)
+            n_full, rem = divmod(n, seg_len)
+            partial = (self.keep_partial and rem > 0
+                       and rem * 1000.0 / sr >= self.min_partial_ms)
+            n_segs = n_full + (1 if partial else 0)
+            for k in range(n_segs):
+                a = k * seg_len
+                b = min(a + seg_len, n)
+                rows.append({
+                    "clip_id": cid, "seg_idx": k, "n_segs": n_segs,
+                    "start_ms": a * 1000.0 / sr, "sr_hz": sr,
+                    "codec": "pcm_s16le",
+                    "bytes": np.ascontiguousarray(pcm[a:b]).tobytes(),
+                    "n_samples": b - a, "decode_ok": True})
+            if n_segs == 0:  # clip shorter than min_partial_ms: audit row
+                rows.append({"clip_id": cid, "seg_idx": None, "n_segs": 0,
+                             "start_ms": None, "sr_hz": sr, "codec": None,
+                             "bytes": None, "n_samples": None,
+                             "decode_ok": True})
+        return pa.Table.from_pylist(rows, schema=CHUNK_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# log-mel filterbank embeddings — the audio → embedding-space bridge
+# ---------------------------------------------------------------------------
+def mel_filterbank(sr: int, n_fft: int, n_mels: int,
+                   fmin: float = 0.0, fmax: float | None = None
+                   ) -> np.ndarray:
+    """Triangular mel filterbank matrix (n_mels, n_fft//2 + 1) on the HTK
+    mel scale (m = 2595·log10(1 + f/700)) — the standard public recipe.
+    Band edges are n_mels+2 points equally spaced in mel between fmin and
+    fmax (default Nyquist); filter m rises over [edge_m, edge_m+1] and
+    falls over [edge_m+1, edge_m+2]. Vectorized construction."""
+    if fmax is None:
+        fmax = sr / 2.0
+    if not (0 <= fmin < fmax <= sr / 2.0):
+        raise ValueError(f"mel_filterbank: fmin={fmin} fmax={fmax} sr={sr}")
+
+    def mel(f):
+        return 2595.0 * np.log10(1.0 + np.asarray(f, np.float64) / 700.0)
+
+    def imel(m):
+        return 700.0 * (10.0 ** (np.asarray(m, np.float64) / 2595.0) - 1.0)
+
+    edges = imel(np.linspace(mel(fmin), mel(fmax), n_mels + 2))
+    freqs = np.fft.rfftfreq(n_fft, d=1.0 / sr)
+    lo, ctr, hi = edges[:-2, None], edges[1:-1, None], edges[2:, None]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rise = (freqs[None, :] - lo) / np.maximum(ctr - lo, 1e-12)
+        fall = (hi - freqs[None, :]) / np.maximum(hi - ctr, 1e-12)
+    return np.clip(np.minimum(rise, fall), 0.0, None).astype(np.float32)
+
+
+def log_mel_features(pcm: np.ndarray, sr: int, fb: np.ndarray, *,
+                     n_fft: int = 128, hop: int = 64
+                     ) -> tuple[int, np.ndarray]:
+    """Mean log-mel energy vector of one clip: frame (hann window, hop),
+    power rFFT, mel projection through `fb`, log10, mean over time.
+    Clips shorter than one frame are zero-padded to n_fft so every
+    non-empty clip yields ≥1 frame. Returns (n_frames, float32 vector
+    of len n_mels); an empty clip returns (0, None). Fully vectorized —
+    one sliding_window_view, one batched rfft, one matmul."""
+    n = len(pcm)
+    if n == 0:
+        return 0, None
+    x = pcm.astype(np.float32)
+    if n < n_fft:
+        x = np.concatenate([x, np.zeros(n_fft - n, np.float32)])
+    frames = np.lib.stride_tricks.sliding_window_view(x, n_fft)[::hop]
+    spec = np.abs(np.fft.rfft(frames * _hanning(n_fft)[None, :], axis=1))
+    mel_e = np.square(spec, out=spec) @ fb.T
+    logmel = np.log10(mel_e + 1e-10)
+    return int(len(frames)), logmel.mean(axis=0).astype(np.float32)
+
+
+MEL_SCHEMA = pa.schema([
+    ("clip_id", pa.string()),
+    ("decode_ok", pa.bool_()),
+    ("sr_hz", pa.int64()),
+    ("n_frames", pa.int64()),
+    ("mel", pa.list_(pa.float32())),
+])
+
+
+class LogMelStage:
+    """Actor-pool map_batches payload: decode + mean log-mel embedding per
+    clip — the bridge from raw audio into the engine's embedding-space
+    family (the `mel` list<float32> column feeds embedding-cosine
+    near-dup, ANN top-k, k-means and decontamination unchanged).
+
+    Stateful setup (the filterbank matrix per sample rate) builds ONCE
+    per actor per rate and is cached in `self._fb` — the actor-pool
+    justification; per batch work is one framed rfft + matmul per clip.
+    Decode failures degrade to decode_ok=False rows."""
+
+    def __init__(self, n_fft: int = 128, hop: int = 64, n_mels: int = 16,
+                 fmin: float = 0.0):
+        if n_fft <= 0 or hop <= 0 or n_mels <= 0:
+            raise ValueError(
+                f"LogMelStage: n_fft={n_fft} hop={hop} n_mels={n_mels}")
+        self.n_fft, self.hop, self.n_mels, self.fmin = n_fft, hop, n_mels, fmin
+        self._fb: dict[int, np.ndarray] = {}
+
+    def _bank(self, sr: int) -> np.ndarray:
+        fb = self._fb.get(sr)
+        if fb is None:
+            fb = mel_filterbank(sr, self.n_fft, self.n_mels, self.fmin)
+            self._fb[sr] = fb
+        return fb
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for _, cid, sr, pcm in decoded_pcm_rows(batch):
+            out = None
+            if pcm is not None:
+                nf, mel = log_mel_features(pcm, sr, self._bank(sr),
+                                           n_fft=self.n_fft, hop=self.hop)
+                if mel is not None:
+                    out = {"sr_hz": sr, "n_frames": nf,
+                           "mel": [float(v) for v in mel]}
+            if out is None:
+                rows.append({"clip_id": cid, "decode_ok": False,
+                             "sr_hz": None, "n_frames": None, "mel": None})
+            else:
+                rows.append({"clip_id": cid, "decode_ok": True, **out})
+        return pa.Table.from_pylist(rows, schema=MEL_SCHEMA)

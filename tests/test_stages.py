@@ -3441,3 +3441,145 @@ def test_audio_activity_stage(ray_session):
                for r in ok)
     bad = [r for r in rows if not r["decode_ok"]]
     assert all(r["n_frames"] is None for r in bad)
+
+
+def _pcm_row(cid, pcm, sr, codec="pcm_s16le"):
+    return {"clip_id": cid, "bytes": pcm.astype(np.int16).tobytes(),
+            "sr_hz": sr, "codec": codec}
+
+
+def test_audio_chunk_stage_golden():
+    """Closed-form chunking: segment boundaries, partial handling, exact
+    byte conservation (concatenating a clip's segments reproduces its
+    PCM), corrupt rows degrade."""
+    import pyarrow as pa
+    from gojsonschema_ray.stages.audio import AudioChunkStage
+
+    sr = 8000
+    pcm = (np.arange(2500) % 251 - 125).astype(np.int16)
+    batch = pa.Table.from_pylist([
+        _pcm_row("a", pcm, sr),
+        {"clip_id": "bad", "bytes": None, "sr_hz": sr, "codec": "pcm_s16le"},
+        {"clip_id": "mp3", "bytes": b"\x00\x01", "sr_hz": sr,
+         "codec": "mp3???"},
+    ])
+    out = AudioChunkStage(chunk_ms=100)(batch).to_pylist()
+    segs = [r for r in out if r["clip_id"] == "a"]
+    assert [r["n_samples"] for r in segs] == [800, 800, 800, 100]
+    assert [r["seg_idx"] for r in segs] == [0, 1, 2, 3]
+    assert all(r["n_segs"] == 4 for r in segs)
+    assert [r["start_ms"] for r in segs] == [0.0, 100.0, 200.0, 300.0]
+    joined = b"".join(r["bytes"] for r in segs)
+    assert joined == pcm.tobytes()          # exact conservation
+    assert all(r["codec"] == "pcm_s16le" and r["decode_ok"] for r in segs)
+    for cid in ("bad", "mp3"):
+        (row,) = [r for r in out if r["clip_id"] == cid]
+        assert not row["decode_ok"] and row["bytes"] is None \
+            and row["n_segs"] == 0
+
+    # partial below min_partial_ms (100 samples @8k = 12.5 ms) is dropped
+    out2 = AudioChunkStage(chunk_ms=100, min_partial_ms=50)(batch)
+    segs2 = [r for r in out2.to_pylist() if r["clip_id"] == "a"]
+    assert [r["n_samples"] for r in segs2] == [800, 800, 800]
+    out3 = AudioChunkStage(chunk_ms=100, keep_partial=False)(batch)
+    assert sum(r["clip_id"] == "a"
+               for r in out3.to_pylist()) == 3
+    with pytest.raises(ValueError, match="chunk_ms"):
+        AudioChunkStage(chunk_ms=0)
+
+
+def test_audio_chunk_feeds_feature_stage(ray_session):
+    """Composability: chunk output rows carry the clips-table column
+    contract, so AudioFeatureStage consumes them unchanged — and datagen
+    sines chunk into segments whose per-segment est_freq matches the
+    clip's closed-form frequency."""
+    from gojsonschema_ray import datagen
+    from gojsonschema_ray.stages.audio import (AudioChunkStage,
+                                               AudioFeatureStage)
+    from gojsonschema_ray.util import collect_rows
+
+    ds = datagen.clips_dataset(120, audio_cap_ms=60, override_num_blocks=2)
+    chunks = ds.map_batches(AudioChunkStage(chunk_ms=20), batch_size=64,
+                            batch_format="pyarrow")
+    def keep_ok(t):
+        import pyarrow.compute as _pc
+        return t.filter(_pc.fill_null(t["decode_ok"], False))
+
+    ok = chunks.map_batches(keep_ok, batch_format="pyarrow")
+    feats = ok.map_batches(AudioFeatureStage, batch_size=128,
+                           batch_format="pyarrow", concurrency=(1, 2))
+    rows = collect_rows(feats)
+    assert len(rows) > 200          # ~3 segments per decodable clip
+    assert all(r["decode_ok"] for r in rows)
+
+
+def test_mel_filterbank_and_features():
+    """Filterbank shape/coverage; sine energy lands in the mel bin whose
+    band contains the tone; gain scaling shifts log-mel by the exact
+    log10(g^2) constant; short clips pad to one frame; empty degrades."""
+    from gojsonschema_ray.stages.audio import (log_mel_features,
+                                               mel_filterbank)
+
+    sr, n_fft, n_mels = 16000, 256, 24
+    fb = mel_filterbank(sr, n_fft, n_mels)
+    assert fb.shape == (n_mels, n_fft // 2 + 1)
+    assert (fb >= 0).all() and (fb.sum(axis=1) > 0).all()
+
+    # closed-form HTK band edges (the public mel formula, re-derived here)
+    def mel(f):
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+
+    edges = 700.0 * (10.0 ** (np.linspace(mel(0.0), mel(sr / 2),
+                                          n_mels + 2) / 2595.0) - 1.0)
+    f0 = 1000.0
+    t = np.arange(sr // 2) / sr
+    pcm = (8000 * np.sin(2 * np.pi * f0 * t)).astype(np.int16)
+    nf, v = log_mel_features(pcm, sr, fb, n_fft=n_fft, hop=128)
+    assert nf == 1 + (len(pcm) - n_fft) // 128
+    top = int(np.argmax(v))
+    assert edges[top] <= f0 <= edges[top + 2]   # tone in the argmax band
+
+    _, v_half = log_mel_features((pcm // 2).astype(np.int16), sr, fb,
+                                 n_fft=n_fft, hop=128)
+    assert int(np.argmax(v_half)) == top        # gain-invariant argmax
+    # median over the leakage-dominated bins (edge bins sit at the int16
+    # quantization floor where energy doesn't scale with gain)
+    shift = np.median(np.asarray(v_half) - np.asarray(v))
+    assert abs(shift - np.log10(0.25)) < 1e-2
+
+    nf_s, v_s = log_mel_features(pcm[:50], sr, fb, n_fft=n_fft, hop=128)
+    assert nf_s == 1 and len(v_s) == n_mels
+    nf_e, v_e = log_mel_features(pcm[:0], sr, fb)
+    assert nf_e == 0 and v_e is None
+    with pytest.raises(ValueError, match="fmin"):
+        mel_filterbank(sr, n_fft, n_mels, fmin=9000.0)
+
+
+def test_log_mel_stage(ray_session):
+    """Stage over synthetic clips: every decodable clip yields a 16-dim
+    embedding; identical audio under different ids yields identical
+    vectors (the near-dup bridge); corrupt rows degrade."""
+    import pyarrow as pa
+    from gojsonschema_ray import datagen
+    from gojsonschema_ray.stages.audio import LogMelStage
+    from gojsonschema_ray.util import collect_rows
+
+    ds = datagen.clips_dataset(300, audio_cap_ms=60, override_num_blocks=2)
+    rows = collect_rows(ds.map_batches(LogMelStage, batch_size=64,
+                                       batch_format="pyarrow",
+                                       concurrency=(1, 2)))
+    assert len(rows) == 300
+    ok = [r for r in rows if r["decode_ok"]]
+    assert len(ok) > 250
+    assert all(len(r["mel"]) == 16 and r["n_frames"] >= 1 for r in ok)
+    bad = [r for r in rows if not r["decode_ok"]]
+    assert bad and all(r["mel"] is None for r in bad)
+
+    # duplicate audio → byte-identical embeddings across distinct ids
+    sr = 16000
+    t = np.arange(sr // 10) / sr
+    pcm = (6000 * np.sin(2 * np.pi * 440 * t)).astype(np.int16)
+    batch = pa.Table.from_pylist(
+        [_pcm_row("x", pcm, sr), _pcm_row("y", pcm.copy(), sr)])
+    out = LogMelStage()(batch).to_pylist()
+    assert out[0]["mel"] == out[1]["mel"]
