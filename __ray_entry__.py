@@ -3076,6 +3076,21 @@ def q_orders_winsorized(sf_dir: str) -> Any:
     return res.map_batches(fin, batch_format="pyarrow")
 
 
+def q_orders_top_order(sf_dir: str) -> Any:
+    """Per-group argmax (stages/topk.argmax_by_group): the single most
+    expensive order per customer, ties broken by smallest order key —
+    row_number()-OVER-PARTITION-BY semantics with a combiner-first
+    exchange (one candidate row per group per batch, one hash(key)
+    exchange, no global sort)."""
+    from gojsonschema_ray.stages.topk import argmax_by_group
+
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_totalprice", "o_orderkey", "o_orderdate"])
+    return argmax_by_group(ds, "o_custkey", "o_totalprice",
+                           tie_column="o_orderkey",
+                           keep_columns=["o_orderdate"])
+
+
 def q_clips_audio_activity(sf_dir: str) -> pd.DataFrame:
     """Energy-based activity segmentation (stages/audio.
     AudioActivityStage): per-clip active-frame ratio, segment count and
@@ -3192,6 +3207,49 @@ def q_clips_audio_mel(sf_dir: str) -> pd.DataFrame:
         "mean_frames": round(sum(r["sum_frames"] for r in rows)
                              / max(n_ok, 1), 4),
         "n_distinct_argmax_bins": len(bins)}])
+
+
+def q_clips_audio_curate(sf_dir: str) -> pd.DataFrame:
+    """End-to-end audio-corpus curation (pipelines/curation.curate_clips):
+    decode-once quality gates (duration/silence/clipping/VAD activity) →
+    keep-filter → exact content dedup on the log-mel fingerprint.
+    Rows-only: audio decode isn't SQL-expressible; the mod-400
+    identical-audio class golden (exactly the min clip id survives per
+    class) lives in tests/test_stages.py."""
+    from gojsonschema_ray import datagen
+    from gojsonschema_ray.pipelines.curation import curate_clips
+    from gojsonschema_ray.util import collect_rows
+
+    ds = datagen.clips_dataset(5_000, audio_cap_ms=30, override_num_blocks=8)
+    verdicts = curate_clips(ds, return_verdicts=True)
+
+    def partial(t: pa.Table) -> pa.Table:
+        reasons = t["reasons"].to_pylist()
+        flat = [s for s in reasons for s in (s.split(",") if s else [])]
+        names, counts = (np.unique(flat, return_counts=True)
+                         if flat else ([], []))
+        return pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "n_keep": pa.array([pc.sum(pc.cast(t["keep"], pa.int64()))
+                                .as_py() or 0], pa.int64()),
+            "reason": pa.array([list(map(str, names))],
+                               pa.list_(pa.string())),
+            "cnt": pa.array([list(map(int, counts))], pa.list_(pa.int64()))})
+
+    rows = collect_rows(verdicts.map_batches(partial,
+                                             batch_format="pyarrow"))
+    agg: dict[str, int] = {}
+    for r in rows:
+        for name, c in zip(r["reason"], r["cnt"]):
+            agg[name] = agg.get(name, 0) + c
+    n_surv = curate_clips(
+        datagen.clips_dataset(5_000, audio_cap_ms=30,
+                              override_num_blocks=8)).count()
+    return pd.DataFrame([{
+        "n_clips": sum(r["n"] for r in rows),
+        "n_kept": sum(r["n_keep"] for r in rows),
+        "n_survivors": n_surv,
+        **{f"r_{k}": v for k, v in sorted(agg.items())}}])
 
 
 def entry() -> Any:
@@ -3314,6 +3372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_schema_drift": q_orders_schema_drift,  # infer -> compile
         # -> validate-the-future drift gate (bounds-CTE recompute oracle)
         "orders_winsorized": q_orders_winsorized,  # exact-quantile clip
+        "orders_top_order": q_orders_top_order,  # per-group argmax row
         # transform (quantile_cont + least/greatest oracle)
         "events_gap_fill": q_events_gap_fill,  # time-series gap filling
         # (new family: regularization — zero rows for silent buckets via
@@ -3438,6 +3497,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # decode isn't SQL-expressible (exact-conservation golden)
         "clips_audio_mel": q_clips_audio_mel,  # rows-only: FFT/mel isn't
         # SQL-expressible (sine-bin + gain-shift goldens)
+        "clips_audio_curate": q_clips_audio_curate,  # rows-only: audio
+        # decode isn't SQL-expressible (mod-400 dedup-class golden)
     }
 
 
@@ -4238,6 +4299,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, "
             "round(least(greatest(o_totalprice, q.lo), q.hi), 6) "
             "AS clipped FROM orders, q ORDER BY o_orderkey"
+        ),
+        "orders_top_order": (
+            "SELECT o_custkey, o_totalprice, o_orderkey, o_orderdate "
+            "FROM (SELECT o_custkey, o_totalprice, o_orderkey, o_orderdate, "
+            "row_number() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) "
+            "WHERE rn = 1"
         ),
         # drift gate: the inferred rules ARE plain training-epoch
         # aggregates, so the oracle recomputes them in CTEs and counts the

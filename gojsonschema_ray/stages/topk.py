@@ -118,3 +118,60 @@ def grouped_top_values(ds, group_column: str, value_column: str, k: int,
     parts = ds.map_batches(partial, batch_format="pandas") \
         .repartition(P).materialize()
     return parts.groupby("part").map_groups(per_part, batch_format="pandas")
+
+
+def argmax_by_group(ds, key_column: str, value_column: str, *,
+                    tie_column: str | None = None,
+                    keep_columns: list[str] | None = None,
+                    mode: str = "max", n_parts: int | None = None):
+    """One winning ROW per group — the row with the max (or min) value of
+    `value_column` within each `key_column` group ("latest event per user",
+    "most expensive order per customer"). SQL analog: `row_number() OVER
+    (PARTITION BY key ORDER BY value DESC, tie ASC) = 1`.
+
+    Deterministic ties: among equal values the row with the smallest
+    `tie_column` wins; without a tie column, duplicate extreme values make
+    the winner input-order-dependent — pass one whenever the value column
+    can repeat within a key. Null keys and null values are dropped.
+
+    Scale shape: each batch collapses to ONE candidate row per group (the
+    local argmax — a combiner, so the exchange moves ≤ one row per group
+    per batch regardless of group size), ONE hash(key) coarse-partition
+    exchange, per-partition argmax over candidates. No global sort.
+    Returns a Dataset of (key, value[, tie], *keep_columns) rows."""
+    import pandas as pd
+
+    from .dedup import _next_pow2, _shuffle_parts
+    from .sketches import hash_arrow_array
+
+    if mode not in ("max", "min"):
+        raise ValueError(f"argmax_by_group: mode={mode!r}")
+    keep = list(keep_columns or [])
+    cols = [key_column, value_column] \
+        + ([tie_column] if tie_column and tie_column not in keep else []) \
+        + [c for c in keep if c not in (key_column, value_column)]
+    cols = list(dict.fromkeys(cols))
+    if "part" in cols:  # synthetic exchange column
+        raise ValueError("argmax_by_group: column name 'part' is reserved")
+    P = _next_pow2(n_parts or _shuffle_parts())
+    by = [key_column, value_column] + ([tie_column] if tie_column else [])
+    asc = [True, mode == "min"] + ([True] if tie_column else [])
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        # value sorts DESC for max / ASC for min; stable keeps ties in
+        # input order when no tie column disambiguates
+        d = df.sort_values(by, ascending=asc, kind="stable")
+        return d.groupby(key_column, sort=False).head(1)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[cols].dropna(subset=[key_column, value_column])
+        d = best(d)
+        h = hash_arrow_array(d[key_column])
+        return d.assign(part=(h % np.uint64(P)).astype("int32"))
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        return best(df)[cols]
+
+    parts = ds.map_batches(partial, batch_format="pandas") \
+        .repartition(P).materialize()
+    return parts.groupby("part").map_groups(per_part, batch_format="pandas")

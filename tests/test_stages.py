@@ -3583,3 +3583,121 @@ def test_log_mel_stage(ray_session):
         [_pcm_row("x", pcm, sr), _pcm_row("y", pcm.copy(), sr)])
     out = LogMelStage()(batch).to_pylist()
     assert out[0]["mel"] == out[1]["mel"]
+
+
+def test_argmax_by_group(ray_session):
+    """Golden winners incl. cross-batch groups, deterministic tie-break by
+    tie column, null key/value drops, and min mode."""
+    import pandas as pd
+    import ray.data as rd
+    from gojsonschema_ray.stages.topk import argmax_by_group
+    from gojsonschema_ray.util import collect_rows
+
+    df = pd.DataFrame({
+        "k": ["a", "a", "b", "b", "a", "c", None, "c"],
+        "v": [5.0, 9.0, 2.0, 2.0, 9.0, 7.0, 1.0, None],
+        "id": [3, 2, 9, 1, 1, 4, 0, 5],
+        "x": list("pqrstuvw"),
+    })
+    ds = rd.from_pandas(df).repartition(3)     # groups span batches
+    out = collect_rows(argmax_by_group(ds, "k", "v", tie_column="id",
+                                       keep_columns=["x"]))
+    by = {r["k"]: r for r in out}
+    assert len(by) == 3                        # null key dropped
+    assert by["a"] == {"k": "a", "v": 9.0, "id": 1, "x": "t"}  # tie → min id
+    assert by["b"] == {"k": "b", "v": 2.0, "id": 1, "x": "s"}
+    assert by["c"] == {"k": "c", "v": 7.0, "id": 4, "x": "u"}  # null v drop
+
+    low = {r["k"]: r for r in collect_rows(
+        argmax_by_group(ds, "k", "v", tie_column="id", mode="min"))}
+    assert low["a"]["v"] == 5.0 and low["a"]["id"] == 3
+    assert low["b"]["v"] == 2.0 and low["b"]["id"] == 1
+
+    with pytest.raises(ValueError, match="mode"):
+        argmax_by_group(ds, "k", "v", mode="median")
+    with pytest.raises(ValueError, match="reserved"):
+        argmax_by_group(ds.map_batches(lambda d: d.rename(
+            columns={"x": "part"}), batch_format="pandas"), "k", "v",
+            keep_columns=["part"])
+
+
+def test_audio_curation_stage_golden(ray_session):
+    """Exact verdicts on constructed clips: every gate fires on its own
+    fixture, reasons come out in the fixed order, fingerprints are
+    container-invariant (wav == raw PCM of the same samples), and the
+    pipeline's dedup keeps the min clip_id per content class."""
+    import io
+    import wave
+
+    import pyarrow as pa
+    import ray.data as rd
+    from gojsonschema_ray.pipelines.curation import (AudioCurationStage,
+                                                     curate_clips)
+    from gojsonschema_ray.util import collect_rows
+
+    sr = 16000
+    t = np.arange(sr // 10) / sr                      # 100 ms
+    loud = (8000 * np.sin(2 * np.pi * 440 * t)).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1); w.setsampwidth(2); w.setframerate(sr)
+        w.writeframes(loud.tobytes())
+    rows = [
+        _pcm_row("a1", loud, sr),
+        {"clip_id": "a0-wav", "bytes": buf.getvalue(), "sr_hz": sr,
+         "codec": "wav"},                             # same content as a1
+        _pcm_row("b-silent", np.zeros(len(t), np.int16), sr),
+        _pcm_row("c-clipped", np.full(len(t), 32767, np.int16), sr),
+        _pcm_row("d-short", loud[:sr // 200], sr),    # 5 ms
+        {"clip_id": "e-bad", "bytes": None, "sr_hz": sr,
+         "codec": "pcm_s16le"},
+    ]
+    batch = pa.Table.from_pylist(rows)
+    v = {r["clip_id"]: r for r in
+         AudioCurationStage()(batch).to_pylist()}
+    assert v["a1"]["keep"] and v["a1"]["reasons"] == ""
+    assert v["a0-wav"]["keep"] and v["a0-wav"]["fp"] == v["a1"]["fp"]
+    assert not v["b-silent"]["keep"] \
+        and v["b-silent"]["reasons"] == "silent,inactive"
+    assert not v["c-clipped"]["keep"] \
+        and v["c-clipped"]["reasons"] == "clipped"
+    # 5 ms < one 20 ms VAD frame → the activity gate fires too (every
+    # failing signal is listed, gopher_filter style)
+    assert not v["d-short"]["keep"] \
+        and v["d-short"]["reasons"] == "too_short,inactive"
+    assert not v["e-bad"]["keep"] and v["e-bad"]["reasons"] == "decode"
+    assert all(v[k]["fp"] is None for k in
+               ("b-silent", "c-clipped", "d-short", "e-bad"))
+
+    surv = collect_rows(curate_clips(rd.from_arrow(batch)))
+    assert {r["clip_id"] for r in surv} == {"a0-wav"}   # min id per class
+
+
+def test_curate_clips_closed_form(ray_session):
+    """Datagen structural golden: audio content is periodic in 400 rows
+    (freq = 100+(i%400); the sr cycle 5 divides 400; duration capped
+    uniform), so each mod-400 class whose members are all untouched by
+    every injection modulus keeps EXACTLY its smallest clip id through
+    content dedup."""
+    from gojsonschema_ray import datagen
+    from gojsonschema_ray.pipelines.curation import curate_clips
+    from gojsonschema_ray.util import collect_rows
+
+    n = 2_500
+    ds = datagen.clips_dataset(n, audio_cap_ms=30, override_num_blocks=4)
+    surv = {r["clip_id"] for r in collect_rows(curate_clips(ds))}
+
+    def clean(i: int) -> bool:   # no injection rule touches row i's audio/id
+        return all(i % m for m in (967, 971, 977, 983, 991, 997, 1009,
+                                   1013)) and i % 1000 != 499
+
+    checked = 0
+    for i in range(1, 400):
+        members = list(range(i, n, 400))
+        if not all(clean(j) for j in members):
+            continue
+        assert f"clip-{i:012d}" in surv, i
+        for j in members[1:]:
+            assert f"clip-{j:012d}" not in surv, (i, j)
+        checked += 1
+    assert checked > 300          # the predicate keeps most classes
