@@ -3091,6 +3091,26 @@ def q_orders_top_order(sf_dir: str) -> Any:
                            keep_columns=["o_orderdate"])
 
 
+def q_events_ewma(sf_dir: str) -> Any:
+    """Per-user exponential smoothing (stages/window.ewma_by_key): the
+    recency-weighted metric baseline over each user's event stream.
+    Oracle: recursive CTE running the identical float64 recursion
+    (rounded to 6 decimals on both sides — duckdb's fused multiply-add
+    drifts ~1e-14 from the strict a*x+(1-a)*y ordering)."""
+    from gojsonschema_ray.stages.window import ewma_by_key
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value", "event_id"])
+    res = ewma_by_key(ds, "user_id", "ts", "value", 0.3,
+                      order_columns=("event_id",))
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "event_id": t["event_id"],
+                         "ewma": pc.round(t["ewma"], 6)})
+
+    return res.map_batches(fin, batch_format="pyarrow")
+
+
 def q_clips_audio_activity(sf_dir: str) -> pd.DataFrame:
     """Energy-based activity segmentation (stages/audio.
     AudioActivityStage): per-clip active-frame ratio, segment count and
@@ -3373,6 +3393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -> validate-the-future drift gate (bounds-CTE recompute oracle)
         "orders_winsorized": q_orders_winsorized,  # exact-quantile clip
         "orders_top_order": q_orders_top_order,  # per-group argmax row
+        "events_ewma": q_events_ewma,  # per-key exponential smoothing
         # transform (quantile_cont + least/greatest oracle)
         "events_gap_fill": q_events_gap_fill,  # time-series gap filling
         # (new family: regularization — zero rows for silent buckets via
@@ -4306,6 +4327,17 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY o_custkey "
             "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) "
             "WHERE rn = 1"
+        ),
+        "events_ewma": (
+            "WITH RECURSIVE e AS (SELECT user_id, event_id, value, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS rn FROM events), "
+            "r AS (SELECT user_id, event_id, rn, "
+            "CAST(value AS DOUBLE) AS ewma FROM e WHERE rn = 1 "
+            "UNION ALL SELECT e.user_id, e.event_id, e.rn, "
+            "CAST(0.3 AS DOUBLE) * e.value + CAST(0.7 AS DOUBLE) * r.ewma "
+            "FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1) "
+            "SELECT user_id, event_id, round(ewma, 6) AS ewma FROM r"
         ),
         # drift gate: the inferred rules ARE plain training-epoch
         # aggregates, so the oracle recomputes them in CTEs and counts the

@@ -129,20 +129,14 @@ def argmax_by_group(ds, key_column: str, value_column: str, *,
     "most expensive order per customer"). SQL analog: `row_number() OVER
     (PARTITION BY key ORDER BY value DESC, tie ASC) = 1`.
 
-    Deterministic ties: among equal values the row with the smallest
-    `tie_column` wins; without a tie column, duplicate extreme values make
-    the winner input-order-dependent — pass one whenever the value column
-    can repeat within a key. Null keys and null values are dropped.
-
-    Scale shape: each batch collapses to ONE candidate row per group (the
-    local argmax — a combiner, so the exchange moves ≤ one row per group
-    per batch regardless of group size), ONE hash(key) coarse-partition
-    exchange, per-partition argmax over candidates. No global sort.
-    Returns a Dataset of (key, value[, tie], *keep_columns) rows."""
+    A projection + null-contract front-end over `grouped_top_k` (k=1):
+    columns prune to key/value/tie/keep before the exchange, null keys and
+    null values are dropped (SQL window semantics never rank them first),
+    and ties break by smallest `tie_column` — without one, duplicate
+    extreme values make the winner input-order-dependent. Scale shape is
+    grouped_top_k's: per-batch local argmax combiner, ONE hash(key)
+    exchange, no global sort."""
     import pandas as pd
-
-    from .dedup import _next_pow2, _shuffle_parts
-    from .sketches import hash_arrow_array
 
     if mode not in ("max", "min"):
         raise ValueError(f"argmax_by_group: mode={mode!r}")
@@ -153,25 +147,12 @@ def argmax_by_group(ds, key_column: str, value_column: str, *,
     cols = list(dict.fromkeys(cols))
     if "part" in cols:  # synthetic exchange column
         raise ValueError("argmax_by_group: column name 'part' is reserved")
-    P = _next_pow2(n_parts or _shuffle_parts())
-    by = [key_column, value_column] + ([tie_column] if tie_column else [])
-    asc = [True, mode == "min"] + ([True] if tie_column else [])
 
-    def best(df: pd.DataFrame) -> pd.DataFrame:
-        # value sorts DESC for max / ASC for min; stable keeps ties in
-        # input order when no tie column disambiguates
-        d = df.sort_values(by, ascending=asc, kind="stable")
-        return d.groupby(key_column, sort=False).head(1)
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return df[cols].dropna(subset=[key_column, value_column])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        d = df[cols].dropna(subset=[key_column, value_column])
-        d = best(d)
-        h = hash_arrow_array(d[key_column])
-        return d.assign(part=(h % np.uint64(P)).astype("int32"))
-
-    def per_part(df: pd.DataFrame) -> pd.DataFrame:
-        return best(df)[cols]
-
-    parts = ds.map_batches(partial, batch_format="pandas") \
-        .repartition(P).materialize()
-    return parts.groupby("part").map_groups(per_part, batch_format="pandas")
+    sort_keys = [(value_column,
+                  "descending" if mode == "max" else "ascending")] \
+        + ([(tie_column, "ascending")] if tie_column else [])
+    return grouped_top_k(ds.map_batches(project, batch_format="pandas"),
+                         key_column, sort_keys, 1, n_parts=n_parts)

@@ -824,3 +824,53 @@ def time_weighted_mean(ds, key_column: str, ts_column: str,
     parts = ds.map_batches(project, batch_format="pyarrow") \
         .repartition(P).materialize()
     return parts.groupby("part").map_groups(per_part, batch_format="pandas")
+
+
+def ewma_by_key(ds, key_column: str, ts_column: str, value_column: str,
+                alpha: float, order_columns: tuple = (),
+                n_parts: int | None = None):
+    """Per-key exponentially-weighted moving average — the adaptive
+    smoothing signal of an event stream (recency-weighted rates, metric
+    baselines). Recursion `y_1 = x_1; y_t = alpha*x_t + (1-alpha)*y_{t-1}`
+    over each key's rows ordered by ts[, tiebreaks] (pandas
+    `ewm(adjust=False)`, which computes exactly that float64 recursion —
+    asserted bit-identical in tests; the SQL analog is a recursive CTE
+    over `row_number() OVER (PARTITION BY key ORDER BY ...)`).
+
+    Same scale shape as rolling_by_key: ONE hash(key) co-partition
+    exchange (documented assumption: rows-per-key bounds one partition),
+    vectorized per-partition sort + Cython groupby.ewm — no per-group
+    Python. Null values are a contract error (the recursion has no
+    skip-NaN semantics that SQL can mirror); null keys group together.
+    Returns key, ordering columns, value and `ewma`."""
+    from .dedup import _next_pow2, _shuffle_parts
+    from .sketches import hash_arrow_array
+
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"ewma_by_key: alpha={alpha}")
+    P = _next_pow2(n_parts or _shuffle_parts())
+    order = [ts_column, *order_columns]
+
+    def project(t: pa.Table) -> pa.Table:
+        if t[value_column].null_count:
+            raise ValueError(f"ewma_by_key: null {value_column!r} values — "
+                             "the recursion has no NaN-skip semantics")
+        cols = {c: t[c] for c in dict.fromkeys(
+            [key_column, *order, value_column])}
+        part = (hash_arrow_array(t[key_column]) % np.uint64(P)).astype(np.int32)
+        cols["part"] = pa.array(part)
+        return pa.table(cols)
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_column, *order], kind="stable")
+        # sorted by key + sort=False ⇒ flattened result aligns positionally
+        # (same idiom as rolling_by_key)
+        vals = df.groupby(key_column, sort=False, dropna=False)[value_column] \
+            .ewm(alpha=alpha, adjust=False).mean().to_numpy()
+        out = df.drop(columns=["part"]).copy()
+        out["ewma"] = vals
+        return out
+
+    parts = ds.map_batches(project, batch_format="pyarrow") \
+        .repartition(P).materialize()
+    return parts.groupby("part").map_groups(per_part, batch_format="pandas")

@@ -3701,3 +3701,38 @@ def test_curate_clips_closed_form(ray_session):
             assert f"clip-{j:012d}" not in surv, (i, j)
         checked += 1
     assert checked > 300          # the predicate keeps most classes
+
+
+def test_ewma_by_key(ray_session):
+    """Bit-exact vs the explicit float64 recursion, partition-invariant,
+    deterministic under ts ties via order column; alpha/null contracts."""
+    import pandas as pd
+    import ray.data as rd
+    from gojsonschema_ray.stages.window import ewma_by_key
+    from gojsonschema_ray.util import collect_rows
+
+    rng = np.random.default_rng(11)
+    n = 4_000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 37, n).astype(str),
+        "ts": rng.permutation(n).astype("float64"),
+        "id": np.arange(n),
+        "v": rng.normal(50, 20, n),
+    })
+    a = 0.3
+    out = collect_rows(ewma_by_key(rd.from_pandas(df).repartition(5),
+                                   "k", "ts", "v", a,
+                                   order_columns=("id",)))
+    got = {r["id"]: r["ewma"] for r in out}
+    assert len(got) == n
+    for k, grp in df.sort_values(["ts", "id"]).groupby("k"):
+        y = None
+        for _, row in grp.iterrows():
+            y = row["v"] if y is None else a * row["v"] + (1 - a) * y
+            assert got[row["id"]] == y   # bit-exact recursion
+
+    with pytest.raises(ValueError, match="alpha"):
+        ewma_by_key(rd.from_pandas(df), "k", "ts", "v", 0.0)
+    bad = df.copy(); bad.loc[5, "v"] = None
+    with pytest.raises(Exception, match="null"):
+        collect_rows(ewma_by_key(rd.from_pandas(bad), "k", "ts", "v", a))
