@@ -3272,6 +3272,92 @@ def q_clips_audio_curate(sf_dir: str) -> pd.DataFrame:
         **{f"r_{k}": v for k, v in sorted(agg.items())}}])
 
 
+def q_clips_audio_mfcc(sf_dir: str) -> pd.DataFrame:
+    """MFCC embeddings (stages/audio.MfccStage): 13-dim DCT-II envelope
+    per clip (mean + std over frames). Rows-only: FFT/DCT is not
+    SQL-expressible; orthonormality / gain-moves-only-c0 goldens live in
+    tests/test_stages.py. The distinct-vector fraction shows the envelope
+    discriminates datagen's 400 tone frequencies."""
+    from gojsonschema_ray import datagen
+    from gojsonschema_ray.stages.audio import MfccStage
+    from gojsonschema_ray.util import collect_rows
+
+    ds = datagen.clips_dataset(5_000, audio_cap_ms=60, override_num_blocks=8)
+    feats = ds.map_batches(MfccStage, batch_size=256,
+                           batch_format="pyarrow", concurrency=(1, 4))
+
+    def partial(t: pa.Table) -> pa.Table:
+        ok = pc.fill_null(t["decode_ok"], False)
+        tt = t.filter(ok)
+        vecs = tt["mfcc"].combine_chunks()
+        keys: list[bytes] = []
+        if len(vecs):
+            flat = np.asarray(vecs.values, dtype=np.float32)
+            offs = np.asarray(vecs.offsets)
+            keys = [flat[a:b].tobytes() for a, b in zip(offs[:-1], offs[1:])]
+        return pa.table({
+            "n_ok": pa.array([tt.num_rows], pa.int64()),
+            "n_bad": pa.array([t.num_rows - tt.num_rows], pa.int64()),
+            "sum_frames": pa.array(
+                [pc.sum(tt["n_frames"]).as_py() or 0], pa.int64()),
+            "vec_keys": pa.array([sorted(set(keys))],
+                                 pa.list_(pa.binary()))})
+
+    rows = collect_rows(feats.map_batches(partial, batch_format="pyarrow"))
+    n_ok = sum(r["n_ok"] for r in rows)
+    distinct = {k for r in rows for k in r["vec_keys"]}
+    return pd.DataFrame([{
+        "n_ok": n_ok,
+        "n_bad": sum(r["n_bad"] for r in rows),
+        "mean_frames": round(sum(r["sum_frames"] for r in rows)
+                             / max(n_ok, 1), 4),
+        "n_distinct_mfcc": len(distinct)}])
+
+
+def q_clips_audio_pitch(sf_dir: str) -> pd.DataFrame:
+    """Pitch / voicing gate (stages/audio.PitchStage): autocorrelation f0
+    per clip. Rows-only: FFT autocorrelation is not SQL-expressible —
+    the query self-checks against datagen's closed form instead (every
+    regular clip is a pure sine at 100 + (i % 400) Hz), reporting the
+    fraction of voiced clips whose f0 matches the generator within 2%."""
+    from gojsonschema_ray import datagen
+    from gojsonschema_ray.stages.audio import PitchStage
+    from gojsonschema_ray.util import collect_rows
+
+    ds = datagen.clips_dataset(5_000, audio_cap_ms=60, override_num_blocks=8)
+    pitched = ds.map_batches(PitchStage, batch_size=256,
+                             batch_format="pyarrow", concurrency=(1, 4))
+
+    def partial(t: pa.Table) -> pa.Table:
+        ok = pc.fill_null(t["decode_ok"], False).to_numpy(zero_copy_only=False)
+        voiced = pc.fill_null(t["voiced"], False).to_numpy(
+            zero_copy_only=False)
+        ids = t["clip_id"].to_pylist()
+        f0 = t["f0_hz"].to_numpy(zero_copy_only=False)
+        n_match = n_reg = 0
+        for i, cid in enumerate(ids):
+            if not (ok[i] and voiced[i] and cid.startswith("clip-0")):
+                continue
+            f_true = datagen.clip_frequency(int(cid.split("-")[1]))
+            n_reg += 1
+            n_match += bool(abs(float(f0[i]) - f_true) / f_true < 0.02)
+        return pa.table({
+            "n_ok": pa.array([int(ok.sum())], pa.int64()),
+            "n_bad": pa.array([t.num_rows - int(ok.sum())], pa.int64()),
+            "n_voiced": pa.array([int(voiced.sum())], pa.int64()),
+            "n_reg": pa.array([n_reg], pa.int64()),
+            "n_match": pa.array([n_match], pa.int64())})
+
+    rows = collect_rows(pitched.map_batches(partial, batch_format="pyarrow"))
+    n_reg = sum(r["n_reg"] for r in rows)
+    return pd.DataFrame([{
+        "n_ok": sum(r["n_ok"] for r in rows),
+        "n_bad": sum(r["n_bad"] for r in rows),
+        "n_voiced": sum(r["n_voiced"] for r in rows),
+        "f0_match_frac": round(sum(r["n_match"] for r in rows)
+                               / max(n_reg, 1), 4)}])
+
+
 def entry() -> Any:
     """Flagship smoke on sf0.001: constraint validation over lineitem +
     documents + uniqueness on events, one violations summary Dataset."""
@@ -3520,6 +3606,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-expressible (sine-bin + gain-shift goldens)
         "clips_audio_curate": q_clips_audio_curate,  # rows-only: audio
         # decode isn't SQL-expressible (mod-400 dedup-class golden)
+        "clips_audio_mfcc": q_clips_audio_mfcc,  # rows-only: FFT/DCT isn't
+        # SQL-expressible (orthonormality + gain-only-c0 goldens)
+        "clips_audio_pitch": q_clips_audio_pitch,  # rows-only: FFT
+        # autocorrelation isn't SQL-expressible (self-checks f0 against
+        # datagen's closed-form tone table, ≥2% tolerance)
     }
 
 

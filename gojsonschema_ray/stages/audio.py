@@ -1211,17 +1211,31 @@ def log_mel_features(pcm: np.ndarray, sr: int, fb: np.ndarray, *,
     non-empty clip yields ≥1 frame. Returns (n_frames, float32 vector
     of len n_mels); an empty clip returns (0, None). Fully vectorized —
     one sliding_window_view, one batched rfft, one matmul."""
+    logmel = logmel_frame_matrix(pcm, sr, fb, n_fft=n_fft, hop=hop)
+    if logmel is None:
+        return 0, None
+    return int(len(logmel)), logmel.mean(axis=0).astype(np.float32)
+
+
+def logmel_frame_matrix(pcm: np.ndarray, sr: int, fb: np.ndarray, *,
+                        n_fft: int = 128, hop: int = 64
+                        ) -> np.ndarray | None:
+    """Per-frame log-mel matrix (n_frames, n_mels) of one clip — the shared
+    framing kernel behind log_mel_features (mean over time) and
+    mfcc_features (DCT over mel). Bit-exact extraction of the original
+    log_mel_features body: frame (hann, hop), power rFFT, mel projection,
+    log10. Empty clips return None; shorter-than-one-frame clips are
+    zero-padded to n_fft."""
     n = len(pcm)
     if n == 0:
-        return 0, None
+        return None
     x = pcm.astype(np.float32)
     if n < n_fft:
         x = np.concatenate([x, np.zeros(n_fft - n, np.float32)])
     frames = np.lib.stride_tricks.sliding_window_view(x, n_fft)[::hop]
     spec = np.abs(np.fft.rfft(frames * _hanning(n_fft)[None, :], axis=1))
     mel_e = np.square(spec, out=spec) @ fb.T
-    logmel = np.log10(mel_e + 1e-10)
-    return int(len(frames)), logmel.mean(axis=0).astype(np.float32)
+    return np.log10(mel_e + 1e-10)
 
 
 MEL_SCHEMA = pa.schema([
@@ -1275,3 +1289,182 @@ class LogMelStage:
             else:
                 rows.append({"clip_id": cid, "decode_ok": True, **out})
         return pa.Table.from_pylist(rows, schema=MEL_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# MFCC — the compact speech-feature vector (DCT-II over the log-mel frames)
+# ---------------------------------------------------------------------------
+def dct_ortho(n_out: int, n_in: int) -> np.ndarray:
+    """Orthonormal DCT-II matrix (n_out, n_in) — the standard public MFCC
+    recipe (scipy.fft.dct(norm='ortho') semantics, re-derived from the
+    textbook formula): row k is sqrt(2/N)·cos(pi·k·(2n+1)/(2N)), row 0
+    scaled by 1/sqrt(2). With n_out == n_in the matrix is orthonormal
+    (M @ M.T = I); rows 1.. are orthogonal to the constant vector, so a
+    per-mel-bin constant shift (i.e. a pure gain change of the audio)
+    moves ONLY coefficient 0."""
+    if not (0 < n_out <= n_in):
+        raise ValueError(f"dct_ortho: n_out={n_out} n_in={n_in}")
+    k = np.arange(n_out, dtype=np.float64)[:, None]
+    n = np.arange(n_in, dtype=np.float64)[None, :]
+    m = np.cos(np.pi * k * (2.0 * n + 1.0) / (2.0 * n_in))
+    m *= np.sqrt(2.0 / n_in)
+    m[0] *= np.sqrt(0.5)
+    return m.astype(np.float32)
+
+
+def mfcc_features(pcm: np.ndarray, sr: int, fb: np.ndarray,
+                  dct: np.ndarray, *, n_fft: int = 128, hop: int = 64
+                  ) -> tuple[int, np.ndarray | None, np.ndarray | None]:
+    """MFCC summary of one clip: per-frame log-mel (logmel_frame_matrix)
+    → DCT-II → (mean, population std) over time. Returns (n_frames,
+    mfcc_mean float32[n_mfcc], mfcc_std float32[n_mfcc]); empty clips
+    return (0, None, None). One matmul beyond the shared framing kernel —
+    no per-frame Python."""
+    logmel = logmel_frame_matrix(pcm, sr, fb, n_fft=n_fft, hop=hop)
+    if logmel is None:
+        return 0, None, None
+    co = logmel @ dct.T
+    return (int(len(co)), co.mean(axis=0).astype(np.float32),
+            co.std(axis=0).astype(np.float32))
+
+
+MFCC_SCHEMA = pa.schema([
+    ("clip_id", pa.string()),
+    ("decode_ok", pa.bool_()),
+    ("sr_hz", pa.int64()),
+    ("n_frames", pa.int64()),
+    ("mfcc", pa.list_(pa.float32())),
+    ("mfcc_std", pa.list_(pa.float32())),
+])
+
+
+class MfccStage:
+    """Actor-pool map_batches payload: decode + MFCC (mean + std over
+    frames) per clip — the compact spectral-envelope embedding used by
+    speech corpora (log-mel's decorrelated sibling; the `mfcc`
+    list<float32> column feeds the same embedding-space family).
+
+    Stateful setup: mel filterbank per sample rate AND the DCT matrix
+    build once per actor and are cached — per batch work is one framed
+    rfft + two matmuls per clip. Decode failures degrade to
+    decode_ok=False rows (module error contract)."""
+
+    def __init__(self, n_fft: int = 128, hop: int = 64, n_mels: int = 24,
+                 n_mfcc: int = 13, fmin: float = 0.0):
+        if not (0 < n_mfcc <= n_mels) or n_fft <= 0 or hop <= 0:
+            raise ValueError(f"MfccStage: n_fft={n_fft} hop={hop} "
+                             f"n_mels={n_mels} n_mfcc={n_mfcc}")
+        self.n_fft, self.hop, self.fmin = n_fft, hop, fmin
+        self.n_mels, self.n_mfcc = n_mels, n_mfcc
+        self._fb: dict[int, np.ndarray] = {}
+        self._dct = dct_ortho(n_mfcc, n_mels)
+
+    def _bank(self, sr: int) -> np.ndarray:
+        fb = self._fb.get(sr)
+        if fb is None:
+            fb = mel_filterbank(sr, self.n_fft, self.n_mels, self.fmin)
+            self._fb[sr] = fb
+        return fb
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for _, cid, sr, pcm in decoded_pcm_rows(batch):
+            out = None
+            if pcm is not None:
+                nf, mu, sd = mfcc_features(pcm, sr, self._bank(sr),
+                                           self._dct, n_fft=self.n_fft,
+                                           hop=self.hop)
+                if mu is not None:
+                    out = {"sr_hz": sr, "n_frames": nf,
+                           "mfcc": [float(v) for v in mu],
+                           "mfcc_std": [float(v) for v in sd]}
+            if out is None:
+                rows.append({"clip_id": cid, "decode_ok": False,
+                             "sr_hz": None, "n_frames": None,
+                             "mfcc": None, "mfcc_std": None})
+            else:
+                rows.append({"clip_id": cid, "decode_ok": True, **out})
+        return pa.Table.from_pylist(rows, schema=MFCC_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# pitch (f0) estimation — autocorrelation with parabolic interpolation
+# ---------------------------------------------------------------------------
+def estimate_f0(pcm: np.ndarray, sr: int, *, fmin: float = 60.0,
+                fmax: float = 600.0) -> tuple[float | None, float]:
+    """Fundamental-frequency estimate of one clip via the biased
+    autocorrelation (FFT-based: one rfft of the zero-padded clip, one
+    irfft of the power spectrum — O(n log n), no lag loop). The peak lag
+    is searched in [sr/fmax, sr/fmin]; sub-sample accuracy comes from
+    parabolic interpolation around the peak. Returns (f0_hz, confidence)
+    where confidence = r[lag]/r[0] in [0, 1] — near (n-lag)/n for a
+    periodic clip, near 0 for noise; (None, 0.0) when the clip is empty,
+    silent, or shorter than one fmax period. The BIASED autocorrelation
+    (no lag normalization) is deliberate: it decays with lag, so the
+    fundamental beats its own octave-down alias at 2·lag."""
+    n = len(pcm)
+    if n < 4 or sr <= 0 or fmin <= 0 or fmax <= fmin:
+        return None, 0.0
+    x = pcm.astype(np.float32)
+    x -= x.mean()
+    nfft = 1 << int(np.ceil(np.log2(2 * n)))
+    s = np.fft.rfft(x, nfft)
+    r = np.fft.irfft(np.abs(np.square(s, out=s)), nfft)[:n]
+    lo = max(1, int(np.floor(sr / fmax)))
+    hi = min(n - 1, int(np.ceil(sr / fmin)))
+    if hi <= lo or r[0] <= 0:
+        return None, 0.0
+    k = int(np.argmax(r[lo:hi + 1]))
+    lag = float(lo + k)
+    conf = float(max(0.0, min(1.0, r[lo + k] / r[0])))
+    i = lo + k
+    if 0 < i < n - 1:
+        a, b, c = float(r[i - 1]), float(r[i]), float(r[i + 1])
+        denom = a - 2.0 * b + c
+        if denom < 0:  # genuine local max → refine
+            lag += 0.5 * (a - c) / denom
+    if lag <= 0:
+        return None, 0.0
+    return float(sr / lag), conf
+
+
+PITCH_SCHEMA = pa.schema([
+    ("clip_id", pa.string()),
+    ("decode_ok", pa.bool_()),
+    ("sr_hz", pa.int64()),
+    ("n_samples", pa.int64()),
+    ("f0_hz", pa.float64()),
+    ("voiced_conf", pa.float64()),
+    ("voiced", pa.bool_()),
+])
+
+
+class PitchStage:
+    """Actor-pool map_batches payload: decode + f0/voicing per clip — the
+    tonality gate of a speech-corpus pipeline (keep voiced speech, drop
+    hum/noise; bucket by pitch range for balanced sampling). Stateless
+    beyond the decoder table; one FFT-autocorrelation per clip. Decode
+    failures degrade to decode_ok=False rows."""
+
+    def __init__(self, fmin: float = 60.0, fmax: float = 600.0,
+                 voiced_threshold: float = 0.5):
+        if not (0 < fmin < fmax):
+            raise ValueError(f"PitchStage: fmin={fmin} fmax={fmax}")
+        self.fmin, self.fmax = fmin, fmax
+        self.voiced_threshold = voiced_threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for _, cid, sr, pcm in decoded_pcm_rows(batch):
+            if pcm is None:
+                rows.append({"clip_id": cid, "decode_ok": False,
+                             "sr_hz": None, "n_samples": None,
+                             "f0_hz": None, "voiced_conf": None,
+                             "voiced": None})
+                continue
+            f0, conf = estimate_f0(pcm, sr, fmin=self.fmin, fmax=self.fmax)
+            rows.append({"clip_id": cid, "decode_ok": True, "sr_hz": sr,
+                         "n_samples": int(len(pcm)), "f0_hz": f0,
+                         "voiced_conf": conf,
+                         "voiced": conf >= self.voiced_threshold})
+        return pa.Table.from_pylist(rows, schema=PITCH_SCHEMA)

@@ -3736,3 +3736,120 @@ def test_ewma_by_key(ray_session):
     bad = df.copy(); bad.loc[5, "v"] = None
     with pytest.raises(Exception, match="null"):
         collect_rows(ewma_by_key(rd.from_pandas(bad), "k", "ts", "v", a))
+
+
+def test_dct_and_mfcc_kernels():
+    """DCT-II orthonormality; pure-gain change moves ONLY coefficient 0
+    (rows 1.. are orthogonal to the constant log-shift) on broadband
+    audio; empty clips degrade; parameter validation."""
+    import math
+    from gojsonschema_ray.stages.audio import (dct_ortho, mel_filterbank,
+                                               mfcc_features)
+
+    m = dct_ortho(24, 24).astype(np.float64)
+    assert np.abs(m @ m.T - np.eye(24)).max() < 1e-6
+
+    sr = 16000
+    rng = np.random.default_rng(7)
+    pcm = rng.integers(-12000, 12000, sr // 2).astype(np.int16)
+    fb = mel_filterbank(sr, 256, 24)
+    dct = dct_ortho(13, 24)
+    nf, mu, sd = mfcc_features(pcm, sr, fb, dct, n_fft=256, hop=128)
+    assert nf == 1 + (len(pcm) - 256) // 128
+    assert len(mu) == 13 and len(sd) == 13 and (np.asarray(sd) >= 0).all()
+    # exact-half gain: use an even-valued signal so pcm // 2 IS half
+    half = ((pcm // 2) * 2).astype(np.int16)
+    _, mu_f, _ = mfcc_features(half, sr, fb, dct, n_fft=256, hop=128)
+    _, mu_h, _ = mfcc_features((half // 2).astype(np.int16), sr, fb, dct,
+                               n_fft=256, hop=128)
+    d = np.asarray(mu_h, float) - np.asarray(mu_f, float)
+    assert abs(d[0] - math.log10(0.25) * math.sqrt(24)) < 1e-3
+    assert np.abs(d[1:]).max() < 1e-3
+
+    nf_e, mu_e, sd_e = mfcc_features(pcm[:0], sr, fb, dct)
+    assert nf_e == 0 and mu_e is None and sd_e is None
+    with pytest.raises(ValueError, match="dct_ortho"):
+        dct_ortho(25, 24)
+
+
+def test_mfcc_stage(ray_session):
+    """Stage over synthetic clips: 13-dim vectors per decodable clip,
+    identical audio → identical vectors, distinct tones discriminate,
+    corrupt rows degrade."""
+    import pyarrow as pa
+    from gojsonschema_ray import datagen
+    from gojsonschema_ray.stages.audio import MfccStage
+    from gojsonschema_ray.util import collect_rows
+
+    ds = datagen.clips_dataset(300, audio_cap_ms=60, override_num_blocks=2)
+    rows = collect_rows(ds.map_batches(MfccStage, batch_size=64,
+                                       batch_format="pyarrow",
+                                       concurrency=(1, 2)))
+    assert len(rows) == 300
+    ok = [r for r in rows if r["decode_ok"]]
+    assert len(ok) > 250
+    assert all(len(r["mfcc"]) == 13 and len(r["mfcc_std"]) == 13
+               and r["n_frames"] >= 1 for r in ok)
+    bad = [r for r in rows if not r["decode_ok"]]
+    assert bad and all(r["mfcc"] is None for r in bad)
+    # distinct tone frequencies yield distinct envelopes
+    assert len({tuple(r["mfcc"]) for r in ok}) > len(ok) * 0.8
+
+    sr = 16000
+    t = np.arange(sr // 10) / sr
+    pcm = (6000 * np.sin(2 * np.pi * 440 * t)).astype(np.int16)
+    batch = pa.Table.from_pylist(
+        [_pcm_row("x", pcm, sr), _pcm_row("y", pcm.copy(), sr)])
+    out = MfccStage()(batch).to_pylist()
+    assert out[0]["mfcc"] == out[1]["mfcc"]
+
+
+def test_estimate_f0():
+    """Closed-form pitch: a pure sine recovers its frequency to <0.5%
+    with high confidence; white noise reads near-zero confidence;
+    silent/empty/too-short clips return (None, 0)."""
+    from gojsonschema_ray.stages.audio import estimate_f0
+
+    sr = 16000
+    t = np.arange(sr // 2) / sr
+    for f in (97.0, 220.0, 433.5):
+        pcm = (8000 * np.sin(2 * np.pi * f * t)).astype(np.int16)
+        f0, conf = estimate_f0(pcm, sr)
+        assert abs(f0 - f) / f < 0.005, (f, f0)
+        assert conf > 0.9
+    rng = np.random.default_rng(0)
+    _, conf_n = estimate_f0(
+        rng.integers(-8000, 8000, sr // 2).astype(np.int16), sr)
+    assert conf_n < 0.3
+    assert estimate_f0(np.zeros(1000, np.int16), sr) == (None, 0.0)
+    assert estimate_f0(np.zeros(0, np.int16), sr) == (None, 0.0)
+    # clip shorter than one fmin period still returns the best in-range lag
+    short = (8000 * np.sin(2 * np.pi * 440 * t[:300])).astype(np.int16)
+    f0_s, _ = estimate_f0(short, sr)
+    assert f0_s is not None and abs(f0_s - 440) / 440 < 0.02
+
+
+def test_pitch_stage(ray_session):
+    """Stage over synthetic clips: datagen tones are pure sines at
+    100 + (i % 400) Hz — the stage recovers the generator frequency
+    within 2% for ≥95% of regular voiced clips; corrupt rows degrade."""
+    from gojsonschema_ray import datagen
+    from gojsonschema_ray.stages.audio import PitchStage
+    from gojsonschema_ray.util import collect_rows
+
+    ds = datagen.clips_dataset(400, audio_cap_ms=60, override_num_blocks=2)
+    rows = collect_rows(ds.map_batches(PitchStage, batch_size=64,
+                                       batch_format="pyarrow",
+                                       concurrency=(1, 2)))
+    assert len(rows) == 400
+    bad = [r for r in rows if not r["decode_ok"]]
+    assert bad and all(r["f0_hz"] is None for r in bad)
+    hits = total = 0
+    for r in rows:
+        cid = r["clip_id"]
+        if not (r["decode_ok"] and r["voiced"] and cid.startswith("clip-0")):
+            continue
+        f_true = datagen.clip_frequency(int(cid.split("-")[1]))
+        total += 1
+        hits += abs(r["f0_hz"] - f_true) / f_true < 0.02
+    assert total > 300 and hits / total >= 0.95, (hits, total)
