@@ -3002,6 +3002,25 @@ def q_embeddings_covariance(sf_dir: str) -> pd.DataFrame:
         "n": pd.Series(np.full(len(ii), n), dtype="int64")})
 
 
+def q_embeddings_cmvn(sf_dir: str) -> pd.DataFrame:
+    """CMVN fit statistics (stages/similarity.cmvn_stats): per-dimension
+    corpus mean / population std from one streaming pass of O(d) moment
+    partials — the feature-standardization step between extraction
+    (log-mel / MFCC) and training. All 64 dimensions, rounded to 6
+    (matching the avg/stddev_pop UNION-ALL oracle); the apply half
+    (cmvn_apply) is unit-tested for mean≈0 / std≈1 round-trip."""
+    from gojsonschema_ray.stages.similarity import cmvn_stats
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+    n, mean, std = cmvn_stats(ds, "embedding")
+    d = len(mean)
+    return pd.DataFrame({
+        "dim": pd.Series(np.arange(d), dtype="int64"),
+        "mean": np.round(mean, 6),
+        "std": np.round(std, 6),
+        "n": pd.Series(np.full(d, n), dtype="int64")})
+
+
 def q_embeddings_pca(sf_dir: str) -> pd.DataFrame:
     """PCA projection to 8 dims (stages/similarity.pca_project): fit from
     the one-pass covariance partials, project per batch against the
@@ -3475,6 +3494,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (cross-set shingle-join oracle)
         "embeddings_covariance": q_embeddings_covariance,  # one-pass
         # moment-partial covariance matrix (covar_samp-pair oracle)
+        "embeddings_cmvn": q_embeddings_cmvn,  # CMVN fit stats (O(d)
+        # moment partials; avg/stddev_pop UNION-ALL oracle, all 64 dims)
         "orders_schema_drift": q_orders_schema_drift,  # infer -> compile
         # -> validate-the-future drift gate (bounds-CTE recompute oracle)
         "orders_winsorized": q_orders_winsorized,  # exact-quantile clip
@@ -4452,6 +4473,13 @@ def oracle_sql() -> dict[str, str]:
         # one-pass covariance: covar_samp pairs over the first 12 dims
         # (engine computes the full 64x64; the oracle slices the triangle)
         "embeddings_covariance": _covariance_oracle_sql(12),
+        # CMVN fit stats: per-dimension mean + population std, all 64 dims
+        "embeddings_cmvn": " UNION ALL ".join(
+            f"SELECT {i} AS dim, "
+            f"round(avg(CAST(embedding[{i + 1}] AS DOUBLE)), 6) AS mean, "
+            f"round(stddev_pop(CAST(embedding[{i + 1}] AS DOUBLE)), 6) "
+            f"AS std, CAST(count(*) AS BIGINT) AS n FROM embeddings"
+            for i in range(64)) + " ORDER BY dim",
         # incremental ingest: exact cross-set 5-gram jaccard between the
         # corpus (doc_id%10 != 0) and the arriving batch (doc_id%10 == 0);
         # same recall regime as minhash_near_dups

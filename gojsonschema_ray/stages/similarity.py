@@ -788,3 +788,68 @@ def pca_project(ds, embedding_column: str, id_column: str, k: int, *,
             "explained": pa.array(np.full(len(Y), explained))})
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+def cmvn_stats(ds, embedding_column: str):
+    """Per-dimension corpus mean / population std of an embedding column
+    in ONE streaming pass — the fit half of CMVN (cepstral mean-variance
+    normalization), the standard feature-standardization step between
+    feature extraction (log-mel / MFCC) and training. Per-batch moment
+    partials (n, Σx, Σx²) fold associatively on the driver, so only
+    O(d)-sized partials ever move. float64 throughout; std uses the
+    max(E[x²] − E[x]², 0) guard against cancellation at unit scale.
+
+    Returns (n, mean[d], std[d]) numpy arrays. Needs n >= 1."""
+    from ..util import collect_rows, list_column_to_matrix
+
+    def partial(t: pa.Table) -> pa.Table:
+        X = list_column_to_matrix(t[embedding_column])
+        if X.shape[0] == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.list_(pa.float64())),
+                             "q": pa.array([], pa.list_(pa.float64()))})
+        return pa.table({
+            "n": pa.array([X.shape[0]], pa.int64()),
+            "s": pa.array([X.sum(axis=0).tolist()], pa.list_(pa.float64())),
+            "q": pa.array([(X * X).sum(axis=0).tolist()],
+                          pa.list_(pa.float64()))})
+
+    n, s, q = 0, None, None
+    for r in collect_rows(ds.map_batches(partial, batch_format="pyarrow")):
+        n += r["n"]
+        rs = np.asarray(r["s"], dtype=np.float64)
+        rq = np.asarray(r["q"], dtype=np.float64)
+        s = rs if s is None else s + rs
+        q = rq if q is None else q + rq
+    if n < 1:
+        raise ValueError("cmvn_stats: empty input")
+    mean = s / n
+    std = np.sqrt(np.maximum(q / n - mean * mean, 0.0))
+    return n, mean, std
+
+
+def cmvn_apply(ds, embedding_column: str, id_column: str, *,
+               out_column: str = "normed", eps: float = 1e-8):
+    """Apply half of CMVN: fit (cmvn_stats over the SAME dataset — the
+    pipeline streams twice, stats pass then apply pass, never
+    materializing the corpus) then normalize each vector to
+    (x − mean) / max(std, eps) per dimension against the
+    ray.put-broadcast stats. Zero-variance dimensions pass through as
+    0 (the eps floor), matching the standard recipe. Returns
+    (id, out_column list<float64>)."""
+    import ray
+
+    _, mean, std = cmvn_stats(ds, embedding_column)
+    ref = ray.put((mean, np.maximum(std, eps)))
+
+    def norm(t: pa.Table) -> pa.Table:
+        from ..util import list_column_to_matrix
+
+        m, sd = ray.get(ref)
+        X = list_column_to_matrix(t[embedding_column])
+        Y = (X - m) / sd
+        return pa.table({
+            id_column: t[id_column],
+            out_column: pa.array(Y.tolist(), pa.list_(pa.float64()))})
+
+    return ds.map_batches(norm, batch_format="pyarrow")

@@ -3853,3 +3853,42 @@ def test_pitch_stage(ray_session):
         total += 1
         hits += abs(r["f0_hz"] - f_true) / f_true < 0.02
     assert total > 300 and hits / total >= 0.95, (hits, total)
+
+
+def test_cmvn_stats_and_apply(ray_session):
+    """Numpy parity of the moment-partial fit across partitionings; the
+    apply pass round-trips to mean≈0 / std≈1 per dimension;
+    zero-variance dimensions hit the eps floor (output 0); empty input
+    raises."""
+    import pandas as pd
+    import ray.data as rd
+    from gojsonschema_ray.stages.similarity import cmvn_apply, cmvn_stats
+    from gojsonschema_ray.util import collect_rows
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(loc=3.0, scale=2.5, size=(257, 6))
+    X[:, 4] = 7.25  # zero-variance dimension
+    df = pd.DataFrame({"id": np.arange(len(X)),
+                       "embedding": [r.tolist() for r in X]})
+    for nb in (1, 5):
+        ds = rd.from_pandas(df).repartition(nb)
+        n, mean, std = cmvn_stats(ds, "embedding")
+        assert n == len(X)
+        np.testing.assert_allclose(mean, X.mean(axis=0), rtol=1e-12)
+        np.testing.assert_allclose(std, X.std(axis=0), rtol=1e-9, atol=1e-12)
+
+    rows = collect_rows(cmvn_apply(rd.from_pandas(df).repartition(4),
+                                   "embedding", "id"))
+    assert len(rows) == len(X)
+    Y = np.array([r["normed"] for r in sorted(rows, key=lambda r: r["id"])])
+    np.testing.assert_allclose(Y.mean(axis=0), 0.0, atol=1e-9)
+    live = [0, 1, 2, 3, 5]
+    np.testing.assert_allclose(Y[:, live].std(axis=0), 1.0, rtol=1e-9)
+    assert np.all(Y[:, 4] == 0.0)  # eps-floored constant dimension
+    # normalization is exactly (x - mean) / std per element
+    np.testing.assert_allclose(
+        Y[:, live], (X[:, live] - X[:, live].mean(axis=0))
+        / X[:, live].std(axis=0), rtol=1e-9, atol=1e-12)
+
+    with pytest.raises(ValueError, match="empty"):
+        cmvn_stats(rd.from_pandas(df.head(0)), "embedding")
