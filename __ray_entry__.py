@@ -3377,6 +3377,71 @@ def q_clips_audio_pitch(sf_dir: str) -> pd.DataFrame:
                                / max(n_reg, 1), 4)}])
 
 
+def q_clips_audio_augment(sf_dir: str) -> pd.DataFrame:
+    """Deterministic training augmentation (stages/audio.
+    AudioAugmentStage): 2 seeded copies per clip with additive noise at
+    20 dB SNR. Rows-only: seeded-noise synthesis is not SQL-expressible —
+    the query self-checks the ACHIEVED SNR of every regular copy against
+    datagen's closed-form clean signal (bit-exact reconstruction from the
+    clip id), reporting the fraction within 1 dB of target
+    (the estimator's own sd is ~0.3 dB on the shortest clips).
+    Determinism/partitioning-invariance goldens live in
+    tests/test_stages.py."""
+    from gojsonschema_ray import datagen
+    from gojsonschema_ray.stages.audio import AudioAugmentStage, decode_raw_s16le
+    from gojsonschema_ray.util import collect_rows
+
+    cap = 60
+    ds = datagen.clips_dataset(5_000, audio_cap_ms=cap,
+                               override_num_blocks=8)
+    aug = ds.map_batches(
+        AudioAugmentStage,
+        fn_constructor_kwargs={"copies": 2, "noise_snr_db": 20.0, "seed": 5},
+        batch_size=256, batch_format="pyarrow", concurrency=(1, 4))
+
+    def partial(t: pa.Table) -> pa.Table:
+        ok = pc.fill_null(t["decode_ok"], False).to_numpy(
+            zero_copy_only=False)
+        ids = t["clip_id"].to_pylist()
+        srs = t["sr_hz"].to_numpy(zero_copy_only=False)
+        blobs = t["bytes"].to_pylist()
+        n_reg = n_hit = 0
+        for i, cid in enumerate(ids):
+            if not (ok[i] and cid.startswith("clip-0")):
+                continue
+            row = int(cid.split("-")[1])
+            if row % 1013 == 0:  # truncated payload → different clean ref
+                continue
+            meta = datagen.row_meta(row)
+            clean = datagen.synth_pcm(row, meta["sr_hz"], meta["dur_ms"],
+                                      cap).astype(np.float64)
+            if not len(clean):
+                continue
+            y, _ = decode_raw_s16le(blobs[i], int(srs[i]))
+            if len(y) != len(clean):
+                continue  # datagen dup-id row: id i-1 but row-i audio
+            noise = y.astype(np.float64) - clean
+            p_n = float((noise ** 2).mean())
+            n_reg += 1
+            if p_n > 0:
+                snr = 10 * np.log10(float((clean ** 2).mean()) / p_n)
+                n_hit += bool(abs(snr - 20.0) < 1.0)
+        return pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "n_bad": pa.array([t.num_rows - int(ok.sum())], pa.int64()),
+            "n_reg": pa.array([n_reg], pa.int64()),
+            "n_hit": pa.array([n_hit], pa.int64())})
+
+    rows = collect_rows(aug.map_batches(partial, batch_format="pyarrow"))
+    n_reg = sum(r["n_reg"] for r in rows)
+    return pd.DataFrame([{
+        "n_rows": sum(r["n"] for r in rows),
+        "n_bad": sum(r["n_bad"] for r in rows),
+        "n_checked": n_reg,
+        "snr_hit_frac": round(sum(r["n_hit"] for r in rows)
+                              / max(n_reg, 1), 4)}])
+
+
 def entry() -> Any:
     """Flagship smoke on sf0.001: constraint validation over lineitem +
     documents + uniqueness on events, one violations summary Dataset."""
@@ -3632,6 +3697,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clips_audio_pitch": q_clips_audio_pitch,  # rows-only: FFT
         # autocorrelation isn't SQL-expressible (self-checks f0 against
         # datagen's closed-form tone table, ≥2% tolerance)
+        "clips_audio_augment": q_clips_audio_augment,  # rows-only: seeded
+        # noise synthesis isn't SQL-expressible (self-checks achieved SNR
+        # against the closed-form clean signal, ±0.5 dB)
     }
 
 

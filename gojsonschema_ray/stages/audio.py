@@ -1468,3 +1468,112 @@ class PitchStage:
                          "voiced_conf": conf,
                          "voiced": conf >= self.voiced_threshold})
         return pa.Table.from_pylist(rows, schema=PITCH_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# augmentation — deterministic training-copy synthesis (noise @ SNR, speed,
+# gain jitter); the data-multiplication stage of an audio training pipeline
+# ---------------------------------------------------------------------------
+AUGMENT_SCHEMA = pa.schema([
+    ("clip_id", pa.string()),
+    ("aug_idx", pa.int32()),
+    ("decode_ok", pa.bool_()),
+    ("sr_hz", pa.int64()),
+    ("speed", pa.float64()),
+    ("snr_db", pa.float64()),
+    ("gain_db", pa.float64()),
+    ("n_samples", pa.int64()),
+    ("codec", pa.string()),
+    ("bytes", pa.binary()),
+])
+
+
+def _aug_rng(seed: int, clip_id: str, idx: int) -> np.random.Generator:
+    """Deterministic per-(clip, copy) generator: the stream depends only
+    on (seed, clip_id, aug_idx) — never on batch boundaries, partition
+    order, or global RNG state — so reruns and resumes are bit-identical."""
+    import hashlib
+
+    h = hashlib.blake2b(f"{seed}:{clip_id}:{idx}".encode(),
+                        digest_size=8).digest()
+    return np.random.Generator(
+        np.random.Philox(int.from_bytes(h, "little")))
+
+
+class AudioAugmentStage:
+    """Actor-pool map_batches payload: emit `copies` augmented training
+    copies per decodable clip — additive white noise at a target SNR,
+    speed perturbation (resample_linear by a factor drawn from
+    `speed_factors`), and uniform gain jitter in ±gain_jitter_db, each
+    optional and applied in speed → gain → noise order. Output rows are
+    pcm_s16le under the clips-column contract, so augmented copies feed
+    every downstream audio stage unchanged.
+
+    Scale/determinism contract: every copy's randomness comes from a
+    Philox stream keyed on (seed, clip_id, aug_idx) — reruns, resumes and
+    any partitioning produce bit-identical bytes (the resumable-output
+    requirement). Output volume is `copies` × input; size batch_size for
+    decoded float64 temporaries × copies. Decode failures degrade to one
+    decode_ok=False row."""
+
+    def __init__(self, copies: int = 1, *, noise_snr_db: float | None = None,
+                 speed_factors: tuple | None = None,
+                 gain_jitter_db: float | None = None, seed: int = 0):
+        if copies < 1:
+            raise ValueError(f"AudioAugmentStage: copies={copies}")
+        if speed_factors is not None and (
+                not speed_factors or any(f <= 0 for f in speed_factors)):
+            raise ValueError(
+                f"AudioAugmentStage: speed_factors={speed_factors}")
+        if gain_jitter_db is not None and gain_jitter_db < 0:
+            raise ValueError(
+                f"AudioAugmentStage: gain_jitter_db={gain_jitter_db}")
+        self.copies = copies
+        self.noise_snr_db = noise_snr_db
+        self.speed_factors = tuple(speed_factors) if speed_factors else None
+        self.gain_jitter_db = gain_jitter_db
+        self.seed = seed
+
+    def _one(self, pcm: np.ndarray, sr: int, cid: str, idx: int) -> dict:
+        rng = _aug_rng(self.seed, cid, idx)
+        x = pcm.astype(np.float64)
+        speed = 1.0
+        if self.speed_factors is not None:
+            speed = float(self.speed_factors[
+                int(rng.integers(len(self.speed_factors)))])
+            if speed != 1.0 and len(x):
+                # resample to sr/speed samples, then reinterpret at sr:
+                # the content plays `speed`× faster at the same rate
+                x = np.interp(
+                    np.arange(int(round(len(x) / speed))) * speed,
+                    np.arange(len(x), dtype=np.float64), x)
+        gain_db = 0.0
+        if self.gain_jitter_db is not None:
+            gain_db = float(rng.uniform(-self.gain_jitter_db,
+                                        self.gain_jitter_db))
+            x = x * (10.0 ** (gain_db / 20.0))
+        snr = None
+        if self.noise_snr_db is not None and len(x):
+            snr = float(self.noise_snr_db)
+            p_sig = float(np.mean(x * x))
+            if p_sig > 0:
+                sigma = np.sqrt(p_sig / (10.0 ** (snr / 10.0)))
+                x = x + rng.normal(0.0, sigma, len(x))
+        out = np.clip(np.round(x), -32768, 32767).astype(np.int16)
+        return {"clip_id": cid, "aug_idx": idx, "decode_ok": True,
+                "sr_hz": sr, "speed": speed, "snr_db": snr,
+                "gain_db": gain_db, "n_samples": int(len(out)),
+                "codec": "pcm_s16le", "bytes": out.tobytes()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for _, cid, sr, pcm in decoded_pcm_rows(batch):
+            if pcm is None:
+                rows.append({"clip_id": cid, "aug_idx": None,
+                             "decode_ok": False, "sr_hz": None,
+                             "speed": None, "snr_db": None, "gain_db": None,
+                             "n_samples": None, "codec": None, "bytes": None})
+                continue
+            for idx in range(self.copies):
+                rows.append(self._one(pcm, sr, cid, idx))
+        return pa.Table.from_pylist(rows, schema=AUGMENT_SCHEMA)

@@ -3892,3 +3892,83 @@ def test_cmvn_stats_and_apply(ray_session):
 
     with pytest.raises(ValueError, match="empty"):
         cmvn_stats(rd.from_pandas(df.head(0)), "embedding")
+
+
+def test_audio_augment_stage(ray_session):
+    """Deterministic augmentation: bit-identical across reruns AND
+    partitionings; achieved SNR within 0.5 dB of target; speed changes
+    length by exactly round(n/f); gain jitter bounded; distinct clips /
+    copies get distinct noise; corrupt rows degrade; validation."""
+    import pyarrow as pa
+    from gojsonschema_ray import datagen
+    from gojsonschema_ray.stages.audio import AudioAugmentStage, decode_raw_s16le
+    from gojsonschema_ray.util import collect_rows
+
+    sr = 16000
+    t = np.arange(sr // 2) / sr
+    pcm = (8000 * np.sin(2 * np.pi * 220 * t)).astype(np.int16)
+    batch = pa.Table.from_pylist(
+        [_pcm_row("a", pcm, sr), _pcm_row("b", pcm.copy(), sr)])
+
+    # noise at target SNR: measure achieved SNR against the clean signal
+    st = AudioAugmentStage(copies=2, noise_snr_db=20.0, seed=7)
+    out = st(batch).to_pylist()
+    assert len(out) == 4
+    by_key = {(r["clip_id"], r["aug_idx"]): r for r in out}
+    for r in out:
+        y, _ = decode_raw_s16le(r["bytes"], sr)
+        noise = y.astype(np.float64) - pcm.astype(np.float64)
+        snr = 10 * np.log10((pcm.astype(np.float64) ** 2).mean()
+                            / (noise ** 2).mean())
+        assert abs(snr - 20.0) < 0.5, snr
+    # distinct (clip, copy) streams → distinct noise
+    assert by_key[("a", 0)]["bytes"] != by_key[("a", 1)]["bytes"]
+    assert by_key[("a", 0)]["bytes"] != by_key[("b", 0)]["bytes"]
+    # rerun is bit-identical
+    out2 = AudioAugmentStage(copies=2, noise_snr_db=20.0, seed=7)(batch)
+    assert out2.to_pylist() == out
+    # different seed differs
+    assert AudioAugmentStage(copies=2, noise_snr_db=20.0, seed=8)(
+        batch).to_pylist() != out
+
+    # speed: exact length arithmetic, deterministic choice per (clip, copy)
+    st_sp = AudioAugmentStage(copies=4, speed_factors=(0.9, 1.1), seed=1)
+    for r in st_sp(batch).to_pylist():
+        assert r["speed"] in (0.9, 1.1)
+        assert r["n_samples"] == int(round(len(pcm) / r["speed"]))
+
+    # gain jitter bounded and applied (RMS scales by the reported gain)
+    st_g = AudioAugmentStage(copies=3, gain_jitter_db=6.0, seed=3)
+    for r in st_g(batch).to_pylist():
+        assert abs(r["gain_db"]) <= 6.0
+        y, _ = decode_raw_s16le(r["bytes"], sr)
+        expect = np.sqrt((pcm.astype(np.float64) ** 2).mean()) \
+            * 10 ** (r["gain_db"] / 20.0)
+        got = np.sqrt((y.astype(np.float64) ** 2).mean())
+        assert abs(got - expect) / expect < 1e-3
+
+    # distributed run over synthetic clips: copies per decodable clip,
+    # degraded rows for corrupt payloads, partitioning-invariant bytes
+    ds = datagen.clips_dataset(200, audio_cap_ms=40, override_num_blocks=2)
+    kw = {"copies": 2, "noise_snr_db": 15.0, "seed": 5}
+    rows = collect_rows(ds.map_batches(
+        AudioAugmentStage, fn_constructor_kwargs=kw,
+        batch_size=32, batch_format="pyarrow", concurrency=(1, 2)))
+    ok = [r for r in rows if r["decode_ok"]]
+    bad = [r for r in rows if not r["decode_ok"]]
+    assert bad and all(r["bytes"] is None for r in bad)
+    assert len({(r["clip_id"], r["aug_idx"]) for r in ok}) == len(ok)
+    ds8 = datagen.clips_dataset(200, audio_cap_ms=40, override_num_blocks=8)
+    rows8 = collect_rows(ds8.map_batches(
+        AudioAugmentStage, fn_constructor_kwargs=kw,
+        batch_size=16, batch_format="pyarrow", concurrency=(1, 2)))
+    key = lambda r: (r["clip_id"], r["aug_idx"], r["bytes"])
+    assert sorted(map(key, ok)) == sorted(
+        map(key, [r for r in rows8 if r["decode_ok"]]))
+
+    with pytest.raises(ValueError, match="copies"):
+        AudioAugmentStage(copies=0)
+    with pytest.raises(ValueError, match="speed_factors"):
+        AudioAugmentStage(speed_factors=(0.0,))
+    with pytest.raises(ValueError, match="gain_jitter"):
+        AudioAugmentStage(gain_jitter_db=-1.0)
