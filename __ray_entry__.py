@@ -3291,6 +3291,63 @@ def q_clips_audio_curate(sf_dir: str) -> pd.DataFrame:
         **{f"r_{k}": v for k, v in sorted(agg.items())}}])
 
 
+def q_orders_moments(sf_dir: str) -> pd.DataFrame:
+    """Per-group distribution-shape audit (stages/sketches.
+    moments_by_group): population skewness + excess kurtosis of order
+    value per priority class — two streaming passes of centered-power
+    partials, zero shuffles. The oracle mirrors the two-pass CTE
+    (group means, then avg centered powers) term for term."""
+    from gojsonschema_ray.stages.sketches import moments_by_group
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    out = moments_by_group(ds, "o_orderpriority", "o_totalprice")
+    return pd.DataFrame({
+        "o_orderpriority": out["o_orderpriority"],
+        "n": out["n"].astype("int64"),
+        "mean": out["mean"].round(4),
+        "skew": out["skew"].round(6),
+        "kurt": out["kurt"].round(6)})
+
+
+def q_orders_gini(sf_dir: str) -> pd.DataFrame:
+    """Per-group Gini concentration (stages/sketches.gini_by_group):
+    exact rank-formula inequality of order value per priority class —
+    one hash(key) co-partition exchange, vectorized sort+cumcount per
+    partition. Oracle: the identical row_number() rank formula."""
+    from gojsonschema_ray.stages.sketches import gini_by_group
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    rows = collect_rows(gini_by_group(ds, "o_orderpriority",
+                                      "o_totalprice"))
+    rows.sort(key=lambda r: r["o_orderpriority"])
+    return pd.DataFrame([{
+        "o_orderpriority": r["o_orderpriority"],
+        "n": int(r["n"]),
+        "gini": round(float(r["gini"]), 6)} for r in rows])
+
+
+def q_events_autocorr(sf_dir: str) -> pd.DataFrame:
+    """Per-user lag-1 autocorrelation of event values ordered by (ts,
+    event_id) (stages/sketches.autocorr_by_key) — the persistence audit
+    of per-entity series. One hash(key) exchange + vectorized
+    groupby-shift Pearson per partition; users with zero paired variance
+    drop (SQL corr NULL). Oracle: corr(v, lag(v)) window idiom."""
+    from gojsonschema_ray.stages.sketches import autocorr_by_key
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    rows = collect_rows(autocorr_by_key(ds, "user_id", ("ts", "event_id"),
+                                        "value"))
+    keep = [r for r in rows
+            if r["autocorr"] is not None and np.isfinite(r["autocorr"])]
+    keep.sort(key=lambda r: r["user_id"])
+    return pd.DataFrame([{
+        "user_id": int(r["user_id"]),
+        "n_pairs": int(r["n_pairs"]),
+        "autocorr": round(float(r["autocorr"]), 6)} for r in keep])
+
+
 def q_clips_audio_mfcc(sf_dir: str) -> pd.DataFrame:
     """MFCC embeddings (stages/audio.MfccStage): 13-dim DCT-II envelope
     per clip (mean + std over frames). Rows-only: FFT/DCT is not
@@ -3561,6 +3618,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # moment-partial covariance matrix (covar_samp-pair oracle)
         "embeddings_cmvn": q_embeddings_cmvn,  # CMVN fit stats (O(d)
         # moment partials; avg/stddev_pop UNION-ALL oracle, all 64 dims)
+        "orders_moments": q_orders_moments,  # per-group skew/kurtosis
+        # (two-pass centered powers; mirrored two-CTE oracle)
+        "orders_gini": q_orders_gini,  # per-group Gini concentration
+        # (rank formula; row_number() oracle)
+        "events_autocorr": q_events_autocorr,  # per-user lag-1
+        # autocorrelation (corr(v, lag(v)) window oracle)
         "orders_schema_drift": q_orders_schema_drift,  # infer -> compile
         # -> validate-the-future drift gate (bounds-CTE recompute oracle)
         "orders_winsorized": q_orders_winsorized,  # exact-quantile clip
@@ -4541,6 +4604,46 @@ def oracle_sql() -> dict[str, str]:
         # one-pass covariance: covar_samp pairs over the first 12 dims
         # (engine computes the full 64x64; the oracle slices the triangle)
         "embeddings_covariance": _covariance_oracle_sql(12),
+        # per-group population skew / excess kurtosis: same two-pass
+        # centered-power algebra as the engine (means CTE, then avg powers)
+        "orders_moments": (
+            "WITH mu AS (SELECT o_orderpriority AS k, "
+            "avg(o_totalprice) AS mu, CAST(count(o_totalprice) AS BIGINT) "
+            "AS n FROM orders WHERE o_orderpriority IS NOT NULL "
+            "AND o_totalprice IS NOT NULL GROUP BY 1), "
+            "c AS (SELECT o.o_orderpriority AS k, "
+            "avg(pow(o.o_totalprice - mu.mu, 2)) AS m2, "
+            "avg(pow(o.o_totalprice - mu.mu, 3)) AS m3, "
+            "avg(pow(o.o_totalprice - mu.mu, 4)) AS m4 "
+            "FROM orders o JOIN mu ON o.o_orderpriority = mu.k "
+            "WHERE o.o_totalprice IS NOT NULL GROUP BY 1) "
+            "SELECT mu.k AS o_orderpriority, mu.n AS n, "
+            "round(mu.mu, 4) AS mean, "
+            "round(c.m3 / pow(c.m2, 1.5), 6) AS skew, "
+            "round(c.m4 / (c.m2 * c.m2) - 3, 6) AS kurt "
+            "FROM mu JOIN c ON mu.k = c.k ORDER BY 1"),
+        # per-group Gini: identical ascending row_number() rank formula
+        "orders_gini": (
+            "WITH r AS (SELECT o_orderpriority AS k, o_totalprice AS v, "
+            "row_number() OVER (PARTITION BY o_orderpriority "
+            "ORDER BY o_totalprice) AS i FROM orders "
+            "WHERE o_orderpriority IS NOT NULL "
+            "AND o_totalprice IS NOT NULL) "
+            "SELECT k AS o_orderpriority, CAST(count(*) AS BIGINT) AS n, "
+            "round(2.0 * sum(i * v) / (count(*) * sum(v)) "
+            "- (count(*) + 1.0) / count(*), 6) AS gini "
+            "FROM r GROUP BY k ORDER BY k"),
+        # per-user lag-1 autocorrelation: corr(v, lag(v)) window idiom;
+        # zero-variance users drop on both sides (corr IS NULL)
+        "events_autocorr": (
+            "WITH w AS (SELECT user_id, value, "
+            "lag(value) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS pv FROM events "
+            "WHERE user_id IS NOT NULL AND value IS NOT NULL) "
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs, "
+            "round(corr(value, pv), 6) AS autocorr FROM w "
+            "WHERE pv IS NOT NULL GROUP BY user_id "
+            "HAVING corr(value, pv) IS NOT NULL ORDER BY user_id"),
         # CMVN fit stats: per-dimension mean + population std, all 64 dims
         "embeddings_cmvn": " UNION ALL ".join(
             f"SELECT {i} AS dim, "

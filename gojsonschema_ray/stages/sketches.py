@@ -1574,3 +1574,191 @@ def winsorize(ds, value_column: str, p_lo: float = 0.01,
         return t.append_column(out, c)
 
     return ds.map_batches(clip, batch_format="pyarrow")
+
+
+def moments_by_group(ds, key_column: str, value_column: str):
+    """Per-group skewness and excess kurtosis — the distribution-shape
+    audit of a column (heavy tails / asymmetry per segment), exact to the
+    population-moment definition: skew = m3/m2^1.5, kurt = m4/m2² − 3
+    with m_k = avg((x − μ_g)^k).
+
+    TWO streaming passes, zero shuffles (the big table never moves):
+    pass 1 folds (key, n, Σx) partials into group means on the driver;
+    pass 2 broadcasts the means and folds centered-power partials
+    (Σ(x−μ)^{2,3,4}). Centered two-pass arithmetic sidesteps the raw-
+    moment cancellation that makes one-pass x⁴ sums useless at price
+    scale, and mirrors the oracle SQL's CTE structure term for term.
+    Documented assumption: the group SET is broadcast-small (dim-table
+    regime); per-group row counts are unbounded. Null keys/values are
+    ignored (SQL aggregate semantics); zero-variance groups emit null
+    shape stats. Returns a driver-side pandas DataFrame
+    (key, n, mean, skew, kurt) sorted by key."""
+    import pandas as pd
+    import ray
+
+    def pass1(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.dropna(subset=[key_column, value_column]) \
+            .groupby(key_column, sort=False)[value_column]
+        agg = g.agg(n="count", s="sum")
+        return agg.reset_index()
+
+    sums: dict = {}
+    for r in collect_rows(ds.map_batches(pass1, batch_format="pandas")):
+        k = r[key_column]
+        n0, s0 = sums.get(k, (0, 0.0))
+        sums[k] = (n0 + int(r["n"]), s0 + float(r["s"]))
+    means = {k: s / n for k, (n, s) in sums.items() if n > 0}
+    ref = ray.put(means)
+
+    def pass2(df: pd.DataFrame) -> pd.DataFrame:
+        mu = ray.get(ref)
+        df = df.dropna(subset=[key_column, value_column])
+        df = df[df[key_column].isin(mu)]
+        c = df[value_column].to_numpy(dtype=np.float64) \
+            - df[key_column].map(mu).to_numpy(dtype=np.float64)
+        out = pd.DataFrame({key_column: df[key_column].to_numpy(),
+                            "c2": c * c})
+        out["c3"] = out["c2"] * c
+        out["c4"] = out["c3"] * c
+        return out.groupby(key_column, sort=False, as_index=False).sum()
+
+    acc: dict = {}
+    for r in collect_rows(ds.map_batches(pass2, batch_format="pandas")):
+        k = r[key_column]
+        a = acc.setdefault(k, [0.0, 0.0, 0.0])
+        a[0] += float(r["c2"])
+        a[1] += float(r["c3"])
+        a[2] += float(r["c4"])
+    rows = []
+    for k in sorted(means):
+        n = sums[k][0]
+        s2, s3, s4 = acc.get(k, (0.0, 0.0, 0.0))
+        m2, m3, m4 = s2 / n, s3 / n, s4 / n
+        # zero-variance guard is RELATIVE to the mean's own fp residue:
+        # a constant group centered at μ leaves c ≈ μ·1e-16 per element
+        live = m2 > (1e-10 * max(1.0, abs(means[k]))) ** 2
+        skew = m3 / m2 ** 1.5 if live else None
+        kurt = m4 / (m2 * m2) - 3.0 if live else None
+        rows.append({key_column: k, "n": n, "mean": means[k],
+                     "skew": skew, "kurt": kurt})
+    return pd.DataFrame(rows)
+
+
+def gini_by_group(ds, key_column: str, value_column: str,
+                  n_parts: int | None = None):
+    """Per-group Gini coefficient of a non-negative value — the
+    concentration/inequality audit (is spend dominated by a few rows per
+    segment?). Exact rank formula on the ascending-sorted values:
+    G = 2·Σ(i·x_i) / (n·Σx) − (n+1)/n, i = 1..n — tie-order invariant
+    because swapping equal x values leaves Σ(i·x_i) unchanged.
+
+    Many-small-groups regime (the grouped_quantiles shape): ONE hash(key)
+    co-partition exchange, then one vectorized pandas sort + cumcount per
+    partition. Documented assumption: one key's rows fit a partition.
+    Null keys/values drop; negative values raise (the coefficient is
+    undefined); zero-sum groups emit null."""
+    import pandas as pd
+
+    from .dedup import _next_pow2, _shuffle_parts
+
+    P = _next_pow2(n_parts or _shuffle_parts())
+
+    def project(t: pa.Table) -> pa.Table:
+        if pc.any(pc.less(t[value_column], 0)).as_py():
+            raise ValueError(
+                f"gini_by_group: negative {value_column} values")
+        part = (hash_arrow_array(t[key_column]) % np.uint64(P)) \
+            .astype(np.int32)
+        return pa.table({key_column: t[key_column], "v": t[value_column],
+                         "part": pa.array(part)})
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=[key_column, "v"])
+        if not len(df):
+            return pd.DataFrame({key_column: [], "n": [], "gini": []})
+        df = df.sort_values([key_column, "v"], kind="mergesort")
+        g = df.groupby(key_column, sort=False)
+        i = g.cumcount().to_numpy(dtype=np.float64) + 1.0
+        df = df.assign(ix=i * df["v"].to_numpy(dtype=np.float64))
+        agg = df.groupby(key_column, sort=False).agg(
+            n=("v", "count"), s=("v", "sum"), six=("ix", "sum"))
+        n = agg["n"].to_numpy(dtype=np.float64)
+        s = agg["s"].to_numpy(dtype=np.float64)
+        gini = np.where(s > 0,
+                        2.0 * agg["six"].to_numpy() / (n * np.where(
+                            s > 0, s, 1.0)) - (n + 1.0) / n,
+                        np.nan)
+        return pd.DataFrame({key_column: agg.index,
+                             "n": agg["n"].to_numpy(dtype=np.int64),
+                             "gini": gini})
+
+    parts = ds.map_batches(project, batch_format="pyarrow") \
+        .repartition(P).materialize()
+    return parts.groupby("part").map_groups(per_part, batch_format="pandas")
+
+
+def autocorr_by_key(ds, key_column: str, order_columns: tuple,
+                    value_column: str, lag: int = 1):
+    """Per-key lag-k autocorrelation of an ordered series — the
+    persistence/seasonality audit of per-entity time series (SQL
+    `corr(v, lag(v, k) OVER (PARTITION BY key ORDER BY ...))`). Sample
+    Pearson correlation over the (v_t, v_{t−k}) pairs within each key.
+
+    Many-small-groups regime: ONE hash(key) co-partition exchange, one
+    vectorized pandas sort + groupby-shift + corr per partition.
+    Documented assumption: one key's rows fit a partition. Order ties
+    must be broken by the trailing order columns for determinism. Keys
+    with < lag+2 rows or zero variance in either paired slice emit null
+    (SQL corr semantics). Returns (key, n_pairs, autocorr)."""
+    import pandas as pd
+
+    from .dedup import _next_pow2, _shuffle_parts
+
+    if lag < 1:
+        raise ValueError(f"autocorr_by_key: lag={lag}")
+    P = _next_pow2(_shuffle_parts())
+    order = list(order_columns)
+
+    def project(t: pa.Table) -> pa.Table:
+        part = (hash_arrow_array(t[key_column]) % np.uint64(P)) \
+            .astype(np.int32)
+        cols = {key_column: t[key_column], "v": t[value_column],
+                "part": pa.array(part)}
+        for c in order:
+            cols[c] = t[c]
+        return pa.table(cols)
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=[key_column, "v"])
+        if not len(df):
+            return pd.DataFrame({key_column: [], "n_pairs": [],
+                                 "autocorr": []})
+        df = df.sort_values([key_column, *order], kind="mergesort")
+        g = df.groupby(key_column, sort=False)
+        df = df.assign(pv=g["v"].shift(lag))
+        paired = df.dropna(subset=["pv"]).assign(
+            vv=lambda d: d["v"] * d["v"], pp=lambda d: d["pv"] * d["pv"],
+            vp=lambda d: d["v"] * d["pv"])
+        agg = paired.groupby(key_column, sort=False).agg(
+            n=("v", "count"), sv=("v", "sum"), sp=("pv", "sum"),
+            svv=("vv", "sum"), spp=("pp", "sum"), svp=("vp", "sum"))
+        if not len(agg):
+            return pd.DataFrame({key_column: [], "n_pairs": [],
+                                 "autocorr": []})
+        n = agg["n"].to_numpy(dtype=np.float64)
+        sv, sp = agg["sv"].to_numpy(), agg["sp"].to_numpy()
+        cov = agg["svp"].to_numpy() - sv * sp / n
+        var_v = agg["svv"].to_numpy() - sv * sv / n
+        var_p = agg["spp"].to_numpy() - sp * sp / n
+        denom = np.sqrt(np.maximum(var_v, 0.0) * np.maximum(var_p, 0.0))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = np.where(denom > 0, cov / np.where(denom > 0, denom, 1.0),
+                         np.nan)
+        return pd.DataFrame({
+            key_column: agg.index,
+            "n_pairs": agg["n"].to_numpy(dtype=np.int64),
+            "autocorr": r})
+
+    parts = ds.map_batches(project, batch_format="pyarrow") \
+        .repartition(P).materialize()
+    return parts.groupby("part").map_groups(per_part, batch_format="pandas")

@@ -3972,3 +3972,111 @@ def test_audio_augment_stage(ray_session):
         AudioAugmentStage(speed_factors=(0.0,))
     with pytest.raises(ValueError, match="gain_jitter"):
         AudioAugmentStage(gain_jitter_db=-1.0)
+
+
+def test_moments_by_group(ray_session):
+    """Exact population skew/kurtosis per group vs a scipy-free numpy
+    reference; partition invariance; zero-variance and null handling."""
+    import pandas as pd
+    import ray.data as rd
+    from gojsonschema_ray.stages.sketches import moments_by_group
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], 400).tolist() + ["z", "z", "z"],
+        "v": np.concatenate([rng.lognormal(3.0, 0.7, 400),
+                             [5.0, 5.0, 5.0]]),  # zero-variance group
+    })
+    df.loc[3, "v"] = None
+    df.loc[4, "k"] = None
+    for nb in (1, 7):
+        out = moments_by_group(rd.from_pandas(df).repartition(nb), "k", "v")
+        assert list(out["k"]) == ["a", "b", "c", "z"]
+        for _, r in out.iterrows():
+            sub = df[(df["k"] == r["k"]) & df["v"].notna()]["v"].to_numpy()
+            assert r["n"] == len(sub)
+            assert abs(r["mean"] - sub.mean()) < 1e-9
+            c = sub - sub.mean()
+            m2 = (c ** 2).mean()
+            if m2 == 0:
+                assert pd.isna(r["skew"]) and pd.isna(r["kurt"])
+            else:
+                assert abs(r["skew"] - (c ** 3).mean() / m2 ** 1.5) < 1e-9
+                assert abs(r["kurt"]
+                           - ((c ** 4).mean() / m2 ** 2 - 3)) < 1e-9
+
+
+def test_gini_by_group(ray_session):
+    """Closed-form Gini goldens (perfect equality → 0; one-holder
+    concentration → (n−1)/n); rank-formula parity with a sorted numpy
+    replica; tie invariance; negative values raise."""
+    import pandas as pd
+    import ray.data as rd
+    from gojsonschema_ray.stages.sketches import gini_by_group
+    from gojsonschema_ray.util import collect_rows
+
+    rng = np.random.default_rng(9)
+    eq = pd.DataFrame({"k": "eq", "v": np.full(10, 4.0)})
+    conc = pd.DataFrame({"k": "conc", "v": [0.0] * 9 + [100.0]})
+    rand = pd.DataFrame({"k": rng.choice(["x", "y"], 300),
+                         "v": rng.exponential(10.0, 300).round(1)})
+    df = pd.concat([eq, conc, rand], ignore_index=True)
+    rows = collect_rows(gini_by_group(
+        rd.from_pandas(df).repartition(5), "k", "v", n_parts=4))
+    got = {r["k"]: r for r in rows}
+    assert len(got) == 4
+    assert abs(got["eq"]["gini"]) < 1e-12
+    assert abs(got["conc"]["gini"] - 9 / 10) < 1e-12
+    for k in ("x", "y"):
+        sub = np.sort(rand[rand["k"] == k]["v"].to_numpy())
+        n = len(sub)
+        ref = 2 * np.sum(np.arange(1, n + 1) * sub) / (n * sub.sum()) \
+            - (n + 1) / n
+        assert got[k]["n"] == n and abs(got[k]["gini"] - ref) < 1e-12
+
+    with pytest.raises(Exception, match="negative"):
+        collect_rows(gini_by_group(rd.from_pandas(
+            pd.DataFrame({"k": ["a"], "v": [-1.0]})), "k", "v"))
+
+
+def test_autocorr_by_key(ray_session):
+    """Pearson parity with pandas per-key corr on shifted series; an AR-1
+    signal reads high positive autocorr, white noise near 0, an
+    alternating series −1; short/constant keys emit null."""
+    import pandas as pd
+    import ray.data as rd
+    from gojsonschema_ray.stages.sketches import autocorr_by_key
+    from gojsonschema_ray.util import collect_rows
+
+    rng = np.random.default_rng(3)
+    ar = np.zeros(200)
+    for i in range(1, 200):
+        ar[i] = 0.9 * ar[i - 1] + rng.normal()
+    frames = [
+        pd.DataFrame({"k": "ar", "t": np.arange(200), "v": ar}),
+        pd.DataFrame({"k": "wn", "t": np.arange(200),
+                      "v": rng.normal(size=200)}),
+        pd.DataFrame({"k": "alt", "t": np.arange(50),
+                      "v": np.where(np.arange(50) % 2 == 0, 1.0, -1.0)}),
+        pd.DataFrame({"k": "one", "t": [0], "v": [3.0]}),
+        pd.DataFrame({"k": "const", "t": np.arange(5), "v": 2.0}),
+    ]
+    df = pd.concat(frames, ignore_index=True).sample(
+        frac=1.0, random_state=0)  # scrambled input order
+    rows = collect_rows(autocorr_by_key(
+        rd.from_pandas(df).repartition(6), "k", ("t",), "v"))
+    got = {r["k"]: r for r in rows}
+    for k in ("ar", "wn", "alt"):
+        sub = df[df["k"] == k].sort_values("t")["v"]
+        ref = sub.corr(sub.shift(1))
+        assert got[k]["n_pairs"] == len(sub) - 1
+        assert abs(got[k]["autocorr"] - ref) < 1e-9
+    assert got["ar"]["autocorr"] > 0.8
+    assert abs(got["wn"]["autocorr"]) < 0.2
+    assert abs(got["alt"]["autocorr"] + 1.0) < 1e-9
+    assert "one" not in got  # no pairs at all
+    assert got["const"]["autocorr"] is None or np.isnan(
+        got["const"]["autocorr"])
+
+    with pytest.raises(ValueError, match="lag"):
+        autocorr_by_key(rd.from_pandas(df), "k", ("t",), "v", lag=0)
