@@ -3348,6 +3348,28 @@ def q_events_autocorr(sf_dir: str) -> pd.DataFrame:
         "autocorr": round(float(r["autocorr"]), 6)} for r in keep])
 
 
+def q_events_cusum(sf_dir: str) -> pd.DataFrame:
+    """Per-user CUSUM drift alarm (stages/window.cusum_by_key): Page's
+    two-sided statistic over each user's value series ordered by (ts,
+    event_id), target 50 / slack 10 / threshold 500. Computed in closed
+    form (cumsum − running min — no recursion), so the oracle is the
+    identical sum()/min() OVER window expression."""
+    from gojsonschema_ray.stages.window import cusum_by_key
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    rows = collect_rows(cusum_by_key(
+        ds, "user_id", "ts", "value", target=50.0, slack=10.0,
+        threshold=500.0, order_columns=("event_id",)))
+    rows.sort(key=lambda r: (r["user_id"], r["ts"], r["event_id"]))
+    return pd.DataFrame([{
+        "user_id": int(r["user_id"]),
+        "event_id": int(r["event_id"]),
+        "cusum_hi": round(float(r["cusum_hi"]), 6),
+        "cusum_lo": round(float(r["cusum_lo"]), 6),
+        "alarm": bool(r["alarm"])} for r in rows])
+
+
 def q_clips_audio_mfcc(sf_dir: str) -> pd.DataFrame:
     """MFCC embeddings (stages/audio.MfccStage): 13-dim DCT-II envelope
     per clip (mean + std over frames). Rows-only: FFT/DCT is not
@@ -3624,6 +3646,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (rank formula; row_number() oracle)
         "events_autocorr": q_events_autocorr,  # per-user lag-1
         # autocorrelation (corr(v, lag(v)) window oracle)
+        "events_cusum": q_events_cusum,  # per-user CUSUM drift alarm
+        # (closed-form cumsum − running-min; identical window oracle)
         "orders_schema_drift": q_orders_schema_drift,  # infer -> compile
         # -> validate-the-future drift gate (bounds-CTE recompute oracle)
         "orders_winsorized": q_orders_winsorized,  # exact-quantile clip
@@ -4644,6 +4668,25 @@ def oracle_sql() -> dict[str, str]:
             "round(corr(value, pv), 6) AS autocorr FROM w "
             "WHERE pv IS NOT NULL GROUP BY user_id "
             "HAVING corr(value, pv) IS NOT NULL ORDER BY user_id"),
+        # per-user CUSUM: the same closed form (drift-adjusted cumulative
+        # sum minus its running min) as the engine — no recursive CTE
+        "events_cusum": (
+            "WITH y AS (SELECT user_id, ts, event_id, "
+            "value - 50.0 - 10.0 AS yh, -(value - 50.0) - 10.0 AS yl "
+            "FROM events WHERE value IS NOT NULL), "
+            "c AS (SELECT user_id, ts, event_id, "
+            "sum(yh) OVER w AS ch, sum(yl) OVER w AS cl FROM y "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING)), "
+            "s AS (SELECT user_id, event_id, "
+            "ch - least(0, min(ch) OVER w) AS hi, "
+            "cl - least(0, min(cl) OVER w) AS lo FROM c "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING)) "
+            "SELECT user_id, event_id, round(hi, 6) AS cusum_hi, "
+            "round(lo, 6) AS cusum_lo, "
+            "(hi > 500.0 OR lo > 500.0) AS alarm FROM s "
+            "ORDER BY user_id, event_id"),
         # CMVN fit stats: per-dimension mean + population std, all 64 dims
         "embeddings_cmvn": " UNION ALL ".join(
             f"SELECT {i} AS dim, "

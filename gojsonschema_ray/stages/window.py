@@ -874,3 +874,72 @@ def ewma_by_key(ds, key_column: str, ts_column: str, value_column: str,
     parts = ds.map_batches(project, batch_format="pyarrow") \
         .repartition(P).materialize()
     return parts.groupby("part").map_groups(per_part, batch_format="pandas")
+
+
+def cusum_by_key(ds, key_column: str, ts_column: str, value_column: str, *,
+                 target: float, slack: float = 0.0,
+                 threshold: float | None = None, order_columns: tuple = (),
+                 n_parts: int | None = None):
+    """Per-key two-sided CUSUM change detection — the classic
+    Page (1954) drift alarm over per-entity series: upper statistic
+    `hi_t = max(0, hi_{t-1} + (x_t − target − slack))`, lower
+    `lo_t = max(0, lo_{t-1} − (x_t − target) − slack)`, alarm when
+    either exceeds `threshold`.
+
+    The recursion is computed in CLOSED FORM — `max(0, ·)` folding
+    equals `c_t − min(0, running_min(c_t))` over the drift-adjusted
+    cumulative sum (the max-drawdown identity, provable by induction) —
+    so the per-partition work is two Cython groupby cumsum/cummin
+    passes, no per-row Python, and the SQL oracle is the identical
+    window expression (`sum() OVER` / `min() OVER`), not a recursive
+    CTE. Same scale shape as ewma_by_key: ONE hash(key) co-partition
+    exchange; rows-per-key bound one partition (documented). Null
+    values are a contract error; null keys group together. Returns the
+    input columns plus cusum_hi, cusum_lo[, alarm]."""
+    import pandas as pd
+
+    from .dedup import _next_pow2, _shuffle_parts
+    from .sketches import hash_arrow_array
+
+    if slack < 0:
+        raise ValueError(f"cusum_by_key: slack={slack}")
+    P = _next_pow2(n_parts or _shuffle_parts())
+    order = [ts_column, *order_columns]
+    reserved = {"part", "cusum_hi", "cusum_lo", "alarm"}
+    named = {key_column, value_column, *order}
+    if reserved & named:
+        raise ValueError(f"cusum_by_key: reserved column name in "
+                         f"{sorted(reserved & named)}")
+
+    def project(t: pa.Table) -> pa.Table:
+        if t[value_column].null_count:
+            raise ValueError(f"cusum_by_key: null {value_column!r} values "
+                             "— the recursion has no NaN-skip semantics")
+        cols = {c: t[c] for c in dict.fromkeys(
+            [key_column, *order, value_column])}
+        part = (hash_arrow_array(t[key_column]) % np.uint64(P)) \
+            .astype(np.int32)
+        cols["part"] = pa.array(part)
+        return pa.table(cols)
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_column, *order], kind="stable")
+        v = df[value_column].to_numpy(dtype=np.float64)
+        g = df.assign(yh=v - target - slack, yl=-(v - target) - slack) \
+            .groupby(key_column, sort=False, dropna=False)
+        out = df.drop(columns=["part"]).copy()
+        for name, col in (("cusum_hi", "yh"), ("cusum_lo", "yl")):
+            c = g[col].cumsum().to_numpy(dtype=np.float64)
+            # running min must reset per key: cummin of the cumsum series
+            m = pd.Series(c, index=df.index).groupby(
+                df[key_column].to_numpy(), sort=False, dropna=False) \
+                .cummin().to_numpy(dtype=np.float64)
+            out[name] = c - np.minimum(0.0, m)
+        if threshold is not None:
+            out["alarm"] = (out["cusum_hi"].to_numpy() > threshold) \
+                | (out["cusum_lo"].to_numpy() > threshold)
+        return out
+
+    parts = ds.map_batches(project, batch_format="pyarrow") \
+        .repartition(P).materialize()
+    return parts.groupby("part").map_groups(per_part, batch_format="pandas")

