@@ -2715,6 +2715,26 @@ def q_customer_fuzzy_pairs(sf_dir: str) -> Any:
         batch_format="pyarrow")
 
 
+def q_customer_entities(sf_dir: str) -> Any:
+    """End-to-end ENTITY RESOLUTION composition: typo-level candidate
+    pairs (fuzzy_pairs_ed1's lossless deletion-neighborhood blocking) →
+    distributed connected components (near_dup_clusters) → canonical
+    entity id = component minimum. Emits (c_custkey, entity_id) for
+    every customer that participates in a fuzzy match; the oracle chains
+    the cross-join levenshtein pair filter into the same reachability
+    recursive CTE used by minhash_clusters."""
+    from gojsonschema_ray.stages.dedup import (fuzzy_pairs_ed1,
+                                               near_dup_clusters)
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    pairs = fuzzy_pairs_ed1(ds, "c_name", "c_custkey")
+    labels = near_dup_clusters(pairs, "id_a", "id_b")
+    return labels.map_batches(
+        lambda t: pa.table({"c_custkey": t["doc_id"],
+                            "entity_id": t["cluster_id"]}),
+        batch_format="pyarrow")
+
+
 def q_orders_ntile(sf_dir: str) -> Any:
     """Equal-frequency discretization (stages/sketches.ntile_global): each
     order's price octile — SQL ntile(8) OVER (ORDER BY price, key) — via
@@ -3648,6 +3668,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # autocorrelation (corr(v, lag(v)) window oracle)
         "events_cusum": q_events_cusum,  # per-user CUSUM drift alarm
         # (closed-form cumsum − running-min; identical window oracle)
+        "customer_entities": q_customer_entities,  # entity resolution
+        # composition: fuzzy pairs -> connected components -> canonical id
+        # (levenshtein pairs + reachability recursive-CTE oracle)
         "orders_schema_drift": q_orders_schema_drift,  # infer -> compile
         # -> validate-the-future drift gate (bounds-CTE recompute oracle)
         "orders_winsorized": q_orders_winsorized,  # exact-quantile clip
@@ -4456,6 +4479,23 @@ def oracle_sql() -> dict[str, str]:
             "AND abs(length(a.c_name) - length(b.c_name)) <= 1 "
             "AND levenshtein(a.c_name, b.c_name) <= 1 "
             "ORDER BY id_a, id_b"
+        ),
+        # entity resolution: ed<=1 levenshtein pairs -> reachability CTE
+        # (same component-min convention as minhash_clusters)
+        "customer_entities": (
+            "WITH RECURSIVE pairs AS ("
+            "SELECT a.c_custkey AS id_a, b.c_custkey AS id_b "
+            "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey "
+            "AND abs(length(a.c_name) - length(b.c_name)) <= 1 "
+            "AND levenshtein(a.c_name, b.c_name) <= 1"
+            "), edges AS (SELECT id_a AS u, id_b AS v FROM pairs "
+            "UNION ALL SELECT id_b, id_a FROM pairs"
+            "), reach(node, r) AS ("
+            "SELECT u, u FROM edges "
+            "UNION "
+            "SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node"
+            ") SELECT node AS c_custkey, CAST(min(r) AS BIGINT) "
+            "AS entity_id FROM reach GROUP BY node ORDER BY 1"
         ),
         # exact ntile: ties broken by the key, same as the engine
         "orders_ntile": (
