@@ -3541,6 +3541,111 @@ def q_clips_audio_augment(sf_dir: str) -> pd.DataFrame:
                               / max(n_reg, 1), 4)}])
 
 
+def q_clips_audio_spectral(sf_dir: str) -> pd.DataFrame:
+    """Spectral curation gates (stages/audio.AudioSpectralStage):
+    flatness / rolloff / centroid / bandwidth / crest per clip.
+    Rows-only: FFT isn't SQL-expressible — self-checks the centroid
+    against datagen's closed-form tone table (pure tones: centroid ≈ f0,
+    flatness ≈ 0) and reports the hit fraction."""
+    from gojsonschema_ray import datagen
+    from gojsonschema_ray.stages.audio import AudioSpectralStage
+    from gojsonschema_ray.util import collect_rows
+
+    ds = datagen.clips_dataset(5_000, audio_cap_ms=60, override_num_blocks=8)
+    feats = ds.map_batches(AudioSpectralStage, batch_size=256,
+                           batch_format="pyarrow", concurrency=(1, 4))
+
+    def partial(t: pa.Table) -> pa.Table:
+        ok = pc.fill_null(t["decode_ok"], False).to_numpy(
+            zero_copy_only=False)
+        ids = t["clip_id"].to_pylist()
+        cent = t["centroid_hz"].to_numpy(zero_copy_only=False)
+        flat = t["flatness"].to_numpy(zero_copy_only=False)
+        n_reg = n_hit = 0
+        for i, cid in enumerate(ids):
+            if not (ok[i] and cid.startswith("clip-0")
+                    and np.isfinite(cent[i])):
+                continue
+            row = int(cid.split("-")[1])
+            if row % 1013 == 0:
+                continue
+            f = datagen.clip_frequency(row)
+            n_reg += 1
+            n_hit += bool(abs(float(cent[i]) - f) / f < 0.05
+                          and float(flat[i]) < 0.05)
+        return pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "n_bad": pa.array([t.num_rows - int(ok.sum())], pa.int64()),
+            "n_reg": pa.array([n_reg], pa.int64()),
+            "n_hit": pa.array([n_hit], pa.int64())})
+
+    rows = collect_rows(feats.map_batches(partial, batch_format="pyarrow"))
+    n_reg = sum(r["n_reg"] for r in rows)
+    return pd.DataFrame([{
+        "n_clips": sum(r["n"] for r in rows),
+        "n_bad": sum(r["n_bad"] for r in rows),
+        "n_checked": n_reg,
+        "tone_hit_frac": round(sum(r["n_hit"] for r in rows)
+                               / max(n_reg, 1), 4)}])
+
+
+def q_clips_audio_clusters(sf_dir: str) -> pd.DataFrame:
+    """Audio clustering composition (the speaker/content-bucketing
+    pattern): LogMelStage embeddings → distributed Lloyd k-means
+    (stages/similarity.kmeans_fit) → streaming cluster assignment.
+    Rows-only: iterative fitting isn't SQL-expressible — self-checks
+    that clusters are FREQUENCY-COHERENT (datagen clips are pure tones;
+    a cluster's member tone frequencies should span a narrow band, far
+    below the 399 Hz corpus span) and that inertia is non-increasing."""
+    from gojsonschema_ray import datagen
+    from gojsonschema_ray.stages.audio import LogMelStage
+    from gojsonschema_ray.stages.similarity import kmeans_fit
+    from gojsonschema_ray.util import collect_rows
+
+    def make_mels():
+        ds = datagen.clips_dataset(5_000, audio_cap_ms=60,
+                                   override_num_blocks=8)
+        # fixed 50-600 Hz physical band => sample-rate-invariant bins
+        # (datagen mixes five sample rates; without fmax the same tone
+        # lands in different mel bins per rate and clusters smear)
+        mels = ds.map_batches(
+            LogMelStage,
+            fn_constructor_kwargs={"n_fft": 512, "hop": 256, "n_mels": 16,
+                                   "fmin": 50.0, "fmax": 600.0},
+            batch_size=256, batch_format="pyarrow", concurrency=(1, 4))
+        return mels.filter(
+            lambda r: bool(r["decode_ok"]) and r["mel"] is not None)
+
+    model = kmeans_fit(make_mels, "mel", k=8, iters=6, seed=7)
+    assigned = make_mels().map_batches(model.assign_stage("mel"),
+                                       batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["clip_id"].to_pylist()
+        cl = t["cluster"].to_numpy(zero_copy_only=False)
+        ks, fs = [], []
+        for i, cid in enumerate(ids):
+            if cid.startswith("clip-0"):
+                ks.append(int(cl[i]))
+                fs.append(datagen.clip_frequency(int(cid.split("-")[1])))
+        return pa.table({"cluster": pa.array(ks, pa.int32()),
+                         "freq": pa.array(fs, pa.float64())})
+
+    rows = collect_rows(assigned.map_batches(partial,
+                                             batch_format="pyarrow"))
+    freqs: dict[int, list] = {}
+    for r in rows:
+        freqs.setdefault(r["cluster"], []).append(r["freq"])
+    spans = [max(v) - min(v) for v in freqs.values()]
+    hist = model.inertia_history
+    return pd.DataFrame([{
+        "n_assigned": len(rows),
+        "n_clusters_used": len(freqs),
+        "mean_freq_span_hz": round(float(np.mean(spans)), 2),
+        "inertia_monotone": bool(all(b <= a * (1 + 1e-9) for a, b
+                                     in zip(hist, hist[1:])))}])
+
+
 def entry() -> Any:
     """Flagship smoke on sf0.001: constraint validation over lineitem +
     documents + uniqueness on events, one violations summary Dataset."""
@@ -3810,6 +3915,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clips_audio_augment": q_clips_audio_augment,  # rows-only: seeded
         # noise synthesis isn't SQL-expressible (self-checks achieved SNR
         # against the closed-form clean signal, ±0.5 dB)
+        "clips_audio_spectral": q_clips_audio_spectral,  # rows-only: FFT
+        # isn't SQL-expressible (self-checks centroid vs the closed-form
+        # tone table; flatness/rolloff goldens in tests)
+        "clips_audio_clusters": q_clips_audio_clusters,  # rows-only:
+        # iterative k-means isn't SQL-expressible (frequency-coherence
+        # self-check + non-increasing inertia)
     }
 
 

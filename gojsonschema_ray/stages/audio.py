@@ -1259,17 +1259,19 @@ class LogMelStage:
     Decode failures degrade to decode_ok=False rows."""
 
     def __init__(self, n_fft: int = 128, hop: int = 64, n_mels: int = 16,
-                 fmin: float = 0.0):
+                 fmin: float = 0.0, fmax: float | None = None):
         if n_fft <= 0 or hop <= 0 or n_mels <= 0:
             raise ValueError(
                 f"LogMelStage: n_fft={n_fft} hop={hop} n_mels={n_mels}")
         self.n_fft, self.hop, self.n_mels, self.fmin = n_fft, hop, n_mels, fmin
+        self.fmax = fmax  # fixed physical band => sr-invariant bins
         self._fb: dict[int, np.ndarray] = {}
 
     def _bank(self, sr: int) -> np.ndarray:
         fb = self._fb.get(sr)
         if fb is None:
-            fb = mel_filterbank(sr, self.n_fft, self.n_mels, self.fmin)
+            fb = mel_filterbank(sr, self.n_fft, self.n_mels, self.fmin,
+                                self.fmax)
             self._fb[sr] = fb
         return fb
 
@@ -1350,11 +1352,13 @@ class MfccStage:
     decode_ok=False rows (module error contract)."""
 
     def __init__(self, n_fft: int = 128, hop: int = 64, n_mels: int = 24,
-                 n_mfcc: int = 13, fmin: float = 0.0):
+                 n_mfcc: int = 13, fmin: float = 0.0,
+                 fmax: float | None = None):
         if not (0 < n_mfcc <= n_mels) or n_fft <= 0 or hop <= 0:
             raise ValueError(f"MfccStage: n_fft={n_fft} hop={hop} "
                              f"n_mels={n_mels} n_mfcc={n_mfcc}")
         self.n_fft, self.hop, self.fmin = n_fft, hop, fmin
+        self.fmax = fmax  # fixed physical band => sr-invariant bins
         self.n_mels, self.n_mfcc = n_mels, n_mfcc
         self._fb: dict[int, np.ndarray] = {}
         self._dct = dct_ortho(n_mfcc, n_mels)
@@ -1362,7 +1366,8 @@ class MfccStage:
     def _bank(self, sr: int) -> np.ndarray:
         fb = self._fb.get(sr)
         if fb is None:
-            fb = mel_filterbank(sr, self.n_fft, self.n_mels, self.fmin)
+            fb = mel_filterbank(sr, self.n_fft, self.n_mels, self.fmin,
+                                self.fmax)
             self._fb[sr] = fb
         return fb
 
@@ -1577,3 +1582,77 @@ class AudioAugmentStage:
             for idx in range(self.copies):
                 rows.append(self._one(pcm, sr, cid, idx))
         return pa.Table.from_pylist(rows, schema=AUGMENT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# spectral descriptors — tonality / noisiness gates beyond pcm_features
+# ---------------------------------------------------------------------------
+def spectral_descriptors(pcm: np.ndarray, sr: int) -> dict | None:
+    """Whole-clip spectral shape over the power rFFT (DC excluded) — the
+    noise/tonality gating signals of an audio curation pipeline:
+    flatness (geometric/arithmetic power mean, →1 for white noise, →0
+    for a pure tone), rolloff_hz (85% cumulative-energy frequency),
+    centroid_hz / bandwidth_hz (power-weighted mean / std of frequency),
+    crest (peak/mean power). One float64 copy + one rFFT; returns None
+    for clips shorter than 4 samples or with zero spectral mass."""
+    n = len(pcm)
+    if n < 4:
+        return None
+    x = pcm.astype(np.float64)
+    x -= x.mean()
+    p = np.abs(np.fft.rfft(x)) ** 2
+    p = p[1:]  # drop DC
+    freqs = np.fft.rfftfreq(n, d=1.0 / sr)[1:]
+    mass = float(p.sum())
+    if mass <= 0:
+        return None
+    am = mass / len(p)
+    flat = float(np.exp(np.mean(np.log(p + 1e-30))) / am)
+    cum = np.cumsum(p)
+    roll = float(freqs[int(np.searchsorted(cum, 0.85 * mass))])
+    cent = float((freqs * p).sum() / mass)
+    bw = float(np.sqrt(((freqs - cent) ** 2 * p).sum() / mass))
+    crest = float(p.max() / am)
+    return {"flatness": flat, "rolloff_hz": roll, "centroid_hz": cent,
+            "bandwidth_hz": bw, "crest": crest}
+
+
+SPECTRAL_SCHEMA = pa.schema([
+    ("clip_id", pa.string()),
+    ("decode_ok", pa.bool_()),
+    ("sr_hz", pa.int64()),
+    ("n_samples", pa.int64()),
+    ("flatness", pa.float64()),
+    ("rolloff_hz", pa.float64()),
+    ("centroid_hz", pa.float64()),
+    ("bandwidth_hz", pa.float64()),
+    ("crest", pa.float64()),
+])
+
+
+class AudioSpectralStage:
+    """Actor-pool map_batches payload: decode + spectral descriptors per
+    clip (flatness / rolloff / centroid / bandwidth / crest) — the
+    tonality-vs-noise curation gate complementing pcm_features' RMS and
+    clipping signals. Stateless beyond the decoder table; one rFFT per
+    clip. Decode failures and too-short clips degrade to
+    decode_ok=False / null-descriptor rows."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for _, cid, sr, pcm in decoded_pcm_rows(batch):
+            if pcm is None:
+                rows.append({"clip_id": cid, "decode_ok": False,
+                             "sr_hz": None, "n_samples": None,
+                             "flatness": None, "rolloff_hz": None,
+                             "centroid_hz": None, "bandwidth_hz": None,
+                             "crest": None})
+                continue
+            d = spectral_descriptors(pcm, sr)
+            rows.append({"clip_id": cid, "decode_ok": True, "sr_hz": sr,
+                         "n_samples": int(len(pcm)),
+                         **(d if d is not None else
+                            {"flatness": None, "rolloff_hz": None,
+                             "centroid_hz": None, "bandwidth_hz": None,
+                             "crest": None})})
+        return pa.Table.from_pylist(rows, schema=SPECTRAL_SCHEMA)

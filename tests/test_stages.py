@@ -4129,3 +4129,55 @@ def test_cusum_by_key(ray_session):
     with pytest.raises(ValueError, match="reserved"):
         cusum_by_key(rd.from_pandas(df.rename(columns={"v": "alarm"})),
                      "k", "t", "alarm", target=10.0)
+
+
+def test_spectral_descriptors_and_stage(ray_session):
+    """Closed-form spectral goldens: a pure tone reads flatness→0,
+    rolloff=centroid=f0, tiny bandwidth, huge crest; white noise reads
+    high flatness, rolloff≈0.85·Nyquist; short/corrupt rows degrade."""
+    import pyarrow as pa
+    from gojsonschema_ray import datagen
+    from gojsonschema_ray.stages.audio import (AudioSpectralStage,
+                                               spectral_descriptors)
+    from gojsonschema_ray.util import collect_rows
+
+    sr = 16000
+    t = np.arange(sr // 2) / sr
+    sine = (8000 * np.sin(2 * np.pi * 440 * t)).astype(np.int16)
+    rng = np.random.default_rng(0)
+    noise = rng.integers(-8000, 8000, sr // 2).astype(np.int16)
+
+    d = spectral_descriptors(sine, sr)
+    assert d["flatness"] < 1e-3
+    assert abs(d["rolloff_hz"] - 440.0) < 2 * sr / len(sine)
+    assert abs(d["centroid_hz"] - 440.0) < 1.0
+    assert d["bandwidth_hz"] < 5.0 and d["crest"] > 100.0
+
+    dn = spectral_descriptors(noise, sr)
+    assert dn["flatness"] > 0.3
+    assert abs(dn["rolloff_hz"] - 0.85 * sr / 2) < 0.05 * sr / 2
+    assert dn["bandwidth_hz"] > 1000.0 and dn["crest"] < 100.0
+    assert spectral_descriptors(np.zeros(2, np.int16), sr) is None
+    assert spectral_descriptors(np.zeros(100, np.int16), sr) is None
+
+    ds = datagen.clips_dataset(300, audio_cap_ms=60, override_num_blocks=2)
+    rows = collect_rows(ds.map_batches(AudioSpectralStage, batch_size=64,
+                                       batch_format="pyarrow",
+                                       concurrency=(1, 2)))
+    assert len(rows) == 300
+    ok = [r for r in rows if r["decode_ok"] and r["flatness"] is not None]
+    assert len(ok) > 250
+    # datagen clips are pure tones: centroid recovers the generator freq
+    hits = total = 0
+    for r in ok:
+        if not r["clip_id"].startswith("clip-0"):
+            continue
+        i = int(r["clip_id"].split("-")[1])
+        if i % 1013 == 0:
+            continue
+        f = datagen.clip_frequency(i)
+        total += 1
+        hits += abs(r["centroid_hz"] - f) / f < 0.05 and r["flatness"] < 0.05
+    assert total > 200 and hits / total > 0.95
+    bad = [r for r in rows if not r["decode_ok"]]
+    assert bad and all(r["flatness"] is None for r in bad)
