@@ -34,6 +34,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions import g711
+
 
 class CodecUnavailable(Exception):
     pass
@@ -59,6 +61,20 @@ def _decode_wav_ignore_sr(blob: bytes, sr: int) -> tuple[np.ndarray, int]:
     """decode_wav under the (blob, sr) dispatch arity — module-level (not a
     lambda) so stage instances stay picklable end-to-end."""
     return decode_wav(blob)
+
+
+def base_decoders() -> dict:
+    """The shared codec -> (blob, sr) -> (pcm, sr) dispatch table every
+    audio stage starts from: container WAV, raw s16le, and the G.711
+    telephony pair (mu-law / A-law, exact ITU integer decode via 256-entry
+    LUTs — functions/g711.py). Returned fresh so a stage can extend its
+    own copy without leaking decoders into siblings."""
+    return {
+        "wav": _decode_wav_ignore_sr,
+        "pcm_s16le": decode_raw_s16le,
+        "ulaw": g711.decode_ulaw,
+        "alaw": g711.decode_alaw,
+    }
 
 
 def _i16_view(b: np.ndarray, off: int, nbytes: int) -> np.ndarray:
@@ -389,10 +405,7 @@ class AudioInvariantChecker:
         self.snr_db = snr_db
         self.audio_cap_ms = audio_cap_ms
         self.check_transcript = check_transcript
-        self.decoders = {
-            "wav": _decode_wav_ignore_sr,
-            "pcm_s16le": decode_raw_s16le,
-        }
+        self.decoders = base_decoders()
 
     def _length_checked(self, clip_id, pcm, sr, dur_ms, out):
         expected_n = int(sr * min(dur_ms, self.audio_cap_ms) / 1000) \
@@ -574,10 +587,7 @@ class AudioFeatureStage:
 
     def __init__(self, audio_cap_ms: int | None = None):
         self.audio_cap_ms = audio_cap_ms
-        self.decoders = {
-            "wav": _decode_wav_ignore_sr,
-            "pcm_s16le": decode_raw_s16le,
-        }
+        self.decoders = base_decoders()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["clip_id"].to_pylist()
@@ -719,18 +729,21 @@ class AudioTransformStage:
     def __init__(self, target_sr: int | None = None,
                  target_dbfs: float | None = None, gain_mode: str = "peak",
                  trim_threshold_dbfs: float | None = None,
-                 frame_ms: int = 10):
+                 frame_ms: int = 10, target_codec: str = "pcm_s16le"):
         if target_sr is not None and target_sr <= 0:
             raise ValueError(f"AudioTransformStage: target_sr={target_sr}")
+        if target_codec != "pcm_s16le" \
+                and target_codec not in g711.G711_ENCODERS:
+            raise ValueError(
+                f"AudioTransformStage: target_codec={target_codec!r} "
+                "(pcm_s16le, ulaw, alaw)")
+        self.target_codec = target_codec
         self.target_sr = target_sr
         self.target_dbfs = target_dbfs
         self.gain_mode = gain_mode
         self.trim_threshold_dbfs = trim_threshold_dbfs
         self.frame_ms = frame_ms
-        self.decoders = {
-            "wav": _decode_wav_ignore_sr,
-            "pcm_s16le": decode_raw_s16le,
-        }
+        self.decoders = base_decoders()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["clip_id"].to_pylist()
@@ -785,8 +798,10 @@ class AudioTransformStage:
                 "gain_db": gain_db,
                 "lead_trim_ms": lead * self.frame_ms,
                 "trail_trim_ms": trail * self.frame_ms,
-                "codec": "pcm_s16le",
-                "bytes": np.ascontiguousarray(pcm).tobytes(),
+                "codec": self.target_codec,
+                "bytes": g711.G711_ENCODERS[self.target_codec](pcm).tobytes()
+                if self.target_codec != "pcm_s16le"
+                else np.ascontiguousarray(pcm).tobytes(),
             })
         return pa.Table.from_pylist(rows, schema=TRANSFORM_SCHEMA)
 
@@ -834,10 +849,7 @@ class AudioFingerprintStage:
 
     def __init__(self, frames: int = 33):
         self.frames = frames
-        self.decoders = {
-            "wav": _decode_wav_ignore_sr,
-            "pcm_s16le": decode_raw_s16le,
-        }
+        self.decoders = base_decoders()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["clip_id"].to_pylist()
@@ -1010,10 +1022,7 @@ class AudioActivityStage:
         self.frame_ms = frame_ms
         self.threshold_dbfs = threshold_dbfs
         self.hang_frames = hang_frames
-        self.decoders = {
-            "wav": _decode_wav_ignore_sr,
-            "pcm_s16le": decode_raw_s16le,
-        }
+        self.decoders = base_decoders()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["clip_id"].to_pylist()
@@ -1072,7 +1081,7 @@ def decoded_pcm_rows(batch: pa.Table):
     codecs = batch["codec"].to_pylist()
     views = binary_column_views(batch["bytes"])
     blobs = batch["bytes"].to_pylist() if views is None else None
-    decoders = {"wav": _decode_wav_ignore_sr, "pcm_s16le": decode_raw_s16le}
+    decoders = base_decoders()
     for i, (cid, sr, codec) in enumerate(zip(ids, srs, codecs)):
         dec = decoders.get(codec)
         null = views[2][i] if views is not None else blobs[i] is None
