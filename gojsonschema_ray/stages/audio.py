@@ -632,10 +632,10 @@ class AudioFeatureStage:
 # audio TRANSFORMS — resample / normalize / trim (pure numpy, no codecs)
 # ---------------------------------------------------------------------------
 def resample_linear(pcm: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
-    """Linear-interpolation resampler over int16 PCM (the dependency-free
-    baseline every audio pipeline needs for mixed-rate corpora; swap in a
-    polyphase/sinc kernel behind the same signature when scipy is
-    available). Output length = round(n * sr_out / sr_in); sample t of the
+    """Linear-interpolation resampler over int16 PCM (the cheap baseline
+    for mixed-rate corpora; `resample_sinc` below is the quality path
+    behind the same signature). Output length = round(n * sr_out / sr_in);
+    sample t of the
     output reads input position t * sr_in / sr_out (np.interp — one
     vectorized pass, no sample-level Python). Deterministic."""
     if sr_in <= 0 or sr_out <= 0:
@@ -650,6 +650,65 @@ def resample_linear(pcm: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
     y = np.interp(pos, np.arange(n, dtype=np.float64),
                   pcm.astype(np.float64))
     return np.clip(np.rint(y), -32768, 32767).astype(np.int16)
+
+
+def _kaiser(x: np.ndarray, half_width: float, beta: float) -> np.ndarray:
+    """Kaiser window evaluated at arbitrary offsets `x` (samples from the
+    filter center), zero outside ±half_width. np.i0 is the vectorized
+    modified Bessel I0 — no scipy needed."""
+    r = x / half_width
+    inside = np.abs(r) < 1.0
+    w = np.zeros_like(x)
+    w[inside] = np.i0(beta * np.sqrt(1.0 - r[inside] ** 2)) / np.i0(beta)
+    return w
+
+
+def resample_sinc(pcm: np.ndarray, sr_in: int, sr_out: int, *,
+                  num_zeros: int = 16, beta: float = 8.6,
+                  rolloff: float = 0.945) -> np.ndarray:
+    """Kaiser windowed-sinc resampler — the QUALITY path next to
+    `resample_linear` (same length contract: out_n = round(n*sr_out/sr_in)).
+
+    Direct-form polyphase evaluation: each output sample at fractional
+    input position p sums 2*num_zeros neighbouring inputs weighted by
+    cutoff*sinc(cutoff*(k-frac))*kaiser(k-frac), with cutoff =
+    rolloff*min(1, ratio) so downsampling low-passes below the TARGET
+    Nyquist (alias suppression ~ -90 dB at beta 8.6; linear interpolation
+    has none). Fully vectorized: one (out_n, 2*num_zeros) gather + weight
+    matrix per chunk, no per-sample Python; chunked so the float64
+    temporaries stay bounded per the module's memory discipline
+    (CLAUDE.md invariant 7: bound temporaries on this VM).
+
+    Deterministic; zero-padded edges (first/last ~num_zeros samples carry
+    the usual transient)."""
+    if sr_in <= 0 or sr_out <= 0:
+        raise ValueError(f"resample_sinc: bad rates {sr_in}->{sr_out}")
+    n = len(pcm)
+    if n == 0 or sr_in == sr_out:
+        return pcm
+    out_n = int(round(n * sr_out / sr_in))
+    if out_n == 0:
+        return pcm[:0]
+    ratio = sr_out / sr_in
+    cutoff = rolloff * min(1.0, ratio)
+    half = num_zeros / cutoff          # filter half-width in input samples
+    k_lo, k_hi = int(np.floor(-half)) + 1, int(np.ceil(half))
+    taps = np.arange(k_lo, k_hi + 1, dtype=np.float64)
+    pad = int(np.ceil(half)) + 1
+    xf = np.zeros(n + 2 * pad, dtype=np.float64)
+    xf[pad:pad + n] = pcm
+    out = np.empty(out_n, dtype=np.float64)
+    step = max(1, int(2_000_000 / max(len(taps), 1)))   # ~16 MB f64 temps
+    for lo in range(0, out_n, step):
+        hi = min(lo + step, out_n)
+        pos = np.arange(lo, hi, dtype=np.float64) * (sr_in / sr_out)
+        i0 = np.floor(pos)
+        frac = (pos - i0)[:, None]
+        off = taps[None, :] - frac                  # offsets from center
+        w = cutoff * np.sinc(cutoff * off) * _kaiser(off, half, beta)
+        idx = i0.astype(np.int64)[:, None] + taps.astype(np.int64)[None, :]
+        out[lo:hi] = np.einsum("ij,ij->i", xf[idx + pad], w)
+    return np.clip(np.rint(out), -32768, 32767).astype(np.int16)
 
 
 def normalize_gain(pcm: np.ndarray, target_dbfs: float = -3.0,
@@ -729,9 +788,14 @@ class AudioTransformStage:
     def __init__(self, target_sr: int | None = None,
                  target_dbfs: float | None = None, gain_mode: str = "peak",
                  trim_threshold_dbfs: float | None = None,
-                 frame_ms: int = 10, target_codec: str = "pcm_s16le"):
+                 frame_ms: int = 10, target_codec: str = "pcm_s16le",
+                 resampler: str = "linear"):
         if target_sr is not None and target_sr <= 0:
             raise ValueError(f"AudioTransformStage: target_sr={target_sr}")
+        if resampler not in ("linear", "sinc"):
+            raise ValueError(f"AudioTransformStage: resampler={resampler!r}")
+        self.resample = resample_linear if resampler == "linear" \
+            else resample_sinc
         if target_codec != "pcm_s16le" \
                 and target_codec not in g711.G711_ENCODERS:
             raise ValueError(
@@ -786,7 +850,7 @@ class AudioTransformStage:
                 pcm, lead, trail = trim_silence(
                     pcm, cur_sr, self.trim_threshold_dbfs, self.frame_ms)
             if self.target_sr is not None and cur_sr != self.target_sr:
-                pcm = resample_linear(pcm, cur_sr, self.target_sr)
+                pcm = self.resample(pcm, cur_sr, self.target_sr)
                 cur_sr = self.target_sr
             gain_db = 0.0
             if self.target_dbfs is not None:

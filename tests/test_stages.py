@@ -1887,6 +1887,75 @@ def test_resample_linear_sine_closed_form():
                          - pcm.astype(np.float64))) < 60
 
 
+def test_resample_sinc_quality():
+    """The Kaiser windowed-sinc path: ~90 dB passband SNR both directions
+    (vs ~40 dB for linear), total alias suppression when downsampling a
+    tone above the target Nyquist, exact DC, same length contract."""
+    from gojsonschema_ray.stages.audio import resample_linear, resample_sinc
+
+    def snr_db(ref, got):
+        e = ref.astype(np.float64) - got.astype(np.float64)
+        return 10 * np.log10(np.sum(ref.astype(np.float64) ** 2)
+                             / max(np.sum(e * e), 1e-12))
+
+    t1 = np.arange(8000) / 8000.0
+    x1 = np.rint(0.4 * 32767 * np.sin(2 * np.pi * 440 * t1)).astype(np.int16)
+    up = resample_sinc(x1, 8000, 16000)
+    assert len(up) == 16000
+    ref = np.rint(0.4 * 32767 * np.sin(
+        2 * np.pi * 440 * np.arange(16000) / 16000.0)).astype(np.int16)
+    m = slice(200, -200)  # edge transients carry the filter half-width
+    assert snr_db(ref[m], up[m]) > 80.0
+    assert snr_db(ref[m], resample_linear(x1, 8000, 16000)[m]) < 45.0
+    # 7 kHz tone at 16 kHz folds to 1 kHz under naive 2:1 decimation;
+    # the sinc path low-passes it below the noise floor
+    x = np.rint(0.4 * 32767 * np.sin(
+        2 * np.pi * 7000 * np.arange(16000) / 16000.0)).astype(np.int16)
+    dn = resample_sinc(x, 16000, 8000)
+    assert len(dn) == 8000
+    assert float(np.sqrt(np.mean(dn[m].astype(np.float64) ** 2))) < 2.0
+    assert float(np.sqrt(np.mean(
+        resample_linear(x, 16000, 8000)[m].astype(np.float64) ** 2))) > 1000.0
+    # DC exact in the interior; identity rate returns the input object
+    dc = np.full(4000, 1000, dtype=np.int16)
+    out = resample_sinc(dc, 8000, 16000)
+    assert out[100:-100].min() == 1000 and out[100:-100].max() == 1000
+    assert resample_sinc(x1, 8000, 8000) is x1
+    assert len(resample_sinc(x1[:0], 8000, 16000)) == 0
+
+
+def test_transform_stage_sinc_resampler(ray_session):
+    """resampler='sinc' through the actor-pool stage beats the linear
+    path's SNR on a real upsample."""
+    import pyarrow as pa
+    import ray
+
+    from gojsonschema_ray.stages.audio import AudioTransformStage
+    from gojsonschema_ray.util import collect_rows
+
+    sr, n = 8000, 8000
+    tone = np.rint(0.4 * 32767 * np.sin(
+        2 * np.pi * 440 * np.arange(n) / sr)).astype(np.int16)
+    tbl = pa.table({
+        "clip_id": ["c1"], "bytes": [tone.tobytes()],
+        "sr_hz": pa.array([sr], pa.int32()),
+        "dur_ms": pa.array([1000], pa.int32()),
+        "codec": ["pcm_s16le"], "transcript": [""],
+    })
+    ref = 0.4 * 32767 * np.sin(2 * np.pi * 440 * np.arange(16000) / 16000.0)
+    got = {}
+    for rs in ("linear", "sinc"):
+        (row,) = collect_rows(ray.data.from_arrow(tbl).map_batches(
+            AudioTransformStage,
+            fn_constructor_kwargs=dict(target_sr=16000, resampler=rs),
+            batch_format="pyarrow", concurrency=(1, 1)))
+        pcm = np.frombuffer(row["bytes"], dtype="<i2").astype(np.float64)
+        got[rs] = float(np.sqrt(np.mean((pcm - ref)[200:-200] ** 2)))
+    assert got["sinc"] < got["linear"] / 50.0
+    with pytest.raises(ValueError, match="resampler"):
+        AudioTransformStage(resampler="cubic")
+
+
 def test_normalize_gain_closed_form():
     from gojsonschema_ray.stages.audio import normalize_gain
 
