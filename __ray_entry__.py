@@ -2842,6 +2842,24 @@ def q_events_rollup(sf_dir: str) -> pd.DataFrame:
                          ["event_type", "h"])
 
 
+def q_events_cube(sf_dir: str) -> pd.DataFrame:
+    """Full-lattice counts (stages/sketches.cube_counts): GROUP BY
+    CUBE(event_type, hour) — same combiner-first hash(event_type)
+    exchange as rollup; grouping sets retaining event_type finalize
+    in-partition, the event_type-rolled partials merge in one bounded
+    driver fold. grouping_id follows SQL GROUPING_ID (MSB = first col)."""
+    from gojsonschema_ray.stages.sketches import cube_counts
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def add_hour(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"],
+                         "h": pc.cast(pc.hour(t["ts"]), pa.int64())})
+
+    return cube_counts(ds.map_batches(add_hour, batch_format="pyarrow"),
+                       ["event_type", "h"])
+
+
 def q_documents_balanced(sf_dir: str) -> Any:
     """Balanced per-class sample (stages/sampling.grouped_sample_k):
     exactly min(50, n) documents per language by lowest membership hash —
@@ -3744,6 +3762,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # length (islands-and-gaps; lag/cummax island-idiom oracle)
         "events_rollup": q_events_rollup,  # GROUP BY ROLLUP counts
         # (hierarchical aggregate; native ROLLUP + grouping() oracle)
+        "events_cube": q_events_cube,  # GROUP BY CUBE counts (full
+        # grouping lattice; native CUBE + grouping_id oracle)
         "documents_balanced": q_documents_balanced,  # per-class capped
         # sample (balancing family; QUALIFY row_number oracle)
         "orders_benford": q_orders_benford,  # Benford first-digit audit
@@ -4917,6 +4937,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n "
             "FROM (SELECT event_type, hour(ts) AS h FROM events) "
             "GROUP BY ROLLUP(event_type, h) ORDER BY 3, 1, 2"
+        ),
+        "events_cube": (
+            "SELECT event_type, h, CAST(grouping(event_type)*2 "
+            "+ grouping(h) AS BIGINT) AS grouping_id, "
+            "CAST(count(*) AS BIGINT) AS n "
+            "FROM (SELECT event_type, hour(ts) AS h FROM events) "
+            "GROUP BY CUBE(event_type, h) ORDER BY 3, 1, 2"
         ),
         # per-source Knuth thresholds: hi = round(rate * 2^32) ->
         # 0.8: 3435973837, 0.5: 2147483648, 0.25: 1073741824; salts

@@ -1245,6 +1245,91 @@ def rollup_counts(ds, columns: list):
     return pd.concat([out, grand], ignore_index=True)
 
 
+def cube_counts(ds, columns: list):
+    """Full-lattice grouped counts — SQL ``GROUP BY CUBE(c1, .., ck)``:
+    one count row per group for EVERY subset of the grouping columns
+    (2^k grouping sets, incl. the grand total). Rolled-up columns come
+    back as null; `grouping_id` follows SQL GROUPING_ID semantics (bit
+    set = column rolled up, MSB = c1), which disambiguates rolled nulls
+    from data nulls.
+
+    Scale shape (rollup_counts' design extended to the lattice): per-batch
+    Arrow group_by partials at the finest level (the combiner — the
+    exchange moves distinct tuples per batch, not rows), ONE hash(c1)
+    coarse exchange, then a vectorized pandas fold per partition computes
+    all 2^k local groupings. Grouping sets that RETAIN c1 finalize inside
+    their partition; sets that roll c1 up are partition-local partials —
+    bounded by P * 2^(k-1) * distinct(c2..ck) rows — merged in one
+    vectorized driver groupby (the bounded-cardinality assumption, same
+    as rollup/pivot; k > 6 is rejected). Returns a pandas DataFrame."""
+    import pandas as pd
+
+    from .dedup import _next_pow2, _shuffle_parts
+
+    if not columns:
+        raise ValueError("cube_counts: need at least one column")
+    if {"n", "grouping_id", "part"} & set(columns):
+        raise ValueError("cube_counts: column names "
+                         "{'n','grouping_id','part'} are reserved")
+    k = len(columns)
+    if k > 6:
+        raise ValueError(f"cube_counts: {k} columns = {2**k} grouping "
+                         "sets; at most 6 supported")
+    P = _next_pow2(_shuffle_parts())
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select(columns).group_by(columns) \
+            .aggregate([([], "count_all")])
+        g = g.rename_columns([*columns, "n"])
+        part = (hash_arrow_array(g[columns[0]]) % np.uint64(P)) \
+            .astype(np.int32)
+        return g.append_column("part", pa.array(part))
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for gid in range(2 ** k):
+            rolled = [columns[i] for i in range(k)
+                      if gid & (1 << (k - 1 - i))]
+            kept = [c for c in columns if c not in rolled]
+            if kept:
+                g = df.groupby(kept, sort=False, dropna=False)["n"] \
+                    .sum().reset_index()
+            else:
+                g = pd.DataFrame({"n": [df["n"].sum()]})
+            for c in rolled:
+                g[c] = np.nan if np.issubdtype(df[c].dtype, np.number) \
+                    else None
+            g["grouping_id"] = np.int64(gid)
+            outs.append(g[[*columns, "grouping_id", "n"]])
+        out = pd.concat(outs, ignore_index=True)
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pyarrow") \
+        .repartition(P).materialize()
+    cube = parts.groupby("part").map_groups(per_part, batch_format="pandas")
+    rows = [b for b in cube.iter_batches(batch_format="pandas")]
+    if not rows:  # empty input: SQL CUBE still emits the () set, count 0
+        return pd.DataFrame(
+            {**{c: pd.Series([None], dtype="object") for c in columns},
+             "grouping_id": pd.Series([2 ** k - 1], dtype="int64"),
+             "n": pd.Series([0], dtype="int64")})
+    out = pd.concat(rows, ignore_index=True)
+    c1_retained = out["grouping_id"] < 2 ** (k - 1)
+    final = out[c1_retained]
+    merged = out[~c1_retained] \
+        .groupby([*columns, "grouping_id"], sort=False, dropna=False,
+                 as_index=False)["n"].sum()
+    merged["n"] = merged["n"].astype("int64")
+    res = pd.concat([final, merged[[*columns, "grouping_id", "n"]]],
+                    ignore_index=True)
+    for c in columns:  # pandas groupby renders None keys as NaN — restore
+        if not np.issubdtype(res[c].dtype, np.number):
+            col = res[c].astype(object)
+            res[c] = col.where(pd.notna(col), None)
+    return res
+
+
 def benford_profile(ds, column: str):
     """First-significant-digit distribution vs Benford's law — the classic
     fabricated-numbers audit for financial/measurement columns. Input must

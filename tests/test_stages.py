@@ -3097,6 +3097,46 @@ def test_rollup_counts(ray_session):
         rollup_counts(rd.from_pandas(df), [])
 
 
+def test_cube_counts(ray_session):
+    """The full 2^k grouping lattice matches a duckdb GROUP BY CUBE
+    (grouping_id = SQL GROUPING_ID, MSB = first column); data nulls stay
+    distinct from rolled nulls; reserved names / k>6 raise."""
+    import duckdb
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.sketches import cube_counts
+
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y", "z"], 600),
+        "b": rng.integers(0, 4, 600).astype("float64"),
+        "c": rng.choice(["p", "q"], 600),
+    })
+    df.loc[rng.choice(600, 40, replace=False), "b"] = np.nan  # data nulls
+    out = cube_counts(rd.from_pandas(df).repartition(4), ["a", "b", "c"])
+    exp = duckdb.sql(
+        "SELECT a, b, c, CAST(grouping(a)*4 + grouping(b)*2 + grouping(c) "
+        "AS BIGINT) AS grouping_id, CAST(count(*) AS BIGINT) AS n "
+        "FROM df GROUP BY CUBE(a, b, c)").df()
+    assert len(out) == len(exp)
+    key = ["grouping_id", "a", "b", "c"]
+    got = out.sort_values(key, na_position="last").reset_index(drop=True)
+    want = exp.sort_values(key, na_position="last").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[[*key, "n"]], want[[*key, "n"]], check_dtype=False)
+    with pytest.raises(ValueError, match="reserved"):
+        cube_counts(rd.from_pandas(df.rename(columns={"b": "n"})),
+                    ["a", "n"])
+    with pytest.raises(ValueError, match="at most 6"):
+        cube_counts(rd.from_pandas(df), list("abcdefg"))
+    # empty input still yields the () grouping set with n=0
+    empty = cube_counts(rd.from_pandas(df.head(0)), ["a", "b"])
+    assert len(empty) == 1 and empty["n"].iloc[0] == 0 \
+        and empty["grouping_id"].iloc[0] == 3
+
+
 def test_grouped_sample_k(ray_session):
     """Per-group exactly min(k, n_g) rows, the k lowest (hash, key); the
     selection equals a pandas reference on the same hash; deterministic
