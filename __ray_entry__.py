@@ -3020,6 +3020,32 @@ def q_documents_index_probe(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def q_documents_bm25_index(sf_dir: str) -> pd.DataFrame:
+    """Persisted inverted-index retrieval (stages/textindex.
+    InvertedTextIndex): build the postings table ONCE as tmod-partitioned
+    hive parquet with doc-length norms denormalized into the rows, then
+    answer the query {hash, vector, window} reading ONLY the tmod
+    partitions those terms hash into — the lexical build-once-search-many
+    path beside IVFIndex / MinHashIndex. Emits the same hash-stable
+    per-(doc, term) contribution rows as documents_bm25, bit-equal to the
+    streaming path (pinned in tests/test_textindex.py)."""
+    import shutil
+
+    from gojsonschema_ray.stages.textindex import InvertedTextIndex
+    from gojsonschema_ray.util import collect_table
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=8)
+    ix_dir = "/tmp/gojsonschema_ray_cache/text_index"
+    shutil.rmtree(ix_dir, ignore_errors=True)
+    idx = InvertedTextIndex("text", "doc_id", mods=16)
+    idx.build(ds, ix_dir)
+    out = collect_table(
+        idx.search_pairs(["hash", "vector", "window"], ix_dir)).to_pandas()
+    out = out[["doc_id", "term", "tf", "dl", "contribution"]]
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values(["doc_id", "term"]).reset_index(drop=True)
+
+
 def q_embeddings_covariance(sf_dir: str) -> pd.DataFrame:
     """One-pass embedding covariance (stages/similarity.
     embedding_covariance): per-batch (n, Σx, XᵀX) moment partials folded
@@ -3778,6 +3804,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # time-weighted mean per key (lead() idiom oracle)
         "embeddings_list_stats": q_embeddings_list_stats,  # per-row array
         # reductions (segmented reduceat; DuckDB list_* oracle)
+        "documents_bm25_index": q_documents_bm25_index,  # persisted
+        # inverted text index (partition-pruned retrieval; the bm25 pair
+        # oracle over a different query)
         "documents_index_probe": q_documents_index_probe,  # persisted LSH
         # index probe — incremental ingest dedup w/ partition-pruned reads
         # (cross-set shingle-join oracle)
@@ -4454,6 +4483,28 @@ def oracle_sql() -> dict[str, str]:
             "stats AS (SELECT count(*) AS n, sum(dl) AS total FROM meta), "
             "tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM toks "
             "WHERE tok IN ('filter', 'merge', 'scan') "
+            "GROUP BY doc_id, tok), "
+            "dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term) "
+            "SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf, "
+            "CAST(meta.dl AS BIGINT) AS dl, "
+            "ln((CAST(stats.n - dfq.df AS DOUBLE) + 0.5) / (dfq.df + 0.5) "
+            "+ 1.0) * (tf.tf * (1.2 + 1.0)) / (tf.tf + 1.2 * (1.0 - 0.75 "
+            "+ 0.75 * (meta.dl / (CAST(stats.total AS DOUBLE) / stats.n)))) "
+            "AS contribution "
+            "FROM tf JOIN meta USING(doc_id) CROSS JOIN stats "
+            "JOIN dfq USING(term) ORDER BY tf.doc_id, tf.term"
+        ),
+        # identical BM25 pair algebra; the indexed path must reproduce
+        # the streaming oracle bit-for-bit on its own query terms
+        "documents_bm25_index": (
+            "WITH base AS (SELECT doc_id, "
+            "string_split_regex(lower(trim(text)), '\\s+') AS arr "
+            "FROM documents WHERE text IS NOT NULL AND trim(text) != ''), "
+            "toks AS (SELECT doc_id, unnest(arr) AS tok FROM base), "
+            "meta AS (SELECT doc_id, len(arr) AS dl FROM base), "
+            "stats AS (SELECT count(*) AS n, sum(dl) AS total FROM meta), "
+            "tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM toks "
+            "WHERE tok IN ('hash', 'vector', 'window') "
             "GROUP BY doc_id, tok), "
             "dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term) "
             "SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf, "
