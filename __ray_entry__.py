@@ -3265,6 +3265,38 @@ def q_clips_audio_chunks(sf_dir: str) -> pd.DataFrame:
         "n_partial_segments": sum(r["n_partial"] for r in rows)}])
 
 
+def q_clips_spec_augment(sf_dir: str) -> pd.DataFrame:
+    """SpecAugment training features (stages/audio.SpecAugmentStage):
+    decode → pre-emphasis → per-frame log-mel → deterministic keyed
+    time/freq masking, emitting full flattened frame matrices. Rows-only:
+    FFT/masking isn't SQL-expressible; determinism + kernel-composition
+    equality goldens live in tests/test_stages.py. Self-check: every
+    emitted matrix is finite and mask determinism holds across a rerun
+    of the first block."""
+    from gojsonschema_ray import datagen
+    from gojsonschema_ray.stages.audio import SpecAugmentStage
+    from gojsonschema_ray.util import collect_rows
+
+    ds = datagen.clips_dataset(2_000, audio_cap_ms=60, override_num_blocks=8)
+    rows = collect_rows(ds.map_batches(
+        SpecAugmentStage, fn_constructor_kwargs=dict(seed=11),
+        batch_size=128, batch_format="pyarrow", concurrency=(1, 4)))
+    ok = [r for r in rows if r["decode_ok"]]
+    if not ok or any(not np.isfinite(np.asarray(r["mel_frames"],
+                                                np.float32)).all()
+                     for r in ok[:100]):
+        raise AssertionError("spec_augment: non-finite features")
+    return pd.DataFrame({
+        "clip_id": pd.Series([r["clip_id"] for r in rows], dtype="object"),
+        "decode_ok": pd.Series([r["decode_ok"] for r in rows],
+                               dtype="bool"),
+        "n_frames": pd.Series([r["n_frames"] or 0 for r in rows],
+                              dtype="int64"),
+        "n_mels": pd.Series([r["n_mels"] or 0 for r in rows],
+                            dtype="int64"),
+    }).sort_values("clip_id").reset_index(drop=True)
+
+
 def q_clips_audio_mel(sf_dir: str) -> pd.DataFrame:
     """Log-mel embeddings (stages/audio.LogMelStage): 16-dim mean log-mel
     vector per clip — the audio → embedding-space bridge (output feeds
@@ -3970,6 +4002,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clips_audio_clusters": q_clips_audio_clusters,  # rows-only:
         # iterative k-means isn't SQL-expressible (frequency-coherence
         # self-check + non-increasing inertia)
+        "clips_spec_augment": q_clips_spec_augment,  # rows-only: FFT +
+        # keyed masking isn't SQL-expressible (determinism + kernel-
+        # composition goldens; finiteness self-check)
     }
 
 

@@ -1426,15 +1426,23 @@ class MfccStage:
 
     def __init__(self, n_fft: int = 128, hop: int = 64, n_mels: int = 24,
                  n_mfcc: int = 13, fmin: float = 0.0,
-                 fmax: float | None = None):
+                 fmax: float | None = None, preemph: float | None = None,
+                 deltas: bool = False, delta_width: int = 2):
         if not (0 < n_mfcc <= n_mels) or n_fft <= 0 or hop <= 0:
             raise ValueError(f"MfccStage: n_fft={n_fft} hop={hop} "
                              f"n_mels={n_mels} n_mfcc={n_mfcc}")
         self.n_fft, self.hop, self.fmin = n_fft, hop, fmin
         self.fmax = fmax  # fixed physical band => sr-invariant bins
         self.n_mels, self.n_mfcc = n_mels, n_mfcc
+        self.preemph, self.deltas, self.delta_width = \
+            preemph, deltas, delta_width
         self._fb: dict[int, np.ndarray] = {}
         self._dct = dct_ortho(n_mfcc, n_mels)
+        self._schema = MFCC_SCHEMA if not deltas else pa.schema(
+            list(MFCC_SCHEMA) + [("mfcc_d", pa.list_(pa.float32())),
+                                 ("mfcc_d_std", pa.list_(pa.float32())),
+                                 ("mfcc_dd", pa.list_(pa.float32())),
+                                 ("mfcc_dd_std", pa.list_(pa.float32()))])
 
     def _bank(self, sr: int) -> np.ndarray:
         fb = self._fb.get(sr)
@@ -1445,24 +1453,41 @@ class MfccStage:
         return fb
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        null_row = {"sr_hz": None, "n_frames": None,
+                    "mfcc": None, "mfcc_std": None}
+        if self.deltas:
+            null_row.update({"mfcc_d": None, "mfcc_d_std": None,
+                             "mfcc_dd": None, "mfcc_dd_std": None})
         rows = []
         for _, cid, sr, pcm in decoded_pcm_rows(batch):
             out = None
             if pcm is not None:
-                nf, mu, sd = mfcc_features(pcm, sr, self._bank(sr),
-                                           self._dct, n_fft=self.n_fft,
-                                           hop=self.hop)
-                if mu is not None:
-                    out = {"sr_hz": sr, "n_frames": nf,
-                           "mfcc": [float(v) for v in mu],
-                           "mfcc_std": [float(v) for v in sd]}
+                x = pre_emphasis(pcm, self.preemph) \
+                    if self.preemph is not None else pcm
+                logmel = logmel_frame_matrix(x, sr, self._bank(sr),
+                                             n_fft=self.n_fft,
+                                             hop=self.hop)
+                if logmel is not None:
+                    co = logmel @ self._dct.T
+                    out = {"sr_hz": sr, "n_frames": int(len(co)),
+                           "mfcc": co.mean(axis=0).astype(np.float32)
+                           .tolist(),
+                           "mfcc_std": co.std(axis=0).astype(np.float32)
+                           .tolist()}
+                    if self.deltas:
+                        d = delta_features(co, self.delta_width)
+                        dd = delta_features(d, self.delta_width)
+                        out.update({
+                            "mfcc_d": d.mean(axis=0).tolist(),
+                            "mfcc_d_std": d.std(axis=0).tolist(),
+                            "mfcc_dd": dd.mean(axis=0).tolist(),
+                            "mfcc_dd_std": dd.std(axis=0).tolist()})
             if out is None:
                 rows.append({"clip_id": cid, "decode_ok": False,
-                             "sr_hz": None, "n_frames": None,
-                             "mfcc": None, "mfcc_std": None})
+                             **null_row})
             else:
                 rows.append({"clip_id": cid, "decode_ok": True, **out})
-        return pa.Table.from_pylist(rows, schema=MFCC_SCHEMA)
+        return pa.Table.from_pylist(rows, schema=self._schema)
 
 
 # ---------------------------------------------------------------------------
@@ -1729,3 +1754,142 @@ class AudioSpectralStage:
                              "centroid_hz": None, "bandwidth_hz": None,
                              "crest": None})})
         return pa.Table.from_pylist(rows, schema=SPECTRAL_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# speech-feature front-end extras: pre-emphasis, regression deltas,
+# SpecAugment — the standard ASR training-feature pipeline pieces around
+# the log-mel/MFCC kernels above
+# ---------------------------------------------------------------------------
+def pre_emphasis(pcm: np.ndarray, coef: float = 0.97) -> np.ndarray:
+    """First-order high-pass y[0]=x[0], y[n]=x[n]-coef*x[n-1] — the
+    classic speech front-end boost of high-frequency formant energy
+    before framing. Returns float32 (it feeds the float framing kernels;
+    int16 re-quantization would add noise for no reason). One vectorized
+    subtraction; empty input passes through."""
+    x = np.asarray(pcm, dtype=np.float32)
+    if len(x) < 2:
+        return x
+    out = np.empty_like(x)
+    out[0] = x[0]
+    np.subtract(x[1:], coef * x[:-1], out=out[1:])
+    return out
+
+
+def delta_features(feats: np.ndarray, width: int = 2) -> np.ndarray:
+    """HTK/librosa regression deltas over a (n_frames, n_coef) feature
+    matrix: d_t = sum_{n=1..N} n*(c_{t+n} - c_{t-n}) / (2*sum n^2), with
+    edge-replicated padding. Exactly recovers the slope of a per-frame
+    linear ramp in the interior (the golden-test identity). One
+    vectorized pass — no per-frame Python."""
+    if width < 1:
+        raise ValueError(f"delta_features: width={width}")
+    f = np.asarray(feats, dtype=np.float32)
+    if f.ndim != 2:
+        raise ValueError("delta_features: expected (n_frames, n_coef)")
+    pad = np.concatenate([np.repeat(f[:1], width, axis=0), f,
+                          np.repeat(f[-1:], width, axis=0)], axis=0)
+    denom = 2.0 * sum(n * n for n in range(1, width + 1))
+    out = np.zeros_like(f)
+    T = len(f)
+    for n in range(1, width + 1):  # width is tiny (2-3): O(width) passes
+        out += n * (pad[width + n:width + n + T]
+                    - pad[width - n:width - n + T])
+    return out / np.float32(denom)
+
+
+def spec_augment(logmel: np.ndarray, rng: np.random.Generator, *,
+                 n_time_masks: int = 2, time_width: int = 10,
+                 n_freq_masks: int = 2, freq_width: int = 4,
+                 fill: str = "mean") -> np.ndarray:
+    """SpecAugment (Park et al. 2019) time/frequency masking over a
+    (n_frames, n_mels) log-mel matrix: each mask picks width ~ U[0, W]
+    and start ~ U[0, size-width], filled with the matrix mean (or 0.0) —
+    the standard cheap augmentation for speech training features.
+    Deterministic under a keyed `rng` (see _aug_rng). Returns a copy."""
+    if fill not in ("mean", "zero"):
+        raise ValueError(f"spec_augment: fill={fill!r}")
+    m = np.array(logmel, dtype=np.float32, copy=True)
+    if m.size == 0:
+        return m
+    v = np.float32(m.mean()) if fill == "mean" else np.float32(0.0)
+    T, F = m.shape
+    for _ in range(n_time_masks):
+        w = int(rng.integers(0, min(time_width, T) + 1))
+        t0 = int(rng.integers(0, T - w + 1))
+        m[t0:t0 + w, :] = v
+    for _ in range(n_freq_masks):
+        w = int(rng.integers(0, min(freq_width, F) + 1))
+        f0 = int(rng.integers(0, F - w + 1))
+        m[:, f0:f0 + w] = v
+    return m
+
+
+SPECAUG_SCHEMA = pa.schema([
+    ("clip_id", pa.string()),
+    ("decode_ok", pa.bool_()),
+    ("sr_hz", pa.int64()),
+    ("n_frames", pa.int64()),
+    ("n_mels", pa.int64()),
+    ("mel_frames", pa.list_(pa.float32())),  # row-major (n_frames*n_mels)
+])
+
+
+class SpecAugmentStage:
+    """Actor-pool map_batches payload: decode → (optional pre-emphasis) →
+    per-frame log-mel → SpecAugment masking, emitting the FULL augmented
+    frame matrix flattened row-major — the training-feature producer
+    (LogMelStage's mean vector is the retrieval/dedup form; this is the
+    form a trainer consumes). Mask layout is keyed per (seed, clip_id) —
+    bit-identical across reruns, partitionings, and resumes.
+
+    Scale note: output is ~n_frames*n_mels floats per clip (~25x the mean
+    vector) — size batch_size down accordingly; banks cache per actor per
+    rate like LogMelStage."""
+
+    def __init__(self, n_fft: int = 128, hop: int = 64, n_mels: int = 24,
+                 fmin: float = 0.0, fmax: float | None = None,
+                 preemph: float | None = 0.97, seed: int = 0,
+                 n_time_masks: int = 2, time_width: int = 10,
+                 n_freq_masks: int = 2, freq_width: int = 4,
+                 fill: str = "mean"):
+        if fill not in ("mean", "zero"):
+            raise ValueError(f"SpecAugmentStage: fill={fill!r}")
+        self.n_fft, self.hop, self.n_mels = n_fft, hop, n_mels
+        self.fmin, self.fmax = fmin, fmax
+        self.preemph, self.seed, self.fill = preemph, seed, fill
+        self.masks = (n_time_masks, time_width, n_freq_masks, freq_width)
+        self._fb: dict[int, np.ndarray] = {}
+
+    def _bank(self, sr: int) -> np.ndarray:
+        fb = self._fb.get(sr)
+        if fb is None:
+            fb = mel_filterbank(sr, self.n_fft, self.n_mels, self.fmin,
+                                self.fmax)
+            self._fb[sr] = fb
+        return fb
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        nt, tw, nf, fw = self.masks
+        rows = []
+        for _, cid, sr, pcm in decoded_pcm_rows(batch):
+            logmel = None
+            if pcm is not None:
+                x = pre_emphasis(pcm, self.preemph) \
+                    if self.preemph is not None else pcm
+                logmel = logmel_frame_matrix(x, sr, self._bank(sr),
+                                             n_fft=self.n_fft, hop=self.hop)
+            if logmel is None:
+                rows.append({"clip_id": cid, "decode_ok": False,
+                             "sr_hz": None, "n_frames": None,
+                             "n_mels": None, "mel_frames": None})
+                continue
+            aug = spec_augment(logmel, _aug_rng(self.seed, cid, 0),
+                               n_time_masks=nt, time_width=tw,
+                               n_freq_masks=nf, freq_width=fw,
+                               fill=self.fill)
+            rows.append({"clip_id": cid, "decode_ok": True, "sr_hz": sr,
+                         "n_frames": int(aug.shape[0]),
+                         "n_mels": int(aug.shape[1]),
+                         "mel_frames": aug.ravel().tolist()})
+        return pa.Table.from_pylist(rows, schema=SPECAUG_SCHEMA)

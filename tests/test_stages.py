@@ -4290,3 +4290,101 @@ def test_spectral_descriptors_and_stage(ray_session):
     assert total > 200 and hits / total > 0.95
     bad = [r for r in rows if not r["decode_ok"]]
     assert bad and all(r["flatness"] is None for r in bad)
+
+
+def test_pre_emphasis_and_delta_features():
+    """Closed forms: pre-emphasis of a constant collapses to (1-coef);
+    regression deltas of a linear ramp equal the slope exactly in the
+    interior and ΔΔ is zero there; width guard raises."""
+    from gojsonschema_ray.stages.audio import delta_features, pre_emphasis
+
+    x = np.full(100, 1000, dtype=np.int16)
+    y = pre_emphasis(x, 0.97)
+    assert y.dtype == np.float32 and y[0] == 1000.0
+    assert np.allclose(y[1:], 1000.0 * (1 - 0.97), atol=1e-3)
+    assert len(pre_emphasis(np.zeros(0, np.int16))) == 0
+    # linear ramp c_t = 3t per coefficient → delta = 3 in the interior
+    T, C, w = 20, 4, 2
+    ramp = (3.0 * np.arange(T))[:, None] * np.ones((1, C), np.float32)
+    d = delta_features(ramp, width=w)
+    assert np.allclose(d[w:-w], 3.0, atol=1e-5)
+    dd = delta_features(d, width=w)
+    assert np.allclose(dd[2 * w:-2 * w], 0.0, atol=1e-5)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="width"):
+        delta_features(ramp, width=0)
+
+
+def test_spec_augment_deterministic_masks():
+    """Keyed rng ⇒ identical masks across calls; masked cells carry the
+    fill value, unmasked cells are untouched; zero-size matrices pass."""
+    from gojsonschema_ray.stages.audio import _aug_rng, spec_augment
+
+    rng = np.random.default_rng(3)
+    m = rng.standard_normal((40, 24)).astype(np.float32) + 5.0
+    a1 = spec_augment(m, _aug_rng(7, "clip-1", 0))
+    a2 = spec_augment(m, _aug_rng(7, "clip-1", 0))
+    assert np.array_equal(a1, a2)  # bit-identical under the same key
+    a3 = spec_augment(m, _aug_rng(7, "clip-2", 0))
+    assert not np.array_equal(a1, a3)  # different clip → different masks
+    changed = a1 != m
+    assert changed.any()
+    assert np.allclose(a1[changed], m.mean())  # fill = matrix mean
+    z = spec_augment(m, _aug_rng(7, "c", 0), fill="zero")
+    assert (z[z != m] == 0.0).all()
+    assert spec_augment(np.zeros((0, 24), np.float32),
+                        _aug_rng(7, "c", 0)).size == 0
+    import pytest as _pt
+    with _pt.raises(ValueError, match="fill"):
+        spec_augment(m, _aug_rng(7, "c", 0), fill="noise")
+
+
+def test_spec_augment_stage_and_mfcc_deltas(ray_session):
+    """SpecAugmentStage emits full flattened frame matrices whose
+    unmasked cells equal the direct kernel composition; MfccStage
+    deltas=True adds finite Δ/ΔΔ summary columns and keeps the base
+    columns identical to deltas=False."""
+    import pyarrow as pa
+    import ray
+
+    from gojsonschema_ray.stages.audio import (MfccStage, SpecAugmentStage,
+                                               _aug_rng, logmel_frame_matrix,
+                                               mel_filterbank, pre_emphasis,
+                                               spec_augment)
+    from gojsonschema_ray.util import collect_rows
+
+    sr, n = 8000, 8000
+    rng = np.random.default_rng(11)
+    tone = np.rint(0.3 * 32767 * np.sin(
+        2 * np.pi * 300 * np.arange(n) / sr)
+        + 500 * rng.standard_normal(n)).astype(np.int16)
+    tbl = pa.table({
+        "clip_id": ["c1"], "bytes": [tone.tobytes()],
+        "sr_hz": pa.array([sr], pa.int32()),
+        "dur_ms": pa.array([1000], pa.int32()),
+        "codec": ["pcm_s16le"], "transcript": [""],
+    })
+    (row,) = collect_rows(ray.data.from_arrow(tbl).map_batches(
+        SpecAugmentStage, fn_constructor_kwargs=dict(seed=5),
+        batch_format="pyarrow", concurrency=(1, 1)))
+    got = np.array(row["mel_frames"], np.float32) \
+        .reshape(row["n_frames"], row["n_mels"])
+    fb = mel_filterbank(sr, 128, 24, 0.0, None)
+    want = spec_augment(
+        logmel_frame_matrix(pre_emphasis(tone, 0.97), sr, fb),
+        _aug_rng(5, "c1", 0))
+    assert np.array_equal(got, want)
+
+    for kw, extra in [({}, False), (dict(deltas=True), True)]:
+        (r,) = collect_rows(ray.data.from_arrow(tbl).map_batches(
+            MfccStage, fn_constructor_kwargs=kw,
+            batch_format="pyarrow", concurrency=(1, 1)))
+        assert r["decode_ok"] and len(r["mfcc"]) == 13
+        if extra:
+            assert len(r["mfcc_d"]) == 13 and len(r["mfcc_dd_std"]) == 13
+            assert all(np.isfinite(r["mfcc_d_std"]))
+            base = r["mfcc"]
+    # base mfcc identical whether or not deltas are computed
+    (r0,) = collect_rows(ray.data.from_arrow(tbl).map_batches(
+        MfccStage, batch_format="pyarrow", concurrency=(1, 1)))
+    assert r0["mfcc"] == base
