@@ -2941,6 +2941,21 @@ def q_lineitem_global_quantiles(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def q_lineitem_weighted_quantiles(sf_dir: str) -> pd.DataFrame:
+    """EXACT weighted lower quantiles (stages/sketches.
+    weighted_global_quantiles): quantity-weighted price points — the
+    smallest price whose cumulative l_quantity weight reaches q * W —
+    by distributed selection (weighted counting passes, boundary-
+    equality resolution, one sliver fetch). Integer-valued weights make
+    every cumulative sum exact in float64, so the result is bit-equal
+    to the SQL cum-weight idiom."""
+    from gojsonschema_ray.stages.sketches import weighted_global_quantiles
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice", "l_quantity"])
+    return weighted_global_quantiles(
+        ds, "l_extendedprice", "l_quantity", [0.1, 0.25, 0.5, 0.75, 0.9])
+
+
 def q_events_time_weighted(sf_dir: str) -> pd.DataFrame:
     """Per-user TIME-weighted mean of the event value (stages/window.
     time_weighted_mean): zero-order hold until the next event, so burst
@@ -3830,6 +3845,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # histogram (two streaming passes; identical-double-math oracle)
         "documents_slugs": q_documents_slugs,  # ASCII slug normalization
         # (accent fold + kebab; strip_accents/regexp_replace oracle)
+        "lineitem_weighted_quantiles": q_lineitem_weighted_quantiles,
+        # EXACT weighted quantiles by weighted selection (cum-weight
+        # window oracle, bit-equal w/ integer weights)
         "lineitem_global_quantiles": q_lineitem_global_quantiles,  # EXACT
         # global quantile_cont by distributed selection (no global sort)
         "events_time_weighted": q_events_time_weighted,  # zero-order-hold
@@ -4993,6 +5011,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem UNION ALL "
             "SELECT 0.99, quantile_cont(l_extendedprice, 0.99) "
             "FROM lineitem) ORDER BY q"
+        ),
+        # weighted lower quantile: min price whose cumulative quantity
+        # weight reaches q*W (per-unique-value runs make cw order-free)
+        "lineitem_weighted_quantiles": (
+            "WITH runs AS (SELECT l_extendedprice AS v, "
+            "sum(CAST(l_quantity AS DOUBLE)) AS rw FROM lineitem "
+            "GROUP BY v), "
+            "c AS (SELECT v, sum(rw) OVER (ORDER BY v) AS cw FROM runs), "
+            "tot AS (SELECT sum(CAST(l_quantity AS DOUBLE)) AS W "
+            "FROM lineitem) "
+            "SELECT q, (SELECT min(v) FROM c, tot WHERE cw >= q * W) "
+            "AS value "
+            "FROM (SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9]) AS q) "
+            "ORDER BY q"
         ),
         # zero-order hold: v held until the key's next event; keys need
         # >= 2 events AND a positive span (HAVING matches the engine)

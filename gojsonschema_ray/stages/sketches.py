@@ -1634,6 +1634,239 @@ def exact_global_quantiles(ds, column: str, qs, *,
                          "value": pd.Series(out, dtype="float64")})
 
 
+def weighted_global_quantiles(ds, value_column: str, weight_column: str,
+                              qs, *, collect_cap: int = 262_144,
+                              sample_per_block: int = 64,
+                              max_rounds: int = 12):
+    """EXACT weighted lower quantiles by distributed SELECTION — for each
+    q, the smallest value v with cumulative weight of rows (value <= v)
+    >= q * W. The weighted generalization of `exact_global_quantiles`
+    (e.g. token-weighted document-length percentiles, quantity-weighted
+    price points); no global sort, scans stay O(data) per round, driver
+    memory O(collect_cap).
+
+    Same bracketing loop, counting WEIGHT instead of rank: per round one
+    boundary-sample pass + one counting pass accumulating per-region
+    (weight, rows) with explicit boundary-EQUALITY weights — a q landing
+    inside a point mass resolves to that value immediately, so heavy
+    skew terminates. The final sliver is summed per UNIQUE value
+    (ascending) before the cumulative compare, so the crossing test is
+    addend-order-free; with integer-valued weights every cumulative sum
+    is exact in float64 and the result matches SQL's
+    ``min(v) FILTER (cum >= q*W)`` idiom bit-for-bit.
+
+    NULL value or NULL weight rows are excluded; negative weights raise
+    (inside the counting pass — the error surfaces on execution)."""
+    import pandas as pd
+
+    qs = [float(q) for q in qs]
+    if not qs or any(not 0.0 <= q <= 1.0 for q in qs):
+        raise ValueError(f"weighted_global_quantiles: qs={qs} "
+                         "must be in [0,1]")
+
+    def vw(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        v = np.asarray(t[value_column].to_numpy(zero_copy_only=False),
+                       dtype=np.float64)
+        w = np.asarray(t[weight_column].to_numpy(zero_copy_only=False),
+                       dtype=np.float64)
+        keep = np.isfinite(v) & np.isfinite(w)
+        v, w = v[keep], w[keep]
+        if len(w) and float(w.min()) < 0.0:
+            raise ValueError("weighted_global_quantiles: negative weight")
+        return v, w
+
+    def in_ival(v, w, lo, hi):
+        m = v >= lo if lo != -math.inf else np.ones(len(v), dtype=bool)
+        if hi != math.inf:
+            m &= v < hi
+        return v[m], w[m]
+
+    # pass 1: total weight + boundary samples
+    def first(t: pa.Table) -> pa.Table:
+        v, w = vw(t)
+        s = v
+        if len(s) > sample_per_block:
+            s = np.sort(s)[np.linspace(0, len(s) - 1, sample_per_block)
+                           .astype(np.int64)]
+        return pa.table({
+            "s": pa.array(np.concatenate([[np.nan], s])),
+            "wsum": pa.array(np.concatenate([[w.sum()],
+                                             np.zeros(len(s))]))})
+
+    rows = collect_rows(ds.map_batches(first, batch_format="pyarrow"))
+    W = float(sum(r["wsum"] for r in rows))
+    samples = np.asarray([r["s"] for r in rows if not math.isnan(r["s"])],
+                         np.float64)
+    if W <= 0.0 or len(samples) == 0:
+        return pd.DataFrame({"q": pd.Series(qs, dtype="float64"),
+                             "value": np.full(len(qs), np.nan)})
+    # state per q: [lo, hi, base_w, rows_in_ival(None=unknown), resolved]
+    state: dict[float, list] = {
+        q: [-math.inf, math.inf, 0.0, None, None] for q in sorted(set(qs))}
+    P = 32
+
+    def active():
+        return [(q, s) for q, s in sorted(state.items())
+                if s[4] is None and (s[3] is None or s[3] > collect_cap)]
+
+    bounds0 = np.unique(np.quantile(samples,
+                                    np.linspace(0, 1, P + 1)[1:-1]))
+    subs: dict[int, np.ndarray] = {0: bounds0}
+    ivals = [(-math.inf, math.inf)]
+    act_qs = [q for q, _ in active()]
+    for _round in range(max_rounds):
+        if not act_qs:
+            break
+
+        def counts(t: pa.Table, ivals=tuple(ivals),
+                   subs=dict(subs)) -> pa.Table:
+            v, w = vw(t)
+            oi, ob, ow, oc = [], [], [], []
+            for i, (lo, hi) in enumerate(ivals):
+                vv, ww = in_ival(v, w, lo, hi)
+                sb = subs[i]
+                reg = np.searchsorted(sb, vv, side="right")
+                nb = len(sb) + 1
+                wreg = np.bincount(reg, weights=ww, minlength=nb)
+                creg = np.bincount(reg, minlength=nb)
+                eqw = np.asarray([ww[vv == x].sum() for x in sb])
+                oi.extend([i] * (nb + len(sb)))
+                ob.extend(range(nb))
+                ow.extend(wreg.tolist())
+                oc.extend(creg.tolist())
+                ob.extend(range(-1, -len(sb) - 1, -1))
+                ow.extend(eqw.tolist())
+                oc.extend([0] * len(sb))
+            return pa.table({"i": pa.array(oi, pa.int64()),
+                             "b": pa.array(ob, pa.int64()),
+                             "w": pa.array(ow, pa.float64()),
+                             "c": pa.array(oc, pa.int64())})
+
+        aggw: dict[tuple, float] = {}
+        aggc: dict[tuple, int] = {}
+        for r in collect_rows(ds.map_batches(counts,
+                                             batch_format="pyarrow")):
+            key = (r["i"], r["b"])
+            aggw[key] = aggw.get(key, 0.0) + r["w"]
+            aggc[key] = aggc.get(key, 0) + r["c"]
+        for i, q in enumerate(act_qs):
+            # several qs can share interval index i in round 0
+            ii = min(i, len(ivals) - 1)
+            lo, hi, base, _cnt, _ = state[q]
+            sb = subs[ii]
+            if len(sb) == 0:
+                state[q][3] = aggc.get((ii, 0), 0)
+                continue
+            nb = len(sb) + 1
+            wreg = np.asarray([aggw.get((ii, b), 0.0) for b in range(nb)])
+            creg = np.asarray([aggc.get((ii, b), 0) for b in range(nb)],
+                              dtype=np.int64)
+            eqw = np.asarray([aggw.get((ii, -(j + 1)), 0.0)
+                              for j in range(len(sb))])
+            target = q * W
+            cum = base  # weight of values < current region's left edge
+            resolved = False
+            for b in range(nb):
+                # region b = [sb[b-1], sb[b]) — wreg[b] includes its left
+                # edge's equality mass eqw[b-1] (searchsorted side=right)
+                if b > 0 and cum < target and cum + eqw[b - 1] >= target:
+                    # the crossing lands ON the sampled edge: exact answer
+                    state[q] = [lo, hi, base, state[q][3], float(sb[b - 1])]
+                    resolved = True
+                    break
+                nxt = cum + wreg[b]
+                if nxt >= target or b == nb - 1:
+                    # crossing is strictly inside (sb[b-1], next edge):
+                    # exclude the resolved left-edge mass from the bracket
+                    nlo = lo if b == 0 \
+                        else float(np.nextafter(sb[b - 1], math.inf))
+                    nbase = cum if b == 0 else cum + float(eqw[b - 1])
+                    nhi = hi if b == nb - 1 else float(sb[b])
+                    # creg[b] still counts the left-edge rows — a safe
+                    # overestimate for the collect_cap check only
+                    state[q] = [nlo, nhi, nbase, int(creg[b]), None]
+                    resolved = True
+                    break
+                cum = nxt
+            if not resolved:  # unreachable: b == nb-1 always narrows
+                state[q] = [lo, hi, base, state[q][3], float(sb[-1])]
+
+        nxt_act = active()
+        if not nxt_act:
+            break
+        # refine: fresh per-interval samples
+        ivals = [(s[0], s[1]) for _, s in nxt_act]
+        act_qs = [q for q, _ in nxt_act]
+
+        def refine(t: pa.Table, ivals=tuple(ivals)) -> pa.Table:
+            v, w = vw(t)
+            oi, os_ = [], []
+            for i, (lo, hi) in enumerate(ivals):
+                vv, _ = in_ival(v, w, lo, hi)
+                if len(vv) > sample_per_block:
+                    vv = np.sort(vv)[np.linspace(0, len(vv) - 1,
+                                                 sample_per_block)
+                                     .astype(np.int64)]
+                oi.extend([i] * len(vv))
+                os_.extend(vv.tolist())
+            return pa.table({"i": pa.array(oi, pa.int64()),
+                             "s": pa.array(os_, pa.float64())})
+
+        buf: dict[int, list] = {i: [] for i in range(len(ivals))}
+        for r in collect_rows(ds.map_batches(refine,
+                                             batch_format="pyarrow")):
+            buf[r["i"]].append(r["s"])
+        subs = {i: (np.unique(np.quantile(np.asarray(b),
+                                          np.linspace(0, 1, P + 1)[1:-1]))
+                    if b else np.zeros(0)) for i, b in buf.items()}
+    if active():
+        raise RuntimeError("weighted_global_quantiles: selection did not "
+                           f"converge in {max_rounds} rounds")
+
+    # final sliver: per-q collect + per-unique-value fold
+    pend = [(q, s) for q, s in sorted(state.items()) if s[4] is None]
+    if pend:
+        ivals = [(s[0], s[1]) for _, s in pend]
+
+        def collect(t: pa.Table, ivals=tuple(ivals)) -> pa.Table:
+            v, w = vw(t)
+            oi, ov, ow = [], [], []
+            for i, (lo, hi) in enumerate(ivals):
+                vv, ww = in_ival(v, w, lo, hi)
+                oi.extend([i] * len(vv))
+                ov.extend(vv.tolist())
+                ow.extend(ww.tolist())
+            return pa.table({"i": pa.array(oi, pa.int64()),
+                             "v": pa.array(ov, pa.float64()),
+                             "w": pa.array(ow, pa.float64())})
+
+        acc: dict[int, list] = {i: ([], []) for i in range(len(ivals))}
+        for r in collect_rows(ds.map_batches(collect,
+                                             batch_format="pyarrow")):
+            acc[r["i"]][0].append(r["v"])
+            acc[r["i"]][1].append(r["w"])
+        for i, (q, s) in enumerate(pend):
+            v = np.asarray(acc[i][0], np.float64)
+            w = np.asarray(acc[i][1], np.float64)
+            target = q * W
+            if len(v) == 0:
+                # interval emptied: answer is the max value <= lo — only
+                # reachable when target sits exactly on the interval's
+                # base; fall back to the interval edge
+                state[q][4] = s[0]
+                continue
+            order = np.argsort(v, kind="stable")
+            v, w = v[order], w[order]
+            uv, idx = np.unique(v, return_index=True)
+            runs = np.add.reduceat(w, idx)          # per-unique-value sums
+            cum = s[2] + np.cumsum(runs)
+            pos = int(np.searchsorted(cum, target, side="left"))
+            state[q][4] = float(uv[min(pos, len(uv) - 1)])
+    return pd.DataFrame({
+        "q": pd.Series(qs, dtype="float64"),
+        "value": pd.Series([state[q][4] for q in qs], dtype="float64")})
+
+
 def winsorize(ds, value_column: str, p_lo: float = 0.01,
               p_hi: float = 0.99, *, out_column: str | None = None):
     """Winsorization — clip a numeric column to its EXACT [p_lo, p_hi]

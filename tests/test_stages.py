@@ -4388,3 +4388,46 @@ def test_spec_augment_stage_and_mfcc_deltas(ray_session):
     (r0,) = collect_rows(ray.data.from_arrow(tbl).map_batches(
         MfccStage, batch_format="pyarrow", concurrency=(1, 1)))
     assert r0["mfcc"] == base
+
+
+def test_weighted_global_quantiles(ray_session):
+    """Weighted lower quantiles equal the SQL cum-weight idiom exactly,
+    with point masses and across narrowing rounds (tiny collect_cap);
+    q=0/1 edges; negative weights raise."""
+    import duckdb
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.sketches import weighted_global_quantiles
+
+    rng = np.random.default_rng(41)
+    v = np.round(rng.lognormal(3, 1, 20_000), 2)
+    v[rng.choice(20_000, 3_000, replace=False)] = 42.0  # heavy point mass
+    w = rng.integers(1, 50, 20_000).astype("float64")
+    df = pd.DataFrame({"v": v, "w": w})
+    qs = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    got = weighted_global_quantiles(
+        rd.from_pandas(df).repartition(6), "v", "w", qs,
+        collect_cap=500, sample_per_block=16)  # force narrowing rounds
+    exp = duckdb.sql(
+        "WITH runs AS (SELECT v, sum(w) AS rw FROM df GROUP BY v), "
+        "c AS (SELECT v, sum(rw) OVER (ORDER BY v) AS cw FROM runs), "
+        "tot AS (SELECT sum(w) AS W FROM df) "
+        "SELECT q, (SELECT min(v) FROM c, tot WHERE cw >= q * W) AS value "
+        "FROM (SELECT unnest([0.0,0.1,0.25,0.5,0.75,0.9,0.99,1.0]) AS q)"
+    ).df().sort_values("q").reset_index(drop=True)
+    got = got.sort_values("q").reset_index(drop=True)
+    assert got["value"].tolist() == exp["value"].tolist()  # bit-exact
+    # q landing inside the point mass resolves to exactly 42.0
+    mass_q = float((duckdb.sql(
+        "SELECT (sum(w) FILTER (v < 42.0) + 1.0) / sum(w) FROM df"
+    ).fetchone()[0]))
+    r = weighted_global_quantiles(rd.from_pandas(df), "v", "w", [mass_q],
+                                  collect_cap=500, sample_per_block=16)
+    assert r["value"].iloc[0] == 42.0
+    with pytest.raises(Exception, match="negative weight"):
+        bad = pd.DataFrame({"v": [1.0, 2.0], "w": [1.0, -1.0]})
+        weighted_global_quantiles(rd.from_pandas(bad), "v", "w", [0.5])
+    with pytest.raises(ValueError, match="must be in"):
+        weighted_global_quantiles(rd.from_pandas(df), "v", "w", [1.5])
