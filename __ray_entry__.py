@@ -3848,6 +3848,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_weighted_quantiles": q_lineitem_weighted_quantiles,
         # EXACT weighted quantiles by weighted selection (cum-weight
         # window oracle, bit-equal w/ integer weights)
+        "lineitem_zorder": q_lineitem_zorder,  # Morton clustering keys
+        # (layout family; generated shift/mask interleave oracle)
         "lineitem_global_quantiles": q_lineitem_global_quantiles,  # EXACT
         # global quantile_cont by distributed selection (no global sort)
         "events_time_weighted": q_events_time_weighted,  # zero-order-hold
@@ -4024,6 +4026,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # keyed masking isn't SQL-expressible (determinism + kernel-
         # composition goldens; finiteness self-check)
     }
+
+
+def q_lineitem_zorder(sf_dir: str) -> pd.DataFrame:
+    """Z-order (Morton) clustering keys (stages/layout.zorder_key): the
+    exact bit-interleave of (l_partkey % 256, l_suppkey % 256) per line —
+    the layout primitive behind write_zordered/ZOrderedReader (file-level
+    pruning for box queries; pruning itself is pinned in
+    tests/test_layout.py). Pure uint64 algebra, SQL-replicable with
+    shift/mask expressions."""
+    from gojsonschema_ray.stages.layout import zorder_key
+    from gojsonschema_ray.util import collect_rows
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"])
+
+    def f(t: pa.Table) -> pa.Table:
+        pk = np.asarray(t["l_partkey"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64) % 256
+        sk = np.asarray(t["l_suppkey"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64) % 256
+        z = zorder_key([pk, sk], bits=8).astype(np.int64)
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_linenumber": t["l_linenumber"],
+                         "zkey": pa.array(z)})
+
+    out = collect_rows(ds.map_batches(f, batch_format="pyarrow"))
+    df = pd.DataFrame({
+        "l_orderkey": pd.Series([r["l_orderkey"] for r in out],
+                                dtype="int64"),
+        "l_linenumber": pd.Series([r["l_linenumber"] for r in out],
+                                  dtype="int64"),
+        "zkey": pd.Series([r["zkey"] for r in out], dtype="int64")})
+    return df.sort_values(["l_orderkey", "l_linenumber"]) \
+        .reset_index(drop=True)
+
+
+def _zorder_oracle_sql(bits: int = 8) -> str:
+    """Shift/mask interleave of (l_partkey%256, l_suppkey%256): col 0 bit
+    b -> position 2b+1, col 1 bit b -> position 2b (zorder_key's lanes)."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"((( l_partkey % 256 >> {b}) & 1) << {2 * b + 1})")
+        terms.append(f"((( l_suppkey % 256 >> {b}) & 1) << {2 * b})")
+    return ("SELECT l_orderkey, l_linenumber, CAST("
+            + " + ".join(terms)
+            + " AS BIGINT) AS zkey FROM lineitem "
+            "ORDER BY l_orderkey, l_linenumber")
 
 
 def _covariance_oracle_sql(k: int = 12) -> str:
@@ -4903,6 +4952,7 @@ def oracle_sql() -> dict[str, str]:
         # one-pass covariance: covar_samp pairs over the first 12 dims
         # (engine computes the full 64x64; the oracle slices the triangle)
         "embeddings_covariance": _covariance_oracle_sql(12),
+        "lineitem_zorder": _zorder_oracle_sql(8),
         # per-group population skew / excess kurtosis: same two-pass
         # centered-power algebra as the engine (means CTE, then avg powers)
         "orders_moments": (
