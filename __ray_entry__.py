@@ -3850,6 +3850,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # window oracle, bit-equal w/ integer weights)
         "lineitem_zorder": q_lineitem_zorder,  # Morton clustering keys
         # (layout family; generated shift/mask interleave oracle)
+        "orders_join_size": q_orders_join_size,  # exact join-size
+        # profile w/o running the join (counts-join oracle)
+        "orders_union_evolved": q_orders_union_evolved,  # schema-
+        # evolution union (UNION ALL BY NAME oracle)
+        "documents_pmi": q_documents_pmi,  # PMI collocation mining
+        # (unnest-CTE oracle, exact counts + rounded ln)
         "lineitem_global_quantiles": q_lineitem_global_quantiles,  # EXACT
         # global quantile_cont by distributed selection (no global sort)
         "events_time_weighted": q_events_time_weighted,  # zero-order-hold
@@ -4026,6 +4032,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # keyed masking isn't SQL-expressible (determinism + kernel-
         # composition goldens; finiteness self-check)
     }
+
+
+def q_documents_pmi(sf_dir: str) -> pd.DataFrame:
+    """PMI collocations (functions/text.pmi_bigrams): every bigram with
+    >= 40 occurrences scored ln((cxy/N2)/((cx/N1)(cy/N1))) — counts ride
+    the combiner-first vocabulary exchange, member-word counts fetched
+    via a broadcast set, totals from one tiny per-batch partial. pmi
+    rounded to 6 (ln is not correctly rounded across libms); counts are
+    exact ints."""
+    from gojsonschema_ray.functions.text import pmi_bigrams
+
+    ds = _read(sf_dir, "documents", ["text"])
+    out = pmi_bigrams(ds, "text", min_count=40, top=1_000_000)
+    out["pmi"] = out["pmi"].round(6)
+    return out.sort_values("gram").reset_index(drop=True)
+
+
+def q_orders_union_evolved(sf_dir: str) -> pd.DataFrame:
+    """Schema-evolution union (stages/reshape.union_by_name): an 'old
+    epoch' slice (orderkey, totalprice) unions with a 'new epoch' slice
+    that added o_orderstatus — aligned by NAME, missing column
+    null-filled, zero shuffle. Oracle: native UNION ALL BY NAME."""
+    from gojsonschema_ray.stages.reshape import union_by_name
+    from gojsonschema_ray.util import collect_table
+
+    old = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]) \
+        .map_batches(lambda t: t.filter(
+            pc.equal(pc.bit_wise_and(t["o_orderkey"], 1), 0)),
+            batch_format="pyarrow")
+    new = _read(sf_dir, "orders",
+                ["o_orderkey", "o_totalprice", "o_orderstatus"]) \
+        .map_batches(lambda t: t.filter(
+            pc.equal(pc.bit_wise_and(t["o_orderkey"], 1), 1)),
+            batch_format="pyarrow")
+    out = collect_table(union_by_name([old, new])).to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def q_orders_join_size(sf_dir: str) -> pd.DataFrame:
+    """EXACT join-size profile (stages/joins.join_size_profile): the
+    planner op — Σ c_A(k)·c_B(k) for orders ⋈ lineitem on orderkey plus
+    the top-20 hot keys, WITHOUT materializing the join. Combiner-first
+    key counts, one co-partitioned exchange, P·top driver merge; the
+    total rides every row as total_pairs (SQL: cross-join the sum)."""
+    from gojsonschema_ray.stages.joins import join_size_profile
+
+    lo = _read(sf_dir, "orders", ["o_orderkey"])
+    ll = _read(sf_dir, "lineitem", ["l_orderkey"])
+    total, top = join_size_profile(lo, ll, left_on="o_orderkey",
+                                   right_on="l_orderkey", top=20)
+    top = top.rename(columns={"key": "orderkey"})
+    top["orderkey"] = top["orderkey"].astype("int64")
+    top["total_pairs"] = np.int64(total)
+    return top
 
 
 def q_lineitem_zorder(sf_dir: str) -> pd.DataFrame:
@@ -4953,6 +5013,51 @@ def oracle_sql() -> dict[str, str]:
         # (engine computes the full 64x64; the oracle slices the triangle)
         "embeddings_covariance": _covariance_oracle_sql(12),
         "lineitem_zorder": _zorder_oracle_sql(8),
+        "orders_join_size": (
+            "WITH a AS (SELECT o_orderkey AS k, count(*) AS ca "
+            "FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1), "
+            "b AS (SELECT l_orderkey AS k, count(*) AS cb FROM lineitem "
+            "WHERE l_orderkey IS NOT NULL GROUP BY 1), "
+            "j AS (SELECT a.k AS orderkey, ca, cb, ca*cb AS pairs "
+            "FROM a JOIN b ON a.k = b.k), "
+            "t AS (SELECT sum(pairs) AS tp FROM j) "
+            "SELECT orderkey, CAST(ca AS BIGINT) AS n_left, "
+            "CAST(cb AS BIGINT) AS n_right, CAST(pairs AS BIGINT) AS "
+            "pairs, CAST(tp AS BIGINT) AS total_pairs FROM j, t "
+            "ORDER BY pairs DESC, orderkey LIMIT 20"
+        ),
+        "orders_union_evolved": (
+            "SELECT * FROM (SELECT o_orderkey, o_totalprice FROM orders "
+            "WHERE o_orderkey % 2 = 0 "
+            "UNION ALL BY NAME "
+            "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders "
+            "WHERE o_orderkey % 2 = 1) ORDER BY o_orderkey"
+        ),
+        "documents_pmi": (
+            "WITH d AS (SELECT string_split_regex(trim(lower(text), "
+            "' \t\n\r\x0b\x0c'), '\\s+') AS l FROM documents "
+            "WHERE text IS NOT NULL "
+            "AND trim(text, ' \t\n\r\x0b\x0c') != ''), "
+            "t1 AS (SELECT sum(len(l)) AS n1, "
+            "sum(greatest(len(l) - 1, 0)) AS n2 FROM d), "
+            "u AS (SELECT unnest(l) AS w FROM d), "
+            "cu AS (SELECT w, count(*) AS c FROM u GROUP BY w), "
+            "g AS (SELECT unnest(list_transform(generate_series(1, "
+            "len(l) - 1), i -> l[i] || ' ' || l[i + 1])) AS gram, "
+            "unnest(list_transform(generate_series(1, len(l) - 1), "
+            "i -> l[i])) AS w1, "
+            "unnest(list_transform(generate_series(1, len(l) - 1), "
+            "i -> l[i + 1])) AS w2 FROM d), "
+            "cb AS (SELECT gram, w1, w2, count(*) AS cxy FROM g "
+            "GROUP BY gram, w1, w2 HAVING count(*) >= 40) "
+            "SELECT gram, cb.w1, cb.w2, CAST(cxy AS BIGINT) AS c_xy, "
+            "CAST(a.c AS BIGINT) AS c_x, CAST(b.c AS BIGINT) AS c_y, "
+            "round(ln((CAST(cxy AS DOUBLE) / n2) / "
+            "((CAST(a.c AS DOUBLE) / n1) * (CAST(b.c AS DOUBLE) / n1))), "
+            "6) AS pmi "
+            "FROM cb JOIN cu a ON cb.w1 = a.w JOIN cu b ON cb.w2 = b.w, "
+            "t1 ORDER BY gram"
+        ),
         # per-group population skew / excess kurtosis: same two-pass
         # centered-power algebra as the engine (means CTE, then avg powers)
         "orders_moments": (

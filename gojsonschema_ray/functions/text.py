@@ -2047,3 +2047,89 @@ def slugify(ds, text_column: str, out_column: str = "slug",
         return pa.table({**{c: t[c] for c in others}, out_column: s})
 
     return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def pmi_bigrams(ds, text_column: str, *, min_count: int = 5, top: int = 50,
+                lowercase: bool = True):
+    """Collocation mining by pointwise mutual information: the `top`
+    bigrams (at or above `min_count` occurrences) ranked by
+    pmi = ln( (c_xy/N2) / ((c_x/N1) * (c_y/N1)) ), where N1/N2 are total
+    unigram/bigram counts — the phrase-discovery pass (Church & Hanks
+    1990) that feeds tokenizer merges and stopphrase lists.
+
+    Scale shape: bigram counts ride token_frequencies' combiner-first
+    vocabulary exchange (HAVING-style min_count bound makes the collected
+    candidate set small); the candidates' member words fetch their
+    unigram counts from the same machinery filtered by a broadcast word
+    set; totals come from ONE tiny per-batch (tokens, bigrams) partial —
+    no extra exchange. The PMI float is a single documented IEEE chain
+    over exact ints, so DuckDB reproduces it bit-for-bit. Returns a
+    DataFrame (gram, w1, w2, c_xy, c_x, c_y, pmi) by pmi desc, gram asc."""
+    import pandas as pd
+    import ray
+
+    from ..util import collect_table
+
+    if min_count < 1:
+        raise ValueError(f"pmi_bigrams: min_count={min_count}")
+
+    def totals(t: pa.Table) -> pa.Table:
+        col = t[text_column]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        txt = pc.utf8_trim_whitespace(pc.cast(col, pa.string()))
+        if lowercase:
+            txt = pc.utf8_lower(txt)
+        lists = pc.split_pattern_regex(txt, r"\s+")
+        lists = lists.combine_chunks() \
+            if isinstance(lists, pa.ChunkedArray) else lists
+        lens = np.diff(lists.offsets.to_numpy(zero_copy_only=False)
+                       .astype(np.int64))
+        ok = ~np.asarray(pc.is_null(lists).to_numpy(zero_copy_only=False))
+        ok &= np.asarray(pc.greater(pc.utf8_length(txt), 0)
+                         .fill_null(False).to_numpy(zero_copy_only=False))
+        lens = np.where(ok, lens, 0)
+        return pa.table({
+            "n1": pa.array([int(lens.sum())], pa.int64()),
+            "n2": pa.array([int(np.maximum(lens - 1, 0).sum())],
+                           pa.int64())})
+
+    tt = collect_table(ds.map_batches(totals, batch_format="pyarrow"))
+    n1 = int(pc.sum(tt["n1"]).as_py() or 0)
+    n2 = int(pc.sum(tt["n2"]).as_py() or 0)
+    cols = ["gram", "w1", "w2", "c_xy", "c_x", "c_y", "pmi"]
+    empty = pd.DataFrame({c: pd.Series(
+        [], dtype="float64" if c == "pmi"
+        else "int64" if c.startswith("c_") else "object") for c in cols})
+    if n1 == 0 or n2 == 0:
+        return empty
+    bdf = collect_table(token_frequencies(
+        ds, text_column, min_count=min_count, n=2,
+        lowercase=lowercase)).to_pandas()
+    if bdf.empty:
+        return empty
+    split = bdf["gram"].str.split(" ", n=1, expand=True)
+    bdf["w1"], bdf["w2"] = split[0], split[1]
+    needed = sorted(set(bdf["w1"]) | set(bdf["w2"]))
+    need_ref = ray.put(pa.array(needed, pa.string()))
+
+    def pick(t: pa.Table) -> pa.Table:
+        ns = ray.get(need_ref) if hasattr(need_ref, "hex") else need_ref
+        return t.filter(pc.is_in(t["gram"], value_set=ns))
+
+    uni = collect_table(
+        token_frequencies(ds, text_column, min_count=1, n=1,
+                          lowercase=lowercase)
+        .map_batches(pick, batch_format="pyarrow")).to_pandas()
+    cnt = dict(zip(uni["gram"], uni["n"]))
+    cx = bdf["w1"].map(cnt).astype("int64")
+    cy = bdf["w2"].map(cnt).astype("int64")
+    cxy = bdf["n"].astype("int64")
+    pmi = np.log((cxy.to_numpy(dtype=np.float64) / float(n2))
+                 / ((cx.to_numpy(dtype=np.float64) / float(n1))
+                    * (cy.to_numpy(dtype=np.float64) / float(n1))))
+    out = pd.DataFrame({"gram": bdf["gram"], "w1": bdf["w1"],
+                        "w2": bdf["w2"], "c_xy": cxy, "c_x": cx,
+                        "c_y": cy, "pmi": pmi})
+    return out.sort_values(["pmi", "gram"], ascending=[False, True],
+                           kind="stable").head(top).reset_index(drop=True)

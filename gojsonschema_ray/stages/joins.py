@@ -789,3 +789,73 @@ def range_join_bucketed(points, intervals, *, on: str, lo: str, hi: str,
     parts = both.repartition(P).materialize()
     return parts.groupby("part").map_groups(per_part,
                                             batch_format="pandas")
+
+
+def join_size_profile(left, right, *, left_on: str, right_on: str,
+                      top: int = 20):
+    """EXACT equi-join output-size profile WITHOUT running the join — the
+    planner op that decides broadcast-vs-shuffle-vs-salt before a
+    100-TB join: |A ⋈ B| = Σ_k c_A(k)·c_B(k), with the top contributing
+    (hot) keys surfaced so hot_keys= can be fed straight into
+    hash_join_shuffle.
+
+    Scale shape: per-batch Arrow key-count partials on EACH side (the
+    combiner — only distinct keys per batch move), ONE co-partitioned
+    hash(key) exchange over the tagged union, a vectorized pandas
+    count-merge per partition emitting (key, n_left, n_right, pairs)
+    candidates, local top-k — the driver merges P·k rows. Returns
+    (total_pairs:int, DataFrame[key, n_left, n_right, pairs] top-k by
+    pairs desc, key asc)."""
+    import pandas as pd
+
+    from ..util import collect_rows, collect_table
+    from .dedup import _next_pow2, _shuffle_parts
+    from .sketches import hash_arrow_array
+
+    P = _next_pow2(_shuffle_parts())
+
+    def counts(on: str, side: int):
+        def f(t: pa.Table) -> pa.Table:
+            g = t.select([on]).group_by([on]).aggregate([([], "count_all")])
+            g = g.rename_columns(["key", "c"])
+            g = g.filter(pc.is_valid(g["key"]))  # SQL: NULL never joins
+            part = (hash_arrow_array(g["key"]) % np.uint64(P)) \
+                .astype(np.int32)
+            return g.append_column("part", pa.array(part)) \
+                .append_column("side", pa.array(
+                    np.full(g.num_rows, side, np.int8)))
+        return f
+
+    both = left.map_batches(counts(left_on, 0), batch_format="pyarrow") \
+        .union(right.map_batches(counts(right_on, 1),
+                                 batch_format="pyarrow"))
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["key", "side"], sort=False)["c"].sum().unstack(
+            "side", fill_value=0)
+        a = g[0] if 0 in g.columns else pd.Series(0, index=g.index)
+        b = g[1] if 1 in g.columns else pd.Series(0, index=g.index)
+        pairs = (a * b).astype("int64")
+        out = pd.DataFrame({
+            "key": g.index.to_numpy(),
+            "n_left": a.to_numpy(dtype="int64"),
+            "n_right": b.to_numpy(dtype="int64"),
+            "pairs": pairs.to_numpy()})
+        out = out[out["pairs"] > 0]
+        tot = pd.DataFrame({"key": [None], "n_left": [0], "n_right": [0],
+                            "pairs": [int(pairs.sum())]})
+        return pd.concat([
+            out.sort_values(["pairs", "key"], ascending=[False, True],
+                            kind="stable").head(top),
+            tot], ignore_index=True)
+
+    parts = both.repartition(P).materialize()
+    cand = collect_table(parts.groupby("part").map_groups(
+        per_part, batch_format="pandas")).to_pandas()
+    total = int(cand.loc[cand["key"].isna(), "pairs"].sum())
+    outs = cand[cand["key"].notna()].sort_values(
+        ["pairs", "key"], ascending=[False, True], kind="stable") \
+        .head(top).reset_index(drop=True)
+    for c in ("n_left", "n_right", "pairs"):
+        outs[c] = outs[c].astype("int64")
+    return total, outs

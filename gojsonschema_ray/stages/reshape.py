@@ -148,3 +148,65 @@ def melt(ds, id_columns: list[str], value_columns: list[str], *,
                        var_name=var_name, value_name=value_name)
 
     return ds.map_batches(expand, batch_format="pandas")
+
+
+def union_by_name(datasets: list, *, strict: bool = False):
+    """Schema-evolution-safe UNION ALL BY NAME: concatenate Datasets whose
+    schemas differ (added/dropped/reordered columns across epochs — the
+    normal state of a long-lived 100-TB table). The target schema is the
+    pyarrow-unified union of all input schemas (compatible type
+    promotions allowed); every batch is aligned per-column — missing
+    columns null-filled, present columns cast — then the aligned streams
+    union. Pure per-batch work, zero shuffle, streams.
+
+    strict=True instead REQUIRES identical column-name sets (reordering/
+    promotion still allowed) — the guard mode for pipelines where a
+    dropped column should fail loudly, matching the reference's
+    additionalProperties=false posture (/root/reference/subSchema.go)."""
+    import pyarrow as pa
+
+    if not datasets:
+        raise ValueError("union_by_name: no datasets")
+
+    def pa_schema(ds) -> pa.Schema:
+        base = ds.schema().base_schema
+        if isinstance(base, pa.Schema):
+            return base
+        # pandas-backed blocks: PandasBlockSchema(names, numpy dtypes);
+        # dtype('O') is assumed string — align()'s cast fails loudly if not
+        return pa.schema([
+            (n, pa.string() if t == np.dtype("O")
+             else pa.from_numpy_dtype(t))
+            for n, t in zip(base.names, base.types)])
+
+    schemas = [pa_schema(ds) for ds in datasets]
+    names: list[str] = []
+    for s in schemas:
+        for n in s.names:
+            if n not in names:
+                names.append(n)
+    if strict:
+        for s in schemas:
+            missing = set(names) - set(s.names)
+            if missing:
+                raise ValueError("union_by_name(strict): missing columns "
+                                 f"{sorted(missing)} in one input")
+    target = pa.unify_schemas(
+        [pa.schema([(n, s.field(n).type) for n in names if n in s.names])
+         for s in schemas], promote_options="permissive")
+    target = pa.schema([target.field(n) for n in names])
+
+    def align(t: pa.Table) -> pa.Table:
+        cols = []
+        for n in names:
+            f = target.field(n)
+            if n in t.schema.names:
+                cols.append(t[n].cast(f.type))
+            else:
+                cols.append(pa.nulls(t.num_rows, f.type))
+        return pa.table(dict(zip(names, cols)))
+
+    out = datasets[0].map_batches(align, batch_format="pyarrow")
+    for ds in datasets[1:]:
+        out = out.union(ds.map_batches(align, batch_format="pyarrow"))
+    return out

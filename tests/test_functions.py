@@ -1525,3 +1525,60 @@ def test_quantized_ann_recall(ray_session):
         a = set(exact[exact["query"] == q]["vec_id"])
         b = set(quant[quant["query"] == q]["vec_id"])
         assert len(a & b) >= 8, (q, a, b)
+
+
+def test_pmi_bigrams(ray_session):
+    """PMI matches the duckdb CTE bit-for-bit (same IEEE chain over
+    exact counts); collocations rank above chance pairs; empty corpus
+    returns the typed empty frame."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.functions.text import pmi_bigrams
+
+    rng = np.random.default_rng(59)
+    vocab = ["the", "a", "of", "data", "query", "plan", "hong", "kong",
+             "new", "york"]
+    docs = []
+    for _ in range(300):
+        toks = list(rng.choice(vocab[:6], rng.integers(5, 30)))
+        if rng.random() < 0.5:
+            toks.extend(["hong", "kong"])   # strong collocation
+        if rng.random() < 0.3:
+            toks.extend(["new", "york"])
+        docs.append(" ".join(toks))
+    df = pd.DataFrame({"text": docs})
+    got = pmi_bigrams(rd.from_pandas(df).repartition(4), "text",
+                      min_count=5, top=10)
+    exp = duckdb.sql(
+        "WITH d AS (SELECT string_split_regex(trim(lower(text)), '\\s+') "
+        "AS l FROM df WHERE text IS NOT NULL AND trim(text) != ''), "
+        "t1 AS (SELECT sum(len(l)) AS n1, "
+        "sum(greatest(len(l) - 1, 0)) AS n2 FROM d), "
+        "u AS (SELECT unnest(l) AS w FROM d), "
+        "cu AS (SELECT w, count(*) AS c FROM u GROUP BY w), "
+        "g AS (SELECT unnest(list_transform(generate_series(1, "
+        "len(l) - 1), i -> l[i] || ' ' || l[i + 1])) AS gram, "
+        "unnest(list_transform(generate_series(1, len(l) - 1), "
+        "i -> l[i])) AS w1, unnest(list_transform(generate_series(1, "
+        "len(l) - 1), i -> l[i + 1])) AS w2 FROM d), "
+        "cb AS (SELECT gram, w1, w2, count(*) AS cxy FROM g "
+        "GROUP BY gram, w1, w2 HAVING count(*) >= 5) "
+        "SELECT gram, cb.w1, cb.w2, CAST(cxy AS BIGINT) AS c_xy, "
+        "CAST(a.c AS BIGINT) AS c_x, CAST(b.c AS BIGINT) AS c_y, "
+        "ln((CAST(cxy AS DOUBLE) / n2) / ((CAST(a.c AS DOUBLE) / n1) * "
+        "(CAST(b.c AS DOUBLE) / n1))) AS pmi "
+        "FROM cb JOIN cu a ON cb.w1 = a.w JOIN cu b ON cb.w2 = b.w, t1 "
+        "ORDER BY pmi DESC, gram LIMIT 10").df()
+    assert got["gram"].tolist() == exp["gram"].tolist()
+    assert got[["c_xy", "c_x", "c_y"]].values.tolist() == \
+        exp[["c_xy", "c_x", "c_y"]].values.tolist()  # counts exact
+    # ln() is not correctly rounded across libms (numpy vs duckdb can
+    # differ in the last ulp) — counts are exact, pmi to 1e-12
+    assert np.allclose(got["pmi"], exp["pmi"], rtol=1e-12, atol=0)
+    assert got["gram"].iloc[0] in ("hong kong", "new york")
+    empty = pmi_bigrams(rd.from_pandas(pd.DataFrame({"text": ["", None]})),
+                        "text")
+    assert empty.empty and list(empty.columns) == \
+        ["gram", "w1", "w2", "c_xy", "c_x", "c_y", "pmi"]

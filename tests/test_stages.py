@@ -4431,3 +4431,83 @@ def test_weighted_global_quantiles(ray_session):
         weighted_global_quantiles(rd.from_pandas(bad), "v", "w", [0.5])
     with pytest.raises(ValueError, match="must be in"):
         weighted_global_quantiles(rd.from_pandas(df), "v", "w", [1.5])
+
+
+def test_join_size_profile(ray_session):
+    """Exact Σ c_a·c_b total + hot keys first; NULL keys never join;
+    disjoint sides → 0."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.joins import join_size_profile
+
+    rng = np.random.default_rng(53)
+    a = pd.DataFrame({"k": rng.integers(0, 50, 5000).astype("float64")})
+    a.loc[rng.choice(5000, 100, replace=False), "k"] = np.nan
+    a.loc[:800, "k"] = 7.0  # hot key
+    b = pd.DataFrame({"kk": rng.integers(0, 60, 3000).astype("float64")})
+    total, top = join_size_profile(
+        rd.from_pandas(a).repartition(4), rd.from_pandas(b).repartition(3),
+        left_on="k", right_on="kk", top=5)
+    exp = duckdb.sql(
+        "WITH ca AS (SELECT k AS key, count(*) AS c FROM a "
+        "WHERE k IS NOT NULL GROUP BY 1), "
+        "cb AS (SELECT kk AS key, count(*) AS c FROM b GROUP BY 1) "
+        "SELECT ca.key, ca.c AS nl, cb.c AS nr, ca.c*cb.c AS pairs "
+        "FROM ca JOIN cb USING(key) ORDER BY pairs DESC, key LIMIT 5"
+    ).df()
+    assert total == int(duckdb.sql(
+        "WITH ca AS (SELECT k AS key, count(*) AS c FROM a "
+        "WHERE k IS NOT NULL GROUP BY 1), "
+        "cb AS (SELECT kk AS key, count(*) AS c FROM b GROUP BY 1) "
+        "SELECT sum(ca.c*cb.c) FROM ca JOIN cb USING(key)").fetchone()[0])
+    assert top["key"].tolist() == exp["key"].tolist()
+    assert top["pairs"].tolist() == exp["pairs"].tolist()
+    assert top["key"].iloc[0] == 7.0  # the planted hot key leads
+    t0, e0 = join_size_profile(
+        rd.from_pandas(pd.DataFrame({"k": [1.0, 2.0]})),
+        rd.from_pandas(pd.DataFrame({"kk": [9.0]})),
+        left_on="k", right_on="kk")
+    assert t0 == 0 and len(e0) == 0
+
+
+def test_union_by_name(ray_session):
+    """Differing column sets/orders/types union by name with null fill
+    and type promotion, matching duckdb's UNION ALL BY NAME; strict mode
+    rejects dropped columns."""
+    import duckdb
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.reshape import union_by_name
+    from gojsonschema_ray.util import collect_table
+
+    a = pd.DataFrame({"id": np.arange(5, dtype="int32"),
+                      "v": np.arange(5, dtype="float64"),
+                      "tag": ["a"] * 5})
+    b = pd.DataFrame({"v": np.arange(3, dtype="int64"),   # reordered +
+                      "id": np.arange(10, 13, dtype="int64")})  # promoted
+    c = pd.DataFrame({"id": [99], "extra": ["new-col"]})
+    got = collect_table(union_by_name(
+        [rd.from_pandas(x) for x in (a, b, c)])).to_pandas()
+    exp = duckdb.sql(
+        "SELECT * FROM a UNION ALL BY NAME SELECT * FROM b "
+        "UNION ALL BY NAME SELECT * FROM c").df()
+    key = ["id", "v", "tag", "extra"]
+    got = got[key].sort_values(key, na_position="last") \
+        .reset_index(drop=True)
+    exp = exp[key].sort_values(key, na_position="last") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert str(got["id"].dtype) == "int64"  # int32 promoted
+    with pytest.raises(ValueError, match="missing columns"):
+        union_by_name([rd.from_pandas(a), rd.from_pandas(b)], strict=True)
+    # strict passes when names agree (order/type may differ)
+    s = collect_table(union_by_name(
+        [rd.from_pandas(a), rd.from_pandas(a[["tag", "v", "id"]])],
+        strict=True))
+    assert s.num_rows == 10
+    with pytest.raises(ValueError, match="no datasets"):
+        union_by_name([])
