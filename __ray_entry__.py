@@ -3856,6 +3856,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # evolution union (UNION ALL BY NAME oracle)
         "documents_pmi": q_documents_pmi,  # PMI collocation mining
         # (unnest-CTE oracle, exact counts + rounded ln)
+        "orders_discretized": q_orders_discretized,  # equal-frequency
+        # quantile binning (count-subquery-over-cutpoints oracle)
         "lineitem_global_quantiles": q_lineitem_global_quantiles,  # EXACT
         # global quantile_cont by distributed selection (no global sort)
         "events_time_weighted": q_events_time_weighted,  # zero-order-hold
@@ -4031,7 +4033,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clips_spec_augment": q_clips_spec_augment,  # rows-only: FFT +
         # keyed masking isn't SQL-expressible (determinism + kernel-
         # composition goldens; finiteness self-check)
+        "clips_audio_chroma": q_clips_audio_chroma,  # rows-only: FFT
+        # isn't SQL-expressible (octave-invariance goldens; class-
+        # diversity + L1-normalization self-checks)
     }
+
+
+def q_orders_discretized(sf_dir: str) -> pd.DataFrame:
+    """Equal-frequency binning (stages/sketches.discretize_quantile):
+    o_totalprice into 8 quantile buckets — exact cutpoints by
+    distributed selection (no global sort), broadcast once, one
+    searchsorted per batch. Bucket = #cutpoints <= v, bit-equal to the
+    SQL count-subquery idiom on shared quantile_cont doubles."""
+    from gojsonschema_ray.stages.sketches import discretize_quantile
+    from gojsonschema_ray.util import collect_table
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    out = collect_table(discretize_quantile(ds, "o_totalprice", 8)) \
+        .to_pandas()
+    out["bucket"] = out["bucket"].astype("int64")
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def q_clips_audio_chroma(sf_dir: str) -> pd.DataFrame:
+    """Chroma pitch-class profiles (stages/audio.ChromaStage): decode →
+    framed rFFT → equal-tempered pitch-class fold → mean L1-normalized
+    12-vector + dominant class. Rows-only: FFT isn't SQL-expressible;
+    octave-invariance and per-class goldens live in tests. Self-check:
+    datagen's 400 tone frequencies must spread over >= 8 pitch classes
+    and every emitted vector sums to ~1."""
+    from gojsonschema_ray import datagen
+    from gojsonschema_ray.stages.audio import ChromaStage
+    from gojsonschema_ray.util import collect_rows
+
+    ds = datagen.clips_dataset(4_000, audio_cap_ms=60, override_num_blocks=8)
+    rows = collect_rows(ds.map_batches(
+        ChromaStage, batch_size=256, batch_format="pyarrow",
+        concurrency=(1, 4)))
+    ok = [r for r in rows if r["decode_ok"]]
+    classes = {r["pitch_class"] for r in ok}
+    if len(classes) < 8:
+        raise AssertionError(f"chroma: only {len(classes)} pitch classes")
+    for r in ok[:200]:
+        if abs(sum(r["chroma"]) - 1.0) > 1e-3:
+            raise AssertionError("chroma: vector not L1-normalized")
+    return pd.DataFrame({
+        "clip_id": pd.Series([r["clip_id"] for r in rows], dtype="object"),
+        "decode_ok": pd.Series([r["decode_ok"] for r in rows],
+                               dtype="bool"),
+        "pitch_class": pd.Series(
+            [r["pitch_class"] if r["pitch_class"] is not None else -1
+             for r in rows], dtype="int32"),
+    }).sort_values("clip_id").reset_index(drop=True)
 
 
 def q_documents_pmi(sf_dir: str) -> pd.DataFrame:
@@ -5057,6 +5110,15 @@ def oracle_sql() -> dict[str, str]:
             "6) AS pmi "
             "FROM cb JOIN cu a ON cb.w1 = a.w JOIN cu b ON cb.w2 = b.w, "
             "t1 ORDER BY gram"
+        ),
+        "orders_discretized": (
+            "WITH cuts AS (SELECT unnest(["
+            + ", ".join(f"quantile_cont(o_totalprice, {i}/8.0)"
+                        for i in range(1, 8))
+            + "]) AS c FROM orders) "
+            "SELECT o_orderkey, o_totalprice, CAST((SELECT count(*) "
+            "FROM cuts WHERE c <= o_totalprice) AS BIGINT) AS bucket "
+            "FROM orders ORDER BY o_orderkey"
         ),
         # per-group population skew / excess kurtosis: same two-pass
         # centered-power algebra as the engine (means CTE, then avg powers)

@@ -1893,3 +1893,96 @@ class SpecAugmentStage:
                          "n_mels": int(aug.shape[1]),
                          "mel_frames": aug.ravel().tolist()})
         return pa.Table.from_pylist(rows, schema=SPECAUG_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# chroma (pitch-class profile) — octave-folded spectral energy, the
+# music/tonality embedding next to log-mel (speech) and MFCC (envelope)
+# ---------------------------------------------------------------------------
+def chroma_filterbank(sr: int, n_fft: int, *, ref_hz: float = 440.0,
+                      fmin: float = 60.0) -> np.ndarray:
+    """(12, n_fft//2+1) binary projection folding each rFFT bin onto its
+    nearest equal-tempered pitch class (class 0 = C via the MIDI mapping
+    round(12*log2(f/ref))+69 ≡ A=9). Bins below `fmin` (incl. DC) drop.
+    Pure algebra — built once per (sr, n_fft) per actor."""
+    freqs = np.fft.rfftfreq(n_fft, 1.0 / sr)
+    fb = np.zeros((12, len(freqs)), dtype=np.float32)
+    valid = freqs >= fmin
+    midi = np.rint(12.0 * np.log2(freqs[valid] / ref_hz)).astype(np.int64) \
+        + 69
+    fb[midi % 12, np.flatnonzero(valid)] = 1.0
+    return fb
+
+
+def chroma_features(pcm: np.ndarray, sr: int, cb: np.ndarray, *,
+                    n_fft: int = 2048, hop: int = 512
+                    ) -> tuple[int, np.ndarray | None]:
+    """Mean L1-normalized chroma vector of one clip: framed power rFFT →
+    pitch-class fold → per-frame L1 norm → mean over frames. Returns
+    (n_frames, chroma float32[12]); empty clips (0, None). Gain shifts
+    cancel in the per-frame normalization; octave shifts land in the
+    same class (the invariants the goldens pin)."""
+    n = len(pcm)
+    if n == 0:
+        return 0, None
+    x = pcm.astype(np.float32)
+    if n < n_fft:
+        x = np.concatenate([x, np.zeros(n_fft - n, np.float32)])
+    frames = np.lib.stride_tricks.sliding_window_view(x, n_fft)[::hop]
+    spec = np.abs(np.fft.rfft(frames * _hanning(n_fft)[None, :], axis=1))
+    e = np.square(spec, out=spec) @ cb.T          # (n_frames, 12)
+    tot = e.sum(axis=1, keepdims=True)
+    np.divide(e, tot, out=e, where=tot > 0)
+    return int(len(e)), e.mean(axis=0).astype(np.float32)
+
+
+CHROMA_SCHEMA = pa.schema([
+    ("clip_id", pa.string()),
+    ("decode_ok", pa.bool_()),
+    ("sr_hz", pa.int64()),
+    ("n_frames", pa.int64()),
+    ("chroma", pa.list_(pa.float32())),
+    ("pitch_class", pa.int32()),   # argmax class, C=0 .. B=11
+])
+
+
+class ChromaStage:
+    """Actor-pool map_batches payload: decode + mean chroma vector +
+    dominant pitch class per clip. Projection matrices cache per actor
+    per (sr) like LogMelStage; decode failures degrade to
+    decode_ok=False rows (module error contract)."""
+
+    def __init__(self, n_fft: int = 2048, hop: int = 512,
+                 ref_hz: float = 440.0, fmin: float = 60.0):
+        if n_fft <= 0 or hop <= 0:
+            raise ValueError(f"ChromaStage: n_fft={n_fft} hop={hop}")
+        self.n_fft, self.hop = n_fft, hop
+        self.ref_hz, self.fmin = ref_hz, fmin
+        self._cb: dict[int, np.ndarray] = {}
+
+    def _bank(self, sr: int) -> np.ndarray:
+        cb = self._cb.get(sr)
+        if cb is None:
+            cb = chroma_filterbank(sr, self.n_fft, ref_hz=self.ref_hz,
+                                   fmin=self.fmin)
+            self._cb[sr] = cb
+        return cb
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for _, cid, sr, pcm in decoded_pcm_rows(batch):
+            out = None
+            if pcm is not None:
+                nf, ch = chroma_features(pcm, sr, self._bank(sr),
+                                         n_fft=self.n_fft, hop=self.hop)
+                if ch is not None:
+                    out = {"sr_hz": sr, "n_frames": nf,
+                           "chroma": ch.tolist(),
+                           "pitch_class": int(np.argmax(ch))}
+            if out is None:
+                rows.append({"clip_id": cid, "decode_ok": False,
+                             "sr_hz": None, "n_frames": None,
+                             "chroma": None, "pitch_class": None})
+            else:
+                rows.append({"clip_id": cid, "decode_ok": True, **out})
+        return pa.Table.from_pylist(rows, schema=CHROMA_SCHEMA)

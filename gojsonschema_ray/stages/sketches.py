@@ -2080,3 +2080,37 @@ def autocorr_by_key(ds, key_column: str, order_columns: tuple,
     parts = ds.map_batches(project, batch_format="pyarrow") \
         .repartition(P).materialize()
     return parts.groupby("part").map_groups(per_part, batch_format="pandas")
+
+
+def discretize_quantile(ds, column: str, k: int, *,
+                        out_column: str = "bucket"):
+    """Equal-frequency discretization: bucket a numeric column into `k`
+    bins by its EXACT global quantile cutpoints (feature binning for
+    models and stratified reporting). Cutpoints come from
+    `exact_global_quantiles` (distributed selection — no global sort),
+    broadcast once; the assignment is one vectorized searchsorted per
+    batch (bucket = #cutpoints <= v, so ties at a cutpoint land in the
+    upper bin, matching the SQL ``count(*) WHERE c <= v`` idiom
+    bit-for-bit since both sides share identical cutpoint doubles).
+    NULL/NaN rows pass through with a NULL bucket. Streams — the
+    labeled Dataset is returned lazily."""
+    if k < 2:
+        raise ValueError(f"discretize_quantile: k={k}")
+    if out_column == column:
+        raise ValueError("discretize_quantile: out_column collides")
+    qs = [i / k for i in range(1, k)]
+    cuts = exact_global_quantiles(ds, column, qs)["value"] \
+        .to_numpy(dtype=np.float64)
+    if np.isnan(cuts).any():
+        raise ValueError(f"discretize_quantile: column {column!r} "
+                         "is empty")
+
+    def assign(t: pa.Table) -> pa.Table:
+        v = np.asarray(t[column].to_numpy(zero_copy_only=False),
+                       dtype=np.float64)
+        b = np.searchsorted(cuts, v, side="right").astype(np.int32)
+        mask = np.isfinite(v)
+        arr = pa.array(b, mask=~mask)
+        return t.append_column(out_column, arr)
+
+    return ds.map_batches(assign, batch_format="pyarrow")

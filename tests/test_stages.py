@@ -4511,3 +4511,88 @@ def test_union_by_name(ray_session):
     assert s.num_rows == 10
     with pytest.raises(ValueError, match="no datasets"):
         union_by_name([])
+
+
+def test_chroma_features_and_stage(ray_session):
+    """Pure tones land in their equal-tempered pitch class; octave
+    shifts land in the SAME class (the chroma invariant); gain shifts
+    leave the normalized vector ~unchanged; stage degrades bad rows."""
+    import pyarrow as pa
+    import ray
+
+    from gojsonschema_ray.stages.audio import (ChromaStage,
+                                               chroma_features,
+                                               chroma_filterbank)
+    from gojsonschema_ray.util import collect_rows
+
+    sr = 16000
+    cb = chroma_filterbank(sr, 2048)  # semitone resolution needs ≥2048
+    assert cb.shape == (12, 1025)
+
+    def tone(f, amp=0.4, n=16000):
+        return np.rint(amp * 32767 * np.sin(
+            2 * np.pi * f * np.arange(n) / sr)).astype(np.int16)
+
+    # A4=440 → class 9; C5≈523.25 → class 0; E4≈329.63 → class 4
+    for f, cls in [(440.0, 9), (880.0, 9), (220.0, 9),   # octaves of A
+                   (523.25, 0), (329.63, 4)]:
+        nf, ch = chroma_features(tone(f), sr, cb)
+        assert nf > 0 and int(np.argmax(ch)) == cls
+        # window leakage lands in ±1-semitone neighbours; the class
+        # still dominates by a wide margin
+        assert ch[cls] > 0.6 and ch[cls] > 2 * np.sort(ch)[-2]
+    # gain invariance of the normalized profile
+    _, lo = chroma_features(tone(440.0, amp=0.05), sr, cb)
+    _, hi = chroma_features(tone(440.0, amp=0.8), sr, cb)
+    assert np.allclose(lo, hi, atol=1e-3)
+    _, none = chroma_features(np.zeros(0, np.int16), sr, cb)
+    assert none is None
+
+    tbl = pa.table({
+        "clip_id": ["a", "bad"],
+        "bytes": [tone(440.0).tobytes(), b"\x01"],
+        "sr_hz": pa.array([sr, sr], pa.int32()),
+        "dur_ms": pa.array([1000, 1], pa.int32()),
+        "codec": ["pcm_s16le", "pcm_s16le"],
+        "transcript": ["", ""],
+    })
+    rows = {r["clip_id"]: r for r in collect_rows(
+        ray.data.from_arrow(tbl).map_batches(
+            ChromaStage, batch_format="pyarrow", concurrency=(1, 1)))}
+    assert rows["a"]["decode_ok"] and rows["a"]["pitch_class"] == 9
+    assert not rows["bad"]["decode_ok"]
+
+
+def test_discretize_quantile(ray_session):
+    """Bucket ids equal the SQL #cutpoints<=v idiom on shared
+    quantile_cont cutpoints; bins are ~equal-frequency; nulls pass
+    through with null bucket."""
+    import duckdb
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.sketches import discretize_quantile
+    from gojsonschema_ray.util import collect_table
+
+    rng = np.random.default_rng(61)
+    df = pd.DataFrame({"id": np.arange(8000, dtype="int64"),
+                       "v": rng.lognormal(2, 1, 8000)})
+    df.loc[::97, "v"] = np.nan
+    got = collect_table(discretize_quantile(
+        rd.from_pandas(df).repartition(5), "v", 8)).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    exp = duckdb.sql(
+        "WITH cuts AS (SELECT unnest([quantile_cont(v, 0.125), "
+        "quantile_cont(v, 0.25), quantile_cont(v, 0.375), "
+        "quantile_cont(v, 0.5), quantile_cont(v, 0.625), "
+        "quantile_cont(v, 0.75), quantile_cont(v, 0.875)]) AS c FROM df) "
+        "SELECT id, CASE WHEN v IS NULL THEN NULL ELSE "
+        "(SELECT count(*) FROM cuts WHERE c <= v) END AS bucket "
+        "FROM df ORDER BY id").df()
+    assert got["bucket"].fillna(-1).astype("int64").tolist() == \
+        exp["bucket"].fillna(-1).astype("int64").tolist()
+    counts = got["bucket"].value_counts()
+    assert len(counts) == 8 and counts.max() - counts.min() < 100
+    with pytest.raises(ValueError, match="k="):
+        discretize_quantile(rd.from_pandas(df), "v", 1)
