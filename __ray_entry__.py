@@ -4036,7 +4036,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clips_audio_chroma": q_clips_audio_chroma,  # rows-only: FFT
         # isn't SQL-expressible (octave-invariance goldens; class-
         # diversity + L1-normalization self-checks)
+        "documents_bpe": q_documents_bpe,  # rows-only: iterative BPE
+        # merging isn't SQL-expressible (hand-computed golden; dense-
+        # rank + non-increasing-count self-checks)
     }
+
+
+def q_documents_bpe(sf_dir: str) -> pd.DataFrame:
+    """BPE tokenizer training (functions/text.learn_bpe): 30 merges over
+    the documents corpus — corpus-scale work is ONE combiner-first word-
+    frequency exchange; training runs on the bounded (word, count)
+    vocabulary (the standard trainer architecture). Rows-only: iterative
+    merging isn't SQL-expressible; the hand-computed golden lives in
+    tests. Self-check: merge counts are non-increasing (each new pair's
+    weight is bounded by the pair it came from) and ranks are dense."""
+    from gojsonschema_ray.functions.text import learn_bpe
+
+    ds = _read(sf_dir, "documents", ["text"])
+    m = learn_bpe(ds, "text", n_merges=30)
+    if m["rank"].tolist() != list(range(len(m))):
+        raise AssertionError("bpe: ranks not dense")
+    if (m["n"].diff().dropna() > 0).any():
+        raise AssertionError("bpe: merge counts increased")
+    return m
 
 
 def q_orders_discretized(sf_dir: str) -> pd.DataFrame:

@@ -2133,3 +2133,156 @@ def pmi_bigrams(ds, text_column: str, *, min_count: int = 5, top: int = 50,
                         "c_y": cy, "pmi": pmi})
     return out.sort_values(["pmi", "gram"], ascending=[False, True],
                            kind="stable").head(top).reset_index(drop=True)
+
+
+def learn_bpe(ds, text_column: str, *, n_merges: int = 50,
+              lowercase: bool = True, min_word_count: int = 1,
+              vocab_cap: int = 2_000_000):
+    """Byte-pair-encoding merge learning (Sennrich et al. 2016) — the
+    tokenizer-training op of an LLM data pipeline. The corpus-scale work
+    is ONE combiner-first pass: word frequencies via token_frequencies
+    (the exchange moves distinct words, not tokens). Training then runs
+    on the (word, count) vocabulary on the driver — the standard trainer
+    architecture (HF tokenizers does the same): each round counts symbol
+    pairs WEIGHTED by word count and merges the most frequent pair
+    everywhere. Bounded by distinct-word count (`vocab_cap` fails
+    loudly), never by corpus size; n_merges rounds touch only words that
+    contain the merged pair.
+
+    Determinism: ties break on the lexicographically smallest (left,
+    right) pair. Words end with the '</w>' marker so merges can't cross
+    word boundaries. Returns DataFrame (rank, left, right, n) where n is
+    the pair's weighted count at merge time."""
+    import pandas as pd
+
+    from ..util import collect_table
+
+    if n_merges < 1:
+        raise ValueError(f"learn_bpe: n_merges={n_merges}")
+    vocab = collect_table(token_frequencies(
+        ds, text_column, min_count=min_word_count, n=1,
+        lowercase=lowercase)).to_pandas()
+    if len(vocab) > vocab_cap:
+        raise ValueError(f"learn_bpe: {len(vocab)} distinct words "
+                         f"(> vocab_cap={vocab_cap})")
+    # symbol sequences per distinct word + weights
+    words = [tuple(w) + ("</w>",) for w in vocab["gram"].tolist()]
+    counts = vocab["n"].to_numpy(dtype=np.int64)
+
+    # pair -> total weight, and pair -> set of word indexes containing it
+    from collections import defaultdict
+
+    pair_w: dict = defaultdict(int)
+    pair_words: dict = defaultdict(set)
+    for wi, syms in enumerate(words):
+        c = int(counts[wi])
+        for a, b in zip(syms, syms[1:]):
+            pair_w[(a, b)] += c
+            pair_words[(a, b)].add(wi)
+
+    out = []
+    for rank in range(n_merges):
+        if not pair_w:
+            break
+        # max count, ties -> lexicographically smallest pair
+        best = min(pair_w.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        n_best = pair_w[best]
+        if n_best <= 0:
+            break
+        out.append({"rank": rank, "left": best[0], "right": best[1],
+                    "n": int(n_best)})
+        merged = best[0] + best[1]
+        for wi in list(pair_words[best]):
+            syms = words[wi]
+            c = int(counts[wi])
+            # remove old pair contributions of this word
+            for a, b in zip(syms, syms[1:]):
+                pair_w[(a, b)] -= c
+                if pair_w[(a, b)] <= 0:
+                    pair_w.pop((a, b), None)
+                pw = pair_words.get((a, b))
+                if pw is not None:
+                    pw.discard(wi)
+                    if not pw:
+                        pair_words.pop((a, b), None)
+            # apply the merge left-to-right
+            ns: list = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == best[0] \
+                        and syms[i + 1] == best[1]:
+                    ns.append(merged)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            words[wi] = tuple(ns)
+            for a, b in zip(ns, ns[1:]):
+                pair_w[(a, b)] += c
+                pair_words[(a, b)].add(wi)
+    return pd.DataFrame(out, columns=["rank", "left", "right", "n"]) \
+        .astype({"rank": "int64", "n": "int64"})
+
+
+def bpe_encode(word: str, ranks: dict) -> list[str]:
+    """Encode ONE word with learned merges: repeatedly merge the
+    lowest-rank adjacent pair (the standard BPE inference loop).
+    `ranks` maps (left, right) -> merge rank from learn_bpe."""
+    syms = list(word) + ["</w>"]
+    while len(syms) > 1:
+        best_i, best_r = -1, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_r is None or r < best_r):
+                best_i, best_r = i, r
+        if best_r is None:
+            break
+        syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_token_counts(ds, text_column: str, merges, *,
+                     lowercase: bool = True):
+    """Per-document BPE token counts under a learned merge table — the
+    'how many tokens will this corpus cost' pass. merges = learn_bpe's
+    DataFrame (shipped to workers once via the closure; tiny). Each
+    batch dictionary-encodes its words so every DISTINCT word is encoded
+    once per batch; counts then come from one take().
+
+    Returns a Dataset (id columns passed through, bpe_tokens int64)."""
+    ranks = {(l, r): int(k) for k, l, r in
+             zip(merges["rank"], merges["left"], merges["right"])}
+
+    def f(t: pa.Table) -> pa.Table:
+        col = t[text_column]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        txt = pc.utf8_trim_whitespace(pc.cast(col, pa.string()))
+        if lowercase:
+            txt = pc.utf8_lower(txt)
+        lists = pc.split_pattern_regex(txt, r"\s+")
+        lists = lists.combine_chunks() \
+            if isinstance(lists, pa.ChunkedArray) else lists
+        lens = np.diff(lists.offsets.to_numpy(zero_copy_only=False)
+                       .astype(np.int64))
+        ok = ~np.asarray(pc.is_null(lists).to_numpy(zero_copy_only=False))
+        ok &= np.asarray(pc.greater(pc.utf8_length(txt), 0)
+                         .fill_null(False).to_numpy(zero_copy_only=False))
+        lens = np.where(ok, lens, 0)
+        vals = lists.values.filter(
+            pa.array(np.repeat(ok, np.diff(
+                lists.offsets.to_numpy(zero_copy_only=False)
+                .astype(np.int64)))))
+        enc = vals.dictionary_encode()
+        uniq = enc.dictionary.to_pylist()
+        per_word = np.asarray([len(bpe_encode(w, ranks)) for w in uniq],
+                              dtype=np.int64)
+        codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False),
+                           dtype=np.int64)
+        did = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        tok = np.zeros(t.num_rows, dtype=np.int64)
+        np.add.at(tok, did, per_word[codes])
+        return t.drop_columns([text_column]) \
+            .append_column("bpe_tokens", pa.array(tok))
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -1582,3 +1582,39 @@ def test_pmi_bigrams(ray_session):
                         "text")
     assert empty.empty and list(empty.columns) == \
         ["gram", "w1", "w2", "c_xy", "c_x", "c_y", "pmi"]
+
+
+def test_learn_bpe_golden(ray_session):
+    """Hand-computed merge sequence on the classic low/lower/lowest
+    corpus; encode reproduces the segmentation; token counts match the
+    encoded lengths."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gojsonschema_ray.functions.text import (bpe_encode,
+                                                 bpe_token_counts,
+                                                 learn_bpe)
+    from gojsonschema_ray.util import collect_rows
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["low low low", "lower", "lowest"],
+    })
+    m = learn_bpe(rd.from_pandas(df).repartition(2), "text", n_merges=4)
+    # pair weights: (l,o)=5 (o,w)=5 (w,</w>)=3 (w,e)=2 ... ties break
+    # lexicographically: ('l','o') before ('o','w')
+    assert list(zip(m["left"], m["right"], m["n"])) == [
+        ("l", "o", 5), ("lo", "w", 5), ("low", "</w>", 3),
+        ("low", "e", 2)]
+    ranks = {(l, r): int(k) for k, l, r in
+             zip(m["rank"], m["left"], m["right"])}
+    assert bpe_encode("low", ranks) == ["low</w>"]
+    assert bpe_encode("lowest", ranks) == ["lowe", "s", "t", "</w>"]
+    assert bpe_encode("xyz", ranks) == ["x", "y", "z", "</w>"]
+    rows = {r["doc_id"]: r["bpe_tokens"] for r in collect_rows(
+        bpe_token_counts(rd.from_pandas(df), "text", m))}
+    assert rows == {0: 3, 1: 3 + 0, 2: 4}  # low:1x3; lower: lowe+r+</w>=3
+    # empty/degenerate corpus
+    e = learn_bpe(rd.from_pandas(pd.DataFrame({"text": ["a"]})), "text",
+                  n_merges=5)
+    assert list(zip(e["left"], e["right"])) == [("a", "</w>")]
