@@ -4039,7 +4039,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_bpe": q_documents_bpe,  # rows-only: iterative BPE
         # merging isn't SQL-expressible (hand-computed golden; dense-
         # rank + non-increasing-count self-checks)
+        "lineitem_triangles": q_lineitem_triangles,  # exact triangle
+        # count, oriented wedges (triple-self-join oracle)
     }
+
+
+def q_lineitem_triangles(sf_dir: str) -> pd.DataFrame:
+    """EXACT triangle count (stages/graph.triangle_count, oriented-wedge
+    Suri-Vassilvitskii shape): the part/supplier affinity graph (edges =
+    distinct (l_partkey%500, l_suppkey%500) pairs, normalized
+    undirected). Two coarse exchanges — hash(min-vertex) for wedge
+    generation, hash(pair) for the wedge∩edge membership join; per-
+    vertex degree cap fails loudly on hubs."""
+    from gojsonschema_ray.stages.graph import triangle_count
+
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "u": pc.cast(pc.subtract(t["l_partkey"], pc.multiply(
+                pc.divide(t["l_partkey"], 500), 500)), pa.int64()),
+            "v": pc.cast(pc.subtract(t["l_suppkey"], pc.multiply(
+                pc.divide(t["l_suppkey"], 500), 500)), pa.int64()),
+        })
+
+    tri, ne = triangle_count(ds.map_batches(edges, batch_format="pyarrow"),
+                             "u", "v", max_degree=100_000)
+    return pd.DataFrame({"n_triangles": pd.Series([tri], dtype="int64"),
+                         "n_edges": pd.Series([ne], dtype="int64")})
 
 
 def q_documents_bpe(sf_dir: str) -> pd.DataFrame:
@@ -5132,6 +5159,17 @@ def oracle_sql() -> dict[str, str]:
             "6) AS pmi "
             "FROM cb JOIN cu a ON cb.w1 = a.w JOIN cu b ON cb.w2 = b.w, "
             "t1 ORDER BY gram"
+        ),
+        "lineitem_triangles": (
+            "WITH e AS (SELECT DISTINCT least(l_partkey % 500, "
+            "l_suppkey % 500) AS a, greatest(l_partkey % 500, "
+            "l_suppkey % 500) AS b FROM lineitem "
+            "WHERE l_partkey % 500 != l_suppkey % 500) "
+            "SELECT CAST((SELECT count(*) FROM e e1 "
+            "JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b "
+            "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS BIGINT) "
+            "AS n_triangles, "
+            "CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges"
         ),
         "orders_discretized": (
             "WITH cuts AS (SELECT unnest(["

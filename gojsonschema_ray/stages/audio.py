@@ -1986,3 +1986,107 @@ class ChromaStage:
             else:
                 rows.append({"clip_id": cid, "decode_ok": True, **out})
         return pa.Table.from_pylist(rows, schema=CHROMA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# onset detection + tempo — event-level audio structure (segmentation /
+# music-vs-speech curation signals next to VAD and the spectral gates)
+# ---------------------------------------------------------------------------
+def onset_strength(pcm: np.ndarray, sr: int, *, n_fft: int = 512,
+                   hop: int = 256) -> np.ndarray:
+    """Spectral-flux onset envelope: framed magnitude rFFT, half-wave-
+    rectified frame-to-frame increase summed over bins (the standard
+    novelty curve). One vectorized pass; < 2 frames returns empty."""
+    n = len(pcm)
+    if n < n_fft + hop:
+        return np.zeros(0, dtype=np.float32)
+    x = pcm.astype(np.float32)
+    frames = np.lib.stride_tricks.sliding_window_view(x, n_fft)[::hop]
+    spec = np.abs(np.fft.rfft(frames * _hanning(n_fft)[None, :], axis=1))
+    d = np.diff(spec, axis=0)
+    np.maximum(d, 0.0, out=d)
+    return d.sum(axis=1).astype(np.float32)
+
+
+def detect_onsets(pcm: np.ndarray, sr: int, *, n_fft: int = 512,
+                  hop: int = 256, delta: float = 1.5,
+                  min_gap_ms: float = 50.0) -> np.ndarray:
+    """Onset times (ms): local maxima of the flux envelope above
+    mean + delta * std, greedily thinned to one onset per `min_gap_ms`
+    (strongest first). Deterministic, vectorized peak picking."""
+    env = onset_strength(pcm, sr, n_fft=n_fft, hop=hop)
+    if len(env) < 3:
+        return np.zeros(0, dtype=np.float64)
+    thr = float(env.mean()) + delta * float(env.std())
+    peaks = np.flatnonzero((env[1:-1] > env[:-2]) & (env[1:-1] >= env[2:])
+                           & (env[1:-1] > thr)) + 1
+    if not len(peaks):
+        return np.zeros(0, dtype=np.float64)
+    # greedy non-max suppression inside min_gap
+    order = peaks[np.argsort(-env[peaks], kind="stable")]
+    gap = max(1, int(round(min_gap_ms / 1000.0 * sr / hop)))
+    taken: list[int] = []
+    used = np.zeros(len(env), dtype=bool)
+    for p in order:
+        if not used[max(0, p - gap):p + gap + 1].any():
+            used[p] = True
+            taken.append(int(p))
+    # frame center time: onset lands between frames p and p+1
+    t = (np.sort(np.asarray(taken, dtype=np.float64)) + 1.0) \
+        * hop / sr * 1000.0
+    return t
+
+
+def estimate_tempo(onset_ms: np.ndarray, *, bpm_lo: float = 40.0,
+                   bpm_hi: float = 240.0) -> float | None:
+    """Tempo from the median inter-onset interval, octave-folded into
+    [bpm_lo, bpm_hi). None with < 2 onsets."""
+    if len(onset_ms) < 2:
+        return None
+    ioi = float(np.median(np.diff(onset_ms)))
+    if ioi <= 0:
+        return None
+    bpm = 60000.0 / ioi
+    while bpm >= bpm_hi:
+        bpm /= 2.0
+    while bpm < bpm_lo:
+        bpm *= 2.0
+    return float(bpm)
+
+
+ONSET_SCHEMA = pa.schema([
+    ("clip_id", pa.string()),
+    ("decode_ok", pa.bool_()),
+    ("sr_hz", pa.int64()),
+    ("n_onsets", pa.int64()),
+    ("onset_ms", pa.list_(pa.float64())),
+    ("tempo_bpm", pa.float64()),
+])
+
+
+class OnsetStage:
+    """Actor-pool map_batches payload: decode + onset times + tempo per
+    clip. Stateless beyond the decoder table; decode failures degrade to
+    decode_ok=False rows (module error contract)."""
+
+    def __init__(self, n_fft: int = 512, hop: int = 256,
+                 delta: float = 1.5, min_gap_ms: float = 50.0):
+        self.n_fft, self.hop = n_fft, hop
+        self.delta, self.min_gap_ms = delta, min_gap_ms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for _, cid, sr, pcm in decoded_pcm_rows(batch):
+            if pcm is None:
+                rows.append({"clip_id": cid, "decode_ok": False,
+                             "sr_hz": None, "n_onsets": None,
+                             "onset_ms": None, "tempo_bpm": None})
+                continue
+            t = detect_onsets(pcm, sr, n_fft=self.n_fft, hop=self.hop,
+                              delta=self.delta,
+                              min_gap_ms=self.min_gap_ms)
+            rows.append({"clip_id": cid, "decode_ok": True, "sr_hz": sr,
+                         "n_onsets": int(len(t)),
+                         "onset_ms": t.tolist(),
+                         "tempo_bpm": estimate_tempo(t)})
+        return pa.Table.from_pylist(rows, schema=ONSET_SCHEMA)

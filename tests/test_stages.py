@@ -4596,3 +4596,47 @@ def test_discretize_quantile(ray_session):
     assert len(counts) == 8 and counts.max() - counts.min() < 100
     with pytest.raises(ValueError, match="k="):
         discretize_quantile(rd.from_pandas(df), "v", 1)
+
+
+def test_onset_detection_and_tempo(ray_session):
+    """A 120-BPM click track yields one onset per click within a frame
+    and tempo ~120; steady tones and silence yield no onsets."""
+    import pyarrow as pa
+    import ray
+
+    from gojsonschema_ray.stages.audio import (OnsetStage, detect_onsets,
+                                               estimate_tempo)
+    from gojsonschema_ray.util import collect_rows
+
+    sr = 16000
+    dur = 4.0
+    click_t = np.arange(0.25, dur - 0.1, 0.5)  # 120 BPM
+    pcm = np.zeros(int(sr * dur), dtype=np.int16)
+    for t in click_t:
+        i = int(t * sr)
+        pcm[i:i + 64] = (20000 * np.hanning(64)).astype(np.int16)
+    got = detect_onsets(pcm, sr)
+    assert len(got) == len(click_t)
+    frame_ms = 256 / sr * 1000
+    assert np.max(np.abs(got - click_t * 1000.0)) < 2 * frame_ms
+    bpm = estimate_tempo(got)
+    assert abs(bpm - 120.0) < 3.0
+    # steady tone: no flux peaks after the attack settles; silence: none
+    tone = np.rint(0.4 * 32767 * np.sin(
+        2 * np.pi * 440 * np.arange(sr) / sr)).astype(np.int16)
+    assert len(detect_onsets(tone, sr)) <= 1
+    assert len(detect_onsets(np.zeros(sr, np.int16), sr)) == 0
+    assert estimate_tempo(np.zeros(0)) is None
+    # octave folding: 30 BPM ioi folds into [40, 240)
+    assert 40 <= estimate_tempo(np.array([0.0, 2000.0, 4000.0])) < 240
+
+    tbl = pa.table({
+        "clip_id": ["clicks"], "bytes": [pcm.tobytes()],
+        "sr_hz": pa.array([sr], pa.int32()),
+        "dur_ms": pa.array([int(dur * 1000)], pa.int32()),
+        "codec": ["pcm_s16le"], "transcript": [""],
+    })
+    (row,) = collect_rows(ray.data.from_arrow(tbl).map_batches(
+        OnsetStage, batch_format="pyarrow", concurrency=(1, 1)))
+    assert row["n_onsets"] == len(click_t)
+    assert abs(row["tempo_bpm"] - 120.0) < 3.0
