@@ -4041,7 +4041,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rank + non-increasing-count self-checks)
         "lineitem_triangles": q_lineitem_triangles,  # exact triangle
         # count, oriented wedges (triple-self-join oracle)
+        "clips_codec_qa": q_clips_codec_qa,  # rows-only: G.711
+        # companding isn't SQL-expressible (full-domain audioop parity
+        # + SNR-band goldens; all-tones-pass self-check)
     }
+
+
+def q_clips_codec_qa(sf_dir: str) -> pd.DataFrame:
+    """G.711 round-trip QA gate (stages/audio.CodecRoundtripStage):
+    decode → mu-law companding round trip → SNR verdict per clip — the
+    'will this corpus survive telephony transport' validation pass.
+    Rows-only: companding isn't SQL-expressible; full-domain audioop
+    parity + band goldens live in tests. Self-check: every decodable
+    tone clip must clear 25 dB (sine content compands cleanly)."""
+    from gojsonschema_ray import datagen
+    from gojsonschema_ray.stages.audio import CodecRoundtripStage
+    from gojsonschema_ray.util import collect_rows
+
+    ds = datagen.clips_dataset(5_000, audio_cap_ms=60, override_num_blocks=8)
+    rows = collect_rows(ds.map_batches(
+        CodecRoundtripStage, fn_constructor_kwargs=dict(
+            target_codec="ulaw", min_snr_db=25.0),
+        batch_size=512, batch_format="pyarrow", concurrency=(1, 4)))
+    ok = [r for r in rows if r["decode_ok"]]
+    bad = [r for r in ok if not r["ok"]]
+    if len(bad) > 0:
+        raise AssertionError(f"codec_qa: {len(bad)} tone clips failed "
+                             "the mu-law round trip")
+    return pd.DataFrame({
+        "clip_id": pd.Series([r["clip_id"] for r in rows], dtype="object"),
+        "decode_ok": pd.Series([r["decode_ok"] for r in rows],
+                               dtype="bool"),
+        "ok": pd.Series([bool(r["ok"]) if r["ok"] is not None else False
+                         for r in rows], dtype="bool"),
+        "snr_band": pd.Series(
+            [int(r["roundtrip_snr_db"] // 5) if r["decode_ok"]
+             and r["roundtrip_snr_db"] is not None
+             and np.isfinite(r["roundtrip_snr_db"]) else -1
+             for r in rows], dtype="int64"),
+    }).sort_values("clip_id").reset_index(drop=True)
 
 
 def q_lineitem_triangles(sf_dir: str) -> pd.DataFrame:

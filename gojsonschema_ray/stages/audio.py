@@ -28,6 +28,7 @@ actor signature, batch sizing, violation layout) is real and tested.
 from __future__ import annotations
 
 import io
+import math
 import wave
 
 import numpy as np
@@ -1603,12 +1604,45 @@ def _aug_rng(seed: int, clip_id: str, idx: int) -> np.random.Generator:
         np.random.Philox(int.from_bytes(h, "little")))
 
 
+def add_reverb(pcm: np.ndarray, sr: int, rng: np.random.Generator, *,
+               rt60_ms: float = 300.0, wet: float = 0.3) -> np.ndarray:
+    """Synthetic-room reverb: convolve with an exponentially-decaying
+    noise impulse response (the standard cheap RIR model — decay
+    constant from RT60, the time to -60 dB), mix dry/wet, rescale to
+    the dry peak so the copy never clips harder than the original.
+    FFT convolution (one rfft/irfft pair) — no per-sample Python;
+    deterministic under a keyed `rng` (see _aug_rng). float64 in/out
+    (callers quantize once at the end, like AudioAugmentStage._one)."""
+    n = len(pcm)
+    if n == 0 or wet <= 0.0:
+        return np.asarray(pcm, dtype=np.float64)
+    x = np.asarray(pcm, dtype=np.float64)
+    m = max(8, int(sr * rt60_ms / 1000.0))
+    t = np.arange(m, dtype=np.float64) / sr
+    # exp(-6.908 t / rt60): -60 dB at rt60 (6.908 = ln(10^3))
+    ir = rng.standard_normal(m) * np.exp(-6.9078 * t / (rt60_ms / 1000.0))
+    ir[0] = 0.0  # direct path carried by the dry branch
+    e = float(np.dot(ir, ir))
+    if e > 0:
+        ir /= np.sqrt(e)
+    k = 1 << int(np.ceil(np.log2(n + m - 1)))
+    tail = np.fft.irfft(np.fft.rfft(x, k) * np.fft.rfft(ir, k), k)[:n]
+    out = (1.0 - wet) * x + wet * tail
+    peak_in = float(np.max(np.abs(x)))
+    peak_out = float(np.max(np.abs(out)))
+    if peak_out > peak_in > 0:
+        out *= peak_in / peak_out
+    return out
+
+
 class AudioAugmentStage:
     """Actor-pool map_batches payload: emit `copies` augmented training
     copies per decodable clip — additive white noise at a target SNR,
     speed perturbation (resample_linear by a factor drawn from
-    `speed_factors`), and uniform gain jitter in ±gain_jitter_db, each
-    optional and applied in speed → gain → noise order. Output rows are
+    `speed_factors`), uniform gain jitter in ±gain_jitter_db, and
+    synthetic-room reverb (`reverb=(rt60_ms, wet)`, constructor-fixed
+    config, per-copy keyed IR), each optional and applied in
+    speed → gain → reverb → noise order. Output rows are
     pcm_s16le under the clips-column contract, so augmented copies feed
     every downstream audio stage unchanged.
 
@@ -1621,7 +1655,12 @@ class AudioAugmentStage:
 
     def __init__(self, copies: int = 1, *, noise_snr_db: float | None = None,
                  speed_factors: tuple | None = None,
-                 gain_jitter_db: float | None = None, seed: int = 0):
+                 gain_jitter_db: float | None = None, seed: int = 0,
+                 reverb: tuple | None = None):
+        if reverb is not None and (len(reverb) != 2 or reverb[0] <= 0
+                                   or not 0.0 < reverb[1] <= 1.0):
+            raise ValueError(f"AudioAugmentStage: reverb={reverb} "
+                             "(want (rt60_ms>0, 0<wet<=1))")
         if copies < 1:
             raise ValueError(f"AudioAugmentStage: copies={copies}")
         if speed_factors is not None and (
@@ -1636,6 +1675,7 @@ class AudioAugmentStage:
         self.speed_factors = tuple(speed_factors) if speed_factors else None
         self.gain_jitter_db = gain_jitter_db
         self.seed = seed
+        self.reverb = tuple(reverb) if reverb is not None else None
 
     def _one(self, pcm: np.ndarray, sr: int, cid: str, idx: int) -> dict:
         rng = _aug_rng(self.seed, cid, idx)
@@ -1655,6 +1695,9 @@ class AudioAugmentStage:
             gain_db = float(rng.uniform(-self.gain_jitter_db,
                                         self.gain_jitter_db))
             x = x * (10.0 ** (gain_db / 20.0))
+        if self.reverb is not None and len(x):
+            x = add_reverb(x, sr, rng, rt60_ms=self.reverb[0],
+                           wet=self.reverb[1])
         snr = None
         if self.noise_snr_db is not None and len(x):
             snr = float(self.noise_snr_db)
@@ -2090,3 +2133,69 @@ class OnsetStage:
                          "onset_ms": t.tolist(),
                          "tempo_bpm": estimate_tempo(t)})
         return pa.Table.from_pylist(rows, schema=ONSET_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# codec round-trip QA — "will this clip survive telephony companding?"
+# (the audio validation gate the G.711 transcode path needs: reference
+# framing /root/reference/validation.go per-document pass/fail verdicts)
+# ---------------------------------------------------------------------------
+CODEC_QA_SCHEMA = pa.schema([
+    ("clip_id", pa.string()),
+    ("decode_ok", pa.bool_()),
+    ("sr_hz", pa.int64()),
+    ("n_samples", pa.int64()),
+    ("roundtrip_snr_db", pa.float64()),
+    ("ok", pa.bool_()),
+])
+
+
+class CodecRoundtripStage:
+    """Actor-pool map_batches payload: decode → encode to `target_codec`
+    → decode back → SNR of the round trip vs the original PCM, with a
+    pass/fail verdict at `min_snr_db` (G.711 companding of speech-level
+    signals sits ~33-38 dB; clips that fall below are dominated by
+    content the codec cannot carry). All-zero clips pass vacuously
+    (inf SNR). pcm_s16le round-trips bit-exactly."""
+
+    def __init__(self, target_codec: str = "ulaw",
+                 min_snr_db: float = 25.0):
+        if target_codec not in g711.G711_ENCODERS \
+                and target_codec != "pcm_s16le":
+            raise ValueError(
+                f"CodecRoundtripStage: target_codec={target_codec!r}")
+        self.target_codec = target_codec
+        self.min_snr_db = min_snr_db
+
+    def _roundtrip(self, pcm: np.ndarray) -> np.ndarray:
+        if self.target_codec == "pcm_s16le":
+            return pcm
+        enc = g711.G711_ENCODERS[self.target_codec](pcm)
+        return g711.G711_LUTS[self.target_codec][enc]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for _, cid, sr, pcm in decoded_pcm_rows(batch):
+            if pcm is None:
+                rows.append({"clip_id": cid, "decode_ok": False,
+                             "sr_hz": None, "n_samples": None,
+                             "roundtrip_snr_db": None, "ok": None})
+                continue
+            rt = self._roundtrip(pcm)
+            x = pcm.astype(np.float64)
+            e = rt.astype(np.float64) - x
+            sig = float(np.dot(x, x))
+            err = float(np.dot(e, e))
+            if sig == 0.0:
+                # silent clip: nothing to preserve — vacuous pass (A-law
+                # has no exact zero code, its idle channel sits at ±8)
+                snr, ok = None, True
+            elif err == 0.0:
+                snr, ok = math.inf, True
+            else:
+                snr = 10.0 * math.log10(sig / err)
+                ok = bool(snr >= self.min_snr_db)
+            rows.append({"clip_id": cid, "decode_ok": True, "sr_hz": sr,
+                         "n_samples": int(len(pcm)),
+                         "roundtrip_snr_db": snr, "ok": ok})
+        return pa.Table.from_pylist(rows, schema=CODEC_QA_SCHEMA)

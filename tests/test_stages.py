@@ -4640,3 +4640,94 @@ def test_onset_detection_and_tempo(ray_session):
         OnsetStage, batch_format="pyarrow", concurrency=(1, 1)))
     assert row["n_onsets"] == len(click_t)
     assert abs(row["tempo_bpm"] - 120.0) < 3.0
+
+
+def test_codec_roundtrip_stage(ray_session):
+    """G.711 round trip of a speech-level sine sits in the ~33-40 dB
+    band (pass at 25); a near-full-scale square through mu-law stays
+    high; pcm_s16le round-trips bit-exactly (inf SNR); silence passes
+    vacuously; bad rows degrade."""
+    import pyarrow as pa
+    import pytest
+    import ray
+
+    from gojsonschema_ray.stages.audio import CodecRoundtripStage
+    from gojsonschema_ray.util import collect_rows
+
+    sr = 8000
+    tone = np.rint(0.3 * 32767 * np.sin(
+        2 * np.pi * 440 * np.arange(sr) / sr)).astype(np.int16)
+    tbl = pa.table({
+        "clip_id": ["t", "z", "bad"],
+        "bytes": [tone.tobytes(), np.zeros(100, np.int16).tobytes(),
+                  b"\x01"],
+        "sr_hz": pa.array([sr] * 3, pa.int32()),
+        "dur_ms": pa.array([1000, 12, 1], pa.int32()),
+        "codec": ["pcm_s16le"] * 3,
+        "transcript": [""] * 3,
+    })
+    for codec, lo, hi in [("ulaw", 30.0, 45.0), ("alaw", 30.0, 45.0)]:
+        rows = {r["clip_id"]: r for r in collect_rows(
+            ray.data.from_arrow(tbl).map_batches(
+                CodecRoundtripStage,
+                fn_constructor_kwargs=dict(target_codec=codec),
+                batch_format="pyarrow", concurrency=(1, 1)))}
+        assert lo < rows["t"]["roundtrip_snr_db"] < hi and rows["t"]["ok"]
+        # silence passes vacuously (A-law's idle channel sits at ±8 — no
+        # exact zero code — so an SNR there would be meaningless)
+        assert rows["z"]["roundtrip_snr_db"] is None and rows["z"]["ok"]
+        assert not rows["bad"]["decode_ok"]
+    rows = {r["clip_id"]: r for r in collect_rows(
+        ray.data.from_arrow(tbl).map_batches(
+            CodecRoundtripStage,
+            fn_constructor_kwargs=dict(target_codec="pcm_s16le"),
+            batch_format="pyarrow", concurrency=(1, 1)))}
+    assert rows["t"]["roundtrip_snr_db"] == np.inf
+    with pytest.raises(ValueError, match="target_codec"):
+        CodecRoundtripStage(target_codec="mp3")
+
+
+def test_add_reverb_and_augment(ray_session):
+    """Reverb adds a decaying tail after an impulse, is deterministic
+    under the keyed rng, never exceeds the dry peak, and flows through
+    AudioAugmentStage bit-identically across reruns."""
+    import pyarrow as pa
+    import pytest
+    import ray
+
+    from gojsonschema_ray.stages.audio import (AudioAugmentStage,
+                                               _aug_rng, add_reverb)
+    from gojsonschema_ray.util import collect_rows
+
+    sr = 8000
+    imp = np.zeros(4000, dtype=np.int16)
+    imp[100] = 20000
+    wet1 = add_reverb(imp, sr, _aug_rng(3, "c", 0), rt60_ms=200, wet=0.5)
+    wet2 = add_reverb(imp, sr, _aug_rng(3, "c", 0), rt60_ms=200, wet=0.5)
+    assert np.array_equal(wet1, wet2)  # keyed determinism
+    # tail energy exists after the impulse (dry signal is zero there);
+    # IR length = rt60 → tail spans [100, 100+1600)
+    tail = wet1[300:1500]
+    assert float(np.sqrt(np.mean(tail * tail))) > 1.0
+    # early tail louder than late tail (exponential decay)
+    assert np.abs(wet1[200:600]).mean() > 3 * np.abs(wet1[1200:1600]).mean()
+    assert np.max(np.abs(wet1)) <= 20000 + 1e-9  # dry-peak ceiling
+    assert add_reverb(imp[:0], sr, _aug_rng(3, "c", 0)).size == 0
+
+    tbl = pa.table({
+        "clip_id": ["c1"], "bytes": [imp.tobytes()],
+        "sr_hz": pa.array([sr], pa.int32()),
+        "dur_ms": pa.array([500], pa.int32()),
+        "codec": ["pcm_s16le"], "transcript": [""],
+    })
+    outs = []
+    for _ in range(2):
+        (row,) = collect_rows(ray.data.from_arrow(tbl).map_batches(
+            AudioAugmentStage,
+            fn_constructor_kwargs=dict(reverb=(200.0, 0.5), seed=3),
+            batch_format="pyarrow", concurrency=(1, 1)))
+        outs.append(row["bytes"])
+    assert outs[0] == outs[1]  # rerun bit-identical
+    assert np.frombuffer(outs[0], dtype="<i2")[300:1500].any()  # wet tail
+    with pytest.raises(ValueError, match="reverb"):
+        AudioAugmentStage(reverb=(0, 0.5))
