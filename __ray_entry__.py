@@ -3858,6 +3858,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (unnest-CTE oracle, exact counts + rounded ln)
         "orders_discretized": q_orders_discretized,  # equal-frequency
         # quantile binning (count-subquery-over-cutpoints oracle)
+        "orders_fd_discovery": q_orders_fd_discovery,  # functional-
+        # dependency mining (distinct-count UNION oracle)
         "lineitem_global_quantiles": q_lineitem_global_quantiles,  # EXACT
         # global quantile_cont by distributed selection (no global sort)
         "events_time_weighted": q_events_time_weighted,  # zero-order-hold
@@ -4045,6 +4047,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # companding isn't SQL-expressible (full-domain audioop parity
         # + SNR-band goldens; all-tones-pass self-check)
     }
+
+
+def q_orders_fd_discovery(sf_dir: str) -> pd.DataFrame:
+    """FD discovery (stages/infer.discover_fds): which of
+    {o_orderstatus, o_orderpriority, bucket = o_custkey % 5} determine
+    which — det → dep iff nunique(det) == nunique(det, dep). Combiner
+    distinct partials, ONE hash(pair, det_val) exchange, partition-
+    disjoint nunique sums. Null sentinel chr(0) / separator chr(1)
+    semantics shared with the oracle."""
+    from gojsonschema_ray.stages.infer import discover_fds
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderstatus", "o_orderpriority", "o_custkey"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "status": t["o_orderstatus"],
+            "priority": t["o_orderpriority"],
+            "bucket": pc.cast(pc.subtract(
+                t["o_custkey"], pc.multiply(
+                    pc.divide(t["o_custkey"], 5), 5)), pa.int64()),
+        })
+
+    return discover_fds(ds.map_batches(prep, batch_format="pyarrow"),
+                        ["status", "priority", "bucket"])
+
+
+def _fd_oracle_sql() -> str:
+    cols = {"status": "o_orderstatus", "priority": "o_orderpriority",
+            "bucket": "o_custkey % 5"}
+
+    def s(expr):
+        return f"coalesce(CAST({expr} AS VARCHAR), chr(0))"
+
+    terms = []
+    for det, de in cols.items():
+        for dep, pe in cols.items():
+            if det == dep:
+                continue
+            terms.append(
+                f"SELECT '{det}' AS det, '{dep}' AS dep, "
+                f"CAST(count(DISTINCT {s(de)}) AS BIGINT) AS n_det, "
+                f"CAST(count(DISTINCT {s(de)} || chr(1) || {s(pe)}) "
+                f"AS BIGINT) AS n_pairs, "
+                f"count(DISTINCT {s(de)}) = count(DISTINCT {s(de)} || "
+                f"chr(1) || {s(pe)}) AS holds FROM orders")
+    return " UNION ALL ".join(terms) + " ORDER BY det, dep"
 
 
 def q_clips_codec_qa(sf_dir: str) -> pd.DataFrame:
@@ -5153,6 +5202,7 @@ def oracle_sql() -> dict[str, str]:
         # (engine computes the full 64x64; the oracle slices the triangle)
         "embeddings_covariance": _covariance_oracle_sql(12),
         "lineitem_zorder": _zorder_oracle_sql(8),
+        "orders_fd_discovery": _fd_oracle_sql(),
         "orders_join_size": (
             "WITH a AS (SELECT o_orderkey AS k, count(*) AS ca "
             "FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1), "

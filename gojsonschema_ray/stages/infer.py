@@ -193,3 +193,84 @@ def infer_ruleset(ds, columns: list[str] | None = None,
         if p["n_null"] == 0:
             required.append(p["column"])
     return {"type": "object", "properties": props, "required": required}
+
+
+def discover_fds(ds, columns: list[str], *, cap: int = 500_000):
+    """Functional-dependency DISCOVERY over a set of profile columns:
+    for every ordered pair (det → dep), det determines dep iff
+    nunique(det) == nunique(det, dep) — the schema-mining counterpart of
+    integrity.fd_violations (which checks a GIVEN dependency).
+
+    Scale shape: per-batch distinct (pair, det_val, dep_val) partials
+    (the combiner — stringified with chr(0) null sentinel and chr(1)
+    separator semantics shared with the SQL oracle), ONE
+    hash(pair, det_val) exchange so all dep values of one det value
+    co-locate; per-partition pandas nunique partials sum exactly across
+    partitions (det values are partition-disjoint). `cap` bounds the
+    per-batch distinct explosion loudly — FD discovery is for bounded-
+    cardinality profile columns, not for key columns (a unique key
+    trivially determines everything and costs a row per input row).
+
+    Returns DataFrame (det, dep, n_det, n_pairs, holds) for all ordered
+    pairs, sorted (det, dep)."""
+    import pandas as pd
+
+    from ..util import collect_table
+    from .dedup import _next_pow2, _shuffle_parts
+    from .sketches import hash_arrow_array
+
+    if len(columns) < 2:
+        raise ValueError("discover_fds: need >= 2 columns")
+    if len(set(columns)) != len(columns):
+        raise ValueError("discover_fds: duplicate columns")
+    pairs = [(i, j) for i in range(len(columns))
+             for j in range(len(columns)) if i != j]
+    P = _next_pow2(_shuffle_parts())
+    sent = chr(0)
+
+    def partial(t: pa.Table) -> pa.Table:
+        strs = {}
+        for c in columns:
+            strs[c] = pc.fill_null(
+                pc.cast(t[c], pa.string()), sent)
+        out_p, out_a, out_b = [], [], []
+        for pid, (i, j) in enumerate(pairs):
+            g = pa.table({"a": strs[columns[i]],
+                          "b": strs[columns[j]]}) \
+                .group_by(["a", "b"]).aggregate([])
+            if g.num_rows > cap:
+                raise ValueError(
+                    f"discover_fds: pair ({columns[i]}, {columns[j]}) has "
+                    f"{g.num_rows} distinct combos in one batch (> cap="
+                    f"{cap}) — not a bounded-cardinality profile pair")
+            out_p.extend([pid] * g.num_rows)
+            out_a.extend(g["a"].to_pylist())
+            out_b.extend(g["b"].to_pylist())
+        tt = pa.table({"pid": pa.array(out_p, pa.int32()),
+                       "a": pa.array(out_a, pa.string()),
+                       "b": pa.array(out_b, pa.string())})
+        h = hash_arrow_array(tt["pid"]) * np.uint64(0x9E3779B97F4A7C15) \
+            ^ hash_arrow_array(tt["a"])
+        return tt.append_column(
+            "part", pa.array((h % np.uint64(P)).astype(np.int32)))
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(subset=["pid", "a", "b"])
+        g = df.groupby("pid").agg(
+            n_det=("a", "nunique"), n_pairs=("a", "size")).reset_index()
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pyarrow") \
+        .repartition(P).materialize()
+    agg = collect_table(parts.groupby("part").map_groups(
+        per_part, batch_format="pandas")).to_pandas()
+    agg = agg.groupby("pid").sum().reindex(range(len(pairs)),
+                                           fill_value=0)
+    out = pd.DataFrame({
+        "det": [columns[i] for i, _ in pairs],
+        "dep": [columns[j] for _, j in pairs],
+        "n_det": agg["n_det"].to_numpy(dtype=np.int64),
+        "n_pairs": agg["n_pairs"].to_numpy(dtype=np.int64),
+    })
+    out["holds"] = out["n_det"] == out["n_pairs"]
+    return out.sort_values(["det", "dep"]).reset_index(drop=True)

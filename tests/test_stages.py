@@ -4731,3 +4731,39 @@ def test_add_reverb_and_augment(ray_session):
     assert np.frombuffer(outs[0], dtype="<i2")[300:1500].any()  # wet tail
     with pytest.raises(ValueError, match="reverb"):
         AudioAugmentStage(reverb=(0, 0.5))
+
+
+def test_discover_fds(ray_session):
+    """Planted dependencies are found (a→b via b=a%5 ... wait, b=f(a)),
+    non-dependencies are rejected, counts equal SQL distinct counts,
+    nulls count as a distinct value."""
+    import duckdb
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from gojsonschema_ray.stages.infer import discover_fds
+
+    rng = np.random.default_rng(71)
+    a = rng.integers(0, 40, 6000)
+    df = pd.DataFrame({
+        "a": a.astype("int64"),
+        "b": (a % 7).astype("int64"),            # a → b holds
+        "c": rng.integers(0, 3, 6000).astype("int64"),  # independent
+        "d": [None if i % 11 == 0 else f"s{v % 4}"      # nulls distinct
+              for i, v in enumerate(a)],
+    })
+    got = discover_fds(rd.from_pandas(df).repartition(4),
+                       ["a", "b", "c", "d"])
+    g = {(r["det"], r["dep"]): r for _, r in got.iterrows()}
+    assert g[("a", "b")]["holds"] and not g[("b", "a")]["holds"]
+    assert not g[("a", "c")]["holds"] and not g[("c", "a")]["holds"]
+    # exact counts vs SQL for one pair (null sentinel semantics shared)
+    nd, npair = duckdb.sql(
+        "SELECT count(DISTINCT coalesce(CAST(a AS VARCHAR), chr(0))), "
+        "count(DISTINCT coalesce(CAST(a AS VARCHAR), chr(0)) || chr(1) "
+        "|| coalesce(CAST(d AS VARCHAR), chr(0))) FROM df").fetchone()
+    assert (g[("a", "d")]["n_det"], g[("a", "d")]["n_pairs"]) \
+        == (int(nd), int(npair))
+    with pytest.raises(ValueError, match=">= 2"):
+        discover_fds(rd.from_pandas(df), ["a"])
